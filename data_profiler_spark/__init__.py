@@ -1,0 +1,13 @@
+"""data_profiler_spark — a from-scratch PySpark-native profiling + constraint
+validation engine with the query/data-processing capabilities of
+``5thStreetBlues/data-profiler`` (reference, read-only at /root/reference).
+
+Everything here is idiomatic Spark (DataFrame/SQL + Catalyst + pandas/Arrow
+UDFs), NOT a port of the reference's single-process polars/pandas execution.
+Reference file:line citations in docstrings mark parity, not provenance.
+"""
+
+from data_profiler_spark.session import get_spark
+
+__all__ = ["get_spark"]
+__version__ = "0.1.0"

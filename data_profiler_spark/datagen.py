@@ -1,0 +1,145 @@
+"""Deterministic synthesis of the north-rule input table (BASELINE.json
+input_hint): ``code_files(repo, path, commit, lang, content)`` plus the
+companion ``commits(repo, commit)`` parent for referential checks.
+
+Everything is generated DISTRIBUTED from ``spark.range`` with pure Column
+expressions (xxhash64-seeded) — no driver-side loops, no external data — so
+the same generator scales from 5k test rows to the benchmark sizes, and two
+runs (at any parallelism) produce identical rows.
+
+Shape (FIXTURES.md §1):
+  - repo   : Zipf-ish skew — repo 0 holds ~25-30% of rows (hot-key salting
+             has something real to defuse)
+  - path   : POSIX-like, duplicated across commits
+  - commit : 40-hex sha1, grouped so many files share a commit
+  - lang   : skewed categorical
+  - content: pseudo-code text whose length distribution depends on lang
+             (so per-lang content-length histograms / PSI / KS have signal)
+  - a seeded fraction of rows are (repo,path,commit) DUPLICATES with
+    *different* content — uniqueness violations with non-trivial sha256s
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+LANGS = ["py", "rs", "ts", "go", "md", "java", "cpp"]
+# cumulative weights for a skewed categorical (py-heavy)
+_LANG_CUM = [0.35, 0.50, 0.63, 0.74, 0.84, 0.93, 1.0]
+# per-lang mean token counts — distinct length distributions per lang
+_LANG_TOKENS = {"py": 60, "rs": 90, "ts": 70, "go": 80, "md": 180, "java": 110, "cpp": 130}
+
+_VOCAB = [
+    "def", "fn", "let", "const", "return", "import", "struct", "class", "if",
+    "else", "for", "while", "match", "async", "await", "self", "pub", "static",
+    "void", "int", "str", "map", "vec", "impl", "trait", "interface", "type",
+    "package", "func", "var", "err", "nil", "true", "false", "none", "print",
+]
+
+_DIRS = ["src", "lib", "core", "util", "tests", "api", "internal", "pkg", "cmd", "docs"]
+
+
+def _u(seed: int, tag: str, col: Column) -> Column:
+    """Deterministic uniform [0,1) from (seed, tag, col)."""
+    return (F.pmod(F.xxhash64(F.lit(seed), F.lit(tag), col), F.lit(1_000_000)) / 1_000_000.0)
+
+
+def synth_code_files(
+    spark: SparkSession,
+    n_rows: int,
+    n_repos: int = 100,
+    seed: int = 42,
+    dup_fraction: float = 0.02,
+    partitions: int | None = None,
+) -> DataFrame:
+    """The Iceberg-style source-code table at any scale, fully deterministic."""
+    rng = spark.range(0, n_rows, 1, partitions) if partitions else spark.range(n_rows)
+    df = rng.withColumnRenamed("id", "row_id")
+
+    # seeded duplicates: flagged rows re-derive their KEY fields from an
+    # anchor id (id - id%97), so the key collides with the anchor row's key
+    # while content (derived from the raw id) differs → real violations.
+    dup = _u(seed, "dup", F.col("row_id")) < F.lit(dup_fraction)
+    eff = F.when(dup, F.col("row_id") - F.pmod(F.col("row_id"), F.lit(97))).otherwise(
+        F.col("row_id")
+    )
+    df = df.withColumn("eff_id", eff)
+
+    # Zipf-ish repo: cube the uniform → ~30% of rows in repo 0
+    u_repo = _u(seed, "repo", F.col("eff_id"))
+    repo_idx = F.floor(u_repo * u_repo * u_repo * F.lit(float(n_repos))).cast("long")
+    df = df.withColumn("repo", F.concat(F.lit("org/repo-"), repo_idx.cast("string")))
+
+    # lang from skewed categorical (derived from eff_id so dup keys agree)
+    u_lang = _u(seed, "lang", F.col("eff_id"))
+    lang = F.lit(LANGS[-1])
+    for i in range(len(LANGS) - 2, -1, -1):
+        lang = F.when(u_lang < F.lit(_LANG_CUM[i]), F.lit(LANGS[i])).otherwise(lang)
+    df = df.withColumn("lang", lang)
+
+    # path: dir/dir/file_<k>.<lang>
+    h1 = F.pmod(F.xxhash64(F.lit(seed), F.lit("d1"), F.col("eff_id")), F.lit(len(_DIRS)))
+    h2 = F.pmod(F.xxhash64(F.lit(seed), F.lit("d2"), F.col("eff_id")), F.lit(len(_DIRS)))
+    fid = F.pmod(F.xxhash64(F.lit(seed), F.lit("f"), F.col("eff_id")), F.lit(max(n_rows // 3, 1)))
+    dirs = F.array(*[F.lit(d) for d in _DIRS])
+    df = df.withColumn(
+        "path",
+        F.concat_ws(
+            "/",
+            F.element_at(dirs, (h1 + 1).cast("int")),
+            F.element_at(dirs, (h2 + 1).cast("int")),
+            F.concat(F.lit("file_"), fid.cast("string"), F.lit("."), F.col("lang")),
+        ),
+    )
+
+    # commit: 40-hex sha1, ~n_rows/20 distinct commits per repo
+    commit_group = F.pmod(
+        F.xxhash64(F.lit(seed), F.lit("c"), F.col("eff_id")), F.lit(max(n_rows // 20, 1))
+    )
+    df = df.withColumn(
+        "commit", F.sha1(F.concat(F.col("repo"), F.lit("@"), commit_group.cast("string")).cast("binary"))
+    )
+
+    # content: per-lang token count; pseudo-code tokens picked by hash.
+    # Length = lang_mean * (0.5 + u) → per-lang distinguishable distributions.
+    tok_mean = F.lit(60)
+    for lg, m in _LANG_TOKENS.items():
+        tok_mean = F.when(F.col("lang") == lg, F.lit(m)).otherwise(tok_mean)
+    u_len = _u(seed, "len", F.col("row_id"))
+    n_tok = (tok_mean * (F.lit(0.5) + u_len)).cast("int")
+    vocab = F.array(*[F.lit(w) for w in _VOCAB])
+    words = F.transform(
+        F.sequence(F.lit(0), n_tok),
+        lambda i: F.element_at(
+            vocab,
+            (F.pmod(F.xxhash64(F.lit(seed), F.col("row_id"), i), F.lit(len(_VOCAB))) + 1).cast("int"),
+        ),
+    )
+    df = df.withColumn("content", F.concat_ws(" ", words))
+
+    return df.select("repo", "path", "commit", "lang", "content")
+
+
+def synth_commits(code_files: DataFrame, orphan_pct: int = 3, seed: int = 42) -> DataFrame:
+    """Parent table for the referential check: distinct (repo, commit) minus a
+    seeded ~orphan_pct% of commits → a known orphan fraction in the child."""
+    distinct = code_files.select("repo", "commit").distinct()
+    keep = F.pmod(F.xxhash64(F.lit(seed), F.lit("orph"), F.col("commit")), F.lit(100)) >= F.lit(
+        orphan_pct
+    )
+    return distinct.where(keep)
+
+
+def synth_baseline_histogram(
+    code_files: DataFrame, bins: int = 20, shift: float = 0.0
+) -> DataFrame:
+    """Per-lang content-length histogram snapshot (lang, bucket, cnt) — the
+    'previous run' baseline for PSI/KS drift checks. ``shift`` perturbs
+    lengths to simulate drift in tests."""
+    from data_profiler_spark.operators.histogram import grouped_histogram
+
+    df = code_files.select(
+        "lang", (F.length("content") * F.lit(1.0 + shift)).alias("content_len")
+    )
+    return grouped_histogram(df, "lang", "content_len", bins=bins)

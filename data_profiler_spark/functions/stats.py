@@ -1,0 +1,140 @@
+"""Per-column aggregate expression builders (the profiling kernel).
+
+Parity targets (reference, /root/reference):
+  - basic stats block     profilers/base.py:85-161   (count, nulls, distinct, samples)
+  - numeric stats         profilers/numeric.py:111-208 (min/max/mean/std/median/quantiles)
+  - string stats          profilers/string.py:92-276  (length stats, empty count)
+  - datetime stats        profilers/datetime.py:151-278 (range span, date parts)
+
+The Spark design computes ALL columns' stats in ONE ``df.agg(...)`` pass
+(single scan, map-side partial aggregation, no per-column jobs) — unlike the
+reference's per-column loop. Two precision modes:
+
+  exact=True   count_distinct / exact percentile — for oracle parity at test SF
+  exact=False  approx_count_distinct (HLL) / percentile_approx — the 100 TB path
+
+Determinism note (oracle hash-equality): float means/stddevs computed as plain
+double sums are order-dependent across partitions. ``decimal_sum`` /
+``decimal_avg`` build the sum over DECIMAL(28,8) casts — exact and
+order-independent — then cast back to double, so Spark and DuckDB agree
+bit-for-bit. Variance/stddev are derived from the two exact decimal sums with
+the same scalar IEEE expression on both sides.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+# Scale chosen so sums of 1e12 rows of ~1e6-magnitude values still fit:
+# DECIMAL(38,8) leaves 30 integer digits.
+_DEC_IN = "decimal(28,8)"
+
+QUANTILES = [0.25, 0.5, 0.75, 0.95, 0.99]
+
+
+def decimal_sum(c: str) -> Column:
+    """Order-independent, bit-exact SUM(c) as double.
+
+    SQL oracle equivalent: ``CAST(SUM(CAST(c AS DECIMAL(28,8))) AS DOUBLE)``.
+    """
+    return F.sum(F.col(c).cast(_DEC_IN)).cast("double")
+
+
+def decimal_avg(c: str) -> Column:
+    """Bit-exact AVG(c): exact decimal sum, one IEEE division.
+
+    SQL oracle: ``CAST(SUM(CAST(c AS DECIMAL(28,8))) AS DOUBLE) / COUNT(c)``.
+    try_divide → NULL on empty input (ANSI mode would error).
+    """
+    return F.try_divide(decimal_sum(c), F.count(F.col(c)))
+
+
+def decimal_sumsq(c: str) -> Column:
+    """Exact sum of squares: x*x is one IEEE op (deterministic), cast to
+    decimal before the (order-independent) sum."""
+    x = F.col(c)
+    return F.sum((x * x).cast(_DEC_IN)).cast("double")
+
+
+def decimal_stddev(c: str) -> Column:
+    """Sample stddev rebuilt from exact sums with a fixed IEEE expression:
+    sqrt((S2 - S1*S1/n) / (n-1)); 0.0 when n == 1 (reference
+    profilers/numeric.py:125-131 returns 0.0 for single values).
+    SQL oracle mirrors the identical expression.
+    """
+    n = F.count(F.col(c))
+    s1 = decimal_sum(c)
+    s2 = decimal_sumsq(c)
+    var = F.try_divide(s2 - F.try_divide(s1 * s1, n), n - F.lit(1))
+    return (
+        F.when(n == 1, F.lit(0.0))
+        .when(n == 0, F.lit(None).cast("double"))
+        .otherwise(F.sqrt(F.greatest(var, F.lit(0.0))))
+    )
+
+
+def decimal_stddev_sql(c: str) -> str:
+    """DuckDB-side twin of :func:`decimal_stddev` (same IEEE op sequence)."""
+    n = f"COUNT({c})"
+    s1 = f"CAST(SUM(CAST({c} AS DECIMAL(28,8))) AS DOUBLE)"
+    s2 = f"CAST(SUM(CAST({c}*{c} AS DECIMAL(28,8))) AS DOUBLE)"
+    return (
+        f"CASE WHEN {n} = 1 THEN 0.0 WHEN {n} = 0 THEN NULL "
+        f"ELSE SQRT(GREATEST(({s2} - {s1}*{s1}/{n}) / ({n} - 1), 0.0)) END"
+    )
+
+
+def basic_exprs(c: str, exact: bool = True) -> list[Column]:
+    """Count / null_count / distinct block (profilers/base.py:85-123)."""
+    col = F.col(c)
+    distinct = F.count_distinct(col) if exact else F.approx_count_distinct(col)
+    return [
+        F.count(F.lit(1)).alias(f"{c}__total"),
+        F.count(col).alias(f"{c}__count"),
+        (F.count(F.lit(1)) - F.count(col)).alias(f"{c}__null_count"),
+        distinct.alias(f"{c}__distinct"),
+    ]
+
+
+def numeric_exprs(c: str, exact: bool = True) -> list[Column]:
+    """min/max/mean/std (+ exact quantile list) — profilers/numeric.py:111-208."""
+    col = F.col(c)
+    if exact:
+        mean = decimal_avg(c)
+        std = decimal_stddev(c)
+        quant = F.percentile(col, F.lit(QUANTILES))
+    else:
+        mean = F.avg(col)
+        std = F.stddev_samp(col)
+        quant = F.percentile_approx(col, F.lit(QUANTILES), F.lit(10000))
+    return [
+        F.min(col).cast("double").alias(f"{c}__min"),
+        F.max(col).cast("double").alias(f"{c}__max"),
+        mean.alias(f"{c}__mean"),
+        std.alias(f"{c}__std"),
+        quant.alias(f"{c}__quantiles"),
+    ]
+
+
+def string_exprs(c: str) -> list[Column]:
+    """Length stats + empty-string count — profilers/string.py:92-155, 263-276."""
+    ln = F.length(F.col(c))
+    return [
+        F.min(ln).alias(f"{c}__min_len"),
+        F.max(ln).alias(f"{c}__max_len"),
+        F.try_divide(F.sum(ln.cast(_DEC_IN)).cast("double"), F.count(F.col(c))).alias(f"{c}__avg_len"),
+        F.sum((F.col(c) == "").cast("long")).alias(f"{c}__empty_count"),
+        F.min(F.col(c)).alias(f"{c}__min_str"),
+        F.max(F.col(c)).alias(f"{c}__max_str"),
+    ]
+
+
+def datetime_exprs(c: str) -> list[Column]:
+    """min/max/span-days — profilers/datetime.py:151-183."""
+    col = F.col(c)
+    return [
+        F.min(col).alias(f"{c}__min_ts"),
+        F.max(col).alias(f"{c}__max_ts"),
+        F.datediff(F.max(col), F.min(col)).alias(f"{c}__span_days"),
+    ]

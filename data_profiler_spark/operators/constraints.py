@@ -1,0 +1,301 @@
+"""Constraint validation engine (the north-rule core).
+
+A check suite over a DataFrame — per-column stat assertions, uniqueness,
+referential existence, distribution drift — producing:
+
+  - per-partition pass/fail verdicts  (DataFrame: partition, check, pass,
+    violation_count, metric)
+  - violation rows                    (DataFrame: partition, check, key
+    columns, content_sha256) — deterministic total order, so two runs (or
+    two cluster sizes) emit bit-identical violation sets (BASELINE.json:
+    per-row sha256(content) equality)
+
+Reference parity: the check *semantics* come from the profiler's stat
+definitions (profilers/base.py:85-202 PK rule, numeric.py:111-169 bounds,
+core/profiler.py:447-501 referential bar); the suite/verdict shape is the
+north-rule contract, not a reference port.
+
+Scale design:
+  - Uniqueness runs as a SALTED two-stage aggregation: stage 1 groups on
+    (keys..., salt) where salt = pmod(hash(entire row), B) — a hot key's rows
+    spread over B reducers; stage 2 merges the B partial counts per key.
+    Stage 2's input is at most B rows per key regardless of skew.
+  - All predicates are native Column expressions (whole-stage codegen);
+    no per-row Python anywhere (BASELINE.json input_hint).
+  - Verdicts aggregate per *partition value* (e.g. bucket of repo), so the
+    reduce state is tiny and the job is one shuffle per check family.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+DEFAULT_SALT_BUCKETS = 64
+
+
+# ---------------------------------------------------------------------------
+# check definitions (plain dataclasses — the engine's tiny IR)
+# ---------------------------------------------------------------------------
+@dataclass(frozen=True)
+class NullRateCheck:
+    column: str
+    max_null_ratio: float = 0.0
+    name: str = ""
+
+    def check_name(self) -> str:
+        return self.name or f"null_rate:{self.column}"
+
+
+@dataclass(frozen=True)
+class RangeCheck:
+    column: str
+    min_value: float | None = None
+    max_value: float | None = None
+    name: str = ""
+
+    def check_name(self) -> str:
+        return self.name or f"range:{self.column}"
+
+
+@dataclass(frozen=True)
+class RegexCheck:
+    """Every non-null value must match ``pattern`` (e.g. commit ~ ^[0-9a-f]{40}$)."""
+
+    column: str
+    pattern: str
+    name: str = ""
+
+    def check_name(self) -> str:
+        return self.name or f"regex:{self.column}"
+
+
+@dataclass(frozen=True)
+class MembershipCheck:
+    """Every non-null value must be one of ``allowed``."""
+
+    column: str
+    allowed: tuple = ()
+    name: str = ""
+
+    def check_name(self) -> str:
+        return self.name or f"membership:{self.column}"
+
+
+@dataclass(frozen=True)
+class UniquenessCheck:
+    keys: tuple
+    name: str = ""
+
+    def check_name(self) -> str:
+        return self.name or "uniqueness:" + ",".join(self.keys)
+
+
+@dataclass(frozen=True)
+class ReferentialCheck:
+    """child (keys) must exist in parent_view (parent_keys); parent supplied
+    at run time via the ``parents`` mapping."""
+
+    keys: tuple
+    parent_name: str
+    parent_keys: tuple
+    min_match_rate: float = 0.95
+    name: str = ""
+
+    def check_name(self) -> str:
+        return self.name or f"referential:{','.join(self.keys)}->{self.parent_name}"
+
+
+RowCheck = NullRateCheck | RangeCheck | RegexCheck | MembershipCheck
+
+
+@dataclass
+class CheckSuite:
+    row_checks: list = field(default_factory=list)
+    uniqueness: list = field(default_factory=list)
+    referential: list = field(default_factory=list)
+
+
+# ---------------------------------------------------------------------------
+# row-level predicate → violation expression (native, codegen'd)
+# ---------------------------------------------------------------------------
+def _violation_expr(check: RowCheck):
+    c = F.col(check.column)
+    if isinstance(check, NullRateCheck):
+        return c.isNull()
+    if isinstance(check, RangeCheck):
+        cond = F.lit(False)
+        if check.min_value is not None:
+            cond = cond | (c < F.lit(check.min_value))
+        if check.max_value is not None:
+            cond = cond | (c > F.lit(check.max_value))
+        return c.isNotNull() & cond
+    if isinstance(check, RegexCheck):
+        return c.isNotNull() & ~c.rlike(check.pattern)
+    if isinstance(check, MembershipCheck):
+        return c.isNotNull() & ~c.isin(*check.allowed)
+    raise TypeError(f"unknown row check: {check!r}")
+
+
+# ---------------------------------------------------------------------------
+# salted uniqueness
+# ---------------------------------------------------------------------------
+def uniqueness_violations(
+    df: DataFrame, keys: list[str], salt_buckets: int = DEFAULT_SALT_BUCKETS
+) -> DataFrame:
+    """Keys appearing more than once → (keys..., dup_cnt).
+
+    Two-stage salted aggregation (SURVEY §4 custom-work item 1): the salt is
+    derived from the full row hash, so a hot key's rows fan out over
+    ``salt_buckets`` stage-1 reducers; stage 2 merges ≤ salt_buckets partial
+    counts per key. Identical results to a plain groupBy (oracle: GROUP BY
+    keys HAVING COUNT(*) > 1).
+    """
+    salt = F.pmod(F.hash(*[F.col(c) for c in df.columns], F.lit(0x5A17)), F.lit(salt_buckets))
+    stage1 = (
+        df.select(*keys, salt.alias("__salt"))
+        .groupBy(*keys, "__salt")
+        .agg(F.count(F.lit(1)).alias("__partial"))
+    )
+    return (
+        stage1.groupBy(*keys)
+        .agg(F.sum("__partial").alias("dup_cnt"))
+        .where(F.col("dup_cnt") > 1)
+    )
+
+
+# ---------------------------------------------------------------------------
+# suite runner
+# ---------------------------------------------------------------------------
+def run_row_checks(
+    df: DataFrame,
+    checks: list,
+    partition_col,
+    content_col: str | None = None,
+    key_cols: list[str] | None = None,
+) -> tuple[DataFrame, DataFrame]:
+    """Evaluate all row-level checks in ONE scan.
+
+    Returns (verdicts, violations):
+      verdicts:   partition, check, violation_count, row_count, pass
+      violations: partition, check, key..., content_sha256 — deterministic
+                  (sorted by check, partition, keys) for bit-identical
+                  cross-run / cross-cluster-size comparison.
+    ``partition_col`` is a column name or Column expression defining the
+    verdict granularity (e.g. pmod(hash(repo), 256)).
+    """
+    part = F.col(partition_col) if isinstance(partition_col, str) else partition_col
+    flags = [
+        _violation_expr(ch).cast("long").alias(f"__v_{i}") for i, ch in enumerate(checks)
+    ]
+    base = df.select(part.alias("__part"), *flags, *(df.columns))
+
+    # one shuffle: per-partition violation counts for every check at once
+    agg = base.groupBy("__part").agg(
+        F.count(F.lit(1)).alias("row_count"),
+        *[F.sum(f"__v_{i}").alias(f"__n_{i}") for i in range(len(checks))],
+    )
+    verdict_structs = []
+    for i, ch in enumerate(checks):
+        max_ratio = ch.max_null_ratio if isinstance(ch, NullRateCheck) else 0.0
+        n = F.col(f"__n_{i}")
+        ok = (n.cast("double") / F.col("row_count")) <= F.lit(max_ratio)
+        verdict_structs.append(
+            F.struct(
+                F.lit(ch.check_name()).alias("check"),
+                n.alias("violation_count"),
+                ok.alias("pass"),
+            )
+        )
+    verdicts = (
+        agg.select(
+            F.col("__part").alias("partition"),
+            "row_count",
+            F.explode(F.array(*verdict_structs)).alias("v"),
+        )
+        .select("partition", F.col("v.check").alias("check"),
+                F.col("v.violation_count").alias("violation_count"),
+                "row_count", F.col("v.pass").alias("pass"))
+    )
+
+    # violation rows: union of per-check filters over the same cached scan
+    keys = key_cols or []
+    sha = (
+        F.sha2(F.col(content_col).cast("binary"), 256).alias("content_sha256")
+        if content_col
+        else F.lit(None).cast("string").alias("content_sha256")
+    )
+    parts = []
+    for i, ch in enumerate(checks):
+        parts.append(
+            base.where(F.col(f"__v_{i}") == 1).select(
+                F.col("__part").alias("partition"),
+                F.lit(ch.check_name()).alias("check"),
+                *[F.col(k) for k in keys],
+                sha,
+            )
+        )
+    if parts:
+        violations = parts[0]
+        for p in parts[1:]:
+            violations = violations.unionByName(p)
+        violations = violations.orderBy("check", "partition", *keys)
+    else:
+        violations = df.sparkSession.createDataFrame(
+            [], "partition string, check string, content_sha256 string"
+        )
+    return verdicts, violations
+
+
+def run_suite(
+    df: DataFrame,
+    suite: CheckSuite,
+    partition_col,
+    parents: dict[str, tuple[DataFrame, tuple]] | None = None,
+    content_col: str | None = None,
+    key_cols: list[str] | None = None,
+    salt_buckets: int = DEFAULT_SALT_BUCKETS,
+) -> dict[str, DataFrame]:
+    """Run the full suite. Returns dict with 'verdicts', 'violations',
+    'uniqueness' (violating key rows), 'referential' (one verdict row per
+    referential check)."""
+    from data_profiler_spark.operators.referential import match_rate
+
+    out: dict[str, DataFrame] = {}
+    if suite.row_checks:
+        verdicts, violations = run_row_checks(
+            df, suite.row_checks, partition_col, content_col=content_col, key_cols=key_cols
+        )
+        out["verdicts"], out["violations"] = verdicts, violations
+
+    uniq = None
+    for ch in suite.uniqueness:
+        v = uniqueness_violations(df, list(ch.keys), salt_buckets=salt_buckets).select(
+            F.lit(ch.check_name()).alias("check"),
+            F.to_json(F.struct(*[F.col(k) for k in ch.keys])).alias("key_json"),
+            F.col("dup_cnt"),
+        )
+        uniq = v if uniq is None else uniq.unionByName(v)
+    if uniq is not None:
+        out["uniqueness"] = uniq.orderBy("check", "key_json")
+
+    ref = None
+    for ch in suite.referential:
+        parent_df, parent_keys = (parents or {})[ch.parent_name]
+        ck, pk = ch.keys[0], parent_keys[0]
+        child_in = df
+        parent_in = parent_df
+        if len(ch.keys) > 1:
+            # composite keys: pack into a single struct key
+            child_in = df.withColumn("__ck", F.struct(*[F.col(k) for k in ch.keys]))
+            parent_in = parent_df.withColumn("__pk", F.struct(*[F.col(k) for k in parent_keys]))
+            ck, pk = "__ck", "__pk"
+        r = match_rate(child_in, ck, parent_in, pk, min_match_rate=ch.min_match_rate).select(
+            F.lit(ch.check_name()).alias("check"), "*"
+        )
+        ref = r if ref is None else ref.unionByName(r)
+    if ref is not None:
+        out["referential"] = ref
+    return out

@@ -1,0 +1,57 @@
+"""Fixed-width histograms (reference profilers/numeric.py:210-245).
+
+Two-pass Spark shape: pass 1 is a tiny min/max agg; pass 2 buckets every row
+with one arithmetic expression (whole-stage codegen, no UDF) and group-counts.
+The min/max row is broadcast — no shuffle beyond the bucket groupBy, and the
+bucket key has at most ``bins`` distinct values so the final shuffle is
+negligible at any scale.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def fixed_width_histogram(df: DataFrame, column: str, bins: int = 20) -> DataFrame:
+    """Histogram of ``column`` → DataFrame(bucket long, cnt long).
+
+    Bucket expression matches the DuckDB oracle bit-for-bit:
+    ``least(floor((x - mn) / ((mx - mn) / bins)), bins - 1)``.
+    """
+    bounds = df.agg(F.min(column).alias("mn"), F.max(column).alias("mx"))
+    x = F.col(column)
+    width = (F.col("mx") - F.col("mn")) / F.lit(float(bins))
+    bucket = F.least(F.floor((x - F.col("mn")) / width), F.lit(bins - 1)).cast("long")
+    return (
+        df.where(x.isNotNull())
+        .crossJoin(F.broadcast(bounds))
+        .select(bucket.alias("bucket"))
+        .groupBy("bucket")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+
+
+def grouped_histogram(
+    df: DataFrame, group_col: str, value_col: str, bins: int = 20
+) -> DataFrame:
+    """Per-group fixed-width histogram (e.g. per-lang content-length) →
+    DataFrame(group, bucket, cnt). Bounds are computed per group and joined
+    back broadcast (group cardinality is small: languages, flags, ...).
+    Used as the input plane for PSI/KS drift checks (operators/drift.py).
+    """
+    bounds = df.groupBy(group_col).agg(
+        F.min(value_col).alias("mn"), F.max(value_col).alias("mx")
+    )
+    x = F.col(value_col)
+    width = (F.col("mx") - F.col("mn")) / F.lit(float(bins))
+    bucket = F.when(F.col("mx") == F.col("mn"), F.lit(0)).otherwise(
+        F.least(F.floor((x - F.col("mn")) / width), F.lit(bins - 1))
+    ).cast("long")
+    return (
+        df.where(x.isNotNull())
+        .join(F.broadcast(bounds), group_col)
+        .select(F.col(group_col), bucket.alias("bucket"))
+        .groupBy(group_col, "bucket")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )

@@ -1,0 +1,202 @@
+"""profile_table — the whole-table, one-job column profiler.
+
+Reference parity: the per-column loop at core/file_profiler.py:88-92 +
+profilers/{base,numeric,string,datetime,categorical}.py. Spark design: a
+single ``df.agg(...)`` computes every column's stats in one scan (map-side
+partial agg, no shuffle beyond the final reduce), then the one-row result is
+unpivoted into a long stats DataFrame (one row per column) so downstream
+checks, drift diffs and reports are themselves DataFrames.
+
+Semantic typing (profilers/categorical.py:265-305): a string column is
+CATEGORICAL when unique_ratio <= 0.05 and distinct <= 50 — expressed as a
+plan-level CASE, no driver round-trip.
+
+PK candidacy (profilers/base.py:185-202): null_count == 0 and distinct == count.
+FK candidacy (profilers/base.py:204-225): name has an id/code/key affix and
+unique_ratio < 0.95.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from data_profiler_spark.functions import stats as S
+
+_FK_AFFIXES = ("_id", "_code", "_key", "id_", "code_", "key_")
+
+PROFILE_SCHEMA_FIELDS = [
+    ("column", "string"),
+    ("dtype", "string"),
+    ("semantic_type", "string"),
+    ("total_count", "long"),
+    ("count", "long"),
+    ("null_count", "long"),
+    ("null_ratio", "double"),
+    ("distinct_count", "long"),
+    ("unique_ratio", "double"),
+    ("min_value", "string"),
+    ("max_value", "string"),
+    ("mean", "double"),
+    ("stddev", "double"),
+    ("q25", "double"),
+    ("median", "double"),
+    ("q75", "double"),
+    ("p95", "double"),
+    ("p99", "double"),
+    ("min_len", "long"),
+    ("max_len", "long"),
+    ("avg_len", "double"),
+    ("empty_count", "long"),
+    ("span_days", "long"),
+    ("is_pk_candidate", "boolean"),
+    ("is_fk_candidate", "boolean"),
+]
+
+
+def classify_dtype(dt: T.DataType) -> str:
+    """Physical Spark type → ColumnType family (profilers/factory.py:97-222)."""
+    if isinstance(dt, T.NumericType):
+        return "NUMERIC"
+    if isinstance(dt, T.StringType):
+        return "STRING"
+    if isinstance(dt, (T.TimestampType, T.TimestampNTZType)):
+        return "DATETIME"
+    if isinstance(dt, T.DateType):
+        return "DATE"
+    if isinstance(dt, T.BooleanType):
+        return "BOOLEAN"
+    if isinstance(dt, T.BinaryType):
+        return "BINARY"
+    if isinstance(dt, (T.ArrayType, T.MapType, T.StructType)):
+        return "JSON"
+    return "UNKNOWN"
+
+
+def _is_fk_name(name: str) -> bool:
+    low = name.lower()
+    return any(a in low for a in _FK_AFFIXES) or low in ("id", "code", "key")
+
+
+def profile_table(df: DataFrame, columns: list[str] | None = None, exact: bool = True) -> DataFrame:
+    """Profile every (selected) column of ``df`` in one aggregation job.
+
+    Returns a long DataFrame, one row per column, schema
+    :data:`PROFILE_SCHEMA_FIELDS`. Lazy — nothing runs until an action.
+    """
+    if columns is not None:
+        missing = sorted(set(columns) - set(df.columns))
+        if missing:
+            raise ValueError(f"columns not in table: {missing}")
+        fields = [f for f in df.schema.fields if f.name in set(columns)]
+    else:
+        fields = list(df.schema.fields)
+
+    aggs: list = []
+    kinds: dict[str, str] = {}
+    for f in fields:
+        c = f.name
+        kind = classify_dtype(f.dataType)
+        kinds[c] = kind
+        if kind == "JSON":
+            # arrays/maps/structs: distinct over canonical JSON text
+            # (SURVEY §7.4 — unhashable-list fallback, profilers/base.py:141-144)
+            col = F.to_json(F.col(c))
+            distinct = F.count_distinct(col) if exact else F.approx_count_distinct(col)
+            aggs += [
+                F.count(F.lit(1)).alias(f"{c}__total"),
+                F.count(F.col(c)).alias(f"{c}__count"),
+                (F.count(F.lit(1)) - F.count(F.col(c))).alias(f"{c}__null_count"),
+                distinct.alias(f"{c}__distinct"),
+            ]
+        else:
+            aggs += S.basic_exprs(c, exact=exact)
+        if kind == "NUMERIC":
+            aggs += S.numeric_exprs(c, exact=exact)
+        elif kind == "STRING":
+            aggs += S.string_exprs(c)
+        elif kind in ("DATETIME", "DATE"):
+            aggs += S.datetime_exprs(c)
+
+    wide = df.agg(*aggs)
+
+    null_d = F.lit(None).cast("double")
+    null_l = F.lit(None).cast("long")
+    null_s = F.lit(None).cast("string")
+
+    structs = []
+    for f in fields:
+        c = f.name
+        kind = kinds[c]
+        total = F.col(f"{c}__total")
+        cnt = F.col(f"{c}__count")
+        distinct = F.col(f"{c}__distinct")
+        uratio = F.coalesce(F.try_divide(distinct.cast("double"), cnt), F.lit(0.0))
+
+        if kind == "NUMERIC":
+            q = F.col(f"{c}__quantiles")
+            mean, std = F.col(f"{c}__mean"), F.col(f"{c}__std")
+            q25, med, q75, p95, p99 = (q[i] for i in range(5))
+            min_v = F.col(f"{c}__min").cast("string")
+            max_v = F.col(f"{c}__max").cast("string")
+        else:
+            mean = std = q25 = med = q75 = p95 = p99 = null_d
+            if kind == "STRING":
+                min_v, max_v = F.col(f"{c}__min_str"), F.col(f"{c}__max_str")
+            elif kind in ("DATETIME", "DATE"):
+                min_v = F.col(f"{c}__min_ts").cast("string")
+                max_v = F.col(f"{c}__max_ts").cast("string")
+            else:
+                min_v, max_v = null_s, null_s
+
+        if kind == "STRING":
+            min_len, max_len = F.col(f"{c}__min_len").cast("long"), F.col(f"{c}__max_len").cast("long")
+            avg_len, empty = F.col(f"{c}__avg_len"), F.col(f"{c}__empty_count")
+        else:
+            min_len = max_len = null_l
+            avg_len, empty = null_d, null_l
+
+        span = F.col(f"{c}__span_days").cast("long") if kind in ("DATETIME", "DATE") else null_l
+
+        semantic = (
+            F.when(
+                F.lit(kind == "STRING") & (uratio <= 0.05) & (distinct <= 50),
+                F.lit("CATEGORICAL"),
+            ).otherwise(F.lit(kind))
+        )
+        is_pk = (F.col(f"{c}__null_count") == 0) & (distinct == cnt) & (cnt > 0)
+        is_fk = F.lit(_is_fk_name(c)) & (uratio < 0.95)
+
+        structs.append(
+            F.struct(
+                F.lit(c).alias("column"),
+                F.lit(f.dataType.simpleString()).alias("dtype"),
+                semantic.alias("semantic_type"),
+                total.alias("total_count"),
+                cnt.alias("count"),
+                F.col(f"{c}__null_count").alias("null_count"),
+                F.try_divide(F.col(f"{c}__null_count").cast("double"), total).alias("null_ratio"),
+                distinct.alias("distinct_count"),
+                uratio.alias("unique_ratio"),
+                min_v.alias("min_value"),
+                max_v.alias("max_value"),
+                mean.alias("mean"),
+                std.alias("stddev"),
+                q25.alias("q25"),
+                med.alias("median"),
+                q75.alias("q75"),
+                p95.alias("p95"),
+                p99.alias("p99"),
+                min_len.alias("min_len"),
+                max_len.alias("max_len"),
+                avg_len.alias("avg_len"),
+                empty.alias("empty_count"),
+                span.alias("span_days"),
+                is_pk.alias("is_pk_candidate"),
+                is_fk.alias("is_fk_candidate"),
+            )
+        )
+
+    long_df = wide.select(F.explode(F.array(*structs)).alias("p")).select("p.*")
+    return long_df

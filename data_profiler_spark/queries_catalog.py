@@ -1,0 +1,405 @@
+"""Query catalog: every implemented operator exposed as a (spark_fn, oracle_sql)
+pair for the driver's correctness gate (__spark_entry__.py re-exports these).
+
+Design rules for oracle hash-equality (driver sorts columns by name, hashes
+values order-insensitively):
+  - every computed column aliased identically on both sides
+  - float aggregates built from exact DECIMAL sums + a fixed IEEE scalar
+    expression (see functions/stats.py) so Spark and DuckDB agree bitwise
+  - exact percentile / interpolated median verified bit-identical between
+    Spark `percentile` and DuckDB `quantile_cont`
+  - any top-k has a total-order tie-break
+
+Reference parity cited per query (file:line in /root/reference).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from data_profiler_spark.functions import stats as S
+
+# DuckDB-side building blocks mirroring functions/stats.py
+def _dsum(c: str) -> str:
+    return f"CAST(SUM(CAST({c} AS DECIMAL(28,8))) AS DOUBLE)"
+
+
+def _davg(c: str) -> str:
+    return f"{_dsum(c)} / COUNT({c})"
+
+
+def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
+ORACLES: dict[str, str] = {}
+
+
+def register(name: str, sql: str | None = None):
+    def deco(fn):
+        QUERIES[name] = fn
+        if sql is not None:
+            ORACLES[name] = sql
+        return fn
+
+    return deco
+
+
+# ---------------------------------------------------------------------------
+# A1-A3, A7: whole-table numeric stats block (one pass)
+# ref: profilers/base.py:85-123, numeric.py:111-208
+# ---------------------------------------------------------------------------
+_NUM_COLS = ["l_quantity", "l_extendedprice", "l_discount"]
+
+
+def _profile_numeric_sql() -> str:
+    parts = []
+    for c in _NUM_COLS:
+        parts.append(
+            f"COUNT({c}) AS n_{c}, COUNT(DISTINCT {c}) AS d_{c}, "
+            f"MIN({c}) AS min_{c}, MAX({c}) AS max_{c}, "
+            f"{_davg(c)} AS avg_{c}, {S.decimal_stddev_sql(c)} AS std_{c}"
+        )
+    return "SELECT " + ", ".join(parts) + ", COUNT(*) AS total FROM lineitem"
+
+
+@register("profile_numeric_lineitem", _profile_numeric_sql())
+def profile_numeric_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem")
+    aggs = []
+    for c in _NUM_COLS:
+        aggs += [
+            F.count(F.col(c)).alias(f"n_{c}"),
+            F.count_distinct(F.col(c)).alias(f"d_{c}"),
+            F.min(F.col(c)).alias(f"min_{c}"),
+            F.max(F.col(c)).alias(f"max_{c}"),
+            S.decimal_avg(c).alias(f"avg_{c}"),
+            S.decimal_stddev(c).alias(f"std_{c}"),
+        ]
+    aggs.append(F.count(F.lit(1)).alias("total"))
+    return li.agg(*aggs)
+
+
+# ---------------------------------------------------------------------------
+# A3: exact quantiles — ref profilers/numeric.py:171-208
+# ---------------------------------------------------------------------------
+@register(
+    "quantiles_lineitem",
+    """SELECT quantile_cont(l_quantity, 0.25) AS qty_q25, quantile_cont(l_quantity, 0.5) AS qty_median,
+              quantile_cont(l_quantity, 0.75) AS qty_q75, quantile_cont(l_quantity, 0.95) AS qty_p95,
+              quantile_cont(l_quantity, 0.99) AS qty_p99,
+              quantile_cont(l_extendedprice, 0.25) AS px_q25, quantile_cont(l_extendedprice, 0.5) AS px_median,
+              quantile_cont(l_extendedprice, 0.75) AS px_q75, quantile_cont(l_extendedprice, 0.95) AS px_p95,
+              quantile_cont(l_extendedprice, 0.99) AS px_p99
+       FROM lineitem""",
+)
+def quantiles_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem")
+    q = F.percentile("l_quantity", F.lit(S.QUANTILES))
+    p = F.percentile("l_extendedprice", F.lit(S.QUANTILES))
+    names = ["q25", "median", "q75", "p95", "p99"]
+    return li.agg(
+        *[q[i].alias(f"qty_{n}") for i, n in enumerate(names)],
+        *[p[i].alias(f"px_{n}") for i, n in enumerate(names)],
+    )
+
+
+# ---------------------------------------------------------------------------
+# A8/A9: grouped count + basic stats in ONE shuffle
+# ref: grouping/engine.py:158-281 (replaces per-group refilter loop)
+# ---------------------------------------------------------------------------
+@register(
+    "group_stats_lineitem",
+    f"""SELECT l_returnflag, l_linestatus, COUNT(*) AS n,
+               {_dsum('l_quantity')} AS sum_qty,
+               {_davg('l_extendedprice')} AS avg_price,
+               MIN(l_discount) AS min_disc, MAX(l_tax) AS max_tax,
+               COUNT(DISTINCT l_orderkey) AS n_orders
+        FROM lineitem GROUP BY l_returnflag, l_linestatus""",
+)
+def group_stats_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag", "l_linestatus").agg(
+        F.count(F.lit(1)).alias("n"),
+        S.decimal_sum("l_quantity").alias("sum_qty"),
+        S.decimal_avg("l_extendedprice").alias("avg_price"),
+        F.min("l_discount").alias("min_disc"),
+        F.max("l_tax").alias("max_tax"),
+        F.count_distinct("l_orderkey").alias("n_orders"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# A5: value counts — ref profilers/string.py:228-261, categorical.py:150-212
+# ---------------------------------------------------------------------------
+@register(
+    "value_counts_event_type",
+    "SELECT event_type, COUNT(*) AS cnt FROM events GROUP BY event_type",
+)
+def value_counts_event_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(F.count(F.lit(1)).alias("cnt"))
+
+
+# ---------------------------------------------------------------------------
+# W3: deterministic top-k — ref grouping/engine.py:199-200 + head(n)
+# ---------------------------------------------------------------------------
+@register(
+    "topk_users_events",
+    """SELECT user_id, COUNT(*) AS cnt FROM events GROUP BY user_id
+       ORDER BY cnt DESC, user_id LIMIT 10""",
+)
+def topk_users_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    return (
+        ev.groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .orderBy(F.desc("cnt"), F.asc("user_id"))
+        .limit(10)
+    )
+
+
+# ---------------------------------------------------------------------------
+# A6: deterministic mode — ref profilers/numeric.py:133-139, string.py:118-125
+# ---------------------------------------------------------------------------
+@register(
+    "mode_returnflag",
+    """SELECT l_returnflag AS mode_value, COUNT(*) AS cnt FROM lineitem
+       GROUP BY l_returnflag ORDER BY cnt DESC, mode_value LIMIT 1""",
+)
+def mode_returnflag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy(F.col("l_returnflag").alias("mode_value"))
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .orderBy(F.desc("cnt"), F.asc("mode_value"))
+        .limit(1)
+    )
+
+
+# ---------------------------------------------------------------------------
+# A7: exact distinct counts — ref profilers/base.py:105-106
+# ---------------------------------------------------------------------------
+@register(
+    "distinct_counts_lineitem",
+    """SELECT COUNT(DISTINCT l_orderkey) AS d_orderkey, COUNT(DISTINCT l_partkey) AS d_partkey,
+              COUNT(DISTINCT l_suppkey) AS d_suppkey, COUNT(DISTINCT l_returnflag) AS d_returnflag
+       FROM lineitem""",
+)
+def distinct_counts_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem")
+    return li.agg(
+        F.count_distinct("l_orderkey").alias("d_orderkey"),
+        F.count_distinct("l_partkey").alias("d_partkey"),
+        F.count_distinct("l_suppkey").alias("d_suppkey"),
+        F.count_distinct("l_returnflag").alias("d_returnflag"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# A15: uniqueness/PK violations — ref profilers/base.py:185-202
+# (salted variant exercised in tests; plain groupBy here for oracle parity)
+# ---------------------------------------------------------------------------
+@register(
+    "uniqueness_violations_lineitem",
+    """SELECT l_orderkey, l_linenumber, COUNT(*) AS dup_cnt FROM lineitem
+       GROUP BY l_orderkey, l_linenumber HAVING COUNT(*) > 1""",
+)
+def uniqueness_violations_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from data_profiler_spark.operators.constraints import uniqueness_violations
+
+    li = load(spark, sf_dir, "lineitem")
+    return uniqueness_violations(li, ["l_orderkey", "l_linenumber"])
+
+
+# ---------------------------------------------------------------------------
+# J3: referential-integrity anti-join + match rate
+# ref: relationships/detector.py:529-593, core/profiler.py:447-501
+# ---------------------------------------------------------------------------
+@register(
+    "referential_match_rate",
+    """WITH c AS (SELECT DISTINCT l_orderkey AS k FROM lineitem),
+            o AS (SELECT COUNT(*) AS orphan_count FROM c
+                  WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_orderkey = c.k))
+       SELECT (SELECT COUNT(*) FROM c) AS distinct_child, orphan_count,
+              CAST(1.0 AS DOUBLE) - orphan_count / (SELECT COUNT(*) FROM c) AS match_rate,
+              orphan_count = 0 OR (CAST(1.0 AS DOUBLE) - orphan_count / (SELECT COUNT(*) FROM c)) >= 0.95 AS is_valid
+       FROM o""",
+)
+def referential_match_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from data_profiler_spark.operators.referential import match_rate
+
+    li = load(spark, sf_dir, "lineitem")
+    orders = load(spark, sf_dir, "orders")
+    return match_rate(li, "l_orderkey", orders, "o_orderkey")
+
+
+@register(
+    "referential_orphans_events",
+    """SELECT DISTINCT user_id AS orphan_key FROM events e
+       WHERE NOT EXISTS (SELECT 1 FROM customer WHERE c_custkey = e.user_id)""",
+)
+def referential_orphans_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from data_profiler_spark.operators.referential import orphan_keys
+
+    ev = load(spark, sf_dir, "events")
+    cust = load(spark, sf_dir, "customer")
+    return orphan_keys(ev, "user_id", cust, "c_custkey").withColumnRenamed("user_id", "orphan_key")
+
+
+# ---------------------------------------------------------------------------
+# J1/J2: cross-file equi-join + group (dot-notation semantics)
+# ref: grouping/cross_file.py:174-278
+# ---------------------------------------------------------------------------
+@register(
+    "cross_file_group_orders_by_segment",
+    f"""SELECT c_mktsegment, COUNT(*) AS n_orders, {_davg('o_totalprice')} AS avg_total
+        FROM orders JOIN customer ON o_custkey = c_custkey
+        GROUP BY c_mktsegment""",
+)
+def cross_file_group_orders_by_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load(spark, sf_dir, "orders")
+    cust = load(spark, sf_dir, "customer")
+    return (
+        orders.join(F.broadcast(cust), orders.o_custkey == cust.c_custkey, "inner")
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            S.decimal_avg("o_totalprice").alias("avg_total"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# F3: date parts — ref profilers/datetime.py:185-278
+# (weekday normalized to Monday=0 on both engines)
+# ---------------------------------------------------------------------------
+@register(
+    "date_parts_orders",
+    """SELECT CAST(EXTRACT(year FROM o_orderdate) AS INT) AS yr,
+              CAST(EXTRACT(month FROM o_orderdate) AS INT) AS mo,
+              COUNT(*) AS cnt
+       FROM orders GROUP BY 1, 2""",
+)
+def date_parts_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load(spark, sf_dir, "orders")
+    return o.groupBy(
+        F.year("o_orderdate").alias("yr"), F.month("o_orderdate").alias("mo")
+    ).agg(F.count(F.lit(1)).alias("cnt"))
+
+
+@register(
+    "weekday_distribution_orders",
+    """SELECT CAST((dayofweek(o_orderdate) + 6) % 7 AS INT) AS dow_mon0, COUNT(*) AS cnt
+       FROM orders GROUP BY 1""",
+)
+def weekday_distribution_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load(spark, sf_dir, "orders")
+    return o.groupBy(
+        ((F.dayofweek("o_orderdate") + F.lit(5)) % F.lit(7)).cast("int").alias("dow_mon0")
+    ).agg(F.count(F.lit(1)).alias("cnt"))
+
+
+# ---------------------------------------------------------------------------
+# F4: date range span — ref profilers/datetime.py:151-183
+# ---------------------------------------------------------------------------
+@register(
+    "date_range_shipdate",
+    """SELECT CAST(CAST(MIN(l_shipdate) AS DATE) AS VARCHAR) AS min_date,
+              CAST(CAST(MAX(l_shipdate) AS DATE) AS VARCHAR) AS max_date,
+              CAST(date_diff('day', CAST(MIN(l_shipdate) AS DATE), CAST(MAX(l_shipdate) AS DATE)) AS INT) AS span_days
+       FROM lineitem""",
+)
+def date_range_shipdate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem")
+    return li.agg(
+        F.min("l_shipdate").cast("date").cast("string").alias("min_date"),
+        F.max("l_shipdate").cast("date").cast("string").alias("max_date"),
+        F.datediff(F.max("l_shipdate"), F.min("l_shipdate")).cast("int").alias("span_days"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# F1/P6: string length stats + empty count — ref profilers/string.py:92-155,263-276
+# ---------------------------------------------------------------------------
+@register(
+    "string_stats_customer_name",
+    """SELECT COUNT(c_name) AS n, MIN(LENGTH(c_name)) AS min_len, MAX(LENGTH(c_name)) AS max_len,
+              CAST(SUM(CAST(LENGTH(c_name) AS DECIMAL(28,8))) AS DOUBLE) / COUNT(c_name) AS avg_len,
+              SUM(CASE WHEN c_name = '' THEN 1 ELSE 0 END) AS empty_count,
+              MIN(c_name) AS min_val, MAX(c_name) AS max_val
+       FROM customer""",
+)
+def string_stats_customer_name(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load(spark, sf_dir, "customer")
+    ln = F.length("c_name")
+    return c.agg(
+        F.count("c_name").alias("n"),
+        F.min(ln).cast("int").alias("min_len"),
+        F.max(ln).cast("int").alias("max_len"),
+        (F.sum(ln.cast("decimal(28,8)")).cast("double") / F.count("c_name")).alias("avg_len"),
+        F.sum((F.col("c_name") == "").cast("long")).alias("empty_count"),
+        F.min("c_name").alias("min_val"),
+        F.max("c_name").alias("max_val"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# A4: two-pass histogram — ref profilers/numeric.py:210-245
+# ---------------------------------------------------------------------------
+@register(
+    "histogram_extendedprice",
+    """WITH b AS (SELECT MIN(l_extendedprice) AS mn, MAX(l_extendedprice) AS mx FROM lineitem)
+       SELECT CAST(LEAST(FLOOR((l_extendedprice - mn) / ((mx - mn) / 20.0)), 19) AS BIGINT) AS bucket,
+              COUNT(*) AS cnt
+       FROM lineitem, b GROUP BY 1""",
+)
+def histogram_extendedprice(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from data_profiler_spark.operators.histogram import fixed_width_histogram
+
+    li = load(spark, sf_dir, "lineitem")
+    return fixed_width_histogram(li, "l_extendedprice", bins=20)
+
+
+# ---------------------------------------------------------------------------
+# F (json): scalar JSON extraction — SURVEY §2.6 (from_json/get_json_object)
+# ---------------------------------------------------------------------------
+@register(
+    "json_extract_events_props",
+    """SELECT CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_val, COUNT(*) AS cnt
+       FROM events GROUP BY 1""",
+)
+def json_extract_events_props(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    return ev.groupBy(
+        F.get_json_object("props", "$.k").cast("long").alias("k_val")
+    ).agg(F.count(F.lit(1)).alias("cnt"))
+
+
+# ---------------------------------------------------------------------------
+# W4: lag-based gap detection — ref profilers/datetime.py:280-335
+# (the reference's Python loop becomes one window function)
+# ---------------------------------------------------------------------------
+@register(
+    "gap_detection_events",
+    """WITH s AS (SELECT event_id, ts, LAG(ts) OVER (ORDER BY ts, event_id) AS prev_ts FROM events)
+       SELECT event_id, epoch_us(ts) - epoch_us(prev_ts) AS gap_us
+       FROM s WHERE prev_ts IS NOT NULL AND epoch_us(ts) - epoch_us(prev_ts) > 300000000""",
+)
+def gap_detection_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    ev = load(spark, sf_dir, "events")
+    # single global order: fine at profile scale; partition by entity at 100 TB
+    w = W.orderBy("ts", "event_id")
+    us = lambda c: F.unix_micros(F.col(c).cast("timestamp"))  # noqa: E731
+    return (
+        ev.select("event_id", "ts", F.lag("ts").over(w).alias("prev_ts"))
+        .where(F.col("prev_ts").isNotNull())
+        .select("event_id", (us("ts") - us("prev_ts")).alias("gap_us"))
+        .where(F.col("gap_us") > 300_000_000)
+    )

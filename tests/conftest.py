@@ -1,0 +1,50 @@
+from __future__ import annotations
+
+import duckdb
+import pytest
+
+from data_profiler_spark import get_spark
+
+SF_SMALL = "/root/testdata/sf0.001"
+SF_MED = "/root/testdata/sf0.01"
+TABLES = "region nation customer supplier part orders lineitem events documents embeddings".split()
+
+
+@pytest.fixture(scope="session")
+def spark():
+    s = get_spark(app_name="tests", master="local[8]", shuffle_partitions=8)
+    yield s
+
+
+@pytest.fixture(scope="session")
+def duck():
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{SF_SMALL}/{t}.parquet'")
+    yield con
+    con.close()
+
+
+@pytest.fixture(scope="session")
+def lineitem(spark):
+    return spark.read.parquet(f"{SF_SMALL}/lineitem.parquet")
+
+
+@pytest.fixture(scope="session")
+def orders(spark):
+    return spark.read.parquet(f"{SF_SMALL}/orders.parquet")
+
+
+@pytest.fixture(scope="session")
+def documents(spark):
+    return spark.read.parquet(f"{SF_SMALL}/documents.parquet")
+
+
+@pytest.fixture(scope="session")
+def embeddings(spark):
+    return spark.read.parquet(f"{SF_SMALL}/embeddings.parquet")
+
+
+@pytest.fixture(scope="session")
+def events(spark):
+    return spark.read.parquet(f"{SF_SMALL}/events.parquet")

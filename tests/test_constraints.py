@@ -1,0 +1,128 @@
+"""Constraint engine: salted uniqueness, row checks, per-partition verdicts,
+deterministic violation sha256s (north-rule core)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from data_profiler_spark.operators.constraints import (
+    CheckSuite,
+    MembershipCheck,
+    NullRateCheck,
+    RangeCheck,
+    RegexCheck,
+    ReferentialCheck,
+    UniquenessCheck,
+    run_row_checks,
+    run_suite,
+    uniqueness_violations,
+)
+
+
+@pytest.fixture(scope="module")
+def code_files(spark):
+    from data_profiler_spark.datagen import synth_code_files
+
+    return synth_code_files(spark, n_rows=5000, n_repos=40, seed=7)
+
+
+def test_salted_uniqueness_matches_plain_groupby(lineitem):
+    salted = uniqueness_violations(lineitem, ["l_orderkey", "l_linenumber"], salt_buckets=16)
+    plain = (
+        lineitem.groupBy("l_orderkey", "l_linenumber")
+        .agg(F.count(F.lit(1)).alias("dup_cnt"))
+        .where("dup_cnt > 1")
+    )
+    a = {(r[0], r[1]): r[2] for r in salted.collect()}
+    b = {(r[0], r[1]): r[2] for r in plain.collect()}
+    assert a == b and len(a) > 0
+
+
+def test_salted_uniqueness_different_bucket_counts_agree(lineitem):
+    a = sorted(map(tuple, uniqueness_violations(lineitem, ["l_orderkey"], 4).collect()))
+    b = sorted(map(tuple, uniqueness_violations(lineitem, ["l_orderkey"], 128).collect()))
+    assert a == b
+
+
+def test_row_checks_verdicts(spark):
+    df = spark.createDataFrame(
+        [
+            ("p1", "a", 1.0, "en"),
+            ("p1", None, 2.0, "en"),
+            ("p2", "c", -5.0, "xx"),
+            ("p2", "d", 3.0, "fr"),
+        ],
+        "part string, s string, x double, lang string",
+    )
+    checks = [
+        NullRateCheck("s", max_null_ratio=0.0),
+        RangeCheck("x", min_value=0.0),
+        MembershipCheck("lang", allowed=("en", "fr", "de")),
+    ]
+    verdicts, violations = run_row_checks(df, checks, "part", content_col="s", key_cols=["part", "s"])
+    v = {(r["partition"], r["check"]): (r["violation_count"], r["pass"]) for r in verdicts.collect()}
+    assert v[("p1", "null_rate:s")] == (1, False)
+    assert v[("p2", "null_rate:s")] == (0, True)
+    assert v[("p2", "range:x")] == (1, False)
+    assert v[("p2", "membership:lang")] == (1, False)
+    assert v[("p1", "membership:lang")] == (0, True)
+    viol = violations.collect()
+    assert len(viol) == 3
+    # sha256 of the content column present on rows whose content is non-null
+    shas = [r["content_sha256"] for r in viol if r["check"] == "range:x"]
+    import hashlib
+
+    assert shas == [hashlib.sha256(b"c").hexdigest()]
+
+
+def test_regex_check(spark):
+    df = spark.createDataFrame(
+        [("a" * 40,), ("0123456789abcdef0123456789abcdef01234567",), ("zz",)],
+        "commit string",
+    )
+    checks = [RegexCheck("commit", r"^[0-9a-f]{40}$")]
+    verdicts, violations = run_row_checks(df, checks, F.lit("all"), key_cols=["commit"])
+    assert verdicts.collect()[0]["violation_count"] == 1
+    assert violations.collect()[0]["commit"] == "zz"
+
+
+def test_full_suite_on_code_files(spark, code_files):
+    suite = CheckSuite(
+        row_checks=[
+            NullRateCheck("content", max_null_ratio=0.01),
+            RegexCheck("commit", r"^[0-9a-f]{40}$"),
+            MembershipCheck("lang", allowed=("py", "rs", "ts", "go", "md", "java", "cpp")),
+        ],
+        uniqueness=[UniquenessCheck(keys=("repo", "path", "commit"))],
+        referential=[
+            ReferentialCheck(keys=("repo", "commit"), parent_name="commits", parent_keys=("repo", "commit"))
+        ],
+    )
+    from data_profiler_spark.datagen import synth_commits
+
+    commits = synth_commits(code_files)
+    out = run_suite(
+        code_files,
+        suite,
+        partition_col=F.pmod(F.hash("repo"), F.lit(8)),
+        parents={"commits": (commits, ("repo", "commit"))},
+        content_col="content",
+        key_cols=["repo", "path", "commit"],
+    )
+    verdicts = out["verdicts"].collect()
+    assert len(verdicts) > 0 and all(r["row_count"] > 0 for r in verdicts)
+    uniq = out["uniqueness"].collect()
+    assert len(uniq) > 0  # datagen seeds duplicate (repo,path,commit) rows
+    ref = out["referential"].collect()
+    assert len(ref) == 1 and 0.0 < ref[0]["match_rate"] <= 1.0
+
+
+def test_violations_deterministic_across_parallelism(spark, code_files):
+    checks = [RegexCheck("commit", r"^[0-9a-f]{40}$"), NullRateCheck("content")]
+    part = F.pmod(F.hash("repo"), F.lit(8))
+    _, v1 = run_row_checks(code_files, checks, part, content_col="content",
+                           key_cols=["repo", "path", "commit"])
+    _, v2 = run_row_checks(code_files.repartition(17), checks, part, content_col="content",
+                           key_cols=["repo", "path", "commit"])
+    assert [tuple(r) for r in v1.collect()] == [tuple(r) for r in v2.collect()]

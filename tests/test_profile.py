@@ -1,0 +1,105 @@
+"""profile_table — value-level assertions against DuckDB on sf0.001
+(the reference's unit-test tier: exact expected values, SURVEY §5)."""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+
+from data_profiler_spark.operators.profile import profile_table
+
+
+@pytest.fixture(scope="module")
+def prof(lineitem):
+    rows = profile_table(lineitem, exact=True).collect()
+    return {r["column"]: r.asDict() for r in rows}
+
+
+def test_one_row_per_column(prof, lineitem):
+    assert set(prof) == set(lineitem.columns)
+
+
+def test_counts_match_oracle(prof, duck):
+    for c in ("l_orderkey", "l_quantity", "l_returnflag"):
+        n, nulls, d = duck.execute(
+            f"SELECT COUNT({c}), COUNT(*)-COUNT({c}), COUNT(DISTINCT {c}) FROM lineitem"
+        ).fetchone()
+        assert prof[c]["count"] == n
+        assert prof[c]["null_count"] == nulls
+        assert prof[c]["distinct_count"] == d
+
+
+def test_numeric_stats_match_oracle(prof, duck):
+    mn, mx, avg = duck.execute(
+        "SELECT MIN(l_extendedprice), MAX(l_extendedprice), "
+        "CAST(SUM(CAST(l_extendedprice AS DECIMAL(28,8))) AS DOUBLE)/COUNT(l_extendedprice) "
+        "FROM lineitem"
+    ).fetchone()
+    p = prof["l_extendedprice"]
+    assert float(p["min_value"]) == mn
+    assert float(p["max_value"]) == mx
+    assert p["mean"] == avg  # bit-exact by construction (decimal sums)
+
+
+def test_quantiles_exact(prof, duck):
+    q25, med, q99 = duck.execute(
+        "SELECT quantile_cont(l_quantity,0.25), quantile_cont(l_quantity,0.5), "
+        "quantile_cont(l_quantity,0.99) FROM lineitem"
+    ).fetchone()
+    p = prof["l_quantity"]
+    assert (p["q25"], p["median"], p["p99"]) == (q25, med, q99)
+
+
+def test_semantic_categorical(prof):
+    # low-cardinality strings re-typed CATEGORICAL
+    # (ref profilers/categorical.py:265-305)
+    assert prof["l_returnflag"]["semantic_type"] == "CATEGORICAL"
+    assert prof["l_linestatus"]["semantic_type"] == "CATEGORICAL"
+    assert prof["l_quantity"]["semantic_type"] == "NUMERIC"
+    assert prof["l_shipdate"]["semantic_type"] == "DATETIME"
+
+
+def test_string_lengths(prof):
+    p = prof["l_returnflag"]
+    assert (p["min_len"], p["max_len"], p["avg_len"]) == (1, 1, 1.0)
+    assert p["empty_count"] == 0
+
+
+def test_stddev_single_value(spark):
+    df = spark.createDataFrame([(1.5,)], "x double")
+    row = profile_table(df).collect()[0]
+    assert row["stddev"] == 0.0  # ref numeric.py:125-131
+
+
+def test_all_null_column(spark):
+    df = spark.createDataFrame([(None,), (None,)], "x double")
+    row = profile_table(df).collect()[0]
+    assert row["count"] == 0 and row["null_count"] == 2
+    assert row["null_ratio"] == 1.0
+    assert row["mean"] is None or math.isnan(row["mean"])
+
+
+def test_empty_table(spark):
+    df = spark.createDataFrame([], "x double, s string")
+    rows = profile_table(df).collect()
+    assert {r["column"]: r["total_count"] for r in rows} == {"x": 0, "s": 0}
+
+
+def test_pk_candidate(spark, orders):
+    rows = profile_table(orders, columns=["o_orderkey", "o_orderstatus"]).collect()
+    by = {r["column"]: r for r in rows}
+    assert by["o_orderkey"]["is_pk_candidate"] is True
+    assert by["o_orderstatus"]["is_pk_candidate"] is False
+
+
+def test_column_projection_validates(lineitem):
+    with pytest.raises(ValueError, match="nope"):
+        profile_table(lineitem, columns=["nope"])
+
+
+def test_json_typed_array_column(embeddings):
+    rows = profile_table(embeddings).collect()
+    by = {r["column"]: r for r in rows}
+    assert by["embedding"]["semantic_type"] == "JSON"
+    assert by["embedding"]["distinct_count"] > 0

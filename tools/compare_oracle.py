@@ -1,0 +1,134 @@
+"""Local stand-in for the driver's correctness gate.
+
+Runs every ``__spark_entry__.queries()`` entry on Spark and its
+``oracle_sql()`` twin on DuckDB at sf0.01, then compares:
+  - row count
+  - column-name set
+  - order-insensitive value equality (columns sorted by name, rows sorted by
+    all columns, exact equality incl. bit-exact floats)
+
+Usage:  python tools/compare_oracle.py [query_name ...]
+"""
+
+from __future__ import annotations
+
+import math
+import sys
+
+import duckdb
+import numpy as np
+import pandas as pd
+
+TABLES = "region nation customer supplier part orders lineitem events documents embeddings".split()
+
+
+def duck_con(sf_dir: str) -> duckdb.DuckDBPyConnection:
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
+    return con
+
+
+def normalize(df: pd.DataFrame) -> pd.DataFrame:
+    df = df[sorted(df.columns)].copy()
+    for c in df.columns:
+        if df[c].dtype == object:
+            df[c] = df[c].map(
+                lambda v: tuple(np.asarray(v).tolist()) if isinstance(v, (list, np.ndarray)) else v
+            )
+    # total order over rows: stringify once for the sort key only
+    if len(df):
+        key = df.astype(str).apply(lambda r: "\x1f".join(r.values), axis=1)
+        df = df.iloc[np.argsort(key.values, kind="stable")].reset_index(drop=True)
+    return df
+
+
+def values_equal(a, b) -> bool:
+    if a is None and b is None:
+        return True
+    if isinstance(a, float) and isinstance(b, float):
+        if math.isnan(a) and math.isnan(b):
+            return True
+        return a == b
+    try:
+        if pd.isna(a) and pd.isna(b):
+            return True
+    except (TypeError, ValueError):
+        pass
+    if isinstance(a, tuple) and isinstance(b, tuple):
+        return len(a) == len(b) and all(values_equal(x, y) for x, y in zip(a, b))
+    try:
+        return bool(a == b)
+    except Exception:
+        return False
+
+
+def compare_frames(name: str, sdf: pd.DataFrame, odf: pd.DataFrame) -> list[str]:
+    problems = []
+    if len(sdf) != len(odf):
+        problems.append(f"rowcount spark={len(sdf)} oracle={len(odf)}")
+    if sorted(sdf.columns) != sorted(odf.columns):
+        problems.append(f"columns spark={sorted(sdf.columns)} oracle={sorted(odf.columns)}")
+        return problems
+    if problems:
+        return problems
+    s, o = normalize(sdf), normalize(odf)
+    for c in s.columns:
+        sv, ov = s[c].tolist(), o[c].tolist()
+        bad = [(i, x, y) for i, (x, y) in enumerate(zip(sv, ov)) if not values_equal(x, y)]
+        if bad:
+            i, x, y = bad[0]
+            extra = ""
+            if isinstance(x, float) and isinstance(y, float):
+                extra = f" (diff={abs(x - y):.3e})"
+            problems.append(f"col {c}: {len(bad)} mismatches, first row{i}: spark={x!r} oracle={y!r}{extra}")
+    return problems
+
+
+def main() -> int:
+    sys.path.insert(0, "/root/repo")
+    import __spark_entry__ as E
+    from data_profiler_spark import get_spark
+
+    sf_dir = "/root/testdata/sf0.01"
+    only = set(sys.argv[1:])
+    spark = get_spark(master="local[8]")
+    con = duck_con(sf_dir)
+    qs, oracles = E.queries(), E.oracle_sql()
+    n_fail = 0
+    for name, fn in qs.items():
+        if only and name not in only:
+            continue
+        try:
+            sdf = fn(spark, sf_dir).toPandas()
+        except Exception as ex:
+            print(f"FAIL {name}: spark error: {ex}")
+            n_fail += 1
+            continue
+        sql = oracles.get(name)
+        if sql is None:
+            print(f"SKIP {name}: no oracle (rows-only check): {len(sdf)} rows")
+            continue
+        try:
+            odf = con.execute(sql).df()
+        except Exception as ex:
+            print(f"FAIL {name}: duckdb error: {ex}")
+            n_fail += 1
+            continue
+        problems = compare_frames(name, sdf, odf)
+        if problems:
+            n_fail += 1
+            print(f"FAIL {name} ({len(sdf)} rows):")
+            for p in problems:
+                print(f"   {p}")
+        else:
+            print(f"OK   {name} ({len(sdf)} rows)")
+    extra_oracle = set(oracles) - set(qs)
+    if extra_oracle:
+        print(f"WARN oracle_sql keys without queries(): {sorted(extra_oracle)}")
+    print(f"{'PASS' if n_fail == 0 else 'FAIL'}: {n_fail} failing")
+    return 1 if n_fail else 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

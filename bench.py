@@ -1,0 +1,74 @@
+#!/usr/bin/env python
+"""Benchmark harness (driver contract): runs the headline queries at
+$SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1) on
+local[$SPARK_GRAFT_CPUS] and prints ONE JSON line:
+  {"metric": ..., "value": <total sec>, "unit": "sec",
+   "queries": {name: sec, ...}, "sf": ..., "rows_validated_per_sec": ...}
+
+The constraint-suite input (north-rule code_files table) is synthesized
+deterministically once per SF and cached as parquet under /tmp — generation
+is NOT timed; the suite reads columnar files like the real Iceberg source.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+CODE_FILES_PER_SF = 6_000_000  # sf1.0 ≡ 6M code_files rows (matches lineitem)
+
+
+def main() -> int:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    try:
+        sf = float(os.path.basename(sf_dir.rstrip("/")).replace("sf", ""))
+    except ValueError:
+        sf = 0.1
+
+    from data_profiler_spark import get_spark
+    from data_profiler_spark.bench_queries import BENCH_QUERIES
+    from data_profiler_spark.datagen import synth_code_files
+
+    spark = get_spark(
+        app_name="bench",
+        master=f"local[{cpus}]",
+        shuffle_partitions=max(cpus, 16),
+        extra_conf={"spark.ui.showConsoleProgress": "false"},
+    )
+
+    n_code_rows = max(int(CODE_FILES_PER_SF * sf), 10_000)
+    code_files = f"/tmp/spark_graft_bench/code_files_{n_code_rows}.parquet"
+    if not os.path.exists(code_files):
+        synth_code_files(
+            spark, n_rows=n_code_rows, n_repos=max(n_code_rows // 6000, 10), partitions=cpus * 4
+        ).write.mode("overwrite").parquet(code_files)
+
+    timings: dict[str, float] = {}
+    for name, fn in BENCH_QUERIES.items():
+        t0 = time.perf_counter()
+        fn(spark, sf_dir, code_files)
+        timings[name] = round(time.perf_counter() - t0, 4)
+
+    total = round(sum(timings.values()), 4)
+    suite_sec = timings.get("constraint_suite", float("nan"))
+    result = {
+        "metric": "headline_suite_total",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf,
+        "code_files_rows": n_code_rows,
+        "rows_validated_per_sec": round(n_code_rows / suite_sec, 1) if suite_sec else None,
+        "cpus": cpus,
+    }
+    print(json.dumps(result))
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

@@ -1,0 +1,111 @@
+"""Headline benchmark queries — grows as operators land.
+
+Each entry: name -> fn(spark, sf_dir, code_files_path) returning a DataFrame
+(small results) or None after forcing its own materialization (large
+results use the noop sink so nothing funnels through the driver).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import SparkSession
+from pyspark.sql import functions as F
+
+
+def _force(df, collect_threshold_cols: int = 0):
+    """Materialize fully without driver collect (noop sink)."""
+    df.write.mode("overwrite").format("noop").save()
+
+
+def q_profile_lineitem(spark: SparkSession, sf_dir: str, code_files: str):
+    from data_profiler_spark.operators.profile import profile_table
+
+    df = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    return profile_table(df, exact=True).collect()
+
+
+def q_group_stats(spark: SparkSession, sf_dir: str, code_files: str):
+    from data_profiler_spark.queries_catalog import QUERIES
+
+    return QUERIES["group_stats_lineitem"](spark, sf_dir).collect()
+
+
+def q_uniqueness_salted(spark: SparkSession, sf_dir: str, code_files: str):
+    from data_profiler_spark.operators.constraints import uniqueness_violations
+
+    df = spark.read.parquet(code_files)
+    _force(uniqueness_violations(df, ["repo", "path", "commit"]))
+
+
+def q_constraint_suite(spark: SparkSession, sf_dir: str, code_files: str):
+    """The north-rule headline: full row-check suite + uniqueness +
+    referential over the code_files table, one pass each family."""
+    from data_profiler_spark.datagen import LANGS, synth_commits
+    from data_profiler_spark.operators.constraints import (
+        CheckSuite,
+        MembershipCheck,
+        NullRateCheck,
+        RangeCheck,
+        RegexCheck,
+        ReferentialCheck,
+        UniquenessCheck,
+        run_suite,
+    )
+
+    df = spark.read.parquet(code_files)
+    commits = synth_commits(df)
+    suite = CheckSuite(
+        row_checks=[
+            NullRateCheck("content", max_null_ratio=0.0),
+            NullRateCheck("repo"),
+            RegexCheck("commit", r"^[0-9a-f]{40}$"),
+            RegexCheck("path", r"^[A-Za-z0-9_./-]+$"),
+            MembershipCheck("lang", allowed=tuple(LANGS)),
+            RangeCheck("content_len", min_value=1.0, max_value=1e6),
+        ],
+        uniqueness=[UniquenessCheck(keys=("repo", "path", "commit"))],
+        referential=[
+            ReferentialCheck(
+                keys=("repo", "commit"), parent_name="commits", parent_keys=("repo", "commit")
+            )
+        ],
+    )
+    df = df.withColumn("content_len", F.length("content").cast("double"))
+    out = run_suite(
+        df,
+        suite,
+        partition_col=F.pmod(F.hash("repo"), F.lit(64)),
+        parents={"commits": (commits, ("repo", "commit"))},
+        content_col="content",
+        key_cols=["repo", "path", "commit"],
+    )
+    _force(out["verdicts"])
+    _force(out["violations"])
+    _force(out["uniqueness"])
+    out["referential"].collect()
+
+
+def q_referential(spark: SparkSession, sf_dir: str, code_files: str):
+    from data_profiler_spark.operators.referential import match_rate
+
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    return match_rate(li, "l_orderkey", orders, "o_orderkey").collect()
+
+
+def q_histogram(spark: SparkSession, sf_dir: str, code_files: str):
+    from data_profiler_spark.operators.histogram import grouped_histogram
+
+    df = spark.read.parquet(code_files).select(
+        "lang", F.length("content").cast("double").alias("clen")
+    )
+    return grouped_histogram(df, "lang", "clen", bins=20).collect()
+
+
+BENCH_QUERIES = {
+    "profile_lineitem": q_profile_lineitem,
+    "group_stats": q_group_stats,
+    "uniqueness_salted": q_uniqueness_salted,
+    "constraint_suite": q_constraint_suite,
+    "referential": q_referential,
+    "grouped_histogram": q_histogram,
+}

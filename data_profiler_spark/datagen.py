@@ -132,14 +132,19 @@ def synth_commits(code_files: DataFrame, orphan_pct: int = 3, seed: int = 42) ->
 
 
 def synth_baseline_histogram(
-    code_files: DataFrame, bins: int = 20, shift: float = 0.0
+    code_files: DataFrame, bins: int = 20, shift: float = 0.0, bucket_width: float = 50.0
 ) -> DataFrame:
     """Per-lang content-length histogram snapshot (lang, bucket, cnt) — the
-    'previous run' baseline for PSI/KS drift checks. ``shift`` perturbs
-    lengths to simulate drift in tests."""
-    from data_profiler_spark.operators.histogram import grouped_histogram
-
+    'previous run' baseline for PSI/KS drift checks. Buckets are FIXED-width
+    (edges stable across runs — adaptive min/max edges would make two
+    snapshots incomparable and hide pure rescaling drift). ``shift`` inflates
+    lengths to simulate drift in tests; ``bins`` caps the bucket id."""
     df = code_files.select(
         "lang", (F.length("content") * F.lit(1.0 + shift)).alias("content_len")
     )
-    return grouped_histogram(df, "lang", "content_len", bins=bins)
+    bucket = F.least(F.floor(F.col("content_len") / F.lit(bucket_width)), F.lit(bins - 1))
+    return (
+        df.select("lang", bucket.alias("bucket"))
+        .groupBy("lang", "bucket")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )

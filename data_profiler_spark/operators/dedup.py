@@ -1,0 +1,276 @@
+"""Deduplication operators for training-data pipelines (driver mandate):
+exact, n-gram Jaccard, MinHash+LSH, SimHash, embedding-cosine near-dup.
+
+Scale design notes:
+  - exact dedup = hash groupBy on a content fingerprint (one shuffle on a
+    64/128-bit key, never on the content itself)
+  - Jaccard pairs = shingle explode → co-shingle equi-join → count ratio;
+    the join key is the shingle hash. At 100 TB you NEVER run all-pairs —
+    MinHash/LSH produces candidates first and exact Jaccard verifies only
+    those; the all-pairs form here is the small-scale oracle twin.
+  - MinHash: k independent hash slots from ONE xxhash64 per (seed_i,
+    shingle); per-doc min per slot via groupBy — one shuffle keyed by doc.
+  - LSH: band the signature, one shuffle keyed by (band, band_hash); only
+    same-bucket pairs become candidates.
+  - SimHash: token hash sign-sums per bit → 64-bit fingerprint; hamming
+    buckets via prefix blocks.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+
+# ---------------------------------------------------------------------------
+# exact dedup — hash groupBy (SURVEY mandate "exact (hash-groupBy)")
+# ---------------------------------------------------------------------------
+def exact_duplicate_groups(df: DataFrame, cols: list[str]) -> DataFrame:
+    """Groups of rows identical on ``cols`` → (fingerprint, dup_cnt), cnt>1.
+    Shuffles on a 128-bit md5, not the raw content."""
+    fp = F.md5(F.to_json(F.struct(*[F.col(c) for c in cols])).cast("binary"))
+    return (
+        df.select(fp.alias("fingerprint"))
+        .groupBy("fingerprint")
+        .agg(F.count(F.lit(1)).alias("dup_cnt"))
+        .where(F.col("dup_cnt") > 1)
+    )
+
+
+def distinct_by(df: DataFrame, cols: list[str]) -> DataFrame:
+    """Keep one row per distinct ``cols`` value (first by a total order on
+    all columns → deterministic survivor)."""
+    from pyspark.sql import Window as W
+
+    others = [c for c in df.columns if c not in cols]
+    w = W.partitionBy(*cols).orderBy(*[F.col(c) for c in others]) if others else W.partitionBy(*cols).orderBy(*cols)
+    return df.withColumn("__rn", F.row_number().over(w)).where(F.col("__rn") == 1).drop("__rn")
+
+
+# ---------------------------------------------------------------------------
+# shingling + exact n-gram Jaccard
+# ---------------------------------------------------------------------------
+def word_shingles(df: DataFrame, id_col: str, text_col: str, k: int = 3) -> DataFrame:
+    """Distinct k-word shingles per doc → (id, shingle). element_at is
+    1-based; docs shorter than k words produce no shingles."""
+    toks = F.split(F.trim(F.col(text_col)), "\\s+")
+    n = F.size(toks)
+    # Spark sequence(1, 0) yields [1, 0] (inferred negative step) — guard
+    # short docs with an explicit empty array instead.
+    idx = F.when(n >= k, F.sequence(F.lit(1), n - F.lit(k - 1))).otherwise(
+        F.array().cast("array<int>")
+    )
+    sh = F.transform(
+        idx,
+        lambda i: F.concat_ws(" ", *[F.element_at(toks, i + F.lit(j)) for j in range(k)]),
+    )
+    return (
+        df.select(F.col(id_col).alias("id"), F.explode(sh).alias("shingle"))
+        .distinct()
+    )
+
+
+def jaccard_pairs(
+    df: DataFrame, id_col: str, text_col: str, k: int = 3, threshold: float = 0.5
+) -> DataFrame:
+    """All-pairs exact n-gram Jaccard ≥ threshold → (id_a, id_b, jaccard).
+
+    Small-scale reference semantics / LSH verification kernel. The join runs
+    on the shingle (co-occurrence list), intersection counts come from one
+    groupBy on the pair."""
+    sh = word_shingles(df, id_col, text_col, k).cache()
+    sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("n_sh"))
+    a = sh.alias("a")
+    b = sh.alias("b")
+    inter = (
+        a.join(b, (F.col("a.shingle") == F.col("b.shingle")) & (F.col("a.id") < F.col("b.id")))
+        .groupBy(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .agg(F.count(F.lit(1)).alias("n_inter"))
+    )
+    sa = sizes.select(F.col("id").alias("id_a"), F.col("n_sh").alias("n_a"))
+    sb = sizes.select(F.col("id").alias("id_b"), F.col("n_sh").alias("n_b"))
+    jac = F.col("n_inter").cast("double") / (F.col("n_a") + F.col("n_b") - F.col("n_inter"))
+    return (
+        inter.join(sa, "id_a")
+        .join(sb, "id_b")
+        .select("id_a", "id_b", jac.alias("jaccard"))
+        .where(F.col("jaccard") >= F.lit(threshold))
+    )
+
+
+# ---------------------------------------------------------------------------
+# MinHash + LSH (the 100 TB near-dup path)
+# ---------------------------------------------------------------------------
+def minhash_signatures(
+    df: DataFrame, id_col: str, text_col: str, k: int = 3, num_hashes: int = 64, seed: int = 42
+) -> DataFrame:
+    """(id, sig: array<bigint>[num_hashes]) — slot i = min over shingles of
+    xxhash64(seed, i, shingle). One explode + one groupBy(id); no Python."""
+    sh = word_shingles(df, id_col, text_col, k)
+    slots = F.transform(
+        F.sequence(F.lit(0), F.lit(num_hashes - 1)),
+        lambda i: F.xxhash64(F.lit(seed), i, F.col("shingle")),
+    )
+    per_slot = sh.select("id", F.posexplode(slots).alias("slot", "h"))
+    return (
+        per_slot.groupBy("id", "slot")
+        .agg(F.min("h").alias("mh"))
+        .groupBy("id")
+        .agg(F.array_sort(F.collect_list(F.struct("slot", "mh"))).alias("s"))
+        .select("id", F.col("s.mh").alias("sig"))
+    )
+
+
+def lsh_candidate_pairs(
+    signatures: DataFrame, bands: int = 16, rows_per_band: int = 4
+) -> DataFrame:
+    """Band the signature; docs sharing any band bucket become candidates.
+    One shuffle keyed by (band, hash-of-band-slice) — the only all-to-all
+    exchange, and its key is uniform by construction."""
+    sig = signatures
+    band_structs = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band"),
+                F.xxhash64(*[F.col("sig")[b * rows_per_band + r] for r in range(rows_per_band)]).alias("bh"),
+            )
+            for b in range(bands)
+        ]
+    )
+    buckets = sig.select("id", F.explode(band_structs).alias("bb")).select(
+        "id", F.col("bb.band").alias("band"), F.col("bb.bh").alias("bh")
+    )
+    a, b = buckets.alias("a"), buckets.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bh") == F.col("b.bh"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .distinct()
+    )
+
+
+def minhash_near_duplicates(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: int = 3,
+    num_hashes: int = 64,
+    bands: int = 16,
+    threshold: float = 0.5,
+    seed: int = 42,
+) -> DataFrame:
+    """LSH candidates verified with exact Jaccard ≥ threshold.
+
+    Candidate generation is probabilistic; verification is exact, so output
+    ⊆ jaccard_pairs(...) with recall ≈ 1-(1-t^r)^b."""
+    rows_per_band = num_hashes // bands
+    sigs = minhash_signatures(df, id_col, text_col, k, num_hashes, seed)
+    cand = lsh_candidate_pairs(sigs, bands, rows_per_band)
+
+    sh = word_shingles(df, id_col, text_col, k).cache()
+    sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("n_sh"))
+    a, b = sh.alias("a"), sh.alias("b")
+    inter = (
+        cand.join(a, cand.id_a == F.col("a.id"))
+        .join(b, (cand.id_b == F.col("b.id")) & (F.col("a.shingle") == F.col("b.shingle")))
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("n_inter"))
+    )
+    jac = F.col("n_inter").cast("double") / (F.col("n_a") + F.col("n_b") - F.col("n_inter"))
+    return (
+        inter.join(sizes.select(F.col("id").alias("id_a"), F.col("n_sh").alias("n_a")), "id_a")
+        .join(sizes.select(F.col("id").alias("id_b"), F.col("n_sh").alias("n_b")), "id_b")
+        .select("id_a", "id_b", jac.alias("jaccard"))
+        .where(F.col("jaccard") >= F.lit(threshold))
+    )
+
+
+# ---------------------------------------------------------------------------
+# SimHash
+# ---------------------------------------------------------------------------
+def simhash64(df: DataFrame, id_col: str, text_col: str, seed: int = 42) -> DataFrame:
+    """64-bit SimHash per doc: explode tokens → token hash → per-bit ±1 sums
+    → sign bits. One shuffle keyed by doc id."""
+    toks = df.select(
+        F.col(id_col).alias("id"),
+        F.explode(F.split(F.trim(F.col(text_col)), "\\s+")).alias("tok"),
+    ).withColumn("h", F.xxhash64(F.lit(seed), F.col("tok")))
+    bit_sums = toks.groupBy("id").agg(
+        *[
+            F.sum(
+                F.when(F.shiftright(F.col("h"), i).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+            ).alias(f"b{i}")
+            for i in range(64)
+        ]
+    )
+    fp = None
+    for i in range(64):
+        bit = F.when(F.col(f"b{i}") > 0, F.lit(1).cast("long")).otherwise(F.lit(0).cast("long"))
+        term = bit * F.lit(1 << i).cast("long") if i < 63 else F.when(F.col("b63") > 0, F.lit(-(1 << 63)).cast("long")).otherwise(F.lit(0).cast("long"))
+        fp = term if fp is None else fp + term
+    return bit_sums.select("id", fp.alias("simhash"))
+
+
+def simhash_near_duplicates(df: DataFrame, id_col: str, text_col: str, max_hamming: int = 3, seed: int = 42) -> DataFrame:
+    """Pairs with hamming(simhash) <= max_hamming, blocked on 16-bit prefix
+    chunks (a pair within distance d shares at least one of 4 chunks when
+    d <= 3) — avoids all-pairs at scale."""
+    sh = simhash64(df, id_col, text_col, seed)
+    chunks = F.array(
+        *[
+            F.struct(F.lit(c).alias("chunk"), F.shiftrightunsigned(F.col("simhash"), c * 16).bitwiseAND(F.lit(0xFFFF)).alias("cv"))
+            for c in range(4)
+        ]
+    )
+    blocked = sh.select("id", "simhash", F.explode(chunks).alias("cc")).select(
+        "id", "simhash", F.col("cc.chunk").alias("chunk"), F.col("cc.cv").alias("cv")
+    )
+    a, b = blocked.alias("a"), blocked.alias("b")
+    ham = F.bit_count(F.col("a.simhash").bitwiseXOR(F.col("b.simhash")))
+    return (
+        a.join(
+            b,
+            (F.col("a.chunk") == F.col("b.chunk"))
+            & (F.col("a.cv") == F.col("b.cv"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"), ham.alias("hamming"))
+        .distinct()
+        .where(F.col("hamming") <= max_hamming)
+    )
+
+
+# ---------------------------------------------------------------------------
+# embedding cosine near-dup
+# ---------------------------------------------------------------------------
+def cosine(a: Column, b: Column) -> Column:
+    """Cosine similarity of two array<float> columns, computed in double with
+    a sequential fold — bit-identical to the DuckDB list_sum/list_transform
+    oracle formulation."""
+    dot = F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+    na = F.sqrt(F.aggregate(F.transform(a, lambda x: x.cast("double") * x.cast("double")), F.lit(0.0), lambda acc, v: acc + v))
+    nb = F.sqrt(F.aggregate(F.transform(b, lambda x: x.cast("double") * x.cast("double")), F.lit(0.0), lambda acc, v: acc + v))
+    return dot / (na * nb)
+
+
+def embedding_near_duplicates(
+    emb: DataFrame, id_col: str, vec_col: str, threshold: float = 0.95
+) -> DataFrame:
+    """All-pairs cosine ≥ threshold (small-scale oracle twin; the scale path
+    is LSH-bucketed in operators/similarity.py)."""
+    a = emb.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"))
+    b = emb.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"))
+    return (
+        a.join(b, F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", cosine(F.col("va"), F.col("vb")).alias("cos_sim"))
+        .where(F.col("cos_sim") >= F.lit(threshold))
+    )

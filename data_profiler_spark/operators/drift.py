@@ -1,0 +1,88 @@
+"""Distribution-drift checks: PSI and two-sample KS (north-rule item;
+SURVEY §4 custom-work 5). Plain DataFrame math over histogram/ECDF tables —
+no new execution primitive, one full-outer join per comparison.
+
+Determinism: PSI uses ln (bit-identical between JVM and DuckDB, verified),
+counts→ratios are single IEEE divisions, so both engines agree bitwise.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+PSI_EPS = 1e-6
+
+
+def psi_from_histograms(
+    base: DataFrame, cur: DataFrame, keys: list[str], bucket_col: str = "bucket", cnt_col: str = "cnt"
+) -> DataFrame:
+    """PSI per key group from two histogram tables (key..., bucket, cnt):
+    psi = Σ_buckets (p - q) * ln(p / q), p/q floored at PSI_EPS.
+
+    Standard gates: < 0.1 stable, 0.1-0.25 moderate, > 0.25 drifted.
+    """
+    join_cols = keys + [bucket_col]
+    b = base.groupBy(*join_cols).agg(F.sum(cnt_col).alias("b_cnt"))
+    c = cur.groupBy(*join_cols).agg(F.sum(cnt_col).alias("c_cnt"))
+    merged = b.join(c, join_cols, "full_outer").fillna(0, ["b_cnt", "c_cnt"])
+    totals = merged.groupBy(*keys).agg(
+        F.sum("b_cnt").alias("b_tot"), F.sum("c_cnt").alias("c_tot")
+    )
+    m = merged.join(totals, keys)
+    p = F.greatest(F.col("b_cnt").cast("double") / F.col("b_tot"), F.lit(PSI_EPS))
+    q = F.greatest(F.col("c_cnt").cast("double") / F.col("c_tot"), F.lit(PSI_EPS))
+    # sum terms as DECIMAL so the reduction is order-independent across
+    # partitionings; round to 12 decimals because ln() can differ by 1 ulp
+    # between JVM and libc libm for some arguments.
+    term = ((p - q) * F.log(p / q)).cast("decimal(38,18)")
+    return (
+        m.select(*keys, term.alias("term"))
+        .groupBy(*keys)
+        .agg(F.round(F.sum("term").cast("double"), 12).alias("psi"))
+    )
+
+
+def ks_statistic(
+    a: DataFrame, b: DataFrame, value_col: str, keys: list[str] | None = None
+) -> DataFrame:
+    """Two-sample Kolmogorov–Smirnov statistic: sup |ECDF_a - ECDF_b|,
+    computed distributed: union both samples tagged, per-value counts, window
+    cumulative sums, max absolute difference. Exact (no binning); all
+    arithmetic is counts and single divisions — bit-deterministic.
+    """
+    from pyspark.sql import Window as W
+
+    keys = keys or []
+    ta = a.select(*keys, F.col(value_col).alias("v"), F.lit(1).alias("ia"), F.lit(0).alias("ib"))
+    tb = b.select(*keys, F.col(value_col).alias("v"), F.lit(0).alias("ia"), F.lit(1).alias("ib"))
+    u = ta.unionByName(tb).where(F.col("v").isNotNull())
+    per_v = u.groupBy(*keys, "v").agg(F.sum("ia").alias("na"), F.sum("ib").alias("nb"))
+    w = W.partitionBy(*keys).orderBy("v") if keys else W.orderBy("v")
+    cum = per_v.select(
+        *keys,
+        "v",
+        F.sum("na").over(w).alias("ca"),
+        F.sum("nb").over(w).alias("cb"),
+    )
+    tot = u.groupBy(*keys).agg(F.sum("ia").alias("ta"), F.sum("ib").alias("tb")) if keys else None
+    if keys:
+        cum = cum.join(tot, keys)
+    else:
+        totals = u.agg(F.sum("ia").alias("ta"), F.sum("ib").alias("tb"))
+        cum = cum.crossJoin(F.broadcast(totals))
+    d = F.abs(F.col("ca").cast("double") / F.col("ta") - F.col("cb").cast("double") / F.col("tb"))
+    if keys:
+        return cum.select(*keys, d.alias("d")).groupBy(*keys).agg(F.max("d").alias("ks"))
+    return cum.select(d.alias("d")).agg(F.max("d").alias("ks"))
+
+
+def drift_verdicts(
+    psi_df: DataFrame, keys: list[str], psi_threshold: float = 0.25
+) -> DataFrame:
+    """Pass/fail verdict rows from PSI values."""
+    return psi_df.select(
+        *keys,
+        F.col("psi"),
+        (F.col("psi") <= F.lit(psi_threshold)).alias("pass"),
+    )

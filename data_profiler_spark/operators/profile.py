@@ -93,25 +93,30 @@ def profile_table(df: DataFrame, columns: list[str] | None = None, exact: bool =
     else:
         fields = list(df.schema.fields)
 
+    # Two expression groups: regular aggregates vs exact distinct counts.
+    # Mixing N count_distincts with dozens of regular aggs in ONE agg makes
+    # Catalyst plan an Expand (rows × N+1) under a huge codegen unit — 10×
+    # slower. Two lean single-row aggs cross-joined are each codegen-friendly;
+    # in approx mode HLL sketches need no expand, so one agg suffices.
     aggs: list = []
+    dist_aggs: list = []
     kinds: dict[str, str] = {}
     for f in fields:
         c = f.name
         kind = classify_dtype(f.dataType)
         kinds[c] = kind
-        if kind == "JSON":
-            # arrays/maps/structs: distinct over canonical JSON text
-            # (SURVEY §7.4 — unhashable-list fallback, profilers/base.py:141-144)
-            col = F.to_json(F.col(c))
-            distinct = F.count_distinct(col) if exact else F.approx_count_distinct(col)
-            aggs += [
-                F.count(F.lit(1)).alias(f"{c}__total"),
-                F.count(F.col(c)).alias(f"{c}__count"),
-                (F.count(F.lit(1)) - F.count(F.col(c))).alias(f"{c}__null_count"),
-                distinct.alias(f"{c}__distinct"),
-            ]
+        # arrays/maps/structs: distinct over canonical JSON text
+        # (SURVEY §7.4 — unhashable-list fallback, profilers/base.py:141-144)
+        dcol = F.to_json(F.col(c)) if kind == "JSON" else F.col(c)
+        aggs += [
+            F.count(F.lit(1)).alias(f"{c}__total"),
+            F.count(F.col(c)).alias(f"{c}__count"),
+            (F.count(F.lit(1)) - F.count(F.col(c))).alias(f"{c}__null_count"),
+        ]
+        if exact:
+            dist_aggs.append(F.count_distinct(dcol).alias(f"{c}__distinct"))
         else:
-            aggs += S.basic_exprs(c, exact=exact)
+            aggs.append(F.approx_count_distinct(dcol).alias(f"{c}__distinct"))
         if kind == "NUMERIC":
             aggs += S.numeric_exprs(c, exact=exact)
         elif kind == "STRING":
@@ -120,6 +125,8 @@ def profile_table(df: DataFrame, columns: list[str] | None = None, exact: bool =
             aggs += S.datetime_exprs(c)
 
     wide = df.agg(*aggs)
+    if dist_aggs:
+        wide = wide.crossJoin(df.agg(*dist_aggs))
 
     null_d = F.lit(None).cast("double")
     null_l = F.lit(None).cast("long")

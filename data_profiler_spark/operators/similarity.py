@@ -1,0 +1,125 @@
+"""Similarity search over embedding columns (driver mandate).
+
+Baseline: brute-force cosine top-k (exact, oracle-checkable).
+Scale path: random-hyperplane LSH buckets — candidates only from matching
+buckets, then exact re-rank; the hyperplanes are generated DETERMINISTICALLY
+from xxhash64 so two runs (or two cluster sizes) build identical indexes.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from data_profiler_spark.operators.dedup import cosine
+
+
+def brute_force_topk(
+    emb: DataFrame,
+    probes: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 10,
+) -> DataFrame:
+    """Exact cosine top-k for each probe → (probe_id, neighbor_id, cos_sim,
+    rank). Probes are broadcast (small); ties broken by neighbor id so the
+    result is a deterministic set."""
+    from pyspark.sql import Window as W
+
+    p = probes.select(F.col(id_col).alias("probe_id"), F.col(vec_col).alias("pv"))
+    e = emb.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("nv"))
+    scored = (
+        e.crossJoin(F.broadcast(p))
+        .where(F.col("probe_id") != F.col("neighbor_id"))
+        .select("probe_id", "neighbor_id", cosine(F.col("pv"), F.col("nv")).alias("cos_sim"))
+    )
+    w = W.partitionBy("probe_id").orderBy(F.desc("cos_sim"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("probe_id", "neighbor_id", "cos_sim", "rank")
+    )
+
+
+def hyperplane_bits(
+    emb: DataFrame,
+    id_col: str,
+    vec_col: str,
+    dim: int,
+    n_planes: int = 16,
+    seed: int = 42,
+) -> DataFrame:
+    """(id, bucket) — sign bits of projections onto n_planes deterministic
+    pseudo-random hyperplanes. Plane weights w[p][d] = xxhash64(seed,p,d)
+    mapped to [-1,1); built as an array literal-free plan (posexplode +
+    broadcast join), all JVM-side."""
+    spark = emb.sparkSession
+    planes = (
+        spark.range(n_planes)
+        .withColumnRenamed("id", "plane")
+        .crossJoin(spark.range(dim).withColumnRenamed("id", "d"))
+        .select(
+            "plane",
+            "d",
+            (
+                F.pmod(F.xxhash64(F.lit(seed), F.col("plane"), F.col("d")), F.lit(2_000_000))
+                / 1_000_000.0
+                - 1.0
+            ).alias("w"),
+        )
+    )
+    comps = emb.select(
+        F.col(id_col).alias("id"), F.posexplode(F.col(vec_col)).alias("d", "x")
+    )
+    proj = (
+        comps.join(F.broadcast(planes), "d")
+        .groupBy("id", "plane")
+        .agg(F.sum(F.col("x").cast("double") * F.col("w")).alias("dot"))
+    )
+    bit = F.when(F.col("dot") >= 0, F.lit(1)).otherwise(F.lit(0))
+    return (
+        proj.select("id", "plane", bit.alias("b"))
+        .groupBy("id")
+        .agg(
+            F.sum(F.col("b").cast("long") * F.pow(F.lit(2.0), F.col("plane")).cast("long")).alias(
+                "bucket"
+            )
+        )
+    )
+
+
+def lsh_topk(
+    emb: DataFrame,
+    probes: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int = 64,
+    k: int = 10,
+    n_planes: int = 6,
+    seed: int = 42,
+) -> DataFrame:
+    """ANN top-k: candidates share the probe's hyperplane bucket; exact
+    cosine re-rank on candidates only. Recall < 1 by construction — the
+    scale path when brute force is infeasible."""
+    from pyspark.sql import Window as W
+
+    bits = hyperplane_bits(emb, id_col, vec_col, dim, n_planes, seed)
+    e = emb.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("nv")).join(
+        bits.withColumnRenamed("id", "neighbor_id"), "neighbor_id"
+    )
+    p = probes.select(F.col(id_col).alias("probe_id"), F.col(vec_col).alias("pv")).join(
+        bits.withColumnRenamed("id", "probe_id"), "probe_id"
+    )
+    cand = e.join(
+        F.broadcast(p.withColumnRenamed("bucket", "pbucket")),
+        (F.col("bucket") == F.col("pbucket")) & (F.col("probe_id") != F.col("neighbor_id")),
+    )
+    scored = cand.select(
+        "probe_id", "neighbor_id", cosine(F.col("pv"), F.col("nv")).alias("cos_sim")
+    )
+    w = W.partitionBy("probe_id").orderBy(F.desc("cos_sim"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("probe_id", "neighbor_id", "cos_sim", "rank")
+    )

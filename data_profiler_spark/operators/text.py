@@ -1,0 +1,180 @@
+"""Text-analysis operators for training-data pipelines (driver mandate):
+language-ID heuristic, quality scoring, token counting, document
+fingerprinting. All native Column expressions (JVM, codegen) — no Python in
+the hot path; each has a DuckDB-oracle twin in queries_catalog.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# BPE-ish tokenizer regex: letter runs, digit runs, single punctuation
+BPE_RE = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]"
+
+STOPWORDS = {
+    "en": ["the", "and", "of", "to", "a", "in", "is", "it"],
+    "es": ["el", "la", "de", "que", "y", "los", "en", "un"],
+    "de": ["der", "die", "das", "und", "ist", "nicht", "ein", "zu"],
+    "fr": ["le", "la", "les", "et", "des", "un", "une", "est"],
+}
+# actual characters, not \uXXXX escapes — RE2 (DuckDB) lacks \u syntax
+_CJK_RE = "[一-鿿]"
+
+_PUNCT_RE = "[.,;:!?'\"()\\[\\]{}-]"
+
+
+def whitespace_token_count(c: str | Column) -> Column:
+    """Number of whitespace-delimited tokens; 0 for empty/blank text."""
+    col = F.col(c) if isinstance(c, str) else c
+    t = F.trim(col)
+    return F.when(F.length(t) == 0, F.lit(0)).otherwise(
+        F.size(F.split(t, "\\s+"))
+    ).cast("long")
+
+
+def bpe_token_count(c: str | Column) -> Column:
+    """Count of BPE-ish tokens (letter runs / digit runs / punct singles)."""
+    col = F.col(c) if isinstance(c, str) else c
+    return F.size(F.regexp_extract_all(col, F.lit(BPE_RE), F.lit(0))).cast("long")
+
+
+def _stopword_hits(col: Column, words: list[str]) -> Column:
+    pat = "\\b(" + "|".join(words) + ")\\b"
+    return F.size(F.regexp_extract_all(F.lower(col), F.lit(pat), F.lit(0)))
+
+
+def lang_id(c: str | Column) -> Column:
+    """n-gram/stopword language heuristic → 'zh'|'en'|'es'|'de'|'fr'|'und'.
+
+    CJK characters short-circuit to zh; otherwise argmax of per-language
+    stopword hit counts with a fixed tie-break order (en,es,de,fr). Identical
+    CASE structure in the SQL oracle (lang_id_sql)."""
+    col = F.col(c) if isinstance(c, str) else c
+    s = {k: _stopword_hits(col, v) for k, v in STOPWORDS.items()}
+    zh = F.size(F.regexp_extract_all(col, F.lit(_CJK_RE), F.lit(0)))
+    best = F.greatest(*s.values())
+    return (
+        F.when(zh > 0, F.lit("zh"))
+        .when(best == 0, F.lit("und"))
+        .when(s["en"] == best, F.lit("en"))
+        .when(s["es"] == best, F.lit("es"))
+        .when(s["de"] == best, F.lit("de"))
+        .otherwise(F.lit("fr"))
+    )
+
+
+def lang_id_sql(c: str) -> str:
+    """DuckDB twin of :func:`lang_id` (same hit counts, same tie-break)."""
+    hits = {
+        k: f"len(regexp_extract_all(lower({c}), '\\b(" + "|".join(v) + ")\\b'))"
+        for k, v in STOPWORDS.items()
+    }
+    zh = f"len(regexp_extract_all({c}, '[一-鿿]'))"
+    best = "GREATEST(" + ", ".join(hits.values()) + ")"
+    return (
+        f"CASE WHEN {zh} > 0 THEN 'zh' WHEN {best} = 0 THEN 'und' "
+        f"WHEN {hits['en']} = {best} THEN 'en' "
+        f"WHEN {hits['es']} = {best} THEN 'es' "
+        f"WHEN {hits['de']} = {best} THEN 'de' ELSE 'fr' END"
+    )
+
+
+def quality_features(c: str | Column) -> dict[str, Column]:
+    """Quality-score components: char length, alpha ratio, punct ratio,
+    stopword ratio, mean token length. All exact IEEE from integer counts."""
+    col = F.col(c) if isinstance(c, str) else c
+    n_chars = F.length(col).cast("long")
+    n_alpha = F.length(F.regexp_replace(col, "[^A-Za-z]", "")).cast("long")
+    n_punct = F.size(F.regexp_extract_all(col, F.lit(_PUNCT_RE), F.lit(0))).cast("long")
+    n_tok = whitespace_token_count(col)
+    n_stop = _stopword_hits(col, STOPWORDS["en"]).cast("long")
+    alpha_ratio = F.try_divide(n_alpha.cast("double"), n_chars)
+    punct_ratio = F.try_divide(n_punct.cast("double"), n_chars)
+    stop_ratio = F.try_divide(n_stop.cast("double"), n_tok)
+    mean_tok_len = F.try_divide(n_alpha.cast("double"), n_tok)
+    return {
+        "n_chars": n_chars,
+        "n_tokens": n_tok,
+        "alpha_ratio": alpha_ratio,
+        "punct_ratio": punct_ratio,
+        "stopword_ratio": stop_ratio,
+        "mean_token_len": mean_tok_len,
+    }
+
+
+def quality_score(c: str | Column) -> Column:
+    """Scalar quality score in [0,1]: rewards alphabetic text of sane length
+    with some stopwords, penalizes punctuation soup. Fixed IEEE expression
+    (see quality_score_sql)."""
+    f = quality_features(c)
+    len_term = F.least(f["n_chars"].cast("double") / F.lit(500.0), F.lit(1.0))
+    score = (
+        F.lit(0.3) * F.coalesce(f["alpha_ratio"], F.lit(0.0))
+        + F.lit(0.3) * len_term
+        + F.lit(0.2) * F.least(F.coalesce(f["stopword_ratio"], F.lit(0.0)) * F.lit(4.0), F.lit(1.0))
+        + F.lit(0.2) * (F.lit(1.0) - F.least(F.coalesce(f["punct_ratio"], F.lit(0.0)) * F.lit(5.0), F.lit(1.0)))
+    )
+    return score
+
+
+def quality_score_sql(c: str) -> str:
+    n_chars = f"CAST(length({c}) AS BIGINT)"
+    n_alpha = f"CAST(length(regexp_replace({c}, '[^A-Za-z]', '', 'g')) AS BIGINT)"
+    n_punct = f"len(regexp_extract_all({c}, '[.,;:!?''\"()\\[\\]{{}}-]'))"
+    n_tok = (
+        f"CASE WHEN length(trim({c})) = 0 THEN 0 "
+        f"ELSE len(regexp_split_to_array(trim({c}), '\\s+')) END"
+    )
+    n_stop = "len(regexp_extract_all(lower(" + c + "), '\\b(" + "|".join(STOPWORDS["en"]) + ")\\b'))"
+    alpha_ratio = f"CASE WHEN {n_chars} = 0 THEN 0.0 ELSE CAST({n_alpha} AS DOUBLE) / {n_chars} END"
+    punct_ratio = f"CASE WHEN {n_chars} = 0 THEN 0.0 ELSE CAST({n_punct} AS DOUBLE) / {n_chars} END"
+    stop_ratio = f"CASE WHEN {n_tok} = 0 THEN 0.0 ELSE CAST({n_stop} AS DOUBLE) / {n_tok} END"
+    len_term = f"LEAST(CAST({n_chars} AS DOUBLE) / 500.0, 1.0)"
+    return (
+        f"0.3 * ({alpha_ratio}) + 0.3 * {len_term} "
+        f"+ 0.2 * LEAST(({stop_ratio}) * 4.0, 1.0) "
+        f"+ 0.2 * (1.0 - LEAST(({punct_ratio}) * 5.0, 1.0))"
+    )
+
+
+def fingerprint_md5(c: str | Column) -> Column:
+    """Normalized-content fingerprint: md5(lower + collapsed whitespace)."""
+    col = F.col(c) if isinstance(c, str) else c
+    return F.md5(F.trim(F.regexp_replace(F.lower(col), "\\s+", " ")).cast("binary"))
+
+
+def rolling_hash(c: str | Column, base: int = 131, mod: int = 1_000_000_007) -> Column:
+    """Polynomial rolling hash over codepoints (ref-style document
+    fingerprint). Sequential fold with per-step mod keeps everything in
+    exact int64 range — deterministic on both engines; the DuckDB twin is
+    list_reduce over the same recurrence."""
+    col = F.col(c) if isinstance(c, str) else c
+    chars = F.split(col, "")
+    return F.aggregate(
+        chars,
+        F.lit(0).cast("long"),
+        lambda acc, ch: F.pmod(acc * F.lit(base) + F.ascii(ch), F.lit(mod)),
+    )
+
+
+def rolling_hash_sql(c: str, base: int = 131, mod: int = 1_000_000_007) -> str:
+    return (
+        f"list_reduce(list_prepend(CAST(0 AS BIGINT), "
+        f"list_transform(string_split_regex({c}, ''), ch -> CAST(ascii(ch) AS BIGINT))), "
+        f"(acc, ch) -> (acc * {base} + ch) % {mod})"
+    )
+
+
+def text_profile(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """One-pass text profile: id, detected lang, token counts, quality."""
+    f = quality_features(text_col)
+    return df.select(
+        F.col(id_col),
+        lang_id(text_col).alias("lang_pred"),
+        f["n_chars"].alias("n_chars"),
+        f["n_tokens"].alias("n_tokens"),
+        bpe_token_count(text_col).alias("n_bpe_tokens"),
+        quality_score(text_col).alias("quality"),
+        fingerprint_md5(text_col).alias("fingerprint"),
+    )

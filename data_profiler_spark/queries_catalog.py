@@ -403,3 +403,243 @@ def gap_detection_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("event_id", (us("ts") - us("prev_ts")).alias("gap_us"))
         .where(F.col("gap_us") > 300_000_000)
     )
+
+
+# ===========================================================================
+# Training-data pipeline operators (driver mandate): text analysis, dedup,
+# similarity search, drift — over documents/embeddings.
+# ===========================================================================
+
+_DUCK_COS = (
+    "list_sum(list_transform(list_zip({a},{b}), t -> CAST(t[1] AS DOUBLE)*CAST(t[2] AS DOUBLE))) / "
+    "(sqrt(list_sum(list_transform({a}, x -> CAST(x AS DOUBLE)*CAST(x AS DOUBLE)))) * "
+    "sqrt(list_sum(list_transform({b}, x -> CAST(x AS DOUBLE)*CAST(x AS DOUBLE)))))"
+)
+
+
+def _text_profile_sql() -> str:
+    from data_profiler_spark.operators.text import (
+        BPE_RE,
+        lang_id_sql,
+        quality_score_sql,
+    )
+
+    n_tok = (
+        "CASE WHEN length(trim(text)) = 0 THEN 0 "
+        "ELSE len(regexp_split_to_array(trim(text), '\\s+')) END"
+    )
+    return f"""SELECT doc_id,
+       {lang_id_sql('text')} AS lang_pred,
+       CAST(length(text) AS BIGINT) AS n_chars,
+       CAST({n_tok} AS BIGINT) AS n_tokens,
+       CAST(len(regexp_extract_all(text, '{BPE_RE}')) AS BIGINT) AS n_bpe_tokens,
+       {quality_score_sql('text')} AS quality,
+       md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS fingerprint
+    FROM documents"""
+
+
+@register("text_profile_documents", _text_profile_sql())
+def text_profile_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from data_profiler_spark.operators.text import text_profile
+
+    docs = load(spark, sf_dir, "documents")
+    return text_profile(docs, "doc_id", "text")
+
+
+@register(
+    "lang_id_agreement",
+    None,  # filled below after import; see _register_lang_id_sql
+)
+def lang_id_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from data_profiler_spark.operators.text import lang_id
+
+    docs = load(spark, sf_dir, "documents")
+    return docs.groupBy(
+        F.col("lang"), lang_id("text").alias("lang_pred")
+    ).agg(F.count(F.lit(1)).alias("cnt"))
+
+
+def _register_lang_id_sql() -> None:
+    from data_profiler_spark.operators.text import lang_id_sql
+
+    ORACLES["lang_id_agreement"] = (
+        f"SELECT lang, {lang_id_sql('text')} AS lang_pred, COUNT(*) AS cnt "
+        "FROM documents GROUP BY 1, 2"
+    )
+
+
+_register_lang_id_sql()
+
+
+def _rolling_hash_sql() -> str:
+    from data_profiler_spark.operators.text import rolling_hash_sql
+
+    return f"SELECT doc_id, {rolling_hash_sql('text')} AS rhash FROM documents"
+
+
+@register("rolling_hash_documents", _rolling_hash_sql())
+def rolling_hash_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from data_profiler_spark.operators.text import rolling_hash
+
+    docs = load(spark, sf_dir, "documents")
+    return docs.select("doc_id", rolling_hash("text").alias("rhash"))
+
+
+# ---------------------------------------------------------------------------
+# dedup: exact (hash-groupBy) — over full documents row
+# ---------------------------------------------------------------------------
+@register(
+    "exact_dup_groups_documents",
+    """SELECT md5(text) AS fingerprint, COUNT(*) AS dup_cnt
+       FROM documents GROUP BY md5(text) HAVING COUNT(*) > 1""",
+)
+def exact_dup_groups_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    return (
+        docs.select(F.md5(F.col("text").cast("binary")).alias("fingerprint"))
+        .groupBy("fingerprint")
+        .agg(F.count(F.lit(1)).alias("dup_cnt"))
+        .where(F.col("dup_cnt") > 1)
+    )
+
+
+# ---------------------------------------------------------------------------
+# dedup: exact n-gram Jaccard pairs (the LSH verification kernel)
+# ---------------------------------------------------------------------------
+@register(
+    "jaccard_pairs_documents",
+    """WITH toks AS (SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS w FROM documents),
+       sh AS (SELECT DISTINCT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS s
+              FROM toks, UNNEST(generate_series(1, greatest(len(w)-2, 0))) AS t(i)),
+       sz AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY 1),
+       inter AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS ni
+                 FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id GROUP BY 1, 2)
+       SELECT id_a, id_b, CAST(ni AS DOUBLE) / (sa.n + sb.n - ni) AS jaccard
+       FROM inter JOIN sz sa ON sa.doc_id = id_a JOIN sz sb ON sb.doc_id = id_b
+       WHERE CAST(ni AS DOUBLE) / (sa.n + sb.n - ni) >= 0.5""",
+)
+def jaccard_pairs_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from data_profiler_spark.operators.dedup import jaccard_pairs
+
+    docs = load(spark, sf_dir, "documents")
+    return jaccard_pairs(docs, "doc_id", "text", k=3, threshold=0.5)
+
+
+# ---------------------------------------------------------------------------
+# dedup: MinHash+LSH and SimHash (non-SQL-expressible hashing → rows-only
+# driver check; pytest asserts containment vs exact jaccard)
+# ---------------------------------------------------------------------------
+@register("minhash_near_dups_documents")
+def minhash_near_dups_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from data_profiler_spark.operators.dedup import minhash_near_duplicates
+
+    docs = load(spark, sf_dir, "documents")
+    return minhash_near_duplicates(docs, "doc_id", "text", k=3, threshold=0.5)
+
+
+@register("simhash_near_dups_documents")
+def simhash_near_dups_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from data_profiler_spark.operators.dedup import simhash_near_duplicates
+
+    docs = load(spark, sf_dir, "documents")
+    return simhash_near_duplicates(docs, "doc_id", "text", max_hamming=3)
+
+
+# ---------------------------------------------------------------------------
+# embedding near-dup + similarity search
+# ---------------------------------------------------------------------------
+_COS_AB = _DUCK_COS.format(a="a.embedding", b="b.embedding")
+
+
+@register(
+    "embedding_near_dups",
+    f"""SELECT a.vec_id AS id_a, b.vec_id AS id_b, {_COS_AB} AS cos_sim
+        FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+        WHERE {_COS_AB} >= 0.4""",
+)
+def embedding_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from data_profiler_spark.operators.dedup import embedding_near_duplicates
+
+    emb = load(spark, sf_dir, "embeddings")
+    return embedding_near_duplicates(emb, "vec_id", "embedding", threshold=0.4)
+
+
+_COS_PN = _DUCK_COS.format(a="pv", b="nv")
+
+
+@register(
+    "brute_force_topk_embeddings",
+    f"""WITH p AS (SELECT vec_id AS probe_id, embedding AS pv FROM embeddings WHERE vec_id < 5),
+        e AS (SELECT vec_id AS neighbor_id, embedding AS nv FROM embeddings),
+        s AS (SELECT probe_id, neighbor_id, {_COS_PN} AS cos_sim
+              FROM p, e WHERE probe_id <> neighbor_id),
+        r AS (SELECT *, row_number() OVER (PARTITION BY probe_id ORDER BY cos_sim DESC, neighbor_id) AS rnk FROM s)
+        SELECT probe_id, neighbor_id, cos_sim, CAST(rnk AS INT) AS rank FROM r WHERE rnk <= 10""",
+)
+def brute_force_topk_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from data_profiler_spark.operators.similarity import brute_force_topk
+
+    emb = load(spark, sf_dir, "embeddings")
+    probes = emb.where(F.col("vec_id") < 5)
+    return brute_force_topk(emb, probes, "vec_id", "embedding", k=10)
+
+
+@register("lsh_topk_embeddings")
+def lsh_topk_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from data_profiler_spark.operators.similarity import lsh_topk
+
+    emb = load(spark, sf_dir, "embeddings")
+    probes = emb.where(F.col("vec_id") < 5)
+    return lsh_topk(emb, probes, "vec_id", "embedding", dim=64, k=10, n_planes=6)
+
+
+# ---------------------------------------------------------------------------
+# drift: PSI per lang + global KS over content length (doc_id parity split)
+# ---------------------------------------------------------------------------
+@register(
+    "psi_content_length_by_lang",
+    """WITH h AS (SELECT lang, doc_id % 2 AS side, CAST(FLOOR(n_chars / 100.0) AS BIGINT) AS bucket,
+                         COUNT(*) AS cnt
+                  FROM documents GROUP BY 1, 2, 3),
+       b AS (SELECT lang, bucket, cnt FROM h WHERE side = 0),
+       c AS (SELECT lang, bucket, cnt FROM h WHERE side = 1),
+       m AS (SELECT COALESCE(b.lang, c.lang) AS lang, COALESCE(b.bucket, c.bucket) AS bucket,
+                    COALESCE(b.cnt, 0) AS bc, COALESCE(c.cnt, 0) AS cc
+             FROM b FULL OUTER JOIN c ON b.lang = c.lang AND b.bucket = c.bucket),
+       t AS (SELECT lang, SUM(bc) AS bt, SUM(cc) AS ct FROM m GROUP BY 1)
+       SELECT m.lang,
+              ROUND(CAST(SUM(CAST((GREATEST(CAST(bc AS DOUBLE)/bt, 1e-6) - GREATEST(CAST(cc AS DOUBLE)/ct, 1e-6))
+                   * LN(GREATEST(CAST(bc AS DOUBLE)/bt, 1e-6) / GREATEST(CAST(cc AS DOUBLE)/ct, 1e-6))
+                   AS DECIMAL(38,18))) AS DOUBLE), 12) AS psi
+       FROM m JOIN t ON m.lang = t.lang GROUP BY m.lang""",
+)
+def psi_content_length_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from data_profiler_spark.operators.drift import psi_from_histograms
+
+    docs = load(spark, sf_dir, "documents")
+    bucket = F.floor(F.col("n_chars") / F.lit(100.0)).cast("long").alias("bucket")
+    h = docs.select("lang", (F.col("doc_id") % 2).alias("side"), bucket).groupBy(
+        "lang", "side", "bucket"
+    ).agg(F.count(F.lit(1)).alias("cnt"))
+    base = h.where("side = 0").select("lang", "bucket", "cnt")
+    cur = h.where("side = 1").select("lang", "bucket", "cnt")
+    return psi_from_histograms(base, cur, ["lang"])
+
+
+@register(
+    "ks_content_length",
+    """WITH u AS (SELECT n_chars AS v, CASE WHEN doc_id % 2 = 0 THEN 1 ELSE 0 END AS ia,
+                         CASE WHEN doc_id % 2 = 1 THEN 1 ELSE 0 END AS ib
+                  FROM documents WHERE n_chars IS NOT NULL),
+       pv AS (SELECT v, SUM(ia) AS na, SUM(ib) AS nb FROM u GROUP BY v),
+       cum AS (SELECT v, SUM(na) OVER (ORDER BY v) AS ca, SUM(nb) OVER (ORDER BY v) AS cb FROM pv),
+       tot AS (SELECT SUM(ia) AS ta, SUM(ib) AS tb FROM u)
+       SELECT MAX(ABS(CAST(ca AS DOUBLE)/ta - CAST(cb AS DOUBLE)/tb)) AS ks FROM cum, tot""",
+)
+def ks_content_length(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from data_profiler_spark.operators.drift import ks_statistic
+
+    docs = load(spark, sf_dir, "documents")
+    a = docs.where("doc_id % 2 = 0")
+    b = docs.where("doc_id % 2 = 1")
+    return ks_statistic(a, b, "n_chars")

@@ -1,0 +1,79 @@
+"""Dedup operators: exact, Jaccard, MinHash-LSH containment/recall, SimHash."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from data_profiler_spark.operators.dedup import (
+    distinct_by,
+    exact_duplicate_groups,
+    jaccard_pairs,
+    minhash_near_duplicates,
+    simhash64,
+    simhash_near_duplicates,
+    word_shingles,
+)
+
+
+def test_exact_duplicate_groups(spark):
+    df = spark.createDataFrame(
+        [("a", 1), ("a", 1), ("b", 2), ("a", 1), ("c", 3)], "s string, x int"
+    )
+    groups = exact_duplicate_groups(df, ["s", "x"]).collect()
+    assert len(groups) == 1 and groups[0]["dup_cnt"] == 3
+
+
+def test_distinct_by(spark):
+    df = spark.createDataFrame([("k", 2), ("k", 1), ("j", 5)], "k string, v int")
+    out = distinct_by(df, ["k"]).orderBy("k").collect()
+    assert [(r["k"], r["v"]) for r in out] == [("j", 5), ("k", 1)]  # min v survives
+
+
+def test_word_shingles_short_doc(spark):
+    df = spark.createDataFrame([(1, "only two"), (2, "a b c d")], "id int, t string")
+    sh = word_shingles(df, "id", "t", k=3).collect()
+    by_id = {}
+    for r in sh:
+        by_id.setdefault(r["id"], []).append(r["shingle"])
+    assert 1 not in by_id  # < k words → no shingles
+    assert sorted(by_id[2]) == ["a b c", "b c d"]
+
+
+def test_jaccard_identical_docs(spark):
+    df = spark.createDataFrame(
+        [(1, "w x y z a b"), (2, "w x y z a b"), (3, "p q r s t u")], "id int, t string"
+    )
+    out = jaccard_pairs(df, "id", "t", k=3, threshold=0.5).collect()
+    assert len(out) == 1 and out[0]["jaccard"] == 1.0
+    assert (out[0]["id_a"], out[0]["id_b"]) == (1, 2)
+
+
+def test_minhash_contained_in_exact_and_high_recall(documents):
+    exact = {
+        (r["id_a"], r["id_b"]): r["jaccard"]
+        for r in jaccard_pairs(documents, "doc_id", "text", 3, 0.5).collect()
+    }
+    mh = {
+        (r["id_a"], r["id_b"]): r["jaccard"]
+        for r in minhash_near_duplicates(documents, "doc_id", "text", 3, threshold=0.5).collect()
+    }
+    assert set(mh) <= set(exact)  # verification is exact → no false positives
+    # pairs with very high jaccard must be recalled (16 bands × 4 rows: ~1.0)
+    strong = {p for p, j in exact.items() if j >= 0.8}
+    assert strong <= set(mh)
+    for p, j in mh.items():
+        assert exact[p] == j
+
+
+def test_simhash_identical_docs_same_hash(spark):
+    df = spark.createDataFrame(
+        [(1, "alpha beta gamma delta"), (2, "alpha beta gamma delta")], "id int, t string"
+    )
+    hs = {r["id"]: r["simhash"] for r in simhash64(df, "id", "t").collect()}
+    assert hs[1] == hs[2]
+
+
+def test_simhash_near_dups_on_documents(documents):
+    out = simhash_near_duplicates(documents, "doc_id", "text", max_hamming=3).collect()
+    assert all(r["hamming"] <= 3 for r in out)
+    assert len(out) > 0  # seeded near-duplicates exist in documents

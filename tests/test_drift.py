@@ -1,0 +1,57 @@
+"""Drift checks: PSI and KS semantics."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from data_profiler_spark.datagen import synth_baseline_histogram, synth_code_files
+from data_profiler_spark.operators.drift import drift_verdicts, ks_statistic, psi_from_histograms
+
+
+@pytest.fixture(scope="module")
+def code_files(spark):
+    return synth_code_files(spark, n_rows=4000, n_repos=20).cache()
+
+
+def test_psi_zero_for_identical(code_files):
+    h = synth_baseline_histogram(code_files, bins=20)
+    out = psi_from_histograms(h, h, ["lang"]).collect()
+    assert len(out) > 0
+    assert all(abs(r["psi"]) < 1e-9 for r in out)
+
+
+def test_psi_detects_shift(code_files):
+    base = synth_baseline_histogram(code_files, bins=20)
+    shifted = synth_baseline_histogram(code_files, bins=20, shift=0.5)
+    out = psi_from_histograms(base, shifted, ["lang"]).collect()
+    assert all(r["psi"] > 0.1 for r in out)  # 50% length inflation is a real drift
+
+
+def test_drift_verdicts(code_files):
+    base = synth_baseline_histogram(code_files, bins=20)
+    shifted = synth_baseline_histogram(code_files, bins=20, shift=0.5)
+    v_ok = drift_verdicts(psi_from_histograms(base, base, ["lang"]), ["lang"]).collect()
+    v_bad = drift_verdicts(psi_from_histograms(base, shifted, ["lang"]), ["lang"]).collect()
+    assert all(r["pass"] for r in v_ok)
+    assert not any(r["pass"] for r in v_bad)
+
+
+def test_ks_zero_for_identical(spark):
+    df = spark.range(100).select((F.col("id") % 17).alias("v"))
+    out = ks_statistic(df, df, "v").collect()
+    assert out[0]["ks"] == 0.0
+
+
+def test_ks_known_value(spark):
+    # a = {1,2,3,4}, b = {3,4,5,6} → max ECDF gap at v=2: |2/4 - 0/4| = 0.5
+    a = spark.createDataFrame([(1,), (2,), (3,), (4,)], "v int")
+    b = spark.createDataFrame([(3,), (4,), (5,), (6,)], "v int")
+    assert ks_statistic(a, b, "v").collect()[0]["ks"] == 0.5
+
+
+def test_ks_grouped(code_files):
+    a = code_files.where(F.length("content") % 2 == 0).select("lang", F.length("content").alias("clen"))
+    b = code_files.where(F.length("content") % 2 == 1).select("lang", F.length("content").alias("clen"))
+    out = ks_statistic(a, b, "clen", keys=["lang"]).collect()
+    assert len(out) > 0 and all(0.0 <= r["ks"] <= 1.0 for r in out)

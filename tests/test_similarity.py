@@ -1,0 +1,56 @@
+"""Similarity search: brute-force top-k vs numpy reference; LSH consistency."""
+
+from __future__ import annotations
+
+import numpy as np
+from pyspark.sql import functions as F
+
+from data_profiler_spark.operators.similarity import brute_force_topk, lsh_topk
+
+
+def _numpy_topk(rows, probe_ids, k=5):
+    ids = np.array([r["vec_id"] for r in rows])
+    mat = np.array([r["embedding"] for r in rows], dtype=np.float64)
+    norms = np.linalg.norm(mat, axis=1)
+    want = {}
+    for p in probe_ids:
+        pi = np.where(ids == p)[0][0]
+        cos = (mat @ mat[pi]) / (norms * norms[pi])
+        order = sorted(
+            [(c, i) for c, i in zip(cos, ids) if i != p], key=lambda t: (-t[0], t[1])
+        )
+        want[p] = [i for _, i in order[:k]]
+    return want
+
+
+def test_brute_force_topk_matches_numpy(embeddings):
+    rows = embeddings.collect()
+    probe_ids = [0, 1, 2]
+    probes = embeddings.where(F.col("vec_id") < 3)
+    got_rows = brute_force_topk(embeddings, probes, k=5).collect()
+    got = {}
+    for r in sorted(got_rows, key=lambda r: (r["probe_id"], r["rank"])):
+        got.setdefault(r["probe_id"], []).append(r["neighbor_id"])
+    want = _numpy_topk(rows, probe_ids, k=5)
+    # float64 ranking may differ in ties only; require same sets + same order
+    assert got == want
+
+
+def test_lsh_topk_scores_match_brute(embeddings):
+    probes = embeddings.where(F.col("vec_id") < 3)
+    brute = {
+        (r["probe_id"], r["neighbor_id"]): r["cos_sim"]
+        for r in brute_force_topk(embeddings, probes, k=10**6).collect()
+    }
+    lsh = lsh_topk(embeddings, probes, k=5, n_planes=4)
+    for r in lsh.collect():
+        key = (r["probe_id"], r["neighbor_id"])
+        assert key in brute and brute[key] == r["cos_sim"]
+        assert r["rank"] <= 5
+
+
+def test_lsh_deterministic(embeddings):
+    probes = embeddings.where(F.col("vec_id") < 3)
+    a = sorted(map(tuple, lsh_topk(embeddings, probes, k=5, n_planes=4).collect()))
+    b = sorted(map(tuple, lsh_topk(embeddings.repartition(13), probes, k=5, n_planes=4).collect()))
+    assert a == b

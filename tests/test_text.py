@@ -1,0 +1,76 @@
+"""Text-analysis operators: exact values on crafted strings."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from data_profiler_spark.operators.text import (
+    bpe_token_count,
+    fingerprint_md5,
+    lang_id,
+    quality_score,
+    rolling_hash,
+    text_profile,
+    whitespace_token_count,
+)
+
+
+def _one(spark, text, expr):
+    return spark.createDataFrame([(text,)], "t string").select(expr("t").alias("v")).collect()[0]["v"]
+
+
+def test_whitespace_tokens(spark):
+    assert _one(spark, "a b  c", whitespace_token_count) == 3
+    assert _one(spark, "", whitespace_token_count) == 0
+    assert _one(spark, "   ", whitespace_token_count) == 0
+    assert _one(spark, "one", whitespace_token_count) == 1
+
+
+def test_bpe_tokens(spark):
+    # "hello, world42!" → hello , world 42 ! = 5
+    assert _one(spark, "hello, world42!", bpe_token_count) == 5
+    assert _one(spark, "", bpe_token_count) == 0
+
+
+def test_lang_id(spark):
+    cases = {
+        "the cat and the dog sat in a corner of it": "en",
+        "el perro y la casa de que los niños en un": "es",
+        "der hund und die katze das ist nicht ein zu": "de",
+        "le chien et la maison les oiseaux des un une est": "fr",
+        "这是一个中文句子": "zh",
+        "xyzzy qwerty asdf": "und",
+    }
+    for text, want in cases.items():
+        assert _one(spark, text, lang_id) == want, text
+
+
+def test_quality_score_bounds(spark, documents):
+    scores = documents.select(quality_score("text").alias("q")).collect()
+    assert all(0.0 <= r["q"] <= 1.0 for r in scores)
+
+
+def test_rolling_hash_matches_python(spark):
+    text = "the quick brown fox"
+
+    def py_roll(s, base=131, mod=1_000_000_007):
+        h = 0
+        for ch in s:
+            h = (h * base + ord(ch)) % mod
+        return h
+
+    assert _one(spark, text, rolling_hash) == py_roll(text)
+
+
+def test_fingerprint_normalizes_whitespace_and_case(spark):
+    df = spark.createDataFrame([("Hello   World",), ("hello world",)], "t string")
+    fps = [r["f"] for r in df.select(fingerprint_md5("t").alias("f")).collect()]
+    assert fps[0] == fps[1]
+
+
+def test_text_profile_shape(documents):
+    out = text_profile(documents, "doc_id", "text")
+    assert out.columns == [
+        "doc_id", "lang_pred", "n_chars", "n_tokens", "n_bpe_tokens", "quality", "fingerprint",
+    ]
+    assert out.count() == documents.count()

@@ -1,0 +1,285 @@
+"""Grouping engine: guarded, leveled group-by with single-shuffle stats.
+
+Reference parity (/root/reference):
+  - levels COUNT/BASIC/FULL             models/grouping.py:17-29
+  - grouped count + sort desc           grouping/engine.py:158-228, 283-354
+  - per-group numeric stats             grouping/engine.py:230-281, 356-401;
+                                        grouping/stats.py:107-241
+  - cardinality guard + actions         grouping/engine.py:181-193;
+                                        grouping/protection.py:16-234
+                                        (WARN / SKIP / SAMPLE / LIMIT,
+                                         warn at 0.8·threshold)
+  - null-group policy                   grouping/engine.py:208-211
+                                        (include_null_groups, dropna=False
+                                         semantics == Spark default)
+  - missing-column validation           grouping/engine.py:121-140
+  - cross-file dot-notation grouping    grouping/cross_file.py:64-278
+  - FULL profile per group (broken in the reference — stats.py:262-279 calls
+    a nonexistent method and silently degrades; implemented for real here)
+
+Spark design notes:
+  - The reference's per-group re-filter loop is O(groups × N)
+    (engine.py:216-218); here COUNT/BASIC are ONE shuffled
+    ``groupBy().agg()``. The guard is a separate cheap HLL pass
+    (approx_count_distinct of the key struct) so a runaway key can never
+    allocate the big hash map.
+  - ``salted=True`` runs the count as a two-stage aggregation for hot keys
+    (same results; stage-2 input ≤ salt_buckets rows per key).
+  - FULL runs the whole column profiler per group via ``applyInPandas``
+    (grouped-map, Arrow-batched — no per-row Python).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import Literal
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from data_profiler_spark.functions import stats as S
+
+StatsLevel = Literal["count", "basic", "full"]
+ExceedAction = Literal["warn", "skip", "sample", "limit"]
+
+WARN_FRACTION = 0.8  # grouping/protection.py:72-81
+COUNT_COL = "group_count"
+
+
+def _c(name: str):
+    """Column ref tolerant of dots in the name (cross-file dotted outputs)."""
+    return F.col("`" + name + "`") if "." in name else F.col(name)
+
+
+@dataclass
+class GroupingResult:
+    """Envelope mirroring models/grouping.py:64-110 — the data plane stays a
+    (lazy) DataFrame; skipped/warning metadata rides alongside."""
+
+    data: DataFrame | None
+    by: list[str]
+    level: str
+    estimated_groups: int | None = None
+    skipped: bool = False
+    warnings: list[str] = field(default_factory=list)
+
+
+def _validate_columns(df: DataFrame, by: list[str]) -> None:
+    missing = sorted(set(by) - set(df.columns))
+    if missing:
+        raise ValueError(f"group columns not in table: {missing}")
+
+
+def estimate_group_count(df: DataFrame, by: list[str]) -> int:
+    """Cheap one-pass HLL estimate of the key-tuple cardinality
+    (replaces the reference's 10k-row sampling extrapolation,
+    grouping/protection.py:237-274 — SURVEY §4: strictly better)."""
+    return df.agg(
+        F.approx_count_distinct(F.struct(*[_c(c) for c in by])).alias("c")
+    ).collect()[0]["c"]
+
+
+def _numeric_value_cols(df: DataFrame, by: list[str]) -> list[str]:
+    keys = set(by)
+    return [
+        f.name
+        for f in df.schema.fields
+        if f.name not in keys and isinstance(f.dataType, T.NumericType)
+    ]
+
+
+def salted_group_count(
+    df: DataFrame, by: list[str], salt_buckets: int = 64
+) -> DataFrame:
+    """Two-stage skew-proof grouped count (SURVEY §4 item 1). Identical
+    output to ``groupBy(by).count()``; a hot key's rows fan out over
+    ``salt_buckets`` stage-1 reducers."""
+    salt = F.pmod(F.xxhash64(F.monotonically_increasing_id()), F.lit(salt_buckets))
+    stage1 = (
+        df.select(*[_c(c).alias(c) for c in by], salt.alias("__salt"))
+        .groupBy(*[_c(c) for c in by], "__salt")
+        .agg(F.count(F.lit(1)).alias("__partial"))
+    )
+    return stage1.groupBy(*[_c(c) for c in by]).agg(F.sum("__partial").alias(COUNT_COL))
+
+
+def group_table(
+    df: DataFrame,
+    by: list[str],
+    level: StatsLevel = "count",
+    max_groups: int | None = None,
+    on_exceed: ExceedAction = "warn",
+    include_null_groups: bool = True,
+    salted: bool = False,
+    salt_buckets: int = 64,
+    sample_fraction: float = 0.1,
+    seed: int = 42,
+) -> GroupingResult:
+    """Guarded, leveled grouping. Output sorted by count desc then keys asc
+    (deterministic total order; engine.py:199-200 sorts desc only)."""
+    _validate_columns(df, by)
+    warnings: list[str] = []
+
+    if not include_null_groups:  # engine.py:208-211 polars dropna
+        df = df.na.drop(subset=by)
+
+    est = None
+    if max_groups is not None:
+        est = estimate_group_count(df, by)
+        if est > max_groups:
+            if on_exceed == "skip":
+                return GroupingResult(
+                    None, by, level, est, skipped=True,
+                    warnings=[f"estimated {est} groups > max_groups={max_groups}; skipped"],
+                )
+            if on_exceed == "sample":
+                df = df.sample(fraction=sample_fraction, seed=seed)
+                warnings.append(
+                    f"estimated {est} groups > {max_groups}; sampled {sample_fraction:.0%}"
+                )
+            elif on_exceed == "warn":
+                warnings.append(f"estimated {est} groups > max_groups={max_groups}")
+            # 'limit' handled on the sorted result below
+        elif est > WARN_FRACTION * max_groups:
+            warnings.append(
+                f"estimated {est} groups is within {1 - WARN_FRACTION:.0%} of max_groups={max_groups}"
+            )
+
+    if level == "full":
+        data = full_group_profiles(df, by)
+        # deterministic order for the long profile frame
+        data = data.orderBy(*[_c(c) for c in by], "column")
+    else:
+        if salted and level == "count":
+            data = salted_group_count(df, by, salt_buckets)
+        else:
+            aggs = [F.count(F.lit(1)).alias(COUNT_COL)]
+            if level == "basic":
+                for c in _numeric_value_cols(df, by):
+                    aggs += [
+                        F.min(c).alias(f"{c}_min"),
+                        F.max(c).alias(f"{c}_max"),
+                        S.decimal_avg(c).alias(f"{c}_mean"),
+                        (F.count(F.lit(1)) - F.count(F.col(c))).alias(f"{c}_null_count"),
+                    ]
+            data = df.groupBy(*[_c(c) for c in by]).agg(*aggs)
+        data = data.orderBy(F.desc(COUNT_COL), *[_c(c).asc_nulls_last() for c in by])
+
+    if max_groups is not None and on_exceed == "limit" and est is not None and est > max_groups:
+        data = data.limit(max_groups)  # protection.py:218-234 LIMIT action
+        warnings.append(f"kept top {max_groups} groups of estimated {est}")
+
+    return GroupingResult(data, by, level, est, skipped=False, warnings=warnings)
+
+
+# ---------------------------------------------------------------------------
+# FULL level: whole column profile per group (applyInPandas grouped-map)
+# ---------------------------------------------------------------------------
+_FULL_FIELDS = [
+    ("column", T.StringType()),
+    ("count", T.LongType()),
+    ("null_count", T.LongType()),
+    ("distinct_count", T.LongType()),
+    ("min_value", T.StringType()),
+    ("max_value", T.StringType()),
+    ("mean", T.DoubleType()),
+    ("stddev", T.DoubleType()),
+    ("median", T.DoubleType()),
+]
+
+
+def full_group_profiles(df: DataFrame, by: list[str]) -> DataFrame:
+    """Per-group FULL column profiles — the operator the reference *intends*
+    (grouping/stats.py:243-281) but never executes due to its
+    profile_dataframe bug (SURVEY §2.9). One grouped-map pandas UDF; each
+    group's batch is profiled vectorized in Arrow/pandas.
+
+    At 100 TB this is only sane when groups are bounded (guard first!);
+    a single giant group lands on one executor — use level='basic' there.
+    """
+    key_fields = [df.schema[c] for c in by]
+    out_schema = T.StructType(
+        list(key_fields) + [T.StructField(n, t) for n, t in _FULL_FIELDS]
+    )
+    value_cols = [c for c in df.columns if c not in set(by)]
+
+    def profile_group(keys: tuple, pdf: pd.DataFrame) -> pd.DataFrame:
+        rows = []
+        for c in value_cols:
+            s = pdf[c]
+            nn = s.dropna()
+            numeric = pd.api.types.is_numeric_dtype(s)
+            rows.append(
+                {
+                    "column": c,
+                    "count": int(nn.size),
+                    "null_count": int(s.size - nn.size),
+                    "distinct_count": int(nn.nunique()),
+                    "min_value": str(nn.min()) if nn.size else None,
+                    "max_value": str(nn.max()) if nn.size else None,
+                    "mean": float(nn.mean()) if numeric and nn.size else None,
+                    "stddev": (
+                        float(nn.std(ddof=1)) if numeric and nn.size > 1
+                        else (0.0 if numeric and nn.size == 1 else None)
+                    ),
+                    "median": float(nn.median()) if numeric and nn.size else None,
+                }
+            )
+        out = pd.DataFrame(rows)
+        for k, f_ in zip(keys, key_fields):
+            out.insert(0, f_.name, k)
+        return out[[f_.name for f_ in out_schema.fields]]
+
+    return df.groupBy(*[_c(c) for c in by]).applyInPandas(profile_group, schema=out_schema)
+
+
+# ---------------------------------------------------------------------------
+# Cross-file grouping: dot-notation columns resolved through explicit joins
+# (grouping/cross_file.py:64-278; join-path planning J2 is driver-side)
+# ---------------------------------------------------------------------------
+def cross_file_group(
+    base: DataFrame,
+    tables: dict[str, DataFrame],
+    joins: dict[str, tuple[str, str]],
+    by: list[str],
+    level: StatsLevel = "count",
+    how: str = "inner",
+    broadcast_dims: bool = True,
+    **kwargs,
+) -> GroupingResult:
+    """Group ``base`` by columns that may live in other tables.
+
+    ``by`` entries are either local columns or ``entity.column`` dot paths
+    (cross_file.py:117-172). ``joins[entity] = (base_key, entity_key)``.
+    Joined entities are projected to (key + referenced columns) before the
+    join (cross_file.py:219-227) and broadcast when they are dimensions.
+    Joined columns keep their dotted name in the output.
+    """
+    local, dotted = [], []
+    for c in by:
+        (dotted if "." in c else local).append(c)
+    _validate_columns(base, local)
+
+    df = base
+    needed: dict[str, list[str]] = {}
+    for c in dotted:
+        ent, col = c.split(".", 1)
+        if ent not in joins:
+            raise ValueError(f"no join registered for entity '{ent}'")
+        needed.setdefault(ent, []).append(col)
+
+    for ent, cols in needed.items():
+        base_key, ent_key = joins[ent]
+        other = tables[ent]
+        _validate_columns(other, [ent_key, *cols])
+        proj = other.select(
+            F.col(ent_key).alias(f"__k_{ent}"),
+            *[F.col(c).alias(f"{ent}.{c}") for c in cols],
+        )
+        if broadcast_dims:
+            proj = F.broadcast(proj)
+        df = df.join(proj, df[base_key] == proj[f"__k_{ent}"], how).drop(f"__k_{ent}")
+
+    return group_table(df, local + [f"{c}" for c in dotted], level=level, **kwargs)

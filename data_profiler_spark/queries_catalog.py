@@ -405,6 +405,72 @@ def gap_detection_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ---------------------------------------------------------------------------
+# A8/A12: grouping engine — guarded leveled group-by
+# ref: grouping/engine.py:158-281, protection.py:16-234
+# ---------------------------------------------------------------------------
+@register(
+    "group_count_guarded_orders",
+    "SELECT o_orderpriority, COUNT(*) AS group_count FROM orders GROUP BY 1",
+)
+def group_count_guarded_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from data_profiler_spark.operators.grouping import group_table
+
+    o = load(spark, sf_dir, "orders")
+    res = group_table(o, ["o_orderpriority"], level="count", max_groups=1000)
+    return res.data
+
+
+@register(
+    "group_basic_customer_nation",
+    f"""SELECT c_nationkey, COUNT(*) AS group_count,
+               MIN(c_custkey) AS c_custkey_min, MAX(c_custkey) AS c_custkey_max,
+               {_davg('c_custkey')} AS c_custkey_mean,
+               COUNT(*) - COUNT(c_custkey) AS c_custkey_null_count,
+               MIN(c_acctbal) AS c_acctbal_min, MAX(c_acctbal) AS c_acctbal_max,
+               {_davg('c_acctbal')} AS c_acctbal_mean,
+               COUNT(*) - COUNT(c_acctbal) AS c_acctbal_null_count
+        FROM customer GROUP BY 1""",
+)
+def group_basic_customer_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from data_profiler_spark.operators.grouping import group_table
+
+    c = load(spark, sf_dir, "customer")
+    return group_table(
+        c.select("c_nationkey", "c_custkey", "c_acctbal"), ["c_nationkey"], level="basic"
+    ).data
+
+
+@register(
+    "salted_group_count_events",
+    "SELECT event_type, COUNT(*) AS group_count FROM events GROUP BY 1",
+)
+def salted_group_count_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from data_profiler_spark.operators.grouping import salted_group_count
+
+    ev = load(spark, sf_dir, "events")
+    return salted_group_count(ev, ["event_type"])
+
+
+@register(
+    "cross_file_group_customer_by_nation",
+    """SELECT n_name AS "nation.n_name", COUNT(*) AS group_count
+       FROM customer JOIN nation ON c_nationkey = n_nationkey GROUP BY 1""",
+)
+def cross_file_group_customer_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from data_profiler_spark.operators.grouping import cross_file_group
+
+    c = load(spark, sf_dir, "customer")
+    n = load(spark, sf_dir, "nation")
+    return cross_file_group(
+        base=c,
+        tables={"nation": n},
+        joins={"nation": ("c_nationkey", "n_nationkey")},
+        by=["nation.n_name"],
+        level="count",
+    ).data
+
+
 # ===========================================================================
 # Training-data pipeline operators (driver mandate): text analysis, dedup,
 # similarity search, drift — over documents/embeddings.

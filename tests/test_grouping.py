@@ -1,0 +1,143 @@
+"""Grouping engine: guard actions, levels, null-group policy, salted count,
+cross-file dot-notation grouping, FULL applyInPandas profiles."""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from data_profiler_spark.operators.grouping import (
+    COUNT_COL,
+    cross_file_group,
+    estimate_group_count,
+    full_group_profiles,
+    group_table,
+    salted_group_count,
+)
+
+
+def test_count_level_matches_oracle(spark, duck, orders):
+    res = group_table(orders, ["o_orderstatus"], level="count")
+    got = {(r["o_orderstatus"], r[COUNT_COL]) for r in res.data.collect()}
+    want = set(
+        duck.execute(
+            "SELECT o_orderstatus, COUNT(*) FROM orders GROUP BY 1"
+        ).fetchall()
+    )
+    assert got == want
+    assert not res.skipped and res.warnings == []
+    # sorted desc by count
+    counts = [r[COUNT_COL] for r in res.data.collect()]
+    assert counts == sorted(counts, reverse=True)
+
+
+def test_basic_level_single_shuffle_stats(spark, duck, orders):
+    res = group_table(orders, ["o_orderstatus"], level="basic")
+    rows = {r["o_orderstatus"]: r for r in res.data.collect()}
+    want = duck.execute(
+        """SELECT o_orderstatus, COUNT(*), MIN(o_totalprice), MAX(o_totalprice),
+                  CAST(SUM(CAST(o_totalprice AS DECIMAL(28,8))) AS DOUBLE)/COUNT(o_totalprice)
+           FROM orders GROUP BY 1"""
+    ).fetchall()
+    for status, n, mn, mx, mean in want:
+        r = rows[status]
+        assert r[COUNT_COL] == n
+        assert r["o_totalprice_min"] == mn
+        assert r["o_totalprice_max"] == mx
+        assert math.isclose(r["o_totalprice_mean"], mean, rel_tol=0, abs_tol=0)
+    # exactly one shuffle: a single HashAggregate pair, no join
+    plan = res.data._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" in plan
+
+
+def test_guard_skip_and_warn(spark, lineitem):
+    est = estimate_group_count(lineitem, ["l_orderkey"])
+    assert est > 100
+    res = group_table(lineitem, ["l_orderkey"], max_groups=100, on_exceed="skip")
+    assert res.skipped and res.data is None
+    res2 = group_table(lineitem, ["l_orderkey"], max_groups=100, on_exceed="warn")
+    assert not res2.skipped and res2.warnings
+    res3 = group_table(lineitem, ["l_orderkey"], max_groups=100, on_exceed="limit")
+    assert res3.data.count() == 100
+
+
+def test_guard_sample(spark, lineitem):
+    res = group_table(
+        lineitem, ["l_orderkey"], max_groups=100, on_exceed="sample", sample_fraction=0.1
+    )
+    n_full = lineitem.count()
+    sampled_rows = res.data.agg(F.sum(COUNT_COL)).collect()[0][0]
+    assert 0.03 * n_full < sampled_rows < 0.3 * n_full
+    assert res.warnings
+
+
+def test_null_group_policy(spark):
+    df = spark.createDataFrame(
+        [("a", 1), (None, 2), ("a", 3), (None, 4), ("b", 5)], "k string, v int"
+    )
+    with_null = group_table(df, ["k"], level="count").data.collect()
+    assert {r["k"]: r[COUNT_COL] for r in with_null} == {"a": 2, None: 2, "b": 1}
+    no_null = group_table(df, ["k"], level="count", include_null_groups=False).data.collect()
+    assert {r["k"]: r[COUNT_COL] for r in no_null} == {"a": 2, "b": 1}
+
+
+def test_salted_count_identical_to_plain(spark, lineitem):
+    plain = {
+        (r["l_returnflag"], r[COUNT_COL])
+        for r in lineitem.groupBy("l_returnflag").agg(F.count(F.lit(1)).alias(COUNT_COL)).collect()
+    }
+    salted = {
+        (r["l_returnflag"], r[COUNT_COL])
+        for r in salted_group_count(lineitem, ["l_returnflag"]).collect()
+    }
+    assert plain == salted
+
+
+def test_missing_column_raises(spark, orders):
+    with pytest.raises(ValueError, match="nope"):
+        group_table(orders, ["nope"])
+
+
+def test_full_group_profiles(spark, duck):
+    cust = spark.read.parquet("/root/testdata/sf0.001/customer.parquet")
+    prof = full_group_profiles(cust, ["c_mktsegment"]).collect()
+    by_key = {(r["c_mktsegment"], r["column"]): r for r in prof}
+    want = duck.execute(
+        """SELECT c_mktsegment, COUNT(c_acctbal), COUNT(DISTINCT c_acctbal),
+                  MIN(c_acctbal), MAX(c_acctbal), AVG(c_acctbal),
+                  quantile_cont(c_acctbal, 0.5)
+           FROM customer GROUP BY 1"""
+    ).fetchall()
+    assert len(want) > 1
+    for seg, n, d, mn, mx, mean, med in want:
+        r = by_key[(seg, "c_acctbal")]
+        assert r["count"] == n
+        assert r["distinct_count"] == d
+        assert float(r["min_value"]) == mn
+        assert float(r["max_value"]) == mx
+        assert math.isclose(r["mean"], mean, rel_tol=1e-12)
+        assert math.isclose(r["median"], med, rel_tol=1e-12)
+
+
+def test_cross_file_group_dot_notation(spark, duck, orders):
+    cust = spark.read.parquet("/root/testdata/sf0.001/customer.parquet")
+    res = cross_file_group(
+        base=orders,
+        tables={"customer": cust},
+        joins={"customer": ("o_custkey", "c_custkey")},
+        by=["customer.c_mktsegment"],
+        level="count",
+    )
+    got = {(r["customer.c_mktsegment"], r[COUNT_COL]) for r in res.data.collect()}
+    want = set(
+        duck.execute(
+            """SELECT c_mktsegment, COUNT(*) FROM orders
+               JOIN customer ON o_custkey = c_custkey GROUP BY 1"""
+        ).fetchall()
+    )
+    assert got == want
+    # dimension side must be broadcast
+    plan = res.data._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan

@@ -471,6 +471,30 @@ def cross_file_group_customer_by_nation(spark: SparkSession, sf_dir: str) -> Dat
     ).data
 
 
+# ---------------------------------------------------------------------------
+# H5/H6/H7: relationship discovery (driver-side heuristics over per-table
+# stats jobs — not SQL-expressible → rows-only check; pytest asserts edges)
+# ---------------------------------------------------------------------------
+@register("discovered_relationships")
+def discovered_relationships(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from data_profiler_spark.relationships import discover_relationships
+
+    tables = {
+        t: load(spark, sf_dir, t)
+        for t in ["region", "nation", "customer", "orders", "supplier"]
+    }
+    rels = discover_relationships(tables)
+    return spark.createDataFrame(
+        [
+            (r.child_table, r.child_column, r.parent_table, r.parent_column,
+             float(r.confidence), r.rel_type, float(r.overlap))
+            for r in rels
+        ],
+        "child_table string, child_column string, parent_table string, "
+        "parent_column string, confidence double, rel_type string, overlap double",
+    )
+
+
 # ===========================================================================
 # Training-data pipeline operators (driver mandate): text analysis, dedup,
 # similarity search, drift — over documents/embeddings.

@@ -1,0 +1,365 @@
+"""Relationship discovery: FK candidates across tables, entity graph, export.
+
+Reference parity (/root/reference):
+  - naming heuristics (suffix/prefix, entity extraction, plurals)
+                                  relationships/patterns.py:14-239   (H5)
+  - FK scoring: 0.4·name + uniqueness component + 0.3·overlap,
+    min_confidence 0.5           relationships/detector.py:100-410  (H6)
+  - type-compatibility classes    detector.py:280-313
+  - cardinality typing 1:1/1:N/N:1/N:M   detector.py:387-410
+  - sampled value overlap (≤10k, seed 42)  detector.py:361-385, 454-527 (J4)
+  - entity graph + Mermaid/DOT    relationships/graph.py:22-344,
+                                  models/relationships.py:97-178     (H7)
+  - validation via anti-join      detector.py:529-593 → operators/referential
+
+Spark shape (SURVEY §3.3): ONE stats job per table (reusing
+operators/profile.profile_table — the reference re-reads every file twice);
+value samples come from a seeded distinct-limit job per candidate column;
+scoring/graph logic is pure driver-side Python over tiny collected rows.
+"""
+
+from __future__ import annotations
+
+import re
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+FK_SUFFIXES = ("_id", "_code", "_key", "_fk", "_ref")
+FK_PREFIXES = ("id_", "code_", "key_", "fk_")
+PK_NAMES = ("id", "pk", "key", "code")
+SAMPLE_N = 10_000
+SEED = 42
+MIN_CONFIDENCE = 0.5
+
+_NUMERIC = "numeric"
+_STRING = "string"
+_OTHER = "other"
+
+
+# ---------------------------------------------------------------------------
+# H5: naming heuristics (pure functions)
+# ---------------------------------------------------------------------------
+def singularize(word: str) -> str:
+    if word.endswith("ies") and len(word) > 3:
+        return word[:-3] + "y"
+    if word.endswith("ses") and len(word) > 3:
+        return word[:-2]
+    if word.endswith("s") and not word.endswith("ss") and len(word) > 1:
+        return word[:-1]
+    return word
+
+
+def entity_from_column(col: str) -> str | None:
+    """``customer_id`` → ``customer``; TPC-H style ``o_custkey`` → ``cust``."""
+    low = col.lower()
+    for suf in FK_SUFFIXES:
+        if low.endswith(suf) and len(low) > len(suf):
+            stem = low[: -len(suf)]
+            # strip single-letter table prefixes like o_, l_, c_
+            if len(stem) > 2 and stem[1] == "_":
+                stem = stem[2:]
+            return stem.rstrip("_") or None
+    for pre in FK_PREFIXES:
+        if low.startswith(pre) and len(low) > len(pre):
+            return low[len(pre) :].lstrip("_") or None
+    # TPC-H style: x_custkey (suffix 'key' without underscore)
+    m = re.match(r"^(?:[a-z]_)?(.+?)(?:key|id|code)$", low)
+    if m and m.group(1):
+        return m.group(1).rstrip("_") or None
+    return None
+
+
+def name_match_score(child_col: str, parent_table: str, parent_col: str) -> float:
+    """1.0 exact entity↔table match (incl. singular/plural), 0.5 partial,
+    0.0 none (patterns.py column↔file matching)."""
+    ent = entity_from_column(child_col)
+    if not ent:
+        return 0.0
+    stem = parent_table.lower().split("/")[-1].split(".")[0]
+    forms = {stem, singularize(stem)}
+    ent_forms = {ent, singularize(ent)}
+    if forms & ent_forms:
+        return 1.0
+    if any(e in s or s in e for e in ent_forms for s in forms if len(e) > 2 and len(s) > 2):
+        return 0.5
+    # parent column entity agreement (custkey vs c_custkey)
+    pent = entity_from_column(parent_col)
+    if pent and pent in ent_forms:
+        return 0.75
+    return 0.0
+
+
+def looks_like_fk(col: str) -> bool:
+    low = col.lower()
+    return (
+        any(low.endswith(s) for s in FK_SUFFIXES)
+        or any(low.startswith(p) for p in FK_PREFIXES)
+        or low in PK_NAMES
+        or bool(re.search(r"(key|id|code)$", low))
+    )
+
+
+def type_class(dt: T.DataType) -> str:
+    if isinstance(dt, T.NumericType):
+        return _NUMERIC
+    if isinstance(dt, T.StringType):
+        return _STRING
+    return _OTHER
+
+
+# ---------------------------------------------------------------------------
+# column info extraction (one stats job + one sample job per table)
+# ---------------------------------------------------------------------------
+@dataclass
+class ColumnInfo:
+    table: str
+    column: str
+    dtype: str
+    tclass: str
+    count: int
+    null_count: int
+    distinct: int
+    sample: frozenset = frozenset()
+
+    @property
+    def unique_ratio(self) -> float:
+        return self.distinct / self.count if self.count else 0.0
+
+    @property
+    def is_unique(self) -> bool:
+        # distinct comes from HLL (rsd 1%) — allow the estimator tolerance
+        return self.count > 0 and self.null_count == 0 and self.unique_ratio >= 0.99
+
+
+def extract_column_info(
+    df: DataFrame, table: str, sample_n: int = SAMPLE_N
+) -> dict[str, ColumnInfo]:
+    """Per-column count/nulls/distinct in ONE agg job + a ≤sample_n seeded
+    value sample per FK-shaped column (detector.py:412-527; the sample drives
+    the overlap score only, never correctness)."""
+    aggs = []
+    for f_ in df.schema.fields:
+        c = f_.name
+        aggs += [
+            F.count(F.col(c)).alias(f"{c}__n"),
+            (F.count(F.lit(1)) - F.count(F.col(c))).alias(f"{c}__nulls"),
+            F.approx_count_distinct(F.col(c), 0.01).alias(f"{c}__d"),
+        ]
+    row = df.agg(*aggs).collect()[0]
+
+    out: dict[str, ColumnInfo] = {}
+    for f_ in df.schema.fields:
+        c = f_.name
+        info = ColumnInfo(
+            table=table,
+            column=c,
+            dtype=f_.dataType.simpleString(),
+            tclass=type_class(f_.dataType),
+            count=row[f"{c}__n"],
+            null_count=row[f"{c}__nulls"],
+            distinct=row[f"{c}__d"],
+        )
+        if looks_like_fk(c) and info.tclass != _OTHER:
+            vals = (
+                df.select(c)
+                .where(F.col(c).isNotNull())
+                .distinct()
+                .orderBy(F.pmod(F.xxhash64(F.col(c), F.lit(SEED)), F.lit(1_000_003)))
+                .limit(sample_n)
+                .collect()
+            )
+            info.sample = frozenset(r[0] for r in vals)
+        out[c] = info
+    return out
+
+
+# ---------------------------------------------------------------------------
+# H6: scoring
+# ---------------------------------------------------------------------------
+@dataclass
+class Relationship:
+    child_table: str
+    child_column: str
+    parent_table: str
+    parent_column: str
+    confidence: float
+    rel_type: str  # '1:1' | 'N:1' | '1:N' | 'N:M'
+    overlap: float
+    match_rate: float | None = None
+    is_valid: bool | None = None
+
+
+def _overlap(child: ColumnInfo, parent: ColumnInfo) -> float:
+    if not child.sample or not parent.sample:
+        return 0.0
+    return len(child.sample & parent.sample) / len(child.sample)
+
+
+def score_pair(child: ColumnInfo, parent: ColumnInfo) -> float | None:
+    """confidence = 0.4·name + uniqueness(0.3 unique | 0.2 ratio>0.9 | reject)
+    + 0.3·overlap (detector.py:100-216); None → rejected.
+
+    Direction guard: a child column that is itself unique (a PK) with NO
+    name evidence toward the parent is a reverse edge — rejected."""
+    if child.tclass != parent.tclass or child.tclass == _OTHER:
+        return None  # type-compatibility classes detector.py:280-313
+    if child.table == parent.table:
+        return None
+    name_s = name_match_score(child.column, parent.table, parent.column)
+    if name_s == 0.0 and child.is_unique:
+        return None
+    if parent.is_unique:
+        uniq_s = 0.3
+    elif parent.unique_ratio > 0.9:
+        uniq_s = 0.2
+    else:
+        return None  # parent side must look key-like
+    ov = _overlap(child, parent)
+    return 0.4 * name_s + uniq_s + 0.3 * ov
+
+
+def cardinality_type(child: ColumnInfo, parent: ColumnInfo) -> str:
+    child_unique = child.is_unique
+    parent_unique = parent.is_unique
+    if child_unique and parent_unique:
+        return "1:1"
+    if parent_unique:
+        return "N:1"
+    if child_unique:
+        return "1:N"
+    return "N:M"
+
+
+def discover_relationships(
+    tables: dict[str, DataFrame],
+    min_confidence: float = MIN_CONFIDENCE,
+    sample_n: int = SAMPLE_N,
+) -> list[Relationship]:
+    """Pairwise FK discovery across ``tables`` (both directions), sorted by
+    confidence desc then names (deterministic)."""
+    infos = {t: extract_column_info(df, t, sample_n) for t, df in tables.items()}
+    found: list[Relationship] = []
+    for ct, cols in infos.items():
+        for c in cols.values():
+            if not looks_like_fk(c.column):
+                continue
+            for pt, pcols in infos.items():
+                if pt == ct:
+                    continue
+                for p in pcols.values():
+                    conf = score_pair(c, p)
+                    if conf is not None and conf >= min_confidence:
+                        found.append(
+                            Relationship(
+                                ct, c.column, pt, p.column,
+                                round(conf, 4),
+                                cardinality_type(c, p),
+                                round(_overlap(c, p), 4),
+                            )
+                        )
+    found.sort(key=lambda r: (-r.confidence, r.child_table, r.child_column, r.parent_table))
+    # keep best parent per child column
+    best: dict[tuple, Relationship] = {}
+    for r in found:
+        best.setdefault((r.child_table, r.child_column), r)
+    return list(best.values())
+
+
+def validate_relationships(
+    rels: list[Relationship], tables: dict[str, DataFrame], min_match_rate: float = 0.95
+) -> list[Relationship]:
+    """Exact anti-join validation per relationship (J3, detector.py:529-593)."""
+    from data_profiler_spark.operators.referential import match_rate as _mr
+
+    for r in rels:
+        row = _mr(
+            tables[r.child_table], r.child_column,
+            tables[r.parent_table], r.parent_column,
+            min_match_rate=min_match_rate,
+        ).collect()[0]
+        r.match_rate = row["match_rate"]
+        r.is_valid = row["is_valid"]
+    return rels
+
+
+# ---------------------------------------------------------------------------
+# H7: entity graph + exports
+# ---------------------------------------------------------------------------
+def _entity_name(table: str) -> str:
+    stem = table.lower().split("/")[-1].split(".")[0]
+    return "".join(w.capitalize() for w in re.split(r"[_\-]+", singularize(stem)))
+
+
+@dataclass
+class Entity:
+    name: str
+    table: str
+    pk_columns: list[str] = field(default_factory=list)
+    attributes: list[str] = field(default_factory=list)
+
+
+@dataclass
+class RelationshipGraph:
+    entities: dict[str, Entity] = field(default_factory=dict)
+    relationships: list[Relationship] = field(default_factory=list)
+
+    def summary(self) -> dict:
+        children = {r.child_table for r in self.relationships}
+        parents = {r.parent_table for r in self.relationships}
+        return {
+            "n_entities": len(self.entities),
+            "n_relationships": len(self.relationships),
+            "roots": sorted(parents - children),
+            "leaves": sorted(children - parents),
+        }
+
+    def to_mermaid(self) -> str:
+        """erDiagram export (models/relationships.py:125-149)."""
+        lines = ["erDiagram"]
+        card = {"1:1": "||--||", "N:1": "}o--||", "1:N": "||--o{", "N:M": "}o--o{"}
+        for r in sorted(
+            self.relationships, key=lambda x: (x.child_table, x.child_column)
+        ):
+            ce = _entity_name(r.child_table)
+            pe = _entity_name(r.parent_table)
+            lines.append(f'    {ce} {card[r.rel_type]} {pe} : "{r.child_column}"')
+        return "\n".join(lines)
+
+    def to_dot(self) -> str:
+        """Graphviz export (relationships/graph.py:251-290)."""
+        lines = ["digraph relationships {", "  rankdir=LR;"]
+        for e in sorted(self.entities.values(), key=lambda x: x.name):
+            pk = "\\n".join(f"+{c}" for c in e.pk_columns)
+            lines.append(f'  "{e.name}" [shape=record, label="{e.name}|{pk}"];')
+        for r in sorted(
+            self.relationships, key=lambda x: (x.child_table, x.child_column)
+        ):
+            lines.append(
+                f'  "{_entity_name(r.child_table)}" -> "{_entity_name(r.parent_table)}"'
+                f' [label="{r.child_column} ({r.rel_type})"];'
+            )
+        lines.append("}")
+        return "\n".join(lines)
+
+
+def build_graph(
+    tables: dict[str, DataFrame],
+    rels: list[Relationship] | None = None,
+) -> RelationshipGraph:
+    if rels is None:
+        rels = discover_relationships(tables)
+    g = RelationshipGraph(relationships=rels)
+    parent_pks: dict[str, set] = {}
+    for r in rels:
+        parent_pks.setdefault(r.parent_table, set()).add(r.parent_column)
+    for t, df in tables.items():
+        g.entities[t] = Entity(
+            name=_entity_name(t),
+            table=t,
+            pk_columns=sorted(parent_pks.get(t, set())),
+            attributes=[c for c in df.columns],
+        )
+    return g

@@ -1,0 +1,78 @@
+"""FK discovery over the TPC-H-ish star schema: the known edges must be
+found with sensible confidences, validated by anti-join, and exported."""
+
+from __future__ import annotations
+
+import pytest
+
+from data_profiler_spark.relationships import (
+    build_graph,
+    discover_relationships,
+    entity_from_column,
+    name_match_score,
+    singularize,
+    validate_relationships,
+)
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def tables(spark):
+    return {
+        t: spark.read.parquet(f"{SF}/{t}.parquet")
+        for t in ["nation", "region", "customer", "orders", "supplier"]
+    }
+
+
+def test_naming_heuristics():
+    assert singularize("orders") == "order"
+    assert singularize("countries") == "country"
+    assert entity_from_column("customer_id") == "customer"
+    assert entity_from_column("o_custkey") == "cust"
+    assert entity_from_column("n_regionkey") == "region"
+    assert name_match_score("customer_id", "customers", "id") == 1.0
+    assert name_match_score("o_custkey", "customer", "c_custkey") > 0.0
+    assert name_match_score("value", "customer", "c_custkey") == 0.0
+
+
+def test_discovers_known_fks(spark, tables):
+    rels = discover_relationships(tables)
+    edges = {
+        (r.child_table, r.child_column, r.parent_table, r.parent_column) for r in rels
+    }
+    assert ("orders", "o_custkey", "customer", "c_custkey") in edges
+    assert ("customer", "c_nationkey", "nation", "n_nationkey") in edges
+    assert ("nation", "n_regionkey", "region", "r_regionkey") in edges
+    assert ("supplier", "s_nationkey", "nation", "n_nationkey") in edges
+    for r in rels:
+        assert r.confidence >= 0.5
+        if (r.child_table, r.child_column) == ("orders", "o_custkey"):
+            assert r.rel_type in ("N:1", "1:1")
+            assert r.overlap > 0.5
+
+
+def test_validation_match_rates(spark, tables):
+    rels = [
+        r
+        for r in discover_relationships(tables)
+        if (r.child_table, r.child_column) in {("orders", "o_custkey"), ("customer", "c_nationkey")}
+    ]
+    validate_relationships(rels, tables)
+    for r in rels:
+        assert r.match_rate is not None and r.match_rate >= 0.95
+        assert r.is_valid
+
+
+def test_graph_exports(spark, tables):
+    g = build_graph(tables)
+    s = g.summary()
+    assert s["n_entities"] == len(tables)
+    assert s["n_relationships"] >= 4
+    assert "region" in s["roots"]
+    mm = g.to_mermaid()
+    assert mm.startswith("erDiagram")
+    assert "Order" in mm and "Customer" in mm
+    dot = g.to_dot()
+    assert dot.startswith("digraph") and dot.endswith("}")
+    assert '"Nation"' in dot

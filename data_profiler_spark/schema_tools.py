@@ -1,0 +1,52 @@
+"""Schema extract / hash / diff (driver-side over StructType).
+
+Reference parity (/root/reference):
+  - Schema/SchemaColumn model        core/schema.py:16-88
+  - deterministic schema hash        core/schema.py:77-88 (MD5 of sorted
+                                     name:dtype pairs)
+  - schema diff: added/removed/type_changed/position_changed; compatible
+    iff no add/remove/type-change    core/schema.py:242-326, 329-365 (U3)
+  - drift detection over a file set  core/profiler.py:139-157 (H9)
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+from pyspark.sql import types as T
+
+
+def schema_hash(schema: T.StructType) -> str:
+    """MD5 over sorted ``name:dtype`` pairs — position-independent
+    (core/schema.py:77-88)."""
+    parts = sorted(f"{f.name}:{f.dataType.simpleString()}" for f in schema.fields)
+    return hashlib.md5("|".join(parts).encode()).hexdigest()
+
+
+def diff_schemas(ref: T.StructType, other: T.StructType) -> dict:
+    """Structural diff (core/schema.py:242-326). ``compatible`` is True when
+    only positions changed (core/schema.py:329-365)."""
+    ref_fields = {f.name: (i, f.dataType.simpleString()) for i, f in enumerate(ref.fields)}
+    oth_fields = {f.name: (i, f.dataType.simpleString()) for i, f in enumerate(other.fields)}
+
+    added = sorted(set(oth_fields) - set(ref_fields))
+    removed = sorted(set(ref_fields) - set(oth_fields))
+    common = set(ref_fields) & set(oth_fields)
+    type_changed = sorted(
+        (c, ref_fields[c][1], oth_fields[c][1])
+        for c in common
+        if ref_fields[c][1] != oth_fields[c][1]
+    )
+    position_changed = sorted(
+        (c, ref_fields[c][0], oth_fields[c][0])
+        for c in common
+        if ref_fields[c][0] != oth_fields[c][0]
+    )
+    return {
+        "added": added,
+        "removed": removed,
+        "type_changed": type_changed,
+        "position_changed": position_changed,
+        "compatible": not (added or removed or type_changed),
+        "identical": not (added or removed or type_changed or position_changed),
+    }

@@ -1,0 +1,115 @@
+"""Sources layer: format dispatch, delimiter sniffing, null tokens, JSONL
+autodetect, sampling, schema peek/row count, directory profiling + drift."""
+
+from __future__ import annotations
+
+import json
+
+import pytest
+
+from data_profiler_spark import sources
+from data_profiler_spark.schema_tools import diff_schemas, schema_hash
+
+
+@pytest.fixture()
+def csv_file(tmp_path):
+    p = tmp_path / "people.csv"
+    p.write_text(
+        "id;name;score\n1;alice;3.5\n2;NA;1.0\n3;bob;NULL\n4;None;2.0\n"
+    )
+    return str(p)
+
+
+def test_sniff_delimiter(csv_file, tmp_path):
+    assert sources.sniff_delimiter(csv_file) == ";"
+    q = tmp_path / "t.csv"
+    q.write_text("a,b,c\n1,2,3\n")
+    assert sources.sniff_delimiter(str(q)) == ","
+
+
+def test_csv_read_null_tokens(spark, csv_file):
+    df = sources.read(spark, csv_file)
+    rows = {r["id"]: (r["name"], r["score"]) for r in df.collect()}
+    assert rows[1] == ("alice", 3.5)
+    assert rows[2][0] is None  # 'NA' token → null
+    assert rows[3][1] is None  # 'NULL' token → null (inferred double col)
+    assert rows[4][0] is None  # 'None' token → null
+
+
+def test_jsonl_autodetect(spark, tmp_path):
+    jl = tmp_path / "d.jsonl"
+    jl.write_text('{"a": 1}\n{"a": 2}\n')
+    arr = tmp_path / "d2.json"
+    arr.write_text(json.dumps([{"a": 1}, {"a": 2}, {"a": 3}]))
+    assert sources.is_jsonl(str(jl)) is True
+    assert sources.is_jsonl(str(arr)) is False
+    assert sources.read(spark, str(jl)).count() == 2
+    assert sources.read(spark, str(arr)).count() == 3
+
+
+def test_projection_and_missing_column(spark, csv_file):
+    df = sources.read(spark, csv_file, columns=["id", "score"])
+    assert df.columns == ["id", "score"]
+    with pytest.raises(ValueError, match="nope"):
+        sources.read(spark, csv_file, columns=["nope"])
+
+
+def test_sampling_band(spark):
+    # readers/base.py:172-198 band semantics at 10%: sf0.001 lineitem ~6k rows
+    path = "/root/testdata/sf0.001/lineitem.parquet"
+    full = sources.get_row_count(spark, path)
+    n = sources.read(spark, path, sample_rate=0.1).count()
+    assert 0.05 * full < n < 0.15 * full
+
+
+def test_row_count_parquet_footer(spark):
+    path = "/root/testdata/sf0.001/orders.parquet"
+    assert sources.get_row_count(spark, path) == spark.read.parquet(path).count()
+
+
+def test_parquet_column_stats():
+    stats = sources.parquet_column_stats("/root/testdata/sf0.001/orders.parquet")
+    byc = {s["column"]: s for s in stats if s["row_group"] == 0}
+    assert byc["o_orderkey"]["min"] is not None
+    assert byc["o_orderkey"]["null_count"] == 0
+
+
+def test_register_reader(spark, tmp_path):
+    p = tmp_path / "x.weird"
+    p.write_text("ignored")
+    sources.register_reader("weird", lambda sp, path: sp.range(3))
+    assert sources.read(spark, str(p)).count() == 3
+
+
+def test_unknown_format_raises(spark, tmp_path):
+    with pytest.raises(ValueError, match="unsupported"):
+        sources.detect_format(str(tmp_path / "a.xyz"))
+
+
+def test_schema_hash_and_diff(spark):
+    a = spark.range(3).selectExpr("id", "cast(id as string) s").schema
+    b = spark.range(3).selectExpr("cast(id as string) s", "id").schema  # reordered
+    c = spark.range(3).selectExpr("id", "cast(id as double) s").schema  # retyped
+    assert schema_hash(a) == schema_hash(b)  # position-independent
+    assert schema_hash(a) != schema_hash(c)
+    d = diff_schemas(a, b)
+    assert d["compatible"] and not d["identical"]
+    assert d["position_changed"]
+    d2 = diff_schemas(a, c)
+    assert not d2["compatible"]
+    assert d2["type_changed"] == [("s", "string", "double")]
+
+
+def test_profile_directory(spark, tmp_path):
+    spark.range(10).selectExpr("id", "id * 2 as v").write.parquet(str(tmp_path / "a.parquet"))
+    spark.range(5).selectExpr("id", "id * 3 as v").write.parquet(str(tmp_path / "b.parquet"))
+    spark.range(4).selectExpr("id", "cast(id as string) as v").write.parquet(
+        str(tmp_path / "c.parquet")
+    )
+    res = sources.profile_directory(spark, str(tmp_path))
+    assert len(res["files"]) == 3
+    assert res["schema_consistent"] is False  # c.parquet retypes v
+    drift_c = res["drift"][res["files"][2]]
+    assert drift_c["type_changed"]
+    prof = {r["column"]: r for r in res["profiles"][res["files"][0]].collect()}
+    assert prof["id"]["count"] == 10

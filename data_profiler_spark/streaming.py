@@ -1,0 +1,124 @@
+"""Structured Streaming surface: windowed profiling + constraint validation.
+
+The reference is batch-only (SURVEY §2.8) — this module is the engine's
+forward extension for stream inputs, built strictly on public Structured
+Streaming primitives: ``readStream`` → event-time window aggregations with
+watermarks → ``writeStream``. The same check definitions from
+``operators.constraints`` evaluate per window, so batch and streaming runs
+share one rule IR.
+
+Scale notes:
+  - aggregations are per (window, partition-bucket) — state is bounded by
+    watermark eviction, never by stream length
+  - all predicates stay native Column exprs (no per-row Python in the
+    stream hot path)
+  - ``run_available_now`` gives deterministic batch-equivalent semantics
+    for tests and backfills (process everything present, then stop)
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from data_profiler_spark.operators.constraints import _violation_expr
+
+
+def windowed_profile(
+    stream: DataFrame,
+    ts_col: str,
+    window: str = "1 minute",
+    watermark: str = "2 minutes",
+    columns: list[str] | None = None,
+) -> DataFrame:
+    """Per-window, per-column stats over an event-time stream.
+
+    Output: window_start, window_end, column, count, null_count, min_v,
+    max_v (stringly typed min/max so one schema fits every column family).
+    """
+    cols = columns or [c for c in stream.columns if c != ts_col]
+    s = stream.withWatermark(ts_col, watermark)
+    aggs = [F.count(F.lit(1)).alias("rows")]
+    for c in cols:
+        aggs += [
+            F.count(F.col(c)).alias(f"{c}__n"),
+            F.min(F.col(c).cast("string")).alias(f"{c}__min"),
+            F.max(F.col(c).cast("string")).alias(f"{c}__max"),
+        ]
+    wide = s.groupBy(F.window(F.col(ts_col), window).alias("w")).agg(*aggs)
+    structs = [
+        F.struct(
+            F.lit(c).alias("column"),
+            F.col(f"{c}__n").alias("count"),
+            (F.col("rows") - F.col(f"{c}__n")).alias("null_count"),
+            F.col(f"{c}__min").alias("min_v"),
+            F.col(f"{c}__max").alias("max_v"),
+        )
+        for c in cols
+    ]
+    return wide.select(
+        F.col("w.start").alias("window_start"),
+        F.col("w.end").alias("window_end"),
+        F.explode(F.array(*structs)).alias("p"),
+    ).select("window_start", "window_end", "p.*")
+
+
+def windowed_violations(
+    stream: DataFrame,
+    checks: list,
+    ts_col: str,
+    window: str = "1 minute",
+    watermark: str = "2 minutes",
+) -> DataFrame:
+    """Per-window verdicts for the SAME row checks the batch suite runs
+    (operators/constraints.py): window bounds, check name, violation_count,
+    row_count, pass."""
+    s = stream.withWatermark(ts_col, watermark)
+    flags = [
+        _violation_expr(ch).cast("long").alias(f"__v_{i}") for i, ch in enumerate(checks)
+    ]
+    base = s.select(F.col(ts_col), *flags)
+    agg = base.groupBy(F.window(F.col(ts_col), window).alias("w")).agg(
+        F.count(F.lit(1)).alias("row_count"),
+        *[F.sum(f"__v_{i}").alias(f"__n_{i}") for i in range(len(checks))],
+    )
+    structs = [
+        F.struct(
+            F.lit(ch.check_name()).alias("check"),
+            F.col(f"__n_{i}").alias("violation_count"),
+            (F.col(f"__n_{i}") == 0).alias("pass"),
+        )
+        for i, ch in enumerate(checks)
+    ]
+    return agg.select(
+        F.col("w.start").alias("window_start"),
+        F.col("w.end").alias("window_end"),
+        "row_count",
+        F.explode(F.array(*structs)).alias("v"),
+    ).select("window_start", "window_end", F.col("v.check").alias("check"),
+             F.col("v.violation_count").alias("violation_count"), "row_count",
+             F.col("v.pass").alias("pass"))
+
+
+def run_available_now(
+    result: DataFrame, query_name: str, checkpoint_dir: str, output_mode: str = "complete"
+):
+    """Drain everything currently available into an in-memory table
+    (deterministic backfill semantics), then stop. Read results via
+    ``spark.table(query_name)``.
+
+    ``complete`` (default) emits every window including those the watermark
+    has not yet closed — right for backfills/tests. A continuous production
+    pipeline writes ``append`` to a durable sink so each window is emitted
+    exactly once after its watermark expires.
+    """
+    q = (
+        result.writeStream.format("memory")
+        .queryName(query_name)
+        .outputMode(output_mode)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return q

@@ -1,0 +1,69 @@
+"""Streaming surface: file-source stream → windowed profile / violations via
+availableNow drain; results must match the equivalent batch aggregation."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from data_profiler_spark import streaming
+from data_profiler_spark.operators.constraints import RangeCheck, RegexCheck
+
+
+@pytest.fixture(scope="module")
+def stream_dir(spark, tmp_path_factory):
+    d = tmp_path_factory.mktemp("stream_src")
+    df = spark.range(1000).select(
+        (F.timestamp_seconds(F.lit(1_700_000_000) + F.col("id") * 2)).alias("ts"),
+        (F.col("id") % 7).cast("double").alias("value"),
+        F.concat(F.lit("u"), (F.col("id") % 13).cast("string")).alias("user"),
+    )
+    df.coalesce(2).write.parquet(str(d / "data"))
+    return str(d / "data")
+
+
+def _read_stream(spark, path):
+    schema = spark.read.parquet(path).schema
+    return spark.readStream.schema(schema).parquet(path)
+
+
+def test_windowed_profile_matches_batch(spark, stream_dir, tmp_path):
+    s = _read_stream(spark, stream_dir)
+    prof = streaming.windowed_profile(s, "ts", window="5 minutes", columns=["value", "user"])
+    streaming.run_available_now(prof, "prof_tbl", str(tmp_path / "ckpt"))
+    got = spark.table("prof_tbl").collect()
+    assert len(got) > 0
+    # batch equivalent
+    batch = spark.read.parquet(stream_dir)
+    want_rows = (
+        batch.groupBy(F.window("ts", "5 minutes").alias("w"))
+        .agg(F.count("value").alias("n"))
+        .collect()
+    )
+    want = {(r["w"]["start"], r["n"]) for r in want_rows}
+    got_value = {
+        (r["window_start"], r["count"]) for r in got if r["column"] == "value"
+    }
+    assert got_value == want
+
+
+def test_windowed_violations_match_batch_counts(spark, stream_dir, tmp_path):
+    s = _read_stream(spark, stream_dir)
+    checks = [
+        RangeCheck("value", min_value=0.0, max_value=4.0),  # values 5,6 violate
+        RegexCheck("user", r"^u1?[0-9]$"),  # u10..u12 ok, u0..u9 ok → none violate? u1,u10 fine
+    ]
+    v = streaming.windowed_violations(s, checks, "ts", window="10 minutes")
+    streaming.run_available_now(v, "viol_tbl", str(tmp_path / "ckpt2"))
+    got = spark.table("viol_tbl").collect()
+    assert len(got) > 0
+    total_range_viol = sum(
+        r["violation_count"] for r in got if r["check"].startswith("range:")
+    )
+    want = spark.read.parquet(stream_dir).where("value > 4.0").count()
+    assert total_range_viol == want
+    # per-window rows sum to total
+    rows_per_window = {
+        (r["window_start"], r["row_count"]) for r in got if r["check"].startswith("range:")
+    }
+    assert sum(n for _, n in rows_per_window) == 1000

@@ -1,0 +1,220 @@
+"""CLI: profile / group / relationships / validate with the reference's
+exit-code contract.
+
+Reference parity: cli/main.py:59-318 (argparse tree), cli/common.py:17-32
+(exit codes: 0 ok, 1 generic error, 2 usage, 10 file-not-found, 11 bad
+format, 12 schema error, 13 cardinality guard tripped).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+
+EXIT_OK = 0
+EXIT_ERROR = 1
+EXIT_USAGE = 2
+EXIT_FILE_NOT_FOUND = 10
+EXIT_BAD_FORMAT = 11
+EXIT_SCHEMA = 12
+EXIT_CARDINALITY = 13
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(prog="data-profiler-spark")
+    p.add_argument("--config", help="JSON config file")
+    p.add_argument("--master", help="Spark master override")
+    p.add_argument("--output", choices=["json", "markdown", "table"], default="json")
+    sub = p.add_subparsers(dest="command", required=True)
+
+    pp = sub.add_parser("profile", help="profile file(s)")
+    pp.add_argument("paths", nargs="+")
+    pp.add_argument("--columns", help="comma-separated projection")
+    pp.add_argument("--sample-rate", type=float)
+
+    pg = sub.add_parser("group", help="grouped stats")
+    pg.add_argument("path")
+    pg.add_argument("--by", required=True, help="comma-separated key columns")
+    pg.add_argument("--stats", choices=["count", "basic", "full"], default="count")
+    pg.add_argument("--max-groups", type=int, default=10)  # cli/main.py:290-295
+    pg.add_argument("--on-exceed", choices=["warn", "skip", "sample", "limit"], default="skip")
+
+    pr = sub.add_parser("relationships", help="discover FKs across files")
+    pr.add_argument("paths", nargs="+")
+    pr.add_argument("--validate", action="store_true")
+    pr.add_argument("--mermaid", action="store_true")
+
+    pv = sub.add_parser("validate", help="run a constraint suite from JSON spec")
+    pv.add_argument("path")
+    pv.add_argument("--suite", required=True, help="JSON suite spec file")
+    pv.add_argument("--checkpoint-dir", help="enable resumable checkpointing")
+    pv.add_argument("--partition-col", default=None)
+    return p
+
+
+def _spark(args):
+    from data_profiler_spark import get_spark
+
+    return get_spark(app_name="cli", master=args.master)
+
+
+def _emit(args, payload: str) -> None:
+    sys.stdout.write(payload + "\n")
+
+
+def main(argv: list[str] | None = None) -> int:
+    args = build_parser().parse_args(argv)
+    import os
+
+    from data_profiler_spark import sources
+    from data_profiler_spark.config import load_config
+
+    try:
+        cfg = load_config(args.config)
+    except FileNotFoundError as e:
+        print(f"config not found: {e}", file=sys.stderr)
+        return EXIT_FILE_NOT_FOUND
+
+    try:
+        if args.command == "profile":
+            from data_profiler_spark.operators.profile import profile_table
+            from data_profiler_spark.reports import (
+                df_to_markdown,
+                profile_report_json,
+                profile_report_markdown,
+            )
+
+            spark = _spark(args)
+            for path in args.paths:
+                if not os.path.exists(path):
+                    print(f"not found: {path}", file=sys.stderr)
+                    return EXIT_FILE_NOT_FOUND
+                cols = args.columns.split(",") if args.columns else cfg.profile.columns
+                df = sources.read(
+                    spark, path, columns=cols,
+                    sample_rate=args.sample_rate or cfg.profile.sample_rate,
+                )
+                prof = profile_table(df, exact=cfg.profile.exact)
+                if args.output == "json":
+                    _emit(args, profile_report_json(prof, source=path))
+                elif args.output == "markdown":
+                    _emit(args, profile_report_markdown(prof, source=path))
+                else:
+                    _emit(args, df_to_markdown(prof))
+            return EXIT_OK
+
+        if args.command == "group":
+            from data_profiler_spark.operators.grouping import group_table
+            from data_profiler_spark.reports import df_to_markdown, grouping_report_json
+
+            spark = _spark(args)
+            if not os.path.exists(args.path):
+                return EXIT_FILE_NOT_FOUND
+            df = sources.read(spark, args.path)
+            try:
+                res = group_table(
+                    df,
+                    args.by.split(","),
+                    level=args.stats,
+                    max_groups=args.max_groups,
+                    on_exceed=args.on_exceed,
+                    include_null_groups=cfg.grouping.include_null_groups,
+                    salted=cfg.grouping.salted,
+                )
+            except ValueError as e:
+                print(str(e), file=sys.stderr)
+                return EXIT_SCHEMA
+            if args.output == "json":
+                _emit(args, grouping_report_json(res, source=args.path))
+            else:
+                _emit(args, df_to_markdown(res.data) if res.data is not None else "(skipped)")
+            return EXIT_CARDINALITY if res.skipped else EXIT_OK
+
+        if args.command == "relationships":
+            from data_profiler_spark.relationships import (
+                build_graph,
+                discover_relationships,
+                validate_relationships,
+            )
+            from data_profiler_spark.reports import graph_report_json
+
+            spark = _spark(args)
+            tables = {}
+            for path in args.paths:
+                if not os.path.exists(path):
+                    return EXIT_FILE_NOT_FOUND
+                name = os.path.splitext(os.path.basename(path))[0]
+                tables[name] = sources.read(spark, path)
+            rels = discover_relationships(
+                tables, min_confidence=cfg.relationships.min_confidence,
+                sample_n=cfg.relationships.sample_n,
+            )
+            if args.validate:
+                validate_relationships(rels, tables, cfg.relationships.min_match_rate)
+            g = build_graph(tables, rels)
+            _emit(args, g.to_mermaid() if args.mermaid else graph_report_json(g))
+            return EXIT_OK
+
+        if args.command == "validate":
+            from pyspark.sql import functions as F
+
+            from data_profiler_spark.operators.constraints import (
+                CheckSuite,
+                MembershipCheck,
+                NullRateCheck,
+                RangeCheck,
+                RegexCheck,
+                UniquenessCheck,
+                run_suite,
+            )
+
+            spark = _spark(args)
+            if not os.path.exists(args.path):
+                return EXIT_FILE_NOT_FOUND
+            if not os.path.exists(args.suite):
+                return EXIT_FILE_NOT_FOUND
+            with open(args.suite) as fh:
+                spec = json.load(fh)
+            mk = {
+                "null_rate": lambda s: NullRateCheck(s["column"], s.get("max_null_ratio", 0.0)),
+                "range": lambda s: RangeCheck(s["column"], s.get("min"), s.get("max")),
+                "regex": lambda s: RegexCheck(s["column"], s["pattern"]),
+                "membership": lambda s: MembershipCheck(s["column"], tuple(s["allowed"])),
+            }
+            suite = CheckSuite(
+                row_checks=[mk[s["type"]](s) for s in spec.get("checks", []) if s["type"] in mk],
+                uniqueness=[
+                    UniquenessCheck(tuple(u)) for u in spec.get("uniqueness", [])
+                ],
+            )
+            df = sources.read(spark, args.path)
+            part = args.partition_col or spec.get("partition_col") or df.columns[0]
+            out = run_suite(
+                df, suite, partition_col=F.pmod(F.hash(part), F.lit(64)),
+                content_col=spec.get("content_col"),
+                key_cols=spec.get("key_cols", []),
+            )
+            verdicts = out["verdicts"].collect() if "verdicts" in out else []
+            failed = [r for r in verdicts if not r["pass"]]
+            payload = {
+                "report_type": "validation",
+                "source": args.path,
+                "n_verdicts": len(verdicts),
+                "n_failed": len(failed),
+                "failed": [r.asDict() for r in failed[:100]],
+            }
+            _emit(args, json.dumps(payload, indent=2, sort_keys=True, default=str))
+            return EXIT_OK if not failed else EXIT_ERROR
+
+    except ValueError as e:
+        print(str(e), file=sys.stderr)
+        return EXIT_BAD_FORMAT
+    except Exception as e:  # noqa: BLE001
+        print(f"error: {e}", file=sys.stderr)
+        return EXIT_ERROR
+    return EXIT_USAGE
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

@@ -1,0 +1,125 @@
+"""Layered configuration: defaults ← env ← JSON file ← CLI overrides.
+
+Reference parity: config/schema.py:15-242 (dataclass schema),
+config/loader.py:36-345 (precedence CLI > file > env > defaults,
+``DATA_PROFILER_*`` env vars). Adds a Spark tuning section (SURVEY §2.7
+H10: shuffle partitions, salt buckets, AQE, broadcast threshold).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from dataclasses import asdict, dataclass, field, fields, is_dataclass
+
+ENV_PREFIX = "DATA_PROFILER_SPARK_"
+
+
+@dataclass
+class ProfileConfig:
+    exact: bool = True
+    sample_rate: float | None = None
+    columns: list[str] | None = None
+
+
+@dataclass
+class GroupingConfig:
+    max_groups: int = 100  # config default (CLI default is 10 — cli/main.py:290-295)
+    on_exceed: str = "warn"
+    include_null_groups: bool = True
+    stats_level: str = "count"
+    salted: bool = False
+
+
+@dataclass
+class RelationshipsConfig:
+    min_confidence: float = 0.5
+    sample_n: int = 10_000
+    min_match_rate: float = 0.95
+
+
+@dataclass
+class SparkTuning:
+    shuffle_partitions: int = 32
+    salt_buckets: int = 64
+    aqe: bool = True
+    broadcast_threshold_mb: int = 64
+    master: str | None = None
+
+
+@dataclass
+class EngineConfig:
+    profile: ProfileConfig = field(default_factory=ProfileConfig)
+    grouping: GroupingConfig = field(default_factory=GroupingConfig)
+    relationships: RelationshipsConfig = field(default_factory=RelationshipsConfig)
+    spark: SparkTuning = field(default_factory=SparkTuning)
+
+    def to_dict(self) -> dict:
+        return asdict(self)
+
+
+def _coerce(value: str, target_type):
+    if target_type in (int, "int"):
+        return int(value)
+    if target_type in (float, "float"):
+        return float(value)
+    if target_type in (bool, "bool"):
+        return value.strip().lower() in ("1", "true", "yes", "on")
+    return value
+
+
+def _apply_flat(cfg: EngineConfig, section: str, key: str, value) -> bool:
+    sec = getattr(cfg, section, None)
+    if sec is None or not is_dataclass(sec):
+        return False
+    for f_ in fields(sec):
+        if f_.name == key:
+            if isinstance(value, str):
+                base = f_.type.replace(" | None", "") if isinstance(f_.type, str) else f_.type
+                value = _coerce(value, {"int": int, "float": float, "bool": bool}.get(base, str))
+            setattr(sec, key, value)
+            return True
+    return False
+
+
+def load_config(
+    config_file: str | None = None,
+    overrides: dict | None = None,
+    env: dict | None = None,
+) -> EngineConfig:
+    """Resolve config with precedence overrides(CLI) > file > env > defaults
+    (config/loader.py:203-244).
+
+    env keys: ``DATA_PROFILER_SPARK_<SECTION>_<KEY>`` (e.g.
+    ``DATA_PROFILER_SPARK_GROUPING_MAX_GROUPS=500``).
+    File: JSON ``{"grouping": {"max_groups": 500}, ...}``.
+    overrides: ``{"grouping.max_groups": 500}`` flat dotted keys.
+    """
+    cfg = EngineConfig()
+    env = dict(os.environ if env is None else env)
+
+    for k, v in sorted(env.items()):
+        if not k.startswith(ENV_PREFIX):
+            continue
+        rest = k[len(ENV_PREFIX) :].lower()
+        for f_ in fields(cfg):
+            if rest.startswith(f_.name + "_"):
+                _apply_flat(cfg, f_.name, rest[len(f_.name) + 1 :], v)
+
+    if config_file:
+        if not os.path.exists(config_file):
+            raise FileNotFoundError(config_file)
+        with open(config_file) as fh:
+            data = json.load(fh)
+        for section, kv in data.items():
+            if not isinstance(kv, dict):
+                continue
+            for k, v in kv.items():
+                _apply_flat(cfg, section, k, v)
+
+    for dotted, v in (overrides or {}).items():
+        if v is None:
+            continue
+        section, _, key = dotted.partition(".")
+        _apply_flat(cfg, section, key, v)
+    return cfg

@@ -1,0 +1,151 @@
+"""Report sinks: JSON / Markdown / CSV rendering of engine outputs.
+
+Reference parity: output/json_formatter.py:18-112 (S11), markdown
+output/markdown_formatter.py:68-359, CSV group export cli/main.py:578-590,
+human formatting cli/formatters.py:26-74 (S12). The ydata/HTML templates are
+presentation-only and intentionally replaced by Markdown (the data plane —
+profiles, groups, verdicts — is already DataFrames and can be written with
+``df.write`` directly at scale; these renderers collect ONLY small result
+frames).
+
+Note: the reference's ``format_relationship_graph`` crashes on a missing
+attribute (json_formatter.py:95 — SURVEY §2.9); the graph export here is
+implemented and tested instead of reproduced.
+"""
+
+from __future__ import annotations
+
+import json
+from datetime import date, datetime
+
+from pyspark.sql import DataFrame
+
+
+def _jsonable(v):
+    if isinstance(v, (datetime, date)):
+        return v.isoformat()
+    if isinstance(v, bytes):
+        return v.hex()
+    if isinstance(v, dict):
+        return {k: _jsonable(x) for k, x in v.items()}
+    if isinstance(v, (list, tuple)):
+        return [_jsonable(x) for x in v]
+    return v
+
+
+def human_bytes(n: float) -> str:
+    """cli/formatters.py:26-50."""
+    for unit in ("B", "KB", "MB", "GB", "TB", "PB"):
+        if abs(n) < 1024 or unit == "PB":
+            return f"{n:.1f} {unit}" if unit != "B" else f"{int(n)} B"
+        n /= 1024
+    return f"{n:.1f} PB"
+
+
+def human_number(n: float) -> str:
+    """cli/formatters.py:52-74."""
+    for div, suf in ((1e12, "T"), (1e9, "B"), (1e6, "M"), (1e3, "K")):
+        if abs(n) >= div:
+            return f"{n / div:.1f}{suf}"
+    return str(int(n)) if float(n).is_integer() else f"{n:.2f}"
+
+
+def df_to_records(df: DataFrame, limit: int = 10_000) -> list[dict]:
+    return [_jsonable(r.asDict(recursive=True)) for r in df.limit(limit).collect()]
+
+
+def profile_report_json(profile_df: DataFrame, source: str = "", **extra) -> str:
+    """JSON envelope for a profile result (json_formatter.py:18-63)."""
+    return json.dumps(
+        {
+            "report_type": "profile",
+            "source": source,
+            "columns": df_to_records(profile_df),
+            **{k: _jsonable(v) for k, v in extra.items()},
+        },
+        indent=2,
+        sort_keys=True,
+    )
+
+
+def grouping_report_json(result, source: str = "") -> str:
+    """JSON for a GroupingResult (json_formatter.py:65-93)."""
+    return json.dumps(
+        {
+            "report_type": "grouping",
+            "source": source,
+            "by": result.by,
+            "level": result.level,
+            "estimated_groups": result.estimated_groups,
+            "skipped": result.skipped,
+            "warnings": result.warnings,
+            "groups": df_to_records(result.data) if result.data is not None else [],
+        },
+        indent=2,
+        sort_keys=True,
+    )
+
+
+def graph_report_json(graph) -> str:
+    """Relationship-graph JSON (fixes the reference's crash — SURVEY §2.9)."""
+    return json.dumps(
+        {
+            "report_type": "relationships",
+            "entities": [
+                {"name": e.name, "table": e.table, "pk_columns": e.pk_columns,
+                 "attributes": e.attributes}
+                for e in graph.entities.values()
+            ],
+            "relationships": [
+                {
+                    "child": f"{r.child_table}.{r.child_column}",
+                    "parent": f"{r.parent_table}.{r.parent_column}",
+                    "confidence": r.confidence,
+                    "type": r.rel_type,
+                    "match_rate": r.match_rate,
+                    "is_valid": r.is_valid,
+                }
+                for r in graph.relationships
+            ],
+            "summary": graph.summary(),
+        },
+        indent=2,
+        sort_keys=True,
+    )
+
+
+def df_to_markdown(df: DataFrame, limit: int = 100) -> str:
+    """GitHub-table rendering of a (small) result frame
+    (markdown_formatter.py:68-150)."""
+    cols = df.columns
+    rows = df.limit(limit).collect()
+    out = ["| " + " | ".join(cols) + " |", "| " + " | ".join("---" for _ in cols) + " |"]
+    for r in rows:
+        out.append(
+            "| "
+            + " | ".join("" if r[c] is None else str(_jsonable(r[c])) for c in cols)
+            + " |"
+        )
+    return "\n".join(out)
+
+
+def profile_report_markdown(profile_df: DataFrame, source: str = "") -> str:
+    key_cols = [
+        "column", "semantic_type", "count", "null_count", "null_ratio",
+        "distinct_count", "min_value", "max_value", "mean", "is_pk_candidate",
+    ]
+    present = [c for c in key_cols if c in profile_df.columns]
+    md = [f"# Profile: {source}", "", df_to_markdown(profile_df.select(*present))]
+    return "\n".join(md)
+
+
+def df_to_csv(df: DataFrame, path: str) -> None:
+    """Single-file CSV export of a small result (cli/main.py:578-590)."""
+    import csv
+
+    rows = df.collect()
+    with open(path, "w", newline="") as fh:
+        w = csv.writer(fh)
+        w.writerow(df.columns)
+        for r in rows:
+            w.writerow([_jsonable(r[c]) for c in df.columns])

@@ -1,0 +1,160 @@
+"""Config precedence, report rendering, CLI exit-code contract (smoke/e2e
+tier mirroring tests/smoke/test_end_to_end.py + test_config_precedence.py)."""
+
+from __future__ import annotations
+
+import json
+
+import pytest
+
+from data_profiler_spark.cli import (
+    EXIT_CARDINALITY,
+    EXIT_FILE_NOT_FOUND,
+    EXIT_OK,
+    main,
+)
+from data_profiler_spark.config import load_config
+
+
+# ---------------------------------------------------------------------------
+# config
+# ---------------------------------------------------------------------------
+def test_config_defaults():
+    cfg = load_config(env={})
+    assert cfg.grouping.max_groups == 100
+    assert cfg.spark.salt_buckets == 64
+    assert cfg.profile.exact is True
+
+
+def test_config_env_layer():
+    cfg = load_config(env={"DATA_PROFILER_SPARK_GROUPING_MAX_GROUPS": "500",
+                           "DATA_PROFILER_SPARK_SPARK_AQE": "false"})
+    assert cfg.grouping.max_groups == 500
+    assert cfg.spark.aqe is False
+
+
+def test_config_file_overrides_env(tmp_path):
+    f = tmp_path / "cfg.json"
+    f.write_text(json.dumps({"grouping": {"max_groups": 7}, "relationships": {"min_confidence": 0.8}}))
+    cfg = load_config(str(f), env={"DATA_PROFILER_SPARK_GROUPING_MAX_GROUPS": "500"})
+    assert cfg.grouping.max_groups == 7
+    assert cfg.relationships.min_confidence == 0.8
+
+
+def test_config_cli_overrides_file(tmp_path):
+    f = tmp_path / "cfg.json"
+    f.write_text(json.dumps({"grouping": {"max_groups": 7}}))
+    cfg = load_config(str(f), overrides={"grouping.max_groups": 3}, env={})
+    assert cfg.grouping.max_groups == 3
+
+
+def test_config_missing_file_raises():
+    with pytest.raises(FileNotFoundError):
+        load_config("/nonexistent/cfg.json", env={})
+
+
+# ---------------------------------------------------------------------------
+# reports
+# ---------------------------------------------------------------------------
+def test_reports_render(spark, orders):
+    from data_profiler_spark.operators.grouping import group_table
+    from data_profiler_spark.operators.profile import profile_table
+    from data_profiler_spark.reports import (
+        df_to_csv,
+        df_to_markdown,
+        grouping_report_json,
+        human_bytes,
+        human_number,
+        profile_report_json,
+    )
+
+    prof = profile_table(orders.limit(200), exact=True)
+    js = json.loads(profile_report_json(prof, source="orders"))
+    assert js["report_type"] == "profile"
+    assert {c["column"] for c in js["columns"]} == set(orders.columns)
+
+    res = group_table(orders.limit(200), ["o_orderstatus"])
+    gj = json.loads(grouping_report_json(res, source="orders"))
+    assert gj["groups"] and gj["by"] == ["o_orderstatus"]
+
+    md = df_to_markdown(res.data)
+    assert md.startswith("| o_orderstatus |")
+    assert human_bytes(2048) == "2.0 KB"
+    assert human_number(1_500_000) == "1.5M"
+
+
+def test_csv_export(spark, orders, tmp_path):
+    from data_profiler_spark.operators.grouping import group_table
+    from data_profiler_spark.reports import df_to_csv
+
+    res = group_table(orders.limit(100), ["o_orderstatus"])
+    out = tmp_path / "groups.csv"
+    df_to_csv(res.data, str(out))
+    lines = out.read_text().strip().splitlines()
+    assert lines[0] == "o_orderstatus,group_count"
+    assert len(lines) > 1
+
+
+# ---------------------------------------------------------------------------
+# CLI exit codes (reuses the session Spark via getOrCreate inside main)
+# ---------------------------------------------------------------------------
+def test_cli_profile_json(spark, capsys):
+    rc = main(["profile", "/root/testdata/sf0.001/nation.parquet"])
+    assert rc == EXIT_OK
+    out = json.loads(capsys.readouterr().out)
+    assert out["report_type"] == "profile"
+    assert len(out["columns"]) == 3
+
+
+def test_cli_file_not_found(spark):
+    assert main(["profile", "/no/such/file.parquet"]) == EXIT_FILE_NOT_FOUND
+
+
+def test_cli_group_cardinality_exit(spark, capsys):
+    rc = main([
+        "group", "/root/testdata/sf0.001/orders.parquet",
+        "--by", "o_orderkey", "--max-groups", "10", "--on-exceed", "skip",
+    ])
+    assert rc == EXIT_CARDINALITY
+    out = json.loads(capsys.readouterr().out)
+    assert out["skipped"] is True
+
+
+def test_cli_group_ok(spark, capsys):
+    rc = main([
+        "group", "/root/testdata/sf0.001/orders.parquet",
+        "--by", "o_orderstatus", "--max-groups", "100",
+    ])
+    assert rc == EXIT_OK
+    out = json.loads(capsys.readouterr().out)
+    assert out["groups"]
+
+
+def test_cli_validate(spark, tmp_path, capsys):
+    suite = tmp_path / "suite.json"
+    suite.write_text(json.dumps({
+        "checks": [
+            {"type": "null_rate", "column": "o_orderkey"},
+            {"type": "range", "column": "o_totalprice", "min": 0.0},
+            {"type": "membership", "column": "o_orderstatus", "allowed": ["F", "O", "P"]},
+        ],
+        "partition_col": "o_orderstatus",
+        "key_cols": ["o_orderkey"],
+    }))
+    rc = main(["validate", "/root/testdata/sf0.001/orders.parquet", "--suite", str(suite)])
+    out = json.loads(capsys.readouterr().out)
+    assert out["report_type"] == "validation"
+    assert rc == EXIT_OK and out["n_failed"] == 0
+
+
+def test_cli_relationships_mermaid(spark, capsys):
+    rc = main([
+        "relationships",
+        "/root/testdata/sf0.001/nation.parquet",
+        "/root/testdata/sf0.001/region.parquet",
+        "--mermaid",
+    ])
+    assert rc == EXIT_OK
+    out = capsys.readouterr().out
+    assert out.startswith("erDiagram")
+    assert "Nation" in out and "Region" in out

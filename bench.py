@@ -43,10 +43,17 @@ def main() -> int:
 
     n_code_rows = max(int(CODE_FILES_PER_SF * sf), 10_000)
     code_files = f"/tmp/spark_graft_bench/code_files_{n_code_rows}.parquet"
+    commits_path = f"/tmp/spark_graft_bench/commits_{n_code_rows}.parquet"
     if not os.path.exists(code_files):
         synth_code_files(
             spark, n_rows=n_code_rows, n_repos=max(n_code_rows // 6000, 10), partitions=cpus * 4
         ).write.mode("overwrite").parquet(code_files)
+    if not os.path.exists(commits_path):
+        from data_profiler_spark.datagen import synth_commits
+
+        synth_commits(spark.read.parquet(code_files)).write.mode("overwrite").parquet(
+            commits_path
+        )
 
     timings: dict[str, float] = {}
     for name, fn in BENCH_QUERIES.items():

@@ -51,6 +51,7 @@ def synth_code_files(
     n_repos: int = 100,
     seed: int = 42,
     dup_fraction: float = 0.02,
+    corrupt_fraction: float = 0.005,
     partitions: int | None = None,
 ) -> DataFrame:
     """The Iceberg-style source-code table at any scale, fully deterministic."""
@@ -117,6 +118,14 @@ def synth_code_files(
         ),
     )
     df = df.withColumn("content", F.concat_ws(" ", words))
+
+    # seeded corruption: ~corrupt_fraction of rows get a truncated commit and
+    # an off-vocabulary lang, so regex/membership checks have REAL violation
+    # rows (and the cross-cluster-size sha256 fingerprint is non-trivial)
+    bad = _u(seed, "bad", F.col("row_id")) < F.lit(corrupt_fraction)
+    df = df.withColumn(
+        "commit", F.when(bad, F.substring(F.col("commit"), 1, 20)).otherwise(F.col("commit"))
+    ).withColumn("lang", F.when(bad, F.lit("xx")).otherwise(F.col("lang")))
 
     return df.select("repo", "path", "commit", "lang", "content")
 

@@ -1,0 +1,66 @@
+"""Regex pattern classifiers for string columns (reference F2).
+
+Reference parity: profilers/string.py:35-44 — 8 compiled patterns (email,
+url, phone, uuid, date_iso, datetime_iso, numeric, integer), evaluated on a
+sample, reported when ratio > 0.5 (string.py:157-190).
+
+Spark design: all 8 classifiers evaluate in ONE select over the full column
+(``rlike`` is JVM-side codegen; the reference's 1000-row sample exists only
+because per-row Python regex is slow — a full vectorized scan is both exact
+and faster here). Patterns use a conservative regex subset that means the
+same thing in Java regex (Spark) and RE2-ish engines (DuckDB), so the same
+strings classify identically in the oracle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+REPORT_THRESHOLD = 0.5  # string.py:181
+
+PATTERNS: dict[str, str] = {
+    "email": r"^[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}$",
+    "url": r"^https?://[^\s/$.?#].[^\s]*$",
+    "phone": r"^\+?[0-9][0-9()\- ]{6,18}[0-9]$",
+    "uuid": r"^[0-9a-fA-F]{8}-[0-9a-fA-F]{4}-[0-9a-fA-F]{4}-[0-9a-fA-F]{4}-[0-9a-fA-F]{12}$",
+    "date_iso": r"^[0-9]{4}-[0-9]{2}-[0-9]{2}$",
+    "datetime_iso": r"^[0-9]{4}-[0-9]{2}-[0-9]{2}[T ][0-9]{2}:[0-9]{2}:[0-9]{2}",
+    "numeric": r"^-?[0-9]+(\.[0-9]+)?$",
+    "integer": r"^-?[0-9]+$",
+}
+
+
+def pattern_ratio_exprs(col: str) -> list[Column]:
+    """8 aggregate expressions: fraction of non-null values matching each
+    pattern (aliases ``{pattern}_ratio``)."""
+    c = F.col(col)
+    return [
+        F.coalesce(
+            F.try_divide(F.sum(F.when(c.rlike(pat), 1).otherwise(0)), F.count(c)),
+            F.lit(0.0),
+        ).alias(f"{name}_ratio")
+        for name, pat in PATTERNS.items()
+    ]
+
+
+def pattern_ratios(df: DataFrame, col: str) -> DataFrame:
+    """One-row DataFrame of all 8 match ratios for ``df[col]``."""
+    return df.agg(*pattern_ratio_exprs(col))
+
+
+def detected_patterns(df: DataFrame, col: str, threshold: float = REPORT_THRESHOLD) -> list[str]:
+    """Driver-side: patterns whose ratio exceeds ``threshold``
+    (string.py:157-190 report rule)."""
+    row = pattern_ratios(df, col).collect()[0]
+    return sorted(n for n in PATTERNS if row[f"{n}_ratio"] is not None and row[f"{n}_ratio"] > threshold)
+
+
+def pattern_ratios_sql(col: str) -> str:
+    """DuckDB twin of :func:`pattern_ratio_exprs` (same pattern set)."""
+    parts = [
+        f"COALESCE(CAST(SUM(CASE WHEN regexp_matches({col}, '{pat}') THEN 1 ELSE 0 END) AS DOUBLE)"
+        f" / NULLIF(COUNT({col}), 0), 0.0) AS {name}_ratio"
+        for name, pat in PATTERNS.items()
+    ]
+    return ", ".join(parts)

@@ -69,19 +69,32 @@ def match_rate(
     match_rate = 1 - orphans/distinct_child (detector.py:588-593); the verdict
     bar is match_rate >= min_match_rate (core/profiler.py:485).
     """
+    # ONE job: left-outer join of distinct child keys against distinct parent
+    # keys, then count total + misses in the same aggregation. (A separate
+    # anti-join + two counts would scan/distinct the child twice.)
     child_keys = child.select(F.col(child_key)).where(F.col(child_key).isNotNull()).distinct()
-    orphans = orphan_keys(child, child_key, parent, parent_key, strategy=strategy)
-    n_child = child_keys.agg(F.count(F.lit(1)).alias("distinct_child"))
-    n_orph = orphans.agg(F.count(F.lit(1)).alias("orphan_count"))
+    parent_keys = (
+        parent.select(F.col(parent_key)).where(F.col(parent_key).isNotNull()).distinct()
+    )
+    if strategy == "auto":
+        est = parent.agg(F.approx_count_distinct(parent_key).alias("c")).collect()[0]["c"]
+        strategy = "broadcast" if est <= BROADCAST_KEY_LIMIT else "shuffle"
+    marked = parent_keys.withColumn("__hit", F.lit(1))
+    if strategy == "broadcast":
+        marked = F.broadcast(marked)
+    joined = child_keys.join(
+        marked, child_keys[child_key] == marked[parent_key], "left"
+    )
+    agg = joined.agg(
+        F.count(F.lit(1)).alias("distinct_child"),
+        F.sum(F.when(F.col("__hit").isNull(), 1).otherwise(0)).alias("orphan_count"),
+    )
     rate = F.lit(1.0) - F.col("orphan_count") / F.col("distinct_child")
-    return (
-        n_child.crossJoin(n_orph)
-        .select(
-            "distinct_child",
-            "orphan_count",
-            rate.alias("match_rate"),
-            ((F.col("orphan_count") == 0) | (rate >= F.lit(min_match_rate))).alias("is_valid"),
-        )
+    return agg.select(
+        "distinct_child",
+        "orphan_count",
+        rate.alias("match_rate"),
+        ((F.col("orphan_count") == 0) | (rate >= F.lit(min_match_rate))).alias("is_valid"),
     )
 
 

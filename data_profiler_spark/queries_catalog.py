@@ -472,6 +472,29 @@ def cross_file_group_customer_by_nation(spark: SparkSession, sf_dir: str) -> Dat
 
 
 # ---------------------------------------------------------------------------
+# F2: regex pattern classifiers — ref profilers/string.py:35-44, 157-190
+# ---------------------------------------------------------------------------
+def _pattern_sql() -> str:
+    from data_profiler_spark.functions.patterns import pattern_ratios_sql
+
+    return (
+        "SELECT "
+        + pattern_ratios_sql("json_extract_string(props, '$.k')")
+        + " FROM events"
+    )
+
+
+@register("pattern_classify_events_k", _pattern_sql())
+def pattern_classify_events_k(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from data_profiler_spark.functions.patterns import pattern_ratios
+
+    ev = load(spark, sf_dir, "events")
+    return pattern_ratios(
+        ev.select(F.get_json_object("props", "$.k").alias("k")), "k"
+    )
+
+
+# ---------------------------------------------------------------------------
 # H5/H6/H7: relationship discovery (driver-side heuristics over per-table
 # stats jobs — not SQL-expressible → rows-only check; pytest asserts edges)
 # ---------------------------------------------------------------------------

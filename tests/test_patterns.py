@@ -1,0 +1,47 @@
+"""Regex pattern classifiers (F2): known strings classify as expected and
+the detected-patterns report rule matches the reference threshold."""
+
+from __future__ import annotations
+
+from data_profiler_spark.functions.patterns import (
+    PATTERNS,
+    detected_patterns,
+    pattern_ratios,
+)
+
+
+def test_known_strings_classify(spark):
+    rows = [
+        ("a@b.com",), ("user.name+tag@example.co.uk",),  # emails
+        ("https://spark.apache.org/docs",),              # url
+        ("+1 (555) 123-4567",),                          # phone
+        ("123e4567-e89b-12d3-a456-426614174000",),       # uuid
+        ("2024-01-31",),                                 # date
+        ("2024-01-31T10:30:00",),                        # datetime
+        ("-12.5",), ("42",),                             # numeric / integer
+        ("plain text",), (None,),
+    ]
+    df = spark.createDataFrame(rows, "s string")
+    r = pattern_ratios(df, "s").collect()[0]
+    n = 10  # non-null rows
+    assert abs(r["email_ratio"] - 2 / n) < 1e-12
+    assert abs(r["url_ratio"] - 1 / n) < 1e-12
+    assert abs(r["phone_ratio"] - 2 / n) < 1e-12  # "+1 (555)..." and "2024-01-31" (digits+dashes)
+    assert abs(r["uuid_ratio"] - 1 / n) < 1e-12
+    assert abs(r["date_iso_ratio"] - 1 / n) < 1e-12
+    assert abs(r["datetime_iso_ratio"] - 1 / n) < 1e-12
+    assert abs(r["numeric_ratio"] - 2 / n) < 1e-12  # -12.5 and 42
+    assert abs(r["integer_ratio"] - 1 / n) < 1e-12  # 42
+
+
+def test_detected_patterns_threshold(spark):
+    df = spark.createDataFrame([(f"u{i}@mail.org",) for i in range(9)] + [("x",)], "s string")
+    assert detected_patterns(df, "s") == ["email"]
+    df2 = spark.createDataFrame([("hello",), ("world",)], "s string")
+    assert detected_patterns(df2, "s") == []
+
+
+def test_all_null_column(spark):
+    df = spark.createDataFrame([(None,), (None,)], "s string")
+    r = pattern_ratios(df, "s").collect()[0]
+    assert all(r[f"{n}_ratio"] == 0.0 for n in PATTERNS)

@@ -1,0 +1,120 @@
+#!/usr/bin/env python
+"""One scaling-bench run: the full north-rule constraint suite over the
+synthetic code_files table at a given parallelism, in a FRESH JVM.
+
+Usage: python tools/scaling_run.py <cpus> <code_files_parquet> <commits_parquet>
+Prints one JSON line: {"cpus", "rows", "suite_sec", "rows_per_sec",
+"violations_fingerprint", "uniqueness_fingerprint", "n_violations", ...}
+
+The fingerprints are md5 over the SORTED violation rows (check, partition,
+keys, content sha256) — the north-rule invariant is that they are identical
+at every cluster size.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def main() -> int:
+    cpus = int(sys.argv[1])
+    code_files = sys.argv[2]
+    commits_path = sys.argv[3]
+
+    from pyspark.sql import functions as F
+
+    from data_profiler_spark import get_spark
+    from data_profiler_spark.datagen import LANGS
+    from data_profiler_spark.operators.constraints import (
+        CheckSuite,
+        MembershipCheck,
+        NullRateCheck,
+        RangeCheck,
+        RegexCheck,
+        ReferentialCheck,
+        UniquenessCheck,
+        run_suite,
+    )
+
+    spark = get_spark(
+        app_name=f"scaling[{cpus}]",
+        master=f"local[{cpus}]",
+        shuffle_partitions=max(cpus, 8),
+        extra_conf={"spark.ui.showConsoleProgress": "false"},
+    )
+
+    df = spark.read.parquet(code_files).withColumn(
+        "content_len", F.length("content").cast("double")
+    )
+    commits = spark.read.parquet(commits_path)
+    suite = CheckSuite(
+        row_checks=[
+            NullRateCheck("content", max_null_ratio=0.0),
+            NullRateCheck("repo"),
+            RegexCheck("commit", r"^[0-9a-f]{40}$"),
+            RegexCheck("path", r"^[A-Za-z0-9_./-]+$"),
+            MembershipCheck("lang", allowed=tuple(LANGS)),
+            RangeCheck("content_len", min_value=1.0, max_value=1e6),
+        ],
+        uniqueness=[UniquenessCheck(keys=("repo", "path", "commit"))],
+        referential=[
+            ReferentialCheck(
+                keys=("repo", "commit"), parent_name="commits",
+                parent_keys=("repo", "commit"),
+            )
+        ],
+    )
+
+    from data_profiler_spark.operators.constraints import collect_suite
+
+    n_rows = spark.read.parquet(code_files).count()  # untimed warm-up + size
+    t0 = time.perf_counter()
+    out = run_suite(
+        df,
+        suite,
+        partition_col=F.pmod(F.hash("repo"), F.lit(64)),
+        parents={"commits": (commits, ("repo", "commit"))},
+        content_col="content",
+        key_cols=["repo", "path", "commit"],
+    )
+    verdicts = out["verdicts"].collect()
+    violations = out["violations"].collect()
+    uniq = out["uniqueness"].collect()
+    ref = out["referential"].collect()
+    suite_sec = time.perf_counter() - t0
+
+    vio_lines = sorted(
+        f"{r['check']}|{r['partition']}|{r['repo']}|{r['path']}|{r['commit']}|{r['content_sha256']}"
+        for r in violations
+    )
+    uniq_lines = sorted(f"{r['check']}|{r['key_json']}|{r['dup_cnt']}" for r in uniq)
+    verdict_lines = sorted(
+        f"{r['partition']}|{r['check']}|{r['violation_count']}|{r['pass']}" for r in verdicts
+    )
+    print(
+        json.dumps(
+            {
+                "cpus": cpus,
+                "rows": n_rows,
+                "suite_sec": round(suite_sec, 3),
+                "rows_per_sec": round(n_rows / suite_sec, 1),
+                "n_violations": len(vio_lines),
+                "n_dup_keys": len(uniq_lines),
+                "referential": [r.asDict() for r in ref],
+                "violations_fingerprint": hashlib.md5("\n".join(vio_lines).encode()).hexdigest(),
+                "uniqueness_fingerprint": hashlib.md5("\n".join(uniq_lines).encode()).hexdigest(),
+                "verdicts_fingerprint": hashlib.md5("\n".join(verdict_lines).encode()).hexdigest(),
+            }
+        )
+    )
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

@@ -472,6 +472,77 @@ def cross_file_group_customer_by_nation(spark: SparkSession, sf_dir: str) -> Dat
 
 
 # ---------------------------------------------------------------------------
+# H1/H2 + A1-A3: the FLAGSHIP operator — whole-table profile_table, long
+# format, one row per column, against a per-column UNION ALL oracle.
+# ref: core/file_profiler.py:52-101 + profilers/* dispatch
+# ---------------------------------------------------------------------------
+_CUSTOMER_COLS = [
+    # (name, spark dtype string, family)
+    ("c_custkey", "bigint", "NUMERIC"),
+    ("c_name", "string", "STRING"),
+    ("c_nationkey", "int", "NUMERIC"),
+    ("c_acctbal", "double", "NUMERIC"),
+    ("c_mktsegment", "string", "STRING"),
+]
+
+
+def _profile_customer_sql() -> str:
+    sel = []
+    for name, dtype, fam in _CUSTOMER_COLS:
+        total = "COUNT(*)"
+        cnt = f"COUNT({name})"
+        nulls = f"COUNT(*) - COUNT({name})"
+        dist = f"COUNT(DISTINCT {name})"
+        uratio = f"COALESCE(CAST({dist} AS DOUBLE) / NULLIF({cnt}, 0), 0.0)"
+        null_s = "CAST(NULL AS VARCHAR)"
+        null_d = "CAST(NULL AS DOUBLE)"
+        null_l = "CAST(NULL AS BIGINT)"
+        if fam == "NUMERIC":
+            minv = f"CAST(CAST(MIN({name}) AS DOUBLE) AS VARCHAR)"
+            maxv = f"CAST(CAST(MAX({name}) AS DOUBLE) AS VARCHAR)"
+            mean = _davg(name)
+            std = S.decimal_stddev_sql(name)
+            qs = [f"quantile_cont({name}, {q})" for q in (0.25, 0.5, 0.75, 0.95, 0.99)]
+            min_len = max_len = null_l
+            avg_len, empty = null_d, null_l
+            semantic = f"'{fam}'"
+        else:
+            minv, maxv = f"MIN({name})", f"MAX({name})"
+            mean = std = null_d
+            qs = [null_d] * 5
+            min_len = f"CAST(MIN(LENGTH({name})) AS BIGINT)"
+            max_len = f"CAST(MAX(LENGTH({name})) AS BIGINT)"
+            avg_len = (
+                f"CAST(SUM(CAST(LENGTH({name}) AS DECIMAL(28,8))) AS DOUBLE) / {cnt}"
+            )
+            empty = f"SUM(CASE WHEN {name} = '' THEN 1 ELSE 0 END)"
+            semantic = (
+                f"CASE WHEN {uratio} <= 0.05 AND {dist} <= 50 THEN 'CATEGORICAL' ELSE 'STRING' END"
+            )
+        is_pk = f"({nulls} = 0 AND {dist} = {cnt} AND {cnt} > 0)"
+        sel.append(
+            f"""SELECT '{name}' AS column, '{dtype}' AS dtype, {semantic} AS semantic_type,
+            {total} AS total_count, {cnt} AS count, CAST({nulls} AS BIGINT) AS null_count,
+            CAST({nulls} AS DOUBLE) / {total} AS null_ratio,
+            CAST({dist} AS BIGINT) AS distinct_count, {uratio} AS unique_ratio,
+            {minv} AS min_value, {maxv} AS max_value, {mean} AS mean, {std} AS stddev,
+            {qs[0]} AS q25, {qs[1]} AS median, {qs[2]} AS q75, {qs[3]} AS p95, {qs[4]} AS p99,
+            {min_len} AS min_len, {max_len} AS max_len, {avg_len} AS avg_len,
+            {empty} AS empty_count, {null_l} AS span_days,
+            {is_pk} AS is_pk_candidate, FALSE AS is_fk_candidate
+            FROM customer"""
+        )
+    return " UNION ALL ".join(sel)
+
+
+@register("profile_table_customer", _profile_customer_sql())
+def profile_table_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from data_profiler_spark.operators.profile import profile_table
+
+    return profile_table(load(spark, sf_dir, "customer"), exact=True)
+
+
+# ---------------------------------------------------------------------------
 # F2: regex pattern classifiers — ref profilers/string.py:35-44, 157-190
 # ---------------------------------------------------------------------------
 def _pattern_sql() -> str:

@@ -10,4 +10,4 @@ Reference file:line citations in docstrings mark parity, not provenance.
 from data_profiler_spark.session import get_spark
 
 __all__ = ["get_spark"]
-__version__ = "0.1.0"
+__version__ = "0.2.0"

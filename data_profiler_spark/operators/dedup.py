@@ -274,3 +274,90 @@ def embedding_near_duplicates(
         .select("id_a", "id_b", cosine(F.col("va"), F.col("vb")).alias("cos_sim"))
         .where(F.col("cos_sim") >= F.lit(threshold))
     )
+
+
+# ---------------------------------------------------------------------------
+# duplicate clustering: pairs → connected components → canonical survivor
+# (training-pipeline step after LSH/Jaccard: pick ONE doc per dup cluster)
+# ---------------------------------------------------------------------------
+def duplicate_clusters(
+    pairs: DataFrame, id_a: str = "id_a", id_b: str = "id_b", max_iter: int = 20
+) -> DataFrame:
+    """Connected components over a near-duplicate pair list →
+    (doc_id, cluster_id) where cluster_id = min doc id in the component.
+
+    Iterative min-label propagation expressed as DataFrame joins (the
+    classic large-star/small-star simplification): each round every node
+    adopts the smallest label among itself and its neighbors; converges in
+    O(component diameter) rounds — near-dup clusters are almost always
+    tiny, so 3-5 rounds suffice. Each round is ONE shuffle on doc id;
+    convergence is checked with a cheap count of changed labels.
+
+    At 100 TB: run on the LSH candidate pairs (millions, not the corpus),
+    so the join inputs are small relative to the data.
+    """
+    edges = (
+        pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
+        .unionByName(pairs.select(F.col(id_b).alias("src"), F.col(id_a).alias("dst")))
+        .distinct()
+    )
+    labels = (
+        edges.select(F.col("src").alias("id"))
+        .distinct()
+        .withColumn("cluster_id", F.col("id"))
+    )
+    for _ in range(max_iter):
+        neighbor_min = (
+            edges.join(labels, edges["dst"] == labels["id"])
+            .groupBy("src")
+            .agg(F.min("cluster_id").alias("nbr_min"))
+        )
+        new_labels = (
+            labels.join(neighbor_min, labels["id"] == neighbor_min["src"], "left")
+            .select(
+                "id",
+                F.least(
+                    F.col("cluster_id"), F.coalesce(F.col("nbr_min"), F.col("cluster_id"))
+                ).alias("cluster_id"),
+            )
+        )
+        # pointer jumping: also adopt the label OF my label — halves the
+        # remaining chain length every round, so convergence is
+        # O(log diameter) instead of O(diameter)
+        a, b = new_labels.alias("a"), new_labels.alias("b")
+        new_labels = (
+            a.join(b, F.col("a.cluster_id") == F.col("b.id"), "left")
+            .select(
+                F.col("a.id").alias("id"),
+                F.least(
+                    F.col("a.cluster_id"),
+                    F.coalesce(F.col("b.cluster_id"), F.col("a.cluster_id")),
+                ).alias("cluster_id"),
+            )
+        )
+        # truncate lineage each round — an iterative join loop otherwise
+        # doubles the logical plan every pass and planning time explodes
+        new_labels = new_labels.localCheckpoint(eager=True)
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "id")
+            .where(F.col("n.cluster_id") != F.col("o.cluster_id"))
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels.select(F.col("id").alias("doc_id"), "cluster_id")
+
+
+def dedup_keep_canonical(
+    df: DataFrame, id_col: str, pairs: DataFrame, id_a: str = "id_a", id_b: str = "id_b"
+) -> DataFrame:
+    """Drop all near-duplicates except the cluster representative (min id).
+    Rows not in any pair are kept unchanged. One broadcast-friendly join:
+    the cluster map is |dup docs| rows, tiny next to the corpus."""
+    clusters = duplicate_clusters(pairs, id_a, id_b)
+    losers = clusters.where(F.col("doc_id") != F.col("cluster_id")).select("doc_id")
+    return df.join(
+        F.broadcast(losers), df[id_col] == losers["doc_id"], "left_anti"
+    )

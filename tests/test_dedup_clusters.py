@@ -1,0 +1,51 @@
+"""Connected-components dup clustering + canonical survivor selection."""
+
+from __future__ import annotations
+
+from data_profiler_spark.operators.dedup import (
+    dedup_keep_canonical,
+    duplicate_clusters,
+)
+
+
+def test_clusters_basic(spark):
+    # components: {1,2,3,4} (chain), {10,11}, isolated nodes absent
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (10, 11)], "id_a long, id_b long"
+    )
+    got = {r["doc_id"]: r["cluster_id"] for r in duplicate_clusters(pairs).collect()}
+    assert got == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10}
+
+
+def test_clusters_long_chain_converges(spark):
+    n = 30
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(n)], "id_a long, id_b long"
+    )
+    got = {r["doc_id"]: r["cluster_id"] for r in duplicate_clusters(pairs).collect()}
+    assert set(got.values()) == {0}
+    assert len(got) == n + 1
+
+
+def test_keep_canonical(spark):
+    df = spark.createDataFrame([(i, f"doc{i}") for i in range(8)], "doc_id long, text string")
+    pairs = spark.createDataFrame([(1, 5), (5, 7), (2, 3)], "id_a long, id_b long")
+    kept = dedup_keep_canonical(df, "doc_id", pairs)
+    ids = sorted(r["doc_id"] for r in kept.collect())
+    # losers 5,7 (cluster 1) and 3 (cluster 2) dropped; 0,4,6 untouched
+    assert ids == [0, 1, 2, 4, 6]
+
+
+def test_end_to_end_with_jaccard(spark, documents):
+    from data_profiler_spark.operators.dedup import jaccard_pairs
+
+    pairs = jaccard_pairs(documents, "doc_id", "text", k=3, threshold=0.5)
+    if pairs.count() == 0:  # sf-dependent; the operator chain must still run
+        return
+    kept = dedup_keep_canonical(documents, "doc_id", pairs)
+    assert kept.count() < documents.count()
+    clusters = duplicate_clusters(pairs)
+    # every cluster id is a member of its own cluster
+    reps = clusters.select("cluster_id").distinct()
+    member = clusters.where("doc_id = cluster_id").select("cluster_id").distinct()
+    assert reps.count() == member.count()

@@ -589,6 +589,80 @@ def discovered_relationships(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ---------------------------------------------------------------------------
+# W4 at scale: gap detection partitioned per entity (SURVEY §7.4: the global
+# sort becomes per-user windows → no single-partition bottleneck)
+# ---------------------------------------------------------------------------
+@register(
+    "gap_detection_per_user",
+    """WITH s AS (SELECT user_id, event_id, ts,
+                         LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
+                  FROM events)
+       SELECT user_id, event_id, epoch_us(ts) - epoch_us(prev_ts) AS gap_us
+       FROM s WHERE prev_ts IS NOT NULL AND epoch_us(ts) - epoch_us(prev_ts) > 600000000""",
+)
+def gap_detection_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    ev = load(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    us = lambda c: F.unix_micros(F.col(c).cast("timestamp"))  # noqa: E731
+    return (
+        ev.select("user_id", "event_id", "ts", F.lag("ts").over(w).alias("prev_ts"))
+        .where(F.col("prev_ts").isNotNull())
+        .select("user_id", "event_id", (us("ts") - us("prev_ts")).alias("gap_us"))
+        .where(F.col("gap_us") > 600_000_000)
+    )
+
+
+# ---------------------------------------------------------------------------
+# A5 full semantics: top-k value counts WITH frequency ratios
+# ref: profilers/string.py:228-261 (frequencies = count/total)
+# ---------------------------------------------------------------------------
+@register(
+    "value_frequencies_orderpriority",
+    """SELECT o_orderpriority AS value, COUNT(*) AS cnt,
+              CAST(COUNT(*) AS DOUBLE) / (SELECT COUNT(*) FROM orders) AS frequency
+       FROM orders GROUP BY 1 ORDER BY cnt DESC, value LIMIT 10""",
+)
+def value_frequencies_orderpriority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    o = load(spark, sf_dir, "orders")
+    counts = o.groupBy(F.col("o_orderpriority").alias("value")).agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    total = W.partitionBy()
+    return (
+        counts.withColumn("frequency", F.col("cnt").cast("double") / F.sum("cnt").over(total))
+        .orderBy(F.desc("cnt"), F.asc("value"))
+        .limit(10)
+    )
+
+
+# ---------------------------------------------------------------------------
+# top-k per group (rank window; deterministic tie-break)
+# ---------------------------------------------------------------------------
+@register(
+    "topk_events_per_type",
+    """WITH c AS (SELECT event_type, user_id, COUNT(*) AS cnt
+                  FROM events GROUP BY 1, 2),
+       r AS (SELECT *, row_number() OVER (PARTITION BY event_type
+                                          ORDER BY cnt DESC, user_id) AS rnk FROM c)
+       SELECT event_type, user_id, cnt, CAST(rnk AS INT) AS rank FROM r WHERE rnk <= 3""",
+)
+def topk_events_per_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    ev = load(spark, sf_dir, "events")
+    c = ev.groupBy("event_type", "user_id").agg(F.count(F.lit(1)).alias("cnt"))
+    w = W.partitionBy("event_type").orderBy(F.desc("cnt"), F.asc("user_id"))
+    return (
+        c.withColumn("rank", F.row_number().over(w).cast("int"))
+        .where(F.col("rank") <= 3)
+    )
+
+
 # ===========================================================================
 # Training-data pipeline operators (driver mandate): text analysis, dedup,
 # similarity search, drift — over documents/embeddings.

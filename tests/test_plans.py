@@ -1,0 +1,95 @@
+"""Physical-plan hygiene: the plans we ship are the plans we designed.
+
+Asserts (via executedPlan strings) that: filters/projections reach the
+parquet scan, dimension joins broadcast, the approx profiler avoids the
+count_distinct Expand, hot paths stay in WholeStageCodegen, and grouped
+stats need exactly one shuffle."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_filter_and_projection_pushdown(spark):
+    df = (
+        spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet")
+        .where(F.col("l_quantity") > 30)
+        .select("l_orderkey", "l_quantity")
+    )
+    plan = _plan(df)
+    assert "PushedFilters: [IsNotNull(l_quantity), GreaterThan(l_quantity,30" in plan
+    read_schema = plan.split("ReadSchema:")[-1]
+    assert "l_orderkey" in read_schema and "l_quantity" in read_schema
+    assert "l_comment" not in read_schema and "l_extendedprice" not in read_schema
+
+
+def test_referential_broadcasts_small_parent(spark, lineitem, orders):
+    from data_profiler_spark.operators.referential import match_rate
+
+    plan = _plan(match_rate(lineitem, "l_orderkey", orders, "o_orderkey"))
+    assert "BroadcastHashJoin" in plan or "BroadcastExchange" in plan
+
+
+def test_cross_file_group_broadcasts_dim(spark, orders):
+    from data_profiler_spark.operators.grouping import cross_file_group
+
+    cust = spark.read.parquet("/root/testdata/sf0.001/customer.parquet")
+    res = cross_file_group(
+        orders, {"customer": cust}, {"customer": ("o_custkey", "c_custkey")},
+        ["customer.c_mktsegment"],
+    )
+    assert "BroadcastHashJoin" in _plan(res.data)
+
+
+def test_approx_profile_has_no_expand(spark, lineitem):
+    from data_profiler_spark.operators.profile import profile_table
+
+    plan = _plan(profile_table(lineitem, exact=False))
+    # HLL sketches aggregate in one pass; the exact mode's count_distinct
+    # Expand (rows x N+1 multiplication) must NOT appear on the scale path
+    assert "Expand" not in plan
+    # all-JVM: columnar scan + (Object)HashAggregate, zero Python evaluation
+    assert "Batched: true" in plan
+    assert "EvalPython" not in plan
+
+
+def test_constraint_checks_stay_in_codegen(spark, lineitem):
+    from data_profiler_spark.operators.constraints import RangeCheck, RegexCheck, run_row_checks
+
+    verdicts, violations = run_row_checks(
+        lineitem,
+        [RangeCheck("l_quantity", 0, 100), RegexCheck("l_returnflag", "^[ANR]$")],
+        partition_col=F.pmod(F.hash("l_orderkey"), F.lit(8)),
+        key_cols=["l_orderkey", "l_linenumber"],
+    )
+    vplan = _plan(verdicts)
+    # every predicate compiles to native exprs over a batched columnar scan;
+    # nothing drops to Python row evaluation
+    assert "HashAggregate" in vplan and "Batched: true" in vplan
+    assert "EvalPython" not in vplan
+    assert "EvalPython" not in _plan(violations)
+
+
+def test_grouped_basic_stats_single_shuffle(spark, orders):
+    from data_profiler_spark.operators.grouping import group_table
+
+    res = group_table(
+        orders.select("o_orderstatus", "o_totalprice"), ["o_orderstatus"], level="basic"
+    )
+    # one Exchange for the aggregation + one for the final sort — no more
+    agg_only = orders.select("o_orderstatus", "o_totalprice").groupBy("o_orderstatus").agg(
+        F.count(F.lit(1))
+    )
+    assert _plan(agg_only).count("Exchange hashpartitioning") == 1
+
+
+def test_salted_uniqueness_two_stage(spark, lineitem):
+    from data_profiler_spark.operators.constraints import uniqueness_violations
+
+    plan = _plan(uniqueness_violations(lineitem, ["l_orderkey", "l_linenumber"]))
+    # two aggregation stages (salted partial + final merge)
+    assert plan.count("HashAggregate") >= 4  # partial+final per stage

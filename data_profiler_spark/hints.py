@@ -1,0 +1,80 @@
+"""Relationship hints: user-declared FK edges merged into discovery.
+
+Reference parity: relationships/hints.py:36-300 (H8) — JSON hints file in
+nested or flat form, cardinality strings like ``1:n``, glob matching of
+table names, hinted edges get confidence 1.0 and override discovered ones.
+
+Formats accepted (both from the reference):
+  nested: {"relationships": [{"child": "orders.o_custkey",
+           "parent": "customer.c_custkey", "type": "n:1"}]}
+  flat:   {"orders.o_custkey": "customer.c_custkey"}
+"""
+
+from __future__ import annotations
+
+import fnmatch
+import json
+
+from data_profiler_spark.relationships import Relationship
+
+_TYPES = {"1:1": "1:1", "1:n": "1:N", "n:1": "N:1", "n:m": "N:M", "m:n": "N:M"}
+
+
+def _split(ref: str) -> tuple[str, str]:
+    table, _, col = ref.rpartition(".")
+    if not table or not col:
+        raise ValueError(f"hint reference must be 'table.column': {ref!r}")
+    return table, col
+
+
+def parse_hints(path_or_dict) -> list[Relationship]:
+    """Parse a hints JSON file (or pre-loaded dict) into Relationship
+    records with confidence 1.0."""
+    if isinstance(path_or_dict, str):
+        with open(path_or_dict) as fh:
+            data = json.load(fh)
+    else:
+        data = dict(path_or_dict)
+
+    out: list[Relationship] = []
+    if "relationships" in data and isinstance(data["relationships"], list):
+        for r in data["relationships"]:
+            ct, cc = _split(r["child"])
+            pt, pc = _split(r["parent"])
+            rel_type = _TYPES.get(str(r.get("type", "n:1")).lower(), "N:1")
+            out.append(Relationship(ct, cc, pt, pc, 1.0, rel_type, overlap=1.0))
+    else:
+        for child, parent in data.items():
+            if not isinstance(parent, str):
+                continue
+            ct, cc = _split(child)
+            pt, pc = _split(parent)
+            out.append(Relationship(ct, cc, pt, pc, 1.0, "N:1", overlap=1.0))
+    return out
+
+
+def match_hints_to_tables(hints: list[Relationship], table_names: list[str]) -> list[Relationship]:
+    """Resolve glob-ish hint table names against actual table names
+    (hints.py glob matching); unmatched hints are dropped."""
+    resolved = []
+    for h in hints:
+        childs = fnmatch.filter(table_names, h.child_table)
+        parents = fnmatch.filter(table_names, h.parent_table)
+        for ct in childs:
+            for pt in parents:
+                resolved.append(
+                    Relationship(ct, h.child_column, pt, h.parent_column,
+                                 1.0, h.rel_type, overlap=1.0)
+                )
+    return resolved
+
+
+def merge_hints(discovered: list[Relationship], hints: list[Relationship]) -> list[Relationship]:
+    """Hinted edges win over discovered ones for the same (child_table,
+    child_column); everything else passes through, sorted by confidence."""
+    hinted_keys = {(h.child_table, h.child_column) for h in hints}
+    merged = list(hints) + [
+        d for d in discovered if (d.child_table, d.child_column) not in hinted_keys
+    ]
+    merged.sort(key=lambda r: (-r.confidence, r.child_table, r.child_column))
+    return merged

@@ -283,3 +283,18 @@ def cross_file_group(
         df = df.join(proj, df[base_key] == proj[f"__k_{ent}"], how).drop(f"__k_{ent}")
 
     return group_table(df, local + [f"{c}" for c in dotted], level=level, **kwargs)
+
+
+def group_size_rollup(grouped: DataFrame) -> DataFrame:
+    """Rollup over a grouped-count result: n_groups, min/max/avg group size,
+    total rows (grouping/stats.py:318-347 A11)."""
+    return grouped.agg(
+        F.count(F.lit(1)).alias("n_groups"),
+        F.min(COUNT_COL).alias("min_group_size"),
+        F.max(COUNT_COL).alias("max_group_size"),
+        F.try_divide(
+            F.sum(F.col(COUNT_COL).cast("decimal(28,8)")).cast("double"),
+            F.count(F.lit(1)),
+        ).alias("avg_group_size"),
+        F.sum(COUNT_COL).alias("total_rows"),
+    )

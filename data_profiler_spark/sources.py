@@ -283,3 +283,32 @@ def profile_directory(
         "drift": drift,
         "schema_consistent": all(d["compatible"] for d in drift.values()),
     }
+
+
+def dataset_rollup(spark: SparkSession, directory: str, **kwargs) -> dict:
+    """Aggregate totals over a profiled directory: total rows, bytes, files,
+    schema consistency (models/profile.py:176-228 DatasetProfile + A14)."""
+    res = profile_directory(spark, directory, **kwargs)
+    total_rows = 0
+    for f_, prof in res["profiles"].items():
+        row = prof.where(F.col("total_count").isNotNull()).select(
+            F.max("total_count").alias("n")
+        ).collect()[0]
+        total_rows += row["n"] or 0
+    def _size(p: str) -> int:
+        if os.path.isfile(p):
+            return os.path.getsize(p)
+        return sum(
+            os.path.getsize(os.path.join(r, fn))
+            for r, _, fns in os.walk(p)
+            for fn in fns
+        )
+
+    total_bytes = sum(_size(f_) for f_ in res["files"])
+    return {
+        "n_files": len(res["files"]),
+        "total_rows": total_rows,
+        "total_size_bytes": total_bytes,
+        "schema_consistent": res["schema_consistent"],
+        "schema_hashes": res["schema_hashes"],
+    }

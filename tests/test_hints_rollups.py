@@ -1,0 +1,77 @@
+"""H8 hints parsing/merging + A11/A14 rollups."""
+
+from __future__ import annotations
+
+import json
+
+import pytest
+from pyspark.sql import functions as F
+
+from data_profiler_spark.hints import match_hints_to_tables, merge_hints, parse_hints
+from data_profiler_spark.relationships import Relationship
+
+
+def test_parse_nested_hints(tmp_path):
+    f = tmp_path / "hints.json"
+    f.write_text(json.dumps({
+        "relationships": [
+            {"child": "orders.o_custkey", "parent": "customer.c_custkey", "type": "n:1"},
+            {"child": "a.b", "parent": "c.d", "type": "1:1"},
+        ]
+    }))
+    hints = parse_hints(str(f))
+    assert len(hints) == 2
+    assert hints[0].confidence == 1.0 and hints[0].rel_type == "N:1"
+    assert hints[1].rel_type == "1:1"
+
+
+def test_parse_flat_hints():
+    hints = parse_hints({"orders.o_custkey": "customer.c_custkey"})
+    assert len(hints) == 1
+    assert hints[0].child_table == "orders" and hints[0].parent_column == "c_custkey"
+
+
+def test_bad_reference_raises():
+    with pytest.raises(ValueError, match="table.column"):
+        parse_hints({"nodot": "customer.c_custkey"})
+
+
+def test_glob_matching():
+    hints = parse_hints({"orders*.o_custkey": "customer.c_custkey"})
+    resolved = match_hints_to_tables(hints, ["orders_2023", "orders_2024", "customer"])
+    assert {r.child_table for r in resolved} == {"orders_2023", "orders_2024"}
+
+
+def test_merge_hints_override():
+    discovered = [Relationship("orders", "o_custkey", "wrong", "x", 0.7, "N:M", 0.5),
+                  Relationship("x", "y_id", "y", "id", 0.6, "N:1", 0.9)]
+    hints = [Relationship("orders", "o_custkey", "customer", "c_custkey", 1.0, "N:1", 1.0)]
+    merged = merge_hints(discovered, hints)
+    by_child = {(r.child_table, r.child_column): r for r in merged}
+    assert by_child[("orders", "o_custkey")].parent_table == "customer"
+    assert ("x", "y_id") in by_child
+    assert len(merged) == 2
+
+
+def test_group_size_rollup(spark, orders, duck):
+    from data_profiler_spark.operators.grouping import group_size_rollup, group_table
+
+    res = group_table(orders, ["o_orderstatus"])
+    r = group_size_rollup(res.data).collect()[0]
+    want = duck.execute(
+        """WITH g AS (SELECT COUNT(*) AS n FROM orders GROUP BY o_orderstatus)
+           SELECT COUNT(*), MIN(n), MAX(n), SUM(n) FROM g"""
+    ).fetchone()
+    assert (r["n_groups"], r["min_group_size"], r["max_group_size"], r["total_rows"]) == want
+
+
+def test_dataset_rollup(spark, tmp_path):
+    from data_profiler_spark.sources import dataset_rollup
+
+    spark.range(100).selectExpr("id", "id*2 v").write.parquet(str(tmp_path / "a.parquet"))
+    spark.range(50).selectExpr("id", "id*3 v").write.parquet(str(tmp_path / "b.parquet"))
+    roll = dataset_rollup(spark, str(tmp_path))
+    assert roll["n_files"] == 2
+    assert roll["total_rows"] == 150
+    assert roll["total_size_bytes"] > 0
+    assert roll["schema_consistent"] is True

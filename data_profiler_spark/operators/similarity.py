@@ -123,3 +123,90 @@ def lsh_topk(
         .where(F.col("rank") <= k)
         .select("probe_id", "neighbor_id", "cos_sim", "rank")
     )
+
+
+# ---------------------------------------------------------------------------
+# IVF-flat ANN: coarse quantizer cells + nprobe search (the classic
+# inverted-file index, centroids drawn deterministically from the data)
+# ---------------------------------------------------------------------------
+def ivf_index(
+    emb: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_cells: int = 16,
+    seed: int = 42,
+) -> tuple[DataFrame, DataFrame]:
+    """Build (centroids, assignments).
+
+    Centroids are ``n_cells`` data vectors picked in deterministic
+    xxhash64 order (IVF with sampled centroids — no k-means iterations;
+    at 100 TB you'd refine with a few Lloyd rounds over a sample, same
+    plan shape). Assignment = argmax cosine vs broadcast centroids: one
+    scan, no shuffle of the embedding table."""
+    from pyspark.sql import Window as W
+
+    cent = (
+        emb.select(F.col(id_col).alias("cid"), F.col(vec_col).alias("cv"))
+        .orderBy(
+            F.pmod(F.xxhash64(F.col("cid").cast("string"), F.lit(seed)), F.lit(1_000_003)),
+            F.col("cid"),
+        )
+        .limit(n_cells)
+    )
+    a = emb.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v")).crossJoin(
+        F.broadcast(cent)
+    )
+    scored = a.select("id", "cid", cosine(F.col("v"), F.col("cv")).alias("sim"))
+    w = W.partitionBy("id").orderBy(F.desc("sim"), F.asc("cid"))
+    assign = (
+        scored.withColumn("__rn", F.row_number().over(w))
+        .where(F.col("__rn") == 1)
+        .select("id", "cid")
+    )
+    return cent, assign
+
+
+def ivf_topk(
+    emb: DataFrame,
+    probes: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 10,
+    n_cells: int = 16,
+    nprobe: int = 4,
+    seed: int = 42,
+) -> DataFrame:
+    """ANN top-k via IVF: each probe searches only its ``nprobe`` nearest
+    cells' members, then exact cosine re-rank. nprobe == n_cells degrades
+    gracefully to exact brute force (recall 1.0) — the recall/cost knob."""
+    from pyspark.sql import Window as W
+
+    cent, assign = ivf_index(emb, id_col, vec_col, n_cells, seed)
+
+    p = probes.select(F.col(id_col).alias("probe_id"), F.col(vec_col).alias("pv"))
+    pc = p.crossJoin(F.broadcast(cent)).select(
+        "probe_id", "pv", "cid", cosine(F.col("pv"), F.col("cv")).alias("csim")
+    )
+    wp = W.partitionBy("probe_id").orderBy(F.desc("csim"), F.asc("cid"))
+    probe_cells = (
+        pc.withColumn("__rn", F.row_number().over(wp))
+        .where(F.col("__rn") <= nprobe)
+        .select("probe_id", "pv", "cid")
+    )
+
+    members = emb.select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("nv")
+    ).join(assign.withColumnRenamed("id", "neighbor_id"), "neighbor_id")
+
+    cand = members.join(F.broadcast(probe_cells), "cid").where(
+        F.col("probe_id") != F.col("neighbor_id")
+    )
+    scored = cand.select(
+        "probe_id", "neighbor_id", cosine(F.col("pv"), F.col("nv")).alias("cos_sim")
+    )
+    w = W.partitionBy("probe_id").orderBy(F.desc("cos_sim"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("int"))
+        .where(F.col("rank") <= k)
+        .select("probe_id", "neighbor_id", "cos_sim", "rank")
+    )

@@ -842,6 +842,21 @@ def brute_force_topk_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     return brute_force_topk(emb, probes, "vec_id", "embedding", k=10)
 
 
+@register("ivf_topk_embeddings")
+def ivf_topk_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF ANN with full probing (nprobe == n_cells) — exact results, so the
+    brute-force SQL oracle applies. Registered below after the function."""
+    from data_profiler_spark.operators.similarity import ivf_topk
+
+    emb = load(spark, sf_dir, "embeddings")
+    probes = emb.where(F.col("vec_id") < 5)
+    return ivf_topk(emb, probes, k=10, n_cells=8, nprobe=8)
+
+
+# full-probe IVF is exact → same oracle as brute force
+ORACLES["ivf_topk_embeddings"] = ORACLES["brute_force_topk_embeddings"]
+
+
 @register("lsh_topk_embeddings")
 def lsh_topk_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     from data_profiler_spark.operators.similarity import lsh_topk

@@ -54,3 +54,46 @@ def test_lsh_deterministic(embeddings):
     a = sorted(map(tuple, lsh_topk(embeddings, probes, k=5, n_planes=4).collect()))
     b = sorted(map(tuple, lsh_topk(embeddings.repartition(13), probes, k=5, n_planes=4).collect()))
     assert a == b
+
+
+def test_ivf_full_probe_matches_brute_force(spark, embeddings):
+    """nprobe == n_cells → IVF must equal exact brute force."""
+    from pyspark.sql import functions as F
+
+    from data_profiler_spark.operators.similarity import brute_force_topk, ivf_topk
+
+    probes = embeddings.where(F.col("vec_id") < 3)
+    exact = brute_force_topk(embeddings, probes, k=5)
+    ivf = ivf_topk(embeddings, probes, k=5, n_cells=8, nprobe=8)
+    e = {(r["probe_id"], r["neighbor_id"], r["rank"]) for r in exact.collect()}
+    v = {(r["probe_id"], r["neighbor_id"], r["rank"]) for r in ivf.collect()}
+    assert e == v
+
+
+def test_ivf_partial_probe_recall(spark, embeddings):
+    from pyspark.sql import functions as F
+
+    from data_profiler_spark.operators.similarity import brute_force_topk, ivf_topk
+
+    probes = embeddings.where(F.col("vec_id") < 5)
+    exact = brute_force_topk(embeddings, probes, k=10)
+    ivf = ivf_topk(embeddings, probes, k=10, n_cells=8, nprobe=4)
+    e = {(r["probe_id"], r["neighbor_id"]) for r in exact.collect()}
+    v = {(r["probe_id"], r["neighbor_id"]) for r in ivf.collect()}
+    # candidates come only from probed cells → subset semantics + decent recall
+    assert len(v & e) / len(e) > 0.3
+    per_probe = {}
+    for pid, _ in v:
+        per_probe[pid] = per_probe.get(pid, 0) + 1
+    assert all(n <= 10 for n in per_probe.values())
+
+
+def test_ivf_deterministic(spark, embeddings):
+    from pyspark.sql import functions as F
+
+    from data_profiler_spark.operators.similarity import ivf_topk
+
+    probes = embeddings.where(F.col("vec_id") < 2)
+    a = ivf_topk(embeddings, probes, k=5, n_cells=8, nprobe=2).collect()
+    b = ivf_topk(embeddings, probes, k=5, n_cells=8, nprobe=2).collect()
+    assert sorted(map(tuple, a)) == sorted(map(tuple, b))

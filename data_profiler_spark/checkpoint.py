@@ -83,6 +83,7 @@ class CheckpointedValidation:
         content_col: str | None = None,
         key_cols: list[str] | None = None,
         wave_size: int = 32,
+        uniqueness_keys: list[str] | None = None,
     ) -> None:
         self.spark = spark
         self.dir = checkpoint_dir
@@ -92,6 +93,15 @@ class CheckpointedValidation:
         self.content_col = content_col
         self.key_cols = key_cols or []
         self.wave_size = wave_size
+        # Per-bucket uniqueness is exact ONLY when the bucket column is part
+        # of the key (same key → same bucket, so no cross-bucket duplicates
+        # can hide). Enforced here rather than silently mis-counted.
+        if uniqueness_keys and bucket_col not in uniqueness_keys:
+            raise ValueError(
+                f"uniqueness_keys {uniqueness_keys} must contain bucket_col "
+                f"{bucket_col!r} for per-bucket uniqueness to be exact"
+            )
+        self.uniqueness_keys = uniqueness_keys or []
         self.manifest_dir = os.path.join(checkpoint_dir, "manifest")
         self.results_dir = os.path.join(checkpoint_dir, "results")
         os.makedirs(self.manifest_dir, exist_ok=True)
@@ -180,6 +190,23 @@ class CheckpointedValidation:
             .parquet(os.path.join(self.results_dir, "violations"))
         )
 
+        dup_counts: dict[int, int] = {}
+        if self.uniqueness_keys:
+            from data_profiler_spark.operators.constraints import uniqueness_violations
+
+            uniq = uniqueness_violations(wdf, self.uniqueness_keys).withColumn(
+                "bucket", bucket_expr(self.bucket_col, self.n_buckets)
+            )
+            (
+                uniq.repartition(1)
+                .sortWithinPartitions(*self.uniqueness_keys)
+                .write.mode("append")
+                .partitionBy("bucket")
+                .parquet(os.path.join(self.results_dir, "uniqueness"))
+            )
+            for r in uniq.groupBy("bucket").agg(F.count(F.lit(1)).alias("n")).collect():
+                dup_counts[int(r["bucket"])] = int(r["n"])
+
         # per-bucket metrics for the manifest (small: buckets × checks)
         vrows = verdicts.collect()
         per_bucket: dict[int, dict] = {}
@@ -203,6 +230,7 @@ class CheckpointedValidation:
                     "bucket": int(b),
                     "status": "committed",
                     "row_count": info["row_count"],
+                    "duplicate_keys": dup_counts.get(int(b), 0),
                     "checks": info["checks"],
                     "input_files": lineage.get(int(b), {}).get("files", []),
                     "sketch_versions": SKETCH_VERSIONS,
@@ -237,6 +265,13 @@ class CheckpointedValidation:
         return self._read_results(
             "violations",
             f"partition int, check string, {keys}content_sha256 string, bucket int",
+        )
+
+    def uniqueness(self) -> DataFrame:
+        keys = ", ".join(f"`{k}` string" for k in self.uniqueness_keys)
+        keys = f"{keys}, " if keys else ""
+        return self._read_results(
+            "uniqueness", f"{keys}dup_cnt long, bucket int"
         )
 
     def summary(self) -> dict:

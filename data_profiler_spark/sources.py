@@ -312,3 +312,55 @@ def dataset_rollup(spark: SparkSession, directory: str, **kwargs) -> dict:
         "schema_consistent": res["schema_consistent"],
         "schema_hashes": res["schema_hashes"],
     }
+
+
+def parquet_stats_distributed(spark: SparkSession, paths: list[str]) -> DataFrame:
+    """Row-group column stats for MANY parquet files, footers read ON
+    EXECUTORS (the scale form of :func:`parquet_column_stats` — at 10^6
+    files the driver must never touch each footer; Iceberg metadata tables
+    serve the same role when available). One mapInPandas pass over the file
+    list; values stringified (footer min/max are type-heterogeneous)."""
+    import pandas as pd
+
+    def read_footers(batches):
+        import pyarrow.parquet as pq
+
+        for pdf in batches:
+            rows = []
+            for path in pdf["path"]:
+                try:
+                    md = pq.ParquetFile(path).metadata
+                except Exception as e:  # unreadable file → one error row
+                    rows.append({"path": path, "row_group": -1, "column": "",
+                                 "num_values": 0, "min": None, "max": None,
+                                 "null_count": None, "error": str(e)[:200]})
+                    continue
+                for rg in range(md.num_row_groups):
+                    g = md.row_group(rg)
+                    for ci in range(g.num_columns):
+                        col = g.column(ci)
+                        st = col.statistics
+                        rows.append({
+                            "path": path,
+                            "row_group": rg,
+                            "column": col.path_in_schema,
+                            "num_values": col.num_values,
+                            "min": str(st.min) if st and st.has_min_max else None,
+                            "max": str(st.max) if st and st.has_min_max else None,
+                            "null_count": st.null_count if st else None,
+                            "error": None,
+                        })
+            yield pd.DataFrame(
+                rows,
+                columns=["path", "row_group", "column", "num_values", "min",
+                         "max", "null_count", "error"],
+            )
+
+    files = spark.createDataFrame([(p,) for p in paths], "path string").repartition(
+        min(len(paths), 64)
+    )
+    return files.mapInPandas(
+        read_footers,
+        "path string, row_group int, column string, num_values long, "
+        "min string, max string, null_count long, error string",
+    )

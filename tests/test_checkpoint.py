@@ -141,3 +141,34 @@ def test_verdicts_match_direct_suite(spark, tmp_path, code_files):
         for r in direct_v.collect()
     }
     assert got == want
+
+
+def test_per_bucket_uniqueness(spark, tmp_path, code_files):
+    from data_profiler_spark.operators.constraints import uniqueness_violations
+
+    cv = CheckpointedValidation(
+        spark, str(tmp_path / "u"), _suite(), "repo", n_buckets=N_BUCKETS,
+        content_col="content", key_cols=["repo", "path", "commit"],
+        uniqueness_keys=["repo", "path", "commit"],
+    )
+    cv.run(code_files)
+    got = {
+        (r["repo"], r["path"], r["commit"]): r["dup_cnt"]
+        for r in cv.uniqueness().collect()
+    }
+    want = {
+        (r["repo"], r["path"], r["commit"]): r["dup_cnt"]
+        for r in uniqueness_violations(code_files, ["repo", "path", "commit"]).collect()
+    }
+    assert got == want and len(got) > 0
+    with open(cv._manifest_path(0)) as f:
+        m = json.load(f)
+    assert "duplicate_keys" in m
+
+
+def test_uniqueness_keys_must_contain_bucket_col(spark, tmp_path):
+    with pytest.raises(ValueError, match="bucket_col"):
+        CheckpointedValidation(
+            spark, str(tmp_path / "x"), _suite(), "repo",
+            uniqueness_keys=["path", "commit"],
+        )

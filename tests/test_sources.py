@@ -113,3 +113,20 @@ def test_profile_directory(spark, tmp_path):
     assert drift_c["type_changed"]
     prof = {r["column"]: r for r in res["profiles"][res["files"][0]].collect()}
     assert prof["id"]["count"] == 10
+
+
+def test_parquet_stats_distributed(spark, tmp_path):
+    from data_profiler_spark import sources
+
+    p1 = str(tmp_path / "x.parquet")
+    spark.range(100).selectExpr("id", "id * 2 as v").coalesce(1).write.parquet(p1)
+    import glob as g
+
+    part_files = g.glob(f"{p1}/*.parquet")
+    stats = sources.parquet_stats_distributed(spark, part_files).collect()
+    byc = {r["column"]: r for r in stats}
+    assert byc["id"]["min"] == "0" and byc["id"]["max"] == "99"
+    assert byc["v"]["null_count"] == 0
+    # unreadable path → error row, job survives
+    bad = sources.parquet_stats_distributed(spark, ["/nonexistent.parquet"]).collect()
+    assert bad[0]["error"] is not None

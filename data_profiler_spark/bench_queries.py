@@ -111,6 +111,44 @@ def q_histogram(spark: SparkSession, sf_dir: str, code_files: str):
     return grouped_histogram(df, "lang", "clen", bins=20).collect()
 
 
+def q_text_profile(spark: SparkSession, sf_dir: str, code_files: str):
+    """Language-ID + quality + token counts + fingerprint over the full
+    code_files corpus (one JVM-side select, no shuffle)."""
+    from data_profiler_spark.operators.text import text_profile
+
+    df = spark.read.parquet(code_files).select(
+        F.xxhash64("repo", "path", "commit").alias("doc_id"),
+        F.col("content").alias("text"),
+    )
+    _force(text_profile(df, "doc_id", "text"))
+
+
+def q_simhash_dedup(spark: SparkSession, sf_dir: str, code_files: str):
+    from data_profiler_spark.operators.dedup import simhash_near_duplicates
+
+    df = spark.read.parquet(code_files).select(
+        F.xxhash64("repo", "path", "commit").alias("doc_id"),
+        F.col("content").alias("text"),
+    )
+    _force(simhash_near_duplicates(df, "doc_id", "text", max_hamming=3))
+
+
+def q_minhash_dedup(spark: SparkSession, sf_dir: str, code_files: str):
+    """MinHash+LSH near-dup on a deterministic ~10% slice (the full corpus
+    pass is the scale target; the slice keeps the per-round bench bounded)."""
+    from data_profiler_spark.operators.dedup import minhash_near_duplicates
+
+    df = (
+        spark.read.parquet(code_files)
+        .select(
+            F.xxhash64("repo", "path", "commit").alias("doc_id"),
+            F.col("content").alias("text"),
+        )
+        .where(F.pmod(F.col("doc_id"), F.lit(10)) == 0)
+    )
+    _force(minhash_near_duplicates(df, "doc_id", "text", k=3, threshold=0.5))
+
+
 BENCH_QUERIES = {
     "profile_lineitem": q_profile_lineitem,
     "group_stats": q_group_stats,
@@ -118,4 +156,7 @@ BENCH_QUERIES = {
     "constraint_suite": q_constraint_suite,
     "referential": q_referential,
     "grouped_histogram": q_histogram,
+    "text_profile": q_text_profile,
+    "simhash_dedup": q_simhash_dedup,
+    "minhash_dedup_10pct": q_minhash_dedup,
 }

@@ -102,23 +102,47 @@ def jaccard_pairs(
 # ---------------------------------------------------------------------------
 # MinHash + LSH (the 100 TB near-dup path)
 # ---------------------------------------------------------------------------
+def _shingle_array(text_col: str, k: int):
+    """Distinct k-word shingle ARRAY per row (no explode)."""
+    toks = F.split(F.trim(F.col(text_col)), "\\s+")
+    n = F.size(toks)
+    idx = F.when(n >= k, F.sequence(F.lit(1), n - F.lit(k - 1))).otherwise(
+        F.array().cast("array<int>")
+    )
+    return F.array_distinct(
+        F.transform(
+            idx,
+            lambda i: F.concat_ws(" ", *[F.element_at(toks, i + F.lit(j)) for j in range(k)]),
+        )
+    )
+
+
 def minhash_signatures(
     df: DataFrame, id_col: str, text_col: str, k: int = 3, num_hashes: int = 64, seed: int = 42
 ) -> DataFrame:
     """(id, sig: array<bigint>[num_hashes]) — slot i = min over shingles of
-    xxhash64(seed, i, shingle). One explode + one groupBy(id); no Python."""
-    sh = word_shingles(df, id_col, text_col, k)
-    slots = F.transform(
-        F.sequence(F.lit(0), F.lit(num_hashes - 1)),
-        lambda i: F.xxhash64(F.lit(seed), i, F.col("shingle")),
+    xxhash64(seed, i, shingle).
+
+    Computed per ROW over the shingle array (array_min of a transform) —
+    zero shuffles and zero row explosion. The previous explode+groupBy
+    formulation shuffled |docs|x|shingles|x|slots| rows (billions at 600k
+    docs); this one scans once and emits one row per doc."""
+    # Hash each shingle STRING once (the expensive hash), then derive the
+    # num_hashes independent slot hashes from that 64-bit value with cheap
+    # long-input xxhash64 calls inside plain min() aggregates. Map-side
+    # combine collapses each partition to one row per doc, so the shuffle
+    # carries |docs| rows — the naive slotxshingle explode shuffles
+    # |docs|x|shingles|x|slots| (billions at 600k docs), and a nested
+    # higher-order-function formulation drops out of codegen entirely.
+    sh = (
+        df.select(F.col(id_col).alias("id"), F.explode(_shingle_array(text_col, k)).alias("s"))
+        .select("id", F.xxhash64(F.lit(seed), F.col("s")).alias("h"))
     )
-    per_slot = sh.select("id", F.posexplode(slots).alias("slot", "h"))
+    aggs = [F.min(F.xxhash64(F.lit(i), F.col("h"))).alias(f"m{i}") for i in range(num_hashes)]
     return (
-        per_slot.groupBy("id", "slot")
-        .agg(F.min("h").alias("mh"))
-        .groupBy("id")
-        .agg(F.array_sort(F.collect_list(F.struct("slot", "mh"))).alias("s"))
-        .select("id", F.col("s.mh").alias("sig"))
+        sh.groupBy("id")
+        .agg(*aggs)
+        .select("id", F.array(*[F.col(f"m{i}") for i in range(num_hashes)]).alias("sig"))
     )
 
 
@@ -174,7 +198,11 @@ def minhash_near_duplicates(
 
     sh = word_shingles(df, id_col, text_col, k).cache()
     sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("n_sh"))
-    a, b = sh.alias("a"), sh.alias("b")
+    # merge hints: Catalyst size estimates for the post-cache shingle table
+    # run far under reality (60M rows at 600k docs) and it will try to
+    # BROADCAST it — driver OOM. Shuffled joins keyed by doc id are the
+    # correct physical plan here at any scale.
+    a, b = sh.hint("merge").alias("a"), sh.hint("merge").alias("b")
     inter = (
         cand.join(a, cand.id_a == F.col("a.id"))
         .join(b, (cand.id_b == F.col("b.id")) & (F.col("a.shingle") == F.col("b.shingle")))
@@ -196,24 +224,31 @@ def minhash_near_duplicates(
 def simhash64(df: DataFrame, id_col: str, text_col: str, seed: int = 42) -> DataFrame:
     """64-bit SimHash per doc: explode tokens → token hash → per-bit ±1 sums
     → sign bits. One shuffle keyed by doc id."""
-    toks = df.select(
-        F.col(id_col).alias("id"),
-        F.explode(F.split(F.trim(F.col(text_col)), "\\s+")).alias("tok"),
-    ).withColumn("h", F.xxhash64(F.lit(seed), F.col("tok")))
-    bit_sums = toks.groupBy("id").agg(
-        *[
-            F.sum(
-                F.when(F.shiftright(F.col("h"), i).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
-            ).alias(f"b{i}")
-            for i in range(64)
-        ]
+    # Per-row: hash every token once, then for each bit sum the set bits
+    # with one aggregate() fold. sum(+-1) == 2*popcount_i - n, so the sign
+    # test is 2*S_i > n. No explode, no shuffle (the groupBy formulation
+    # shuffled |docs|x|tokens| rows).
+    hashes = F.transform(
+        F.split(F.trim(F.col(text_col)), "\\s+"),
+        lambda t: F.xxhash64(F.lit(seed), t),
+    )
+    base = df.select(
+        F.col(id_col).alias("id"), hashes.alias("__h"), F.size(hashes).alias("__n")
     )
     fp = None
     for i in range(64):
-        bit = F.when(F.col(f"b{i}") > 0, F.lit(1).cast("long")).otherwise(F.lit(0).cast("long"))
-        term = bit * F.lit(1 << i).cast("long") if i < 63 else F.when(F.col("b63") > 0, F.lit(-(1 << 63)).cast("long")).otherwise(F.lit(0).cast("long"))
+        s_i = F.aggregate(
+            F.col("__h"),
+            F.lit(0).cast("long"),
+            lambda acc, h: acc + F.shiftright(h, i).bitwiseAND(F.lit(1)),
+        )
+        bit = (s_i * 2) > F.col("__n")
+        if i < 63:
+            term = F.when(bit, F.lit(1 << i).cast("long")).otherwise(F.lit(0).cast("long"))
+        else:
+            term = F.when(bit, F.lit(-(1 << 63)).cast("long")).otherwise(F.lit(0).cast("long"))
         fp = term if fp is None else fp + term
-    return bit_sums.select("id", fp.alias("simhash"))
+    return base.select("id", fp.alias("simhash"))
 
 
 def simhash_near_duplicates(df: DataFrame, id_col: str, text_col: str, max_hamming: int = 3, seed: int = 42) -> DataFrame:

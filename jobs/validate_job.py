@@ -1,0 +1,84 @@
+#!/usr/bin/env python
+"""Cluster entrypoint: checkpointed constraint validation via spark-submit.
+
+Deploy (north rule: spark-submit --py-files on a multi-executor cluster):
+
+    bash tools/package.sh          # builds dist/data_profiler_spark.zip
+    spark-submit \
+        --master <cluster-master> \
+        --py-files dist/data_profiler_spark.zip \
+        jobs/validate_job.py \
+        --input  <parquet-or-iceberg-table> \
+        --suite  suite.json \
+        --checkpoint-dir hdfs://.../ckpt \
+        --bucket-col repo --n-buckets 1024
+
+Resumable: re-submitting after a kill skips committed buckets (the
+checkpoint manifest is the source of truth). The SparkSession comes from
+spark-submit's conf — no master is forced here.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--input", required=True)
+    ap.add_argument("--suite", required=True, help="JSON suite spec (see cli.py validate)")
+    ap.add_argument("--checkpoint-dir", required=True)
+    ap.add_argument("--bucket-col", required=True)
+    ap.add_argument("--n-buckets", type=int, default=256)
+    ap.add_argument("--wave-size", type=int, default=64)
+    ap.add_argument("--content-col")
+    ap.add_argument("--key-cols", default="")
+    ap.add_argument("--uniqueness-keys", default="")
+    ap.add_argument("--no-resume", action="store_true")
+    args = ap.parse_args()
+
+    from pyspark.sql import SparkSession
+
+    from data_profiler_spark.checkpoint import CheckpointedValidation
+    from data_profiler_spark.operators.constraints import (
+        CheckSuite,
+        MembershipCheck,
+        NullRateCheck,
+        RangeCheck,
+        RegexCheck,
+    )
+
+    spark = SparkSession.builder.appName("data-profiler-validate").getOrCreate()
+
+    with open(args.suite) as fh:
+        spec = json.load(fh)
+    mk = {
+        "null_rate": lambda s: NullRateCheck(s["column"], s.get("max_null_ratio", 0.0)),
+        "range": lambda s: RangeCheck(s["column"], s.get("min"), s.get("max")),
+        "regex": lambda s: RegexCheck(s["column"], s["pattern"]),
+        "membership": lambda s: MembershipCheck(s["column"], tuple(s["allowed"])),
+    }
+    suite = CheckSuite(
+        row_checks=[mk[s["type"]](s) for s in spec.get("checks", []) if s["type"] in mk]
+    )
+
+    df = spark.read.parquet(args.input)
+    cv = CheckpointedValidation(
+        spark,
+        args.checkpoint_dir,
+        suite,
+        bucket_col=args.bucket_col,
+        n_buckets=args.n_buckets,
+        wave_size=args.wave_size,
+        content_col=args.content_col or spec.get("content_col"),
+        key_cols=[c for c in args.key_cols.split(",") if c] or spec.get("key_cols", []),
+        uniqueness_keys=[c for c in args.uniqueness_keys.split(",") if c],
+    )
+    res = cv.run(df, resume=not args.no_resume)
+    print(json.dumps({**res, **cv.summary()}, sort_keys=True))
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

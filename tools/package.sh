@@ -1,0 +1,20 @@
+#!/usr/bin/env bash
+# Build the --py-files artifact for spark-submit deployment.
+set -euo pipefail
+cd "$(dirname "$0")/.."
+mkdir -p dist
+rm -f dist/data_profiler_spark.zip
+python - <<'EOF'
+import os
+import zipfile
+
+with zipfile.ZipFile("dist/data_profiler_spark.zip", "w", zipfile.ZIP_DEFLATED) as z:
+    for root, _, files in os.walk("data_profiler_spark"):
+        if "__pycache__" in root:
+            continue
+        for f in files:
+            if f.endswith(".py"):
+                p = os.path.join(root, f)
+                z.write(p, p)
+print("wrote dist/data_profiler_spark.zip")
+EOF

@@ -147,7 +147,8 @@ def minhash_signatures(
 
 
 def lsh_candidate_pairs(
-    signatures: DataFrame, bands: int = 16, rows_per_band: int = 4
+    signatures: DataFrame, bands: int = 16, rows_per_band: int = 4,
+    max_bucket: int | None = 1024,
 ) -> DataFrame:
     """Band the signature; docs sharing any band bucket become candidates.
     One shuffle keyed by (band, hash-of-band-slice) — the only all-to-all
@@ -165,6 +166,15 @@ def lsh_candidate_pairs(
     buckets = sig.select("id", F.explode(band_structs).alias("bb")).select(
         "id", F.col("bb.band").alias("band"), F.col("bb.bh").alias("bh")
     )
+    if max_bucket is not None:
+        from pyspark.sql import Window as W
+
+        wcnt = W.partitionBy("band", "bh")
+        buckets = (
+            buckets.withColumn("__bs", F.count(F.lit(1)).over(wcnt))
+            .where(F.col("__bs") <= max_bucket)
+            .drop("__bs")
+        )
     a, b = buckets.alias("a"), buckets.alias("b")
     return (
         a.join(
@@ -249,10 +259,24 @@ def simhash64(df: DataFrame, id_col: str, text_col: str, seed: int = 42) -> Data
     return bits.select("id", fp.alias("simhash"))
 
 
-def simhash_near_duplicates(df: DataFrame, id_col: str, text_col: str, max_hamming: int = 3, seed: int = 42) -> DataFrame:
+def simhash_near_duplicates(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    max_hamming: int = 3,
+    seed: int = 42,
+    max_bucket: int = 256,
+) -> DataFrame:
     """Pairs with hamming(simhash) <= max_hamming, blocked on 16-bit prefix
     chunks (a pair within distance d shares at least one of 4 chunks when
-    d <= 3) — avoids all-pairs at scale."""
+    d <= 3) — avoids all-pairs at scale.
+
+    ``max_bucket`` drops blocking buckets larger than the cap BEFORE the
+    self-join: with low-entropy corpora (near-identical boilerplate, tiny
+    vocab) chunk values collide en masse and an uncapped bucket of B docs
+    costs B^2 comparisons while containing almost no real near-dups. The
+    cap is the standard production guard; capped buckets are recoverable
+    via the other 3 chunks of each doc."""
     sh = simhash64(df, id_col, text_col, seed)
     chunks = F.array(
         *[
@@ -263,6 +287,15 @@ def simhash_near_duplicates(df: DataFrame, id_col: str, text_col: str, max_hammi
     blocked = sh.select("id", "simhash", F.explode(chunks).alias("cc")).select(
         "id", "simhash", F.col("cc.chunk").alias("chunk"), F.col("cc.cv").alias("cv")
     )
+    if max_bucket is not None:
+        from pyspark.sql import Window as W
+
+        wcnt = W.partitionBy("chunk", "cv")
+        blocked = (
+            blocked.withColumn("__bs", F.count(F.lit(1)).over(wcnt))
+            .where(F.col("__bs") <= max_bucket)
+            .drop("__bs")
+        )
     a, b = blocked.alias("a"), blocked.alias("b")
     ham = F.bit_count(F.col("a.simhash").bitwiseXOR(F.col("b.simhash")))
     return (

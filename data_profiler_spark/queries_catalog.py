@@ -590,6 +590,25 @@ def discovered_relationships(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# A11: group-size rollup — ref grouping/stats.py:318-347
+# ---------------------------------------------------------------------------
+@register(
+    "group_size_rollup_suppkey",
+    """WITH g AS (SELECT COUNT(*) AS n FROM lineitem GROUP BY l_suppkey)
+       SELECT COUNT(*) AS n_groups, MIN(n) AS min_group_size, MAX(n) AS max_group_size,
+              CAST(SUM(CAST(n AS DECIMAL(28,8))) AS DOUBLE) / COUNT(*) AS avg_group_size,
+              CAST(SUM(n) AS BIGINT) AS total_rows
+       FROM g""",
+)
+def group_size_rollup_suppkey(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from data_profiler_spark.operators.grouping import group_size_rollup, group_table
+
+    li = load(spark, sf_dir, "lineitem")
+    res = group_table(li.select("l_suppkey"), ["l_suppkey"], level="count")
+    return group_size_rollup(res.data)
+
+
+# ---------------------------------------------------------------------------
 # W4 at scale: gap detection partitioned per entity (SURVEY §7.4: the global
 # sort becomes per-user windows → no single-partition bottleneck)
 # ---------------------------------------------------------------------------

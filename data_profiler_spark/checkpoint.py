@@ -52,13 +52,109 @@ def bucket_expr(bucket_col: str, n_buckets: int):
     return F.pmod(F.xxhash64(F.col(bucket_col)), F.lit(n_buckets)).cast("int")
 
 
-def _atomic_write_json(path: str, payload: dict) -> None:
-    tmp = f"{path}.tmp.{uuid.uuid4().hex[:8]}"
-    with open(tmp, "w") as f:
-        json.dump(payload, f, sort_keys=True)
-        f.flush()
-        os.fsync(f.fileno())
-    os.rename(tmp, path)  # atomic on POSIX
+class _PosixFS:
+    """Driver-local manifest store (no-scheme / file:// checkpoint dirs)."""
+
+    def makedirs(self, path: str) -> None:
+        os.makedirs(path, exist_ok=True)
+
+    def listdir(self, path: str) -> list[str]:
+        return os.listdir(path) if os.path.isdir(path) else []
+
+    def read_text(self, path: str) -> str:
+        with open(path) as f:
+            return f.read()
+
+    def atomic_write_text(self, path: str, data: str) -> None:
+        tmp = f"{path}.tmp.{uuid.uuid4().hex[:8]}"
+        with open(tmp, "w") as f:
+            f.write(data)
+            f.flush()
+            os.fsync(f.fileno())
+        os.rename(tmp, path)  # atomic on POSIX
+
+    def remove(self, path: str) -> None:
+        if os.path.exists(path):
+            os.remove(path)
+
+    def delete_dir(self, path: str) -> None:
+        import shutil
+
+        shutil.rmtree(path, ignore_errors=True)
+
+
+class _HadoopFS:
+    """Manifest store on a Hadoop-visible filesystem (hdfs://, s3a://, ...).
+
+    Routes every manifest read/write through
+    ``org.apache.hadoop.fs.FileSystem`` so checkpoints survive driver
+    restarts on a real cluster (jobs/validate_job.py advertises
+    ``--checkpoint-dir hdfs://...``). HDFS rename is atomic within a
+    directory, matching the POSIX commit protocol.
+    """
+
+    def __init__(self, spark: SparkSession, any_path: str) -> None:
+        self._jvm = spark._jvm
+        self._conf = spark._jsc.hadoopConfiguration()
+        self._fs = self._jpath(any_path).getFileSystem(self._conf)
+
+    def _jpath(self, path: str):
+        return self._jvm.org.apache.hadoop.fs.Path(path)
+
+    def makedirs(self, path: str) -> None:
+        self._fs.mkdirs(self._jpath(path))
+
+    def listdir(self, path: str) -> list[str]:
+        p = self._jpath(path)
+        if not self._fs.exists(p):
+            return []
+        return [s.getPath().getName() for s in self._fs.listStatus(p)]
+
+    def read_text(self, path: str) -> str:
+        stream = self._fs.open(self._jpath(path))
+        try:
+            reader = self._jvm.java.io.BufferedReader(
+                self._jvm.java.io.InputStreamReader(stream, "UTF-8")
+            )
+            lines = []
+            line = reader.readLine()
+            while line is not None:
+                lines.append(line)
+                line = reader.readLine()
+            return "\n".join(lines)
+        finally:
+            stream.close()
+
+    def atomic_write_text(self, path: str, data: str) -> None:
+        tmp = self._jpath(f"{path}.tmp.{uuid.uuid4().hex[:8]}")
+        dst = self._jpath(path)
+        out = self._fs.create(tmp, True)
+        try:
+            out.write(bytearray(data.encode("utf-8")))
+        finally:
+            out.close()
+        if self._fs.exists(dst):  # HDFS rename won't overwrite
+            self._fs.delete(dst, False)
+        self._fs.rename(tmp, dst)
+
+    def remove(self, path: str) -> None:
+        p = self._jpath(path)
+        if self._fs.exists(p):
+            self._fs.delete(p, False)
+
+    def delete_dir(self, path: str) -> None:
+        p = self._jpath(path)
+        if self._fs.exists(p):
+            self._fs.delete(p, True)
+
+
+def _manifest_fs(spark: SparkSession, checkpoint_dir: str):
+    """Pick the manifest store by URI scheme; local paths stay pure-POSIX
+    (no py4j round-trips), remote schemes go through Hadoop FileSystem."""
+    scheme = checkpoint_dir.split("://", 1)[0] if "://" in checkpoint_dir else ""
+    if scheme == "":
+        return _PosixFS()
+    return _HadoopFS(spark, checkpoint_dir)
 
 
 class CheckpointedValidation:
@@ -102,14 +198,15 @@ class CheckpointedValidation:
                 f"{bucket_col!r} for per-bucket uniqueness to be exact"
             )
         self.uniqueness_keys = uniqueness_keys or []
-        self.manifest_dir = os.path.join(checkpoint_dir, "manifest")
-        self.results_dir = os.path.join(checkpoint_dir, "results")
-        os.makedirs(self.manifest_dir, exist_ok=True)
+        self.manifest_dir = checkpoint_dir.rstrip("/") + "/manifest"
+        self.results_dir = checkpoint_dir.rstrip("/") + "/results"
+        self._fs = _manifest_fs(spark, checkpoint_dir)
+        self._fs.makedirs(self.manifest_dir)
 
     # -- manifest ----------------------------------------------------------
     def committed_buckets(self) -> set[int]:
         out = set()
-        for name in os.listdir(self.manifest_dir):
+        for name in self._fs.listdir(self.manifest_dir):
             if name.startswith("bucket_") and name.endswith(".json"):
                 out.add(int(name[len("bucket_") : -len(".json")]))
         return out
@@ -119,17 +216,25 @@ class CheckpointedValidation:
         return [b for b in range(self.n_buckets) if b not in done]
 
     def _manifest_path(self, bucket: int) -> str:
-        return os.path.join(self.manifest_dir, f"bucket_{bucket}.json")
+        return f"{self.manifest_dir}/bucket_{bucket}.json"
 
     # -- execution ---------------------------------------------------------
     def run(self, df: DataFrame, resume: bool = True) -> dict:
         """Validate ``df``; returns a summary dict. Committed buckets are
         skipped when ``resume`` (the default). Results land under
         ``<checkpoint_dir>/results/{verdicts,violations}/bucket=<i>/``.
+
+        Result writes are idempotent per bucket (dynamic partition
+        overwrite): a kill between a wave's parquet commit and its manifest
+        commit re-runs the wave and REPLACES those bucket partitions rather
+        than appending duplicates.
         """
         if not resume:
             for b in self.committed_buckets():
-                os.remove(self._manifest_path(b))
+                self._fs.remove(self._manifest_path(b))
+            # manifests and results must be cleared together or a fresh run
+            # appends over stale bucket partitions
+            self._fs.delete_dir(self.results_dir)
         pending = self.pending_buckets()
         skipped = self.n_buckets - len(pending)
         waves = [
@@ -150,6 +255,12 @@ class CheckpointedValidation:
 
     def _run_wave(self, bdf: DataFrame, wave: list[int]) -> int:
         t0 = time.perf_counter()
+        # Idempotency: a bucket in this wave has no manifest, so any parquet
+        # under results/*/bucket=<b> is an orphan from a killed run — drop it
+        # before re-appending or readback would double-count its rows.
+        for name in ("verdicts", "violations", "uniqueness"):
+            for b in wave:
+                self._fs.delete_dir(f"{self.results_dir}/{name}/bucket={int(b)}")
         wdf = bdf.where(F.col(_BUCKET).isin([int(b) for b in wave]))
 
         # lineage: which input files feed each bucket (one cheap agg on the
@@ -179,7 +290,7 @@ class CheckpointedValidation:
             .withColumn("bucket", F.col("partition"))
             .write.mode("append")
             .partitionBy("bucket")
-            .parquet(os.path.join(self.results_dir, "verdicts"))
+            .parquet(f"{self.results_dir}/verdicts")
         )
         (
             violations.repartition(1)
@@ -187,7 +298,7 @@ class CheckpointedValidation:
             .withColumn("bucket", F.col("partition"))
             .write.mode("append")
             .partitionBy("bucket")
-            .parquet(os.path.join(self.results_dir, "violations"))
+            .parquet(f"{self.results_dir}/violations")
         )
 
         dup_counts: dict[int, int] = {}
@@ -202,7 +313,7 @@ class CheckpointedValidation:
                 .sortWithinPartitions(*self.uniqueness_keys)
                 .write.mode("append")
                 .partitionBy("bucket")
-                .parquet(os.path.join(self.results_dir, "uniqueness"))
+                .parquet(f"{self.results_dir}/uniqueness")
             )
             for r in uniq.groupBy("bucket").agg(F.count(F.lit(1)).alias("n")).collect():
                 dup_counts[int(r["bucket"])] = int(r["n"])
@@ -224,7 +335,7 @@ class CheckpointedValidation:
         for b in wave:
             info = per_bucket.get(int(b), {"row_count": 0, "checks": {}})
             total += info["row_count"]
-            _atomic_write_json(
+            self._write_manifest(
                 self._manifest_path(int(b)),
                 {
                     "bucket": int(b),
@@ -241,14 +352,15 @@ class CheckpointedValidation:
             )
         return total
 
+    def _write_manifest(self, path: str, payload: dict) -> None:
+        self._fs.atomic_write_text(path, json.dumps(payload, sort_keys=True))
+
     # -- readback ----------------------------------------------------------
     def _read_results(self, name: str, empty_schema: str) -> DataFrame:
-        path = os.path.join(self.results_dir, name)
+        path = f"{self.results_dir}/{name}"
         # partitionBy writes nothing for a 0-row frame → empty dir on a
         # fully-clean input; surface that as an empty typed DataFrame
-        if not os.path.isdir(path) or not any(
-            e.startswith("bucket=") for e in os.listdir(path)
-        ):
+        if not any(e.startswith("bucket=") for e in self._fs.listdir(path)):
             return self.spark.createDataFrame([], empty_schema)
         return self.spark.read.parquet(path)
 
@@ -278,8 +390,7 @@ class CheckpointedValidation:
         """Aggregate the manifest log (driver-side; n_buckets records)."""
         out = {"buckets": 0, "rows": 0, "failed_checks": 0}
         for b in self.committed_buckets():
-            with open(self._manifest_path(b)) as f:
-                m = json.load(f)
+            m = json.loads(self._fs.read_text(self._manifest_path(b)))
             out["buckets"] += 1
             out["rows"] += m["row_count"]
             out["failed_checks"] += sum(1 for c in m["checks"].values() if not c["pass"])

@@ -147,7 +147,31 @@ def group_table(
                 f"estimated {est} groups is within {1 - WARN_FRACTION:.0%} of max_groups={max_groups}"
             )
 
+    limit_groups = (
+        max_groups is not None and on_exceed == "limit"
+        and est is not None and est > max_groups
+    )
+
     if level == "full":
+        if limit_groups:
+            # 'limit' must keep max_groups GROUPS. Limiting the long
+            # per-(group,column) profile frame would keep max_groups ROWS —
+            # a fraction of the groups, possibly truncating one mid-column.
+            # So: pick the top-N key tuples by count, semi-join, profile.
+            top_keys = (
+                df.groupBy(*[_c(c) for c in by])
+                .agg(F.count(F.lit(1)).alias(COUNT_COL))
+                .orderBy(F.desc(COUNT_COL), *[_c(c).asc_nulls_last() for c in by])
+                .limit(max_groups)
+                .select(*[_c(c).alias(f"__k_{c}") for c in by])
+            )
+            # null-safe equality: null-key groups are real groups here
+            cond = None
+            for c in by:
+                eq = _c(c).eqNullSafe(F.col(f"__k_{c}"))
+                cond = eq if cond is None else cond & eq
+            df = df.join(F.broadcast(top_keys), cond, "left_semi")
+            warnings.append(f"kept top {max_groups} groups of estimated {est}")
         data = full_group_profiles(df, by)
         # deterministic order for the long profile frame
         data = data.orderBy(*[_c(c) for c in by], "column")
@@ -167,7 +191,7 @@ def group_table(
             data = df.groupBy(*[_c(c) for c in by]).agg(*aggs)
         data = data.orderBy(F.desc(COUNT_COL), *[_c(c).asc_nulls_last() for c in by])
 
-    if max_groups is not None and on_exceed == "limit" and est is not None and est > max_groups:
+    if limit_groups and level != "full":
         data = data.limit(max_groups)  # protection.py:218-234 LIMIT action
         warnings.append(f"kept top {max_groups} groups of estimated {est}")
 

@@ -339,8 +339,8 @@ def string_stats_customer_name(spark: SparkSession, sf_dir: str) -> DataFrame:
     ln = F.length("c_name")
     return c.agg(
         F.count("c_name").alias("n"),
-        F.min(ln).cast("int").alias("min_len"),
-        F.max(ln).cast("int").alias("max_len"),
+        F.min(ln).cast("long").alias("min_len"),
+        F.max(ln).cast("long").alias("max_len"),
         (F.sum(ln.cast("decimal(28,8)")).cast("double") / F.count("c_name")).alias("avg_len"),
         F.sum((F.col("c_name") == "").cast("long")).alias("empty_count"),
         F.min("c_name").alias("min_val"),

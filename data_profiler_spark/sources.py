@@ -166,19 +166,42 @@ def _reinfer_string_columns(df: DataFrame, infer_rows: int = 10_000) -> DataFram
             F.count(col.try_cast("double")).alias(f"{c}__double"),
         ]
     row = df.limit(infer_rows).agg(*aggs).collect()[0]
-    casts = {}
+    candidates = []
     for c in str_cols:
         n = row[f"{c}__n"]
+        if n > 0 and (row[f"{c}__long"] == n or row[f"{c}__double"] == n):
+            candidates.append(c)
+    if not candidates:
+        return df
+    # The head only NOMINATES candidates; commit a cast only after the FULL
+    # column verifies (count == count(try_cast)). Otherwise a stray 'abc' at
+    # row 50k would be silently nulled by the blind cast (ANSI off) — data
+    # corruption the reference (which keeps the column as string) never has.
+    full_aggs = []
+    for c in candidates:
+        col = F.col(c)
+        full_aggs += [
+            F.count(col).alias(f"{c}__n"),
+            F.count(col.try_cast("bigint")).alias(f"{c}__long"),
+            F.count(col.try_cast("double")).alias(f"{c}__double"),
+        ]
+    full = df.agg(*full_aggs).collect()[0]
+    casts = {}
+    for c in candidates:
+        n = full[f"{c}__n"]
         if n == 0:
             continue
-        if row[f"{c}__long"] == n:
+        if full[f"{c}__long"] == n:
             casts[c] = "bigint"
-        elif row[f"{c}__double"] == n:
+        elif full[f"{c}__double"] == n:
             casts[c] = "double"
     if not casts:
         return df
     return df.select(
-        *[F.col(c).cast(casts[c]).alias(c) if c in casts else F.col(c) for c in df.columns]
+        *[
+            F.col(c).try_cast(casts[c]).alias(c) if c in casts else F.col(c)
+            for c in df.columns
+        ]
     )
 
 

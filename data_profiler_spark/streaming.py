@@ -42,8 +42,11 @@ def windowed_profile(
     for c in cols:
         aggs += [
             F.count(F.col(c)).alias(f"{c}__n"),
-            F.min(F.col(c).cast("string")).alias(f"{c}__min"),
-            F.max(F.col(c).cast("string")).alias(f"{c}__max"),
+            # min/max on the NATIVE type, stringified after aggregation —
+            # casting before the agg would give lexicographic extremes
+            # (min('10') < min('9')) on numeric/timestamp columns
+            F.min(F.col(c)).cast("string").alias(f"{c}__min"),
+            F.max(F.col(c)).cast("string").alias(f"{c}__max"),
         ]
     wide = s.groupBy(F.window(F.col(ts_col), window).alias("w")).agg(*aggs)
     structs = [

@@ -75,7 +75,10 @@ def test_full_run_commits_all_buckets(spark, tmp_path, code_files):
 def test_resume_skips_committed(spark, tmp_path, code_files):
     cv = _mk(spark, tmp_path, wave_size=3)
     cv.run(code_files)
-    # simulate a kill that lost 2 buckets: drop their manifests
+    verdicts_before = cv.verdicts().count()
+    violations_before = cv.violations().count()
+    # simulate a kill between the wave's parquet commit and its manifest
+    # commit: results for buckets 2/5 exist on disk but no manifest
     os.remove(cv._manifest_path(2))
     os.remove(cv._manifest_path(5))
     assert sorted(cv.pending_buckets()) == [2, 5]
@@ -83,10 +86,27 @@ def test_resume_skips_committed(spark, tmp_path, code_files):
     assert res["buckets_skipped"] == N_BUCKETS - 2
     assert res["buckets_run"] == 2
     assert cv.pending_buckets() == []
+    # idempotent per-bucket writes: the re-run REPLACED the orphaned bucket
+    # partitions — readback row counts must not grow
+    assert cv.verdicts().count() == verdicts_before
+    assert cv.violations().count() == violations_before
     # summary aggregates the manifest log
     s = cv.summary()
     assert s["buckets"] == N_BUCKETS
     assert s["rows"] == 4000
+
+
+def test_resume_false_clears_results(spark, tmp_path, code_files):
+    """resume=False must clear results along with manifests — otherwise a
+    fresh run appends over stale bucket partitions."""
+    cv = _mk(spark, tmp_path)
+    cv.run(code_files)
+    n_verdicts = cv.verdicts().count()
+    n_violations = cv.violations().count()
+    cv.run(code_files, resume=False)
+    assert cv.verdicts().count() == n_verdicts
+    assert cv.violations().count() == n_violations
+    assert cv.summary()["rows"] == 4000
 
 
 def test_violations_bit_identical_across_parallelism(spark, tmp_path, code_files):

@@ -63,6 +63,26 @@ def test_guard_skip_and_warn(spark, lineitem):
     assert res3.data.count() == 100
 
 
+def test_guard_limit_full_keeps_whole_groups(spark, lineitem):
+    """on_exceed='limit' + level='full' keeps max_groups GROUPS (every
+    value column profiled for each kept group), not max_groups rows."""
+    res = group_table(
+        lineitem, ["l_orderkey"], level="full", max_groups=10, on_exceed="limit"
+    )
+    rows = res.data.collect()
+    n_value_cols = len(lineitem.columns) - 1
+    groups = {r["l_orderkey"] for r in rows}
+    assert len(groups) == 10
+    assert len(rows) == 10 * n_value_cols  # no group truncated mid-column
+    # the kept groups are the top-10 by row count
+    top10 = {
+        r["l_orderkey"]
+        for r in lineitem.groupBy("l_orderkey").count()
+        .orderBy(F.desc("count"), F.asc("l_orderkey")).limit(10).collect()
+    }
+    assert groups == top10
+
+
 def test_guard_sample(spark, lineitem):
     res = group_table(
         lineitem, ["l_orderkey"], max_groups=100, on_exceed="sample", sample_fraction=0.1

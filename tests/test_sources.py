@@ -130,3 +130,37 @@ def test_parquet_stats_distributed(spark, tmp_path):
     # unreadable path → error row, job survives
     bad = sources.parquet_stats_distributed(spark, ["/nonexistent.parquet"]).collect()
     assert bad[0]["error"] is not None
+
+
+def test_reinfer_rejects_late_nonnumeric(spark, tmp_path):
+    """A stray 'abc' BEYOND the 10k inference head must keep the column as
+    string (full-column try_cast verification), not silently null it."""
+    from pyspark.sql import functions as F
+
+    from data_profiler_spark.sources import _reinfer_string_columns
+
+    df = spark.range(20_000).select(
+        F.col("id").alias("id"),
+        F.when(F.col("id") == 15_000, F.lit("abc"))
+        .otherwise(F.col("id").cast("string"))
+        .alias("v"),
+    )
+    out = _reinfer_string_columns(df)
+    assert dict(out.dtypes)["v"] == "string"
+    # no value was nulled
+    assert out.where(F.col("v").isNull()).count() == 0
+    assert out.where(F.col("v") == "abc").count() == 1
+
+
+def test_reinfer_commits_clean_numeric(spark):
+    from pyspark.sql import functions as F
+
+    from data_profiler_spark.sources import _reinfer_string_columns
+
+    df = spark.range(20_000).select(
+        F.col("id").cast("string").alias("i"),
+        (F.col("id") / 2).cast("string").alias("d"),
+        F.concat(F.lit("u"), F.col("id")).alias("s"),
+    )
+    out = dict(_reinfer_string_columns(df).dtypes)
+    assert out == {"i": "bigint", "d": "double", "s": "string"}

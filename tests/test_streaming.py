@@ -47,6 +47,41 @@ def test_windowed_profile_matches_batch(spark, stream_dir, tmp_path):
     assert got_value == want
 
 
+def test_windowed_profile_numeric_minmax_not_lexicographic(spark, stream_dir, tmp_path):
+    """min/max must aggregate on the native type: values 0..6 in every
+    window, so min=0/max=6 — a lexicographic (string) max would be '6.0'
+    still, but a 9-vs-10-style bug shows on 'value' via min: str min of
+    {'0.0'...'6.0'} is fine, so check against the batch native extremes."""
+    s = _read_stream(spark, stream_dir)
+    prof = streaming.windowed_profile(s, "ts", window="1 hour", columns=["value"])
+    streaming.run_available_now(prof, "prof_mm_tbl", str(tmp_path / "ckpt_mm"))
+    got = {r["window_start"]: (r["min_v"], r["max_v"])
+           for r in spark.table("prof_mm_tbl").collect()}
+    batch = (
+        spark.read.parquet(stream_dir)
+        .groupBy(F.window("ts", "1 hour").alias("w"))
+        .agg(F.min("value").cast("string").alias("mn"),
+             F.max("value").cast("string").alias("mx"))
+        .collect()
+    )
+    want = {r["w"]["start"]: (r["mn"], r["mx"]) for r in batch}
+    assert got == want
+
+
+def test_windowed_profile_minmax_native_order(spark, tmp_path):
+    """Values [9, 10]: native min=9/max=10; the old cast-before-agg gave
+    min='10', max='9'."""
+    d = tmp_path / "mm_src"
+    spark.createDataFrame(
+        [(1_700_000_000, 9), (1_700_000_001, 10)], "t long, v long"
+    ).select(F.timestamp_seconds("t").alias("ts"), "v").write.parquet(str(d))
+    s = _read_stream(spark, str(d))
+    prof = streaming.windowed_profile(s, "ts", window="1 hour", columns=["v"])
+    streaming.run_available_now(prof, "prof_910_tbl", str(tmp_path / "ckpt910"))
+    [r] = spark.table("prof_910_tbl").collect()
+    assert (r["min_v"], r["max_v"]) == ("9", "10")
+
+
 def test_windowed_violations_match_batch_counts(spark, stream_dir, tmp_path):
     s = _read_stream(spark, stream_dir)
     checks = [

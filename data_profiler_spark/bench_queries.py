@@ -149,6 +149,18 @@ def q_minhash_dedup(spark: SparkSession, sf_dir: str, code_files: str):
     _force(minhash_near_duplicates(df, "doc_id", "text", k=3, threshold=0.5))
 
 
+def q_rolling_hash(spark: SparkSession, sf_dir: str, code_files: str):
+    """Polynomial fingerprint over the full corpus — vectorized pandas_udf
+    (numpy modmul) vs the old interpreted per-char HOF fold."""
+    from data_profiler_spark.operators.text import rolling_hash
+
+    df = spark.read.parquet(code_files).select(
+        F.xxhash64("repo", "path", "commit").alias("doc_id"),
+        rolling_hash(F.col("content")).alias("rhash"),
+    )
+    _force(df)
+
+
 BENCH_QUERIES = {
     "profile_lineitem": q_profile_lineitem,
     "group_stats": q_group_stats,
@@ -159,4 +171,5 @@ BENCH_QUERIES = {
     "text_profile": q_text_profile,
     "simhash_dedup": q_simhash_dedup,
     "minhash_dedup_10pct": q_minhash_dedup,
+    "rolling_hash": q_rolling_hash,
 }

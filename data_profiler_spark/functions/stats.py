@@ -138,3 +138,79 @@ def datetime_exprs(c: str) -> list[Column]:
         F.max(col).alias(f"{c}__max_ts"),
         F.datediff(F.max(col), F.min(col)).alias(f"{c}__span_days"),
     ]
+
+
+def datetime_part_exprs(c: str) -> list[Column]:
+    """Weekday (Mon=0) and month value-count distributions as JSON count
+    arrays — profilers/datetime.py:185-278 emits these per-part maps inside
+    the profile. Fixed, data-independent domains (7 / 12 buckets) make them
+    single-pass conditional sums — no shuffle, no per-column groupBy job."""
+    col = F.col(c)
+    wd = F.to_json(
+        F.array(*[F.sum((F.weekday(col) == d).cast("long")) for d in range(7)])
+    )
+    mo = F.to_json(
+        F.array(*[F.sum((F.month(col) == m).cast("long")) for m in range(1, 13)])
+    )
+    return [wd.alias(f"{c}__weekday_counts"), mo.alias(f"{c}__month_counts")]
+
+
+def datetime_part_sql(name: str) -> tuple[str, str]:
+    """DuckDB twins of :func:`datetime_part_exprs` (isodow is Mon=1)."""
+    wd = ", ".join(
+        f"CAST(SUM(CASE WHEN isodow({name}) - 1 = {d} THEN 1 ELSE 0 END) AS BIGINT)"
+        for d in range(7)
+    )
+    mo = ", ".join(
+        f"CAST(SUM(CASE WHEN month({name}) = {m} THEN 1 ELSE 0 END) AS BIGINT)"
+        for m in range(1, 13)
+    )
+    return f"to_json([{wd}])", f"to_json([{mo}])"
+
+
+def sample_exprs(c: str, value: Column) -> list[Column]:
+    """Five deterministic sample values (profilers/base.py:112-114 emits
+    head-5 samples; physical head order is irreproducible on a distributed
+    scan, so the engine's definition is five hash-ordered picks instead).
+
+    Each pick is ``min_by(v, w_i)`` where w_1..w_5 are 16-hex-char windows
+    of the chained md5 of the value — O(1) aggregation state (scale-safe,
+    unlike a collect_set top-k), deterministic, and bit-identical in DuckDB
+    (:func:`sample_sql`). 64-bit windows make argmin ties vanishingly rare;
+    duplicate picks across the five windows are possible on low-cardinality
+    columns (the reference's head-5 repeats values too)."""
+    m1 = F.md5(value.cast("binary"))
+    m2 = F.md5(m1.cast("binary"))
+    m3 = F.md5(m2.cast("binary"))
+    windows = [
+        m1.substr(1, 16), m1.substr(17, 16),
+        m2.substr(1, 16), m2.substr(17, 16),
+        m3.substr(1, 16),
+    ]
+    return [
+        F.min_by(value, w).alias(f"{c}__sample{i}") for i, w in enumerate(windows)
+    ]
+
+
+def sample_sql(v: str) -> str:
+    """DuckDB twin of :func:`sample_exprs` joined with '|'
+    (min_by skips NULL ordering keys on both engines)."""
+    m1, m2, m3 = f"md5({v})", f"md5(md5({v}))", f"md5(md5(md5({v})))"
+    picks = [
+        f"min_by({v}, substr({m1}, 1, 16))",
+        f"min_by({v}, substr({m1}, 17, 16))",
+        f"min_by({v}, substr({m2}, 1, 16))",
+        f"min_by({v}, substr({m2}, 17, 16))",
+        f"min_by({v}, substr({m3}, 1, 16))",
+    ]
+    return "concat_ws('|', " + ", ".join(picks) + ")"
+
+
+def mode_sql(name: str, table: str, value: str | None = None) -> str:
+    """DuckDB twin of Spark's deterministic ``mode(col, true)`` (ties →
+    lowest value): explicit count-desc/value-asc ordering."""
+    v = value or name
+    return (
+        f"(SELECT {v} FROM {table} WHERE {name} IS NOT NULL "
+        f"GROUP BY {name} ORDER BY COUNT(*) DESC, {name} ASC LIMIT 1)"
+    )

@@ -117,28 +117,64 @@ def _shingle_array(text_col: str, k: int):
     )
 
 
+def word_shingle_hashes(
+    df: DataFrame, id_col: str, text_col: str, k: int = 3, seed: int = 42
+) -> DataFrame:
+    """(id, sh) — one 64-bit hash per k-word shingle, WITHOUT materializing
+    shingle strings.
+
+    The string formulation (transform + concat_ws + array_distinct) runs as
+    interpreted higher-order functions and allocates a new string per
+    shingle — measured as ~75% of minhash wall time at 600k docs. Here
+    every operator is codegen: posexplode tokens → one xxhash64 per token
+    → window ``lead`` to pair each token hash with the next k-1 → one
+    long-input xxhash64 per shingle. The window shuffle is keyed by doc id,
+    and the downstream per-doc groupBy REUSES that partitioning (no second
+    exchange). Output is not distinct-ed: duplicate shingles cannot change
+    a min, and the Jaccard verifier distincts on (id, sh) itself."""
+    from pyspark.sql import Window as W
+
+    tok = df.select(
+        F.col(id_col).alias("id"),
+        F.posexplode(F.split(F.trim(F.col(text_col)), "\\s+")).alias("pos", "tok"),
+    ).select("id", "pos", F.xxhash64(F.lit(seed), F.col("tok")).alias("ht"))
+    w = W.partitionBy("id").orderBy("pos")
+    nexts = [F.lead("ht", j).over(w).alias(f"ht{j}") for j in range(1, k)]
+    sh = tok.select("id", F.col("ht").alias("ht0"), *nexts).where(
+        F.col(f"ht{k - 1}").isNotNull()
+    )
+    return sh.select(
+        "id", F.xxhash64(*[F.col(f"ht{j}") for j in range(k)]).alias("sh")
+    )
+
+
 def minhash_signatures(
     df: DataFrame, id_col: str, text_col: str, k: int = 3, num_hashes: int = 64, seed: int = 42
 ) -> DataFrame:
     """(id, sig: array<bigint>[num_hashes]) — slot i = min over shingles of
-    xxhash64(seed, i, shingle).
+    a per-slot hash of the shingle.
 
-    Computed per ROW over the shingle array (array_min of a transform) —
-    zero shuffles and zero row explosion. The previous explode+groupBy
-    formulation shuffled |docs|x|shingles|x|slots| rows (billions at 600k
-    docs); this one scans once and emits one row per doc."""
-    # Hash each shingle STRING once (the expensive hash), then derive the
-    # num_hashes independent slot hashes from that 64-bit value with cheap
-    # long-input xxhash64 calls inside plain min() aggregates. Map-side
-    # combine collapses each partition to one row per doc, so the shuffle
-    # carries |docs| rows — the naive slotxshingle explode shuffles
-    # |docs|x|shingles|x|slots| (billions at 600k docs), and a nested
-    # higher-order-function formulation drops out of codegen entirely.
-    sh = (
-        df.select(F.col(id_col).alias("id"), F.explode(_shingle_array(text_col, k)).alias("s"))
-        .select("id", F.xxhash64(F.lit(seed), F.col("s")).alias("h"))
+    Shingle hashes come from :func:`word_shingle_hashes` (zero interpreted
+    HOFs, zero string shingles). The num_hashes slot hashes derive from the
+    shingle hash with the Kirsch–Mitzenmacher double-hashing family
+    g_i = (h1 + i*h2) mod 2^61 — multiply+add+mask per slot instead of a
+    full xxhash64 round. i*h2 must be COMPARABLE in magnitude to h1 so the
+    per-slot argmin actually reorders (a small perturbation collapses every
+    slot to the same min-shingle and banding recall dies), and ANSI mode
+    forbids silent long overflow — hence the ranges: h1∈[0,2^61),
+    h2∈[0,2^55), i<64 ⇒ i*h2 < 2^61, sum < 2^62, masked back to 2^61.
+    The groupBy reuses the window's hash partitioning on id, so the only
+    shuffle carries one (id, pos, token-hash) row per token."""
+    sh = word_shingle_hashes(df, id_col, text_col, k, seed).select(
+        "id",
+        F.col("sh").bitwiseAND(F.lit((1 << 61) - 1)).alias("h1"),
+        F.xxhash64("sh").bitwiseAND(F.lit((1 << 55) - 1)).alias("h2"),
     )
-    aggs = [F.min(F.xxhash64(F.lit(i), F.col("h"))).alias(f"m{i}") for i in range(num_hashes)]
+    mask61 = F.lit((1 << 61) - 1)
+    aggs = [
+        F.min((F.col("h1") + F.lit(i) * F.col("h2")).bitwiseAND(mask61)).alias(f"m{i}")
+        for i in range(num_hashes)
+    ]
     return (
         sh.groupBy("id")
         .agg(*aggs)
@@ -206,7 +242,11 @@ def minhash_near_duplicates(
     sigs = minhash_signatures(df, id_col, text_col, k, num_hashes, seed)
     cand = lsh_candidate_pairs(sigs, bands, rows_per_band)
 
-    sh = word_shingles(df, id_col, text_col, k).cache()
+    # Verify on 64-bit shingle HASHES, not shingle strings — same distinct
+    # set per doc up to hash collisions (~2^-64 per pair), joins on 8-byte
+    # keys instead of strings, and shares the codegen shingle pipeline with
+    # the signature pass.
+    sh = word_shingle_hashes(df, id_col, text_col, k, seed).distinct().cache()
     sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("n_sh"))
     # merge hints: Catalyst size estimates for the post-cache shingle table
     # run far under reality (60M rows at 600k docs) and it will try to
@@ -215,7 +255,7 @@ def minhash_near_duplicates(
     a, b = sh.hint("merge").alias("a"), sh.hint("merge").alias("b")
     inter = (
         cand.join(a, cand.id_a == F.col("a.id"))
-        .join(b, (cand.id_b == F.col("b.id")) & (F.col("a.shingle") == F.col("b.shingle")))
+        .join(b, (cand.id_b == F.col("b.id")) & (F.col("a.sh") == F.col("b.sh")))
         .groupBy("id_a", "id_b")
         .agg(F.count(F.lit(1)).alias("n_inter"))
     )
@@ -420,10 +460,13 @@ def dedup_keep_canonical(
     df: DataFrame, id_col: str, pairs: DataFrame, id_a: str = "id_a", id_b: str = "id_b"
 ) -> DataFrame:
     """Drop all near-duplicates except the cluster representative (min id).
-    Rows not in any pair are kept unchanged. One broadcast-friendly join:
-    the cluster map is |dup docs| rows, tiny next to the corpus."""
+    Rows not in any pair are kept unchanged.
+
+    No forced broadcast on the loser set: at a high duplication rate losers
+    ≈ O(corpus), and an unconditional ``F.broadcast`` would OOM the driver
+    at 100 TB. AQE sizes the anti-join at runtime — it broadcasts when the
+    loser set is actually small and falls back to a shuffled join when not.
+    """
     clusters = duplicate_clusters(pairs, id_a, id_b)
     losers = clusters.where(F.col("doc_id") != F.col("cluster_id")).select("doc_id")
-    return df.join(
-        F.broadcast(losers), df[id_col] == losers["doc_id"], "left_anti"
-    )
+    return df.join(losers, df[id_col] == losers["doc_id"], "left_anti")

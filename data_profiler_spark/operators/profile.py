@@ -50,9 +50,17 @@ PROFILE_SCHEMA_FIELDS = [
     ("avg_len", "double"),
     ("empty_count", "long"),
     ("span_days", "long"),
+    ("mode_value", "string"),
+    ("sample_values", "string"),
+    ("weekday_counts", "string"),
+    ("month_counts", "string"),
     ("is_pk_candidate", "boolean"),
     ("is_fk_candidate", "boolean"),
 ]
+
+# reference gates per-column mode at <=1000 distinct values
+# (profilers/numeric.py:133-139, string.py:118-125)
+MODE_DISTINCT_GATE = 1000
 
 
 def classify_dtype(dt: T.DataType) -> str:
@@ -123,6 +131,25 @@ def profile_table(df: DataFrame, columns: list[str] | None = None, exact: bool =
             aggs += S.string_exprs(c)
         elif kind in ("DATETIME", "DATE"):
             aggs += S.datetime_exprs(c)
+            aggs += S.datetime_part_exprs(c)
+        # deterministic head-5 stand-in (hash-ordered min_by picks, O(1)
+        # state) for every samplable family; binary payloads excluded
+        if kind != "BINARY":
+            sample_v = (
+                F.col(c).cast("double").cast("string")
+                if kind == "NUMERIC"
+                else dcol.cast("string")
+            )
+            aggs += S.sample_exprs(c, sample_v)
+        # mode only in exact mode: its aggregation state is O(distinct) per
+        # column (same order as exact count_distinct); the approx/100 TB
+        # path skips it, mirroring how HLL replaces exact distinct there.
+        # The reference's <=1000-distinct gate is applied post-agg.
+        if exact and kind in ("NUMERIC", "STRING"):
+            mode_v = F.expr(f"mode(`{c}`, true)")
+            if kind == "NUMERIC":
+                mode_v = mode_v.cast("double").cast("string")
+            aggs.append(mode_v.alias(f"{c}__mode"))
 
     wide = df.agg(*aggs)
     if dist_aggs:
@@ -166,6 +193,24 @@ def profile_table(df: DataFrame, columns: list[str] | None = None, exact: bool =
 
         span = F.col(f"{c}__span_days").cast("long") if kind in ("DATETIME", "DATE") else null_l
 
+        if kind != "BINARY":
+            samples = F.concat_ws(
+                "|", *[F.col(f"{c}__sample{i}") for i in range(5)]
+            )
+        else:
+            samples = null_s
+        if exact and kind in ("NUMERIC", "STRING"):
+            mode_v = F.when(
+                distinct <= MODE_DISTINCT_GATE, F.col(f"{c}__mode")
+            ).otherwise(null_s)
+        else:
+            mode_v = null_s
+        if kind in ("DATETIME", "DATE"):
+            wd_counts = F.col(f"{c}__weekday_counts")
+            mo_counts = F.col(f"{c}__month_counts")
+        else:
+            wd_counts, mo_counts = null_s, null_s
+
         semantic = (
             F.when(
                 F.lit(kind == "STRING") & (uratio <= 0.05) & (distinct <= 50),
@@ -200,6 +245,10 @@ def profile_table(df: DataFrame, columns: list[str] | None = None, exact: bool =
                 avg_len.alias("avg_len"),
                 empty.alias("empty_count"),
                 span.alias("span_days"),
+                mode_v.alias("mode_value"),
+                samples.alias("sample_values"),
+                wd_counts.alias("weekday_counts"),
+                mo_counts.alias("month_counts"),
                 is_pk.alias("is_pk_candidate"),
                 is_fk.alias("is_fk_candidate"),
             )

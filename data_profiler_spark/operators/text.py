@@ -6,6 +6,8 @@ the hot path; each has a DuckDB-oracle twin in queries_catalog.
 
 from __future__ import annotations
 
+import numpy as np
+import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -146,16 +148,49 @@ def fingerprint_md5(c: str | Column) -> Column:
 
 def rolling_hash(c: str | Column, base: int = 131, mod: int = 1_000_000_007) -> Column:
     """Polynomial rolling hash over codepoints (ref-style document
-    fingerprint). Sequential fold with per-step mod keeps everything in
-    exact int64 range — deterministic on both engines; the DuckDB twin is
-    list_reduce over the same recurrence."""
+    fingerprint): h = sum_i cp[i] * base^(n-1-i) mod m — identical value to
+    the Horner fold the DuckDB twin (list_reduce) computes.
+
+    Vectorized Arrow-batched pandas_udf, NOT an ``F.aggregate`` fold over
+    ``split(text,'')``: higher-order-function lambdas are interpreted
+    per-element (never codegen'd), which made the fold a per-character CPU
+    sink on large corpora. Here each batch decodes codepoints via numpy
+    (utf-32 buffer view) and reduces with one modmul pass; products stay
+    < 2^51 so int64 arithmetic is exact."""
     col = F.col(c) if isinstance(c, str) else c
-    chars = F.split(col, "")
-    return F.aggregate(
-        chars,
-        F.lit(0).cast("long"),
-        lambda acc, ch: F.pmod(acc * F.lit(base) + F.ascii(ch), F.lit(mod)),
-    )
+    pow_cache: list = [np.array([1], dtype=np.int64)]
+
+    def _powers(n: int):
+        t = pow_cache[0]
+        if len(t) < n:
+            ext = np.empty(n, dtype=np.int64)
+            ext[: len(t)] = t
+            for i in range(len(t), n):
+                ext[i] = ext[i - 1] * base % mod
+            pow_cache[0] = ext
+            t = ext
+        return t
+
+    @F.pandas_udf("long")
+    def _roll(s: pd.Series) -> pd.Series:
+        out = np.zeros(len(s), dtype=np.int64)
+        mask = s.notna().to_numpy()
+        vals = s.to_numpy(dtype=object)
+        for j in np.nonzero(mask)[0]:
+            cps = np.frombuffer(vals[j].encode("utf-32-le"), dtype="<u4").astype(np.int64)
+            n = len(cps)
+            if n == 0:
+                out[j] = 0
+                continue
+            # products < mod*2^21 < 2^51; int64 sum exact up to ~2^33 terms
+            out[j] = int(((cps % mod) * _powers(n)[:n][::-1] % mod).sum() % mod)
+        res = pd.Series(out)
+        if not mask.all():
+            res = res.astype("Int64")
+            res[~mask] = pd.NA
+        return res
+
+    return _roll(col)
 
 
 def rolling_hash_sql(c: str, base: int = 131, mod: int = 1_000_000_007) -> str:

@@ -330,7 +330,7 @@ def date_range_shipdate(spark: SparkSession, sf_dir: str) -> DataFrame:
     "string_stats_customer_name",
     """SELECT COUNT(c_name) AS n, MIN(LENGTH(c_name)) AS min_len, MAX(LENGTH(c_name)) AS max_len,
               CAST(SUM(CAST(LENGTH(c_name) AS DECIMAL(28,8))) AS DOUBLE) / COUNT(c_name) AS avg_len,
-              SUM(CASE WHEN c_name = '' THEN 1 ELSE 0 END) AS empty_count,
+              CAST(SUM(CASE WHEN c_name = '' THEN 1 ELSE 0 END) AS BIGINT) AS empty_count,
               MIN(c_name) AS min_val, MAX(c_name) AS max_val
        FROM customer""",
 )
@@ -486,9 +486,13 @@ _CUSTOMER_COLS = [
 ]
 
 
-def _profile_customer_sql() -> str:
+def _profile_oracle_sql(table: str, cols: list[tuple[str, str, str]],
+                        fk_names: set[str] | None = None) -> str:
+    """Per-column UNION ALL oracle for profile_table (one SELECT per column,
+    matching the long output schema including mode / samples / date parts)."""
+    fk_names = fk_names or set()
     sel = []
-    for name, dtype, fam in _CUSTOMER_COLS:
+    for name, dtype, fam in cols:
         total = "COUNT(*)"
         cnt = f"COUNT({name})"
         nulls = f"COUNT(*) - COUNT({name})"
@@ -497,6 +501,8 @@ def _profile_customer_sql() -> str:
         null_s = "CAST(NULL AS VARCHAR)"
         null_d = "CAST(NULL AS DOUBLE)"
         null_l = "CAST(NULL AS BIGINT)"
+        wd_counts = mo_counts = null_s
+        mode_v = null_s
         if fam == "NUMERIC":
             minv = f"CAST(CAST(MIN({name}) AS DOUBLE) AS VARCHAR)"
             maxv = f"CAST(CAST(MAX({name}) AS DOUBLE) AS VARCHAR)"
@@ -506,6 +512,25 @@ def _profile_customer_sql() -> str:
             min_len = max_len = null_l
             avg_len, empty = null_d, null_l
             semantic = f"'{fam}'"
+            span = null_l
+            v_str = f"CAST(CAST({name} AS DOUBLE) AS VARCHAR)"
+            samples = S.sample_sql(v_str)
+            mode_v = (
+                f"CASE WHEN {dist} <= 1000 THEN "
+                + S.mode_sql(name, table, v_str)
+                + f" ELSE {null_s} END"
+            )
+        elif fam in ("DATE", "DATETIME"):
+            minv = f"CAST(MIN({name}) AS VARCHAR)"
+            maxv = f"CAST(MAX({name}) AS VARCHAR)"
+            mean = std = null_d
+            qs = [null_d] * 5
+            min_len = max_len = null_l
+            avg_len, empty = null_d, null_l
+            semantic = f"'{fam}'"
+            span = f"CAST(date_diff('day', MIN({name}), MAX({name})) AS BIGINT)"
+            samples = S.sample_sql(f"CAST({name} AS VARCHAR)")
+            wd_counts, mo_counts = S.datetime_part_sql(name)
         else:
             minv, maxv = f"MIN({name})", f"MAX({name})"
             mean = std = null_d
@@ -515,11 +540,21 @@ def _profile_customer_sql() -> str:
             avg_len = (
                 f"CAST(SUM(CAST(LENGTH({name}) AS DECIMAL(28,8))) AS DOUBLE) / {cnt}"
             )
-            empty = f"SUM(CASE WHEN {name} = '' THEN 1 ELSE 0 END)"
+            empty = f"CAST(SUM(CASE WHEN {name} = '' THEN 1 ELSE 0 END) AS BIGINT)"
             semantic = (
                 f"CASE WHEN {uratio} <= 0.05 AND {dist} <= 50 THEN 'CATEGORICAL' ELSE 'STRING' END"
             )
+            span = null_l
+            samples = S.sample_sql(name)
+            mode_v = (
+                f"CASE WHEN {dist} <= 1000 THEN "
+                + S.mode_sql(name, table)
+                + f" ELSE {null_s} END"
+            )
         is_pk = f"({nulls} = 0 AND {dist} = {cnt} AND {cnt} > 0)"
+        is_fk = (
+            f"({uratio} < 0.95)" if name in fk_names else "FALSE"
+        )
         sel.append(
             f"""SELECT '{name}' AS column, '{dtype}' AS dtype, {semantic} AS semantic_type,
             {total} AS total_count, {cnt} AS count, CAST({nulls} AS BIGINT) AS null_count,
@@ -528,18 +563,48 @@ def _profile_customer_sql() -> str:
             {minv} AS min_value, {maxv} AS max_value, {mean} AS mean, {std} AS stddev,
             {qs[0]} AS q25, {qs[1]} AS median, {qs[2]} AS q75, {qs[3]} AS p95, {qs[4]} AS p99,
             {min_len} AS min_len, {max_len} AS max_len, {avg_len} AS avg_len,
-            {empty} AS empty_count, {null_l} AS span_days,
-            {is_pk} AS is_pk_candidate, FALSE AS is_fk_candidate
-            FROM customer"""
+            {empty} AS empty_count, {span} AS span_days,
+            {mode_v} AS mode_value, {samples} AS sample_values,
+            {wd_counts} AS weekday_counts, {mo_counts} AS month_counts,
+            {is_pk} AS is_pk_candidate, {is_fk} AS is_fk_candidate
+            FROM {table}"""
         )
     return " UNION ALL ".join(sel)
 
 
-@register("profile_table_customer", _profile_customer_sql())
+@register("profile_table_customer", _profile_oracle_sql("customer", _CUSTOMER_COLS))
 def profile_table_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
     from data_profiler_spark.operators.profile import profile_table
 
     return profile_table(load(spark, sf_dir, "customer"), exact=True)
+
+
+_ORDERS_COLS = [
+    ("o_orderkey", "bigint", "NUMERIC"),
+    ("o_custkey", "bigint", "NUMERIC"),
+    ("o_orderstatus", "string", "STRING"),
+    ("o_totalprice", "double", "NUMERIC"),
+    ("o_orderdate", "timestamp_ntz", "DATETIME"),
+    ("o_orderpriority", "string", "STRING"),
+]
+
+
+@register(
+    # none of the o_* names carry an id/code/key affix (_is_fk_name), so the
+    # oracle pins is_fk_candidate FALSE like the customer profile
+    "profile_table_orders",
+    _profile_oracle_sql("orders", _ORDERS_COLS),
+)
+def profile_table_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Profile with a DATE column — covers span_days, weekday/month part
+    distributions, mode gate, and deterministic samples in one oracle
+    (ref profilers/datetime.py:151-278)."""
+    from data_profiler_spark.operators.profile import profile_table
+
+    o = load(spark, sf_dir, "orders")
+    return profile_table(
+        o.select(*[c for c, _, _ in _ORDERS_COLS]), exact=True
+    )
 
 
 # ---------------------------------------------------------------------------

@@ -1,0 +1,40 @@
+"""Dtype parity between every Spark query and its DuckDB oracle.
+
+The driver's value hash is pandas-dtype-sensitive: an int32 Spark column
+against a BIGINT oracle column hash-mismatches even when values agree
+(round-1 string_stats_customer_name failure). This test compares the pandas
+dtypes both engines produce for EVERY oracle-checked catalog query — with
+LIMIT 0 on both sides, so it is schema-only (no data jobs) and immune to
+null-driven int→float promotion, which affects both engines alike on real
+data.
+"""
+
+from __future__ import annotations
+
+import sys
+
+sys.path.insert(0, "/root/repo")
+
+
+def test_all_oracle_queries_dtype_parity(spark, duck):
+    import __spark_entry__ as E
+
+    qs, oracles = E.queries(), E.oracle_sql()
+    sf_dir = "/root/testdata/sf0.001"
+    mismatches = []
+    for name, fn in qs.items():
+        sql = oracles.get(name)
+        if sql is None:
+            continue
+        spark_dt = dict(fn(spark, sf_dir).limit(0).toPandas().dtypes.astype(str))
+        duck_dt = dict(
+            duck.sql(f"SELECT * FROM ({sql}) __q LIMIT 0").df().dtypes.astype(str)
+        )
+        assert set(spark_dt) == set(duck_dt), f"{name}: column sets differ"
+        for col, sdt in spark_dt.items():
+            ddt = duck_dt[col]
+            if sdt != ddt:
+                mismatches.append(f"{name}.{col}: spark={sdt} duck={ddt}")
+    assert not mismatches, "dtype mismatches (driver hash would differ):\n" + "\n".join(
+        mismatches
+    )

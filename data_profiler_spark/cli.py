@@ -25,7 +25,11 @@ def build_parser() -> argparse.ArgumentParser:
     p = argparse.ArgumentParser(prog="data-profiler-spark")
     p.add_argument("--config", help="JSON config file")
     p.add_argument("--master", help="Spark master override")
-    p.add_argument("--output", choices=["json", "markdown", "table"], default="json")
+    p.add_argument(
+        "--output",
+        choices=["json", "markdown", "table", "html", "html-ydata"],
+        default="json",
+    )
     sub = p.add_subparsers(dest="command", required=True)
 
     pp = sub.add_parser("profile", help="profile file(s)")
@@ -100,6 +104,16 @@ def main(argv: list[str] | None = None) -> int:
                     _emit(args, profile_report_json(prof, source=path))
                 elif args.output == "markdown":
                     _emit(args, profile_report_markdown(prof, source=path))
+                elif args.output == "html":
+                    from data_profiler_spark.html_report import profile_report_html
+
+                    _emit(args, profile_report_html(prof, source=path))
+                elif args.output == "html-ydata":
+                    from data_profiler_spark.html_report import (
+                        profile_report_html_ydata,
+                    )
+
+                    _emit(args, profile_report_html_ydata(prof, source=path))
                 else:
                     _emit(args, df_to_markdown(prof))
             return EXIT_OK
@@ -127,6 +141,10 @@ def main(argv: list[str] | None = None) -> int:
                 return EXIT_SCHEMA
             if args.output == "json":
                 _emit(args, grouping_report_json(res, source=args.path))
+            elif args.output in ("html", "html-ydata"):
+                from data_profiler_spark.html_report import grouping_report_html
+
+                _emit(args, grouping_report_html(res, source=args.path))
             else:
                 _emit(args, df_to_markdown(res.data) if res.data is not None else "(skipped)")
             return EXIT_CARDINALITY if res.skipped else EXIT_OK
@@ -153,7 +171,14 @@ def main(argv: list[str] | None = None) -> int:
             if args.validate:
                 validate_relationships(rels, tables, cfg.relationships.min_match_rate)
             g = build_graph(tables, rels)
-            _emit(args, g.to_mermaid() if args.mermaid else graph_report_json(g))
+            if args.mermaid:
+                _emit(args, g.to_mermaid())
+            elif args.output in ("html", "html-ydata"):
+                from data_profiler_spark.html_report import graph_report_html
+
+                _emit(args, graph_report_html(g))
+            else:
+                _emit(args, graph_report_json(g))
             return EXIT_OK
 
         if args.command == "validate":

@@ -1,0 +1,227 @@
+"""Self-contained HTML report renderers (S12 — reference CLI surface
+``--format html``; scope parity with output/html_formatter.py:172-606 and the
+ydata-style per-column variant of output/html_ydata.py:36-282, re-expressed
+over the engine's DataFrame outputs rather than model objects).
+
+Spark-first contract: every renderer collects ONLY small result frames (the
+long profile, a capped group table, the relationship list) — the heavy data
+plane stays distributed and is exported with ``df.write`` instead.
+"""
+
+from __future__ import annotations
+
+import html as _html
+from datetime import datetime, timezone
+
+from pyspark.sql import DataFrame
+
+_STYLE = """<style>
+:root { --ink:#1f2430; --muted:#6b7280; --line:#e5e7eb; --accent:#0f766e;
+        --card:#ffffff; --page:#f3f4f6; }
+* { box-sizing:border-box; }
+body { margin:0 auto; max-width:1180px; padding:24px;
+       font:15px/1.55 system-ui,-apple-system,"Segoe UI",sans-serif;
+       color:var(--ink); background:var(--page); }
+h1 { font-size:1.6em; margin:0 0 4px; }
+h1 + .src { color:var(--muted); margin-bottom:20px; }
+h2 { font-size:1.15em; margin:28px 0 10px; color:var(--accent); }
+.cards { display:flex; flex-wrap:wrap; gap:12px; margin:16px 0; }
+.card { background:var(--card); border:1px solid var(--line); border-radius:10px;
+        padding:10px 16px; min-width:140px; }
+.card b { display:block; font-size:1.25em; }
+.card span { color:var(--muted); font-size:.8em; text-transform:uppercase; }
+table { width:100%; border-collapse:collapse; background:var(--card);
+        border:1px solid var(--line); border-radius:10px; overflow:hidden; }
+th { text-align:left; padding:8px 12px; background:var(--accent); color:#fff;
+     font-weight:600; font-size:.9em; }
+td { padding:7px 12px; border-top:1px solid var(--line); }
+td.n { text-align:right; font-variant-numeric:tabular-nums; }
+.pill { display:inline-block; padding:1px 9px; border-radius:999px;
+        font-size:.8em; border:1px solid transparent; }
+.pill.NUMERIC { background:#dbeafe; color:#1d4ed8; }
+.pill.STRING { background:#dcfce7; color:#15803d; }
+.pill.CATEGORICAL { background:#fce7f3; color:#be185d; }
+.pill.DATETIME,.pill.DATE { background:#ffedd5; color:#c2410c; }
+.pill.BOOLEAN { background:#ede9fe; color:#6d28d9; }
+.pill.JSON,.pill.BINARY,.pill.UNKNOWN { background:#e5e7eb; color:#374151; }
+.bar { background:var(--line); border-radius:4px; height:8px; width:90px;
+       display:inline-block; vertical-align:middle; }
+.bar i { display:block; height:100%; border-radius:4px; background:var(--accent); }
+.warn { border:1px solid #f59e0b; background:#fffbeb; border-radius:10px;
+        padding:10px 16px; margin:14px 0; }
+.colcard { background:var(--card); border:1px solid var(--line);
+           border-radius:10px; padding:14px 18px; margin:12px 0; }
+.colcard h3 { margin:0 0 8px; }
+.kv { display:grid; grid-template-columns:repeat(auto-fill,minmax(170px,1fr));
+      gap:4px 18px; font-size:.92em; }
+.kv div span { color:var(--muted); }
+footer { margin-top:28px; color:var(--muted); font-size:.85em; }
+</style>"""
+
+
+def _esc(v) -> str:
+    return _html.escape("" if v is None else str(v))
+
+
+def _num(v) -> str:
+    if v is None:
+        return "–"
+    if isinstance(v, bool):
+        return str(v)
+    if isinstance(v, int):
+        return f"{v:,}"
+    if isinstance(v, float):
+        return f"{v:,.2f}" if abs(v) >= 1000 else f"{v:.4g}"
+    return _esc(v)
+
+
+def _pct(v) -> str:
+    return "–" if v is None else f"{v * 100:.1f}%"
+
+
+def _page(title: str, body: str) -> str:
+    stamp = datetime.now(timezone.utc).strftime("%Y-%m-%d %H:%MZ")
+    return (
+        "<!DOCTYPE html>\n<html lang=\"en\"><head><meta charset=\"utf-8\">"
+        f"<title>{_esc(title)}</title>{_STYLE}</head><body>\n{body}\n"
+        f"<footer>data_profiler_spark &middot; generated {stamp}</footer>"
+        "</body></html>\n"
+    )
+
+
+def _summary_cards(items: list[tuple[str, str]]) -> str:
+    cells = "".join(
+        f'<div class="card"><b>{_esc(v)}</b><span>{_esc(k)}</span></div>'
+        for k, v in items
+    )
+    return f'<div class="cards">{cells}</div>'
+
+
+def profile_report_html(
+    profile_df: DataFrame, source: str = "", warnings: list[str] | None = None
+) -> str:
+    """Standalone HTML for a profile_table result (one table row per column,
+    null-ratio bars, semantic-type pills)."""
+    rows = [r.asDict() for r in profile_df.collect()]
+    total = rows[0]["total_count"] if rows else 0
+    head = (
+        f"<h1>Table profile</h1><div class='src'>{_esc(source)}</div>"
+        + _summary_cards(
+            [("rows", f"{total:,}"), ("columns", str(len(rows))),
+             ("pk candidates", str(sum(1 for r in rows if r.get("is_pk_candidate"))))]
+        )
+    )
+    body = [head, "<h2>Columns</h2><table><tr>"]
+    heads = ["column", "type", "count", "nulls", "null %", "distinct",
+             "min", "max", "mean", "mode", "samples"]
+    body.append("".join(f"<th>{h}</th>" for h in heads) + "</tr>")
+    for r in rows:
+        nr = r.get("null_ratio") or 0.0
+        bar = f'<span class="bar"><i style="width:{min(nr, 1.0) * 100:.0f}%"></i></span>'
+        body.append(
+            "<tr>"
+            f"<td><strong>{_esc(r['column'])}</strong></td>"
+            f"<td><span class='pill {_esc(r['semantic_type'])}'>{_esc(r['semantic_type'])}</span></td>"
+            f"<td class='n'>{_num(r['count'])}</td>"
+            f"<td class='n'>{_num(r['null_count'])}</td>"
+            f"<td class='n'>{bar} {_pct(r['null_ratio'])}</td>"
+            f"<td class='n'>{_num(r['distinct_count'])}</td>"
+            f"<td class='n'>{_num(r['min_value'])}</td>"
+            f"<td class='n'>{_num(r['max_value'])}</td>"
+            f"<td class='n'>{_num(r['mean'])}</td>"
+            f"<td class='n'>{_num(r.get('mode_value'))}</td>"
+            f"<td>{_esc((r.get('sample_values') or '')[:80])}</td>"
+            "</tr>"
+        )
+    body.append("</table>")
+    for w in warnings or []:
+        body.append(f"<div class='warn'>{_esc(w)}</div>")
+    return _page(f"Profile: {source}", "\n".join(body))
+
+
+def profile_report_html_ydata(profile_df: DataFrame, source: str = "") -> str:
+    """ydata-profiling-style layout: one detail card per column (variables
+    section) instead of a single table — output/html_ydata.py:91-145 scope."""
+    rows = [r.asDict() for r in profile_df.collect()]
+    total = rows[0]["total_count"] if rows else 0
+    body = [
+        f"<h1>Profile report</h1><div class='src'>{_esc(source)}</div>",
+        _summary_cards([("observations", f"{total:,}"), ("variables", str(len(rows)))]),
+        "<h2>Variables</h2>",
+    ]
+    detail_keys = [
+        ("count", "count"), ("null_count", "missing"), ("null_ratio", "missing %"),
+        ("distinct_count", "distinct"), ("unique_ratio", "unique %"),
+        ("min_value", "min"), ("max_value", "max"), ("mean", "mean"),
+        ("stddev", "std"), ("median", "median"), ("q25", "q25"), ("q75", "q75"),
+        ("mode_value", "mode"), ("min_len", "min len"), ("max_len", "max len"),
+        ("span_days", "span (days)"),
+    ]
+    for r in rows:
+        kvs = []
+        for key, label in detail_keys:
+            v = r.get(key)
+            if v is None:
+                continue
+            shown = _pct(v) if key.endswith("ratio") else _num(v)
+            kvs.append(f"<div><span>{label}</span> {shown}</div>")
+        if r.get("sample_values"):
+            kvs.append(f"<div><span>samples</span> {_esc(r['sample_values'][:120])}</div>")
+        body.append(
+            f"<div class='colcard'><h3>{_esc(r['column'])} "
+            f"<span class='pill {_esc(r['semantic_type'])}'>{_esc(r['semantic_type'])}</span></h3>"
+            f"<div class='kv'>{''.join(kvs)}</div></div>"
+        )
+    return _page(f"Profile report: {source}", "\n".join(body))
+
+
+def grouping_report_html(result, source: str = "", limit: int = 200) -> str:
+    """HTML for a GroupingResult (html_formatter.py:399-483 scope)."""
+    body = [
+        f"<h1>Grouped analysis</h1><div class='src'>{_esc(source)}</div>",
+        _summary_cards(
+            [("grouped by", ", ".join(result.by)), ("level", result.level),
+             ("estimated groups", _num(result.estimated_groups)),
+             ("skipped", str(result.skipped))]
+        ),
+    ]
+    for w in result.warnings:
+        body.append(f"<div class='warn'>{_esc(w)}</div>")
+    if result.data is not None:
+        cols = result.data.columns
+        rows = result.data.limit(limit).collect()
+        body.append("<h2>Groups</h2><table><tr>" + "".join(f"<th>{_esc(c)}</th>" for c in cols) + "</tr>")
+        for r in rows:
+            body.append(
+                "<tr>" + "".join(f"<td class='n'>{_num(r[c])}</td>" for c in cols) + "</tr>"
+            )
+        body.append("</table>")
+    return _page(f"Groups: {source}", "\n".join(body))
+
+
+def graph_report_html(graph) -> str:
+    """HTML for a relationship graph (html_formatter.py:484-606 scope);
+    includes the Mermaid source for rendering elsewhere."""
+    s = graph.summary()
+    body = [
+        "<h1>Relationships</h1>",
+        _summary_cards(
+            [("entities", str(s["n_entities"])),
+             ("relationships", str(s["n_relationships"])),
+             ("roots", ", ".join(s["roots"]) or "–")]
+        ),
+        "<h2>Edges</h2><table><tr><th>child</th><th>parent</th><th>type</th>"
+        "<th>confidence</th><th>match rate</th><th>valid</th></tr>",
+    ]
+    for r in graph.relationships:
+        body.append(
+            "<tr>"
+            f"<td>{_esc(r.child_table)}.{_esc(r.child_column)}</td>"
+            f"<td>{_esc(r.parent_table)}.{_esc(r.parent_column)}</td>"
+            f"<td>{_esc(r.rel_type)}</td><td class='n'>{_num(r.confidence)}</td>"
+            f"<td class='n'>{_num(r.match_rate)}</td><td>{_esc(r.is_valid)}</td>"
+            "</tr>"
+        )
+    body.append("</table>")
+    body.append("<h2>Mermaid source</h2><pre>" + _esc(graph.to_mermaid()) + "</pre>")
+    return _page("Relationships", "\n".join(body))

@@ -230,25 +230,51 @@ def full_group_profiles(df: DataFrame, by: list[str]) -> DataFrame:
     value_cols = [c for c in df.columns if c not in set(by)]
 
     def profile_group(keys: tuple, pdf: pd.DataFrame) -> pd.DataFrame:
+        # Float aggregates replicate the engine's decimal-exact kernel
+        # (functions/stats.py): per-value DECIMAL(28,8) quantization
+        # (HALF_UP, matching Spark's double→decimal cast and DuckDB's),
+        # exact decimal sums, then the SAME fixed IEEE scalar expressions —
+        # so group profiles hash-match the DuckDB oracle bit-for-bit
+        # instead of differing in the last ulp like pandas mean()/std().
+        import math
+        from decimal import ROUND_HALF_UP, Decimal
+
+        E8 = Decimal("1E-8")
+
         rows = []
         for c in value_cols:
             s = pdf[c]
             nn = s.dropna()
             numeric = pd.api.types.is_numeric_dtype(s)
+            n = int(nn.size)
+            mean = stddev = median = None
+            if numeric and n:
+                vals = [float(v) for v in nn.to_numpy(dtype=float)]
+                s1 = float(sum(Decimal(v).quantize(E8, ROUND_HALF_UP) for v in vals))
+                s2 = float(sum(Decimal(v * v).quantize(E8, ROUND_HALF_UP) for v in vals))
+                mean = s1 / n
+                if n == 1:
+                    stddev = 0.0
+                else:
+                    var = (s2 - s1 * s1 / n) / (n - 1)
+                    stddev = math.sqrt(max(var, 0.0))
+                # quantile_cont / Spark `percentile` interpolation: lo + frac*(hi-lo)
+                a = sorted(vals)
+                h = (n - 1) * 0.5
+                lo = int(math.floor(h))
+                frac = h - lo
+                median = a[lo] + frac * (a[lo + 1] - a[lo]) if frac else a[lo]
             rows.append(
                 {
                     "column": c,
-                    "count": int(nn.size),
+                    "count": n,
                     "null_count": int(s.size - nn.size),
                     "distinct_count": int(nn.nunique()),
-                    "min_value": str(nn.min()) if nn.size else None,
-                    "max_value": str(nn.max()) if nn.size else None,
-                    "mean": float(nn.mean()) if numeric and nn.size else None,
-                    "stddev": (
-                        float(nn.std(ddof=1)) if numeric and nn.size > 1
-                        else (0.0 if numeric and nn.size == 1 else None)
-                    ),
-                    "median": float(nn.median()) if numeric and nn.size else None,
+                    "min_value": str(nn.min()) if n else None,
+                    "max_value": str(nn.max()) if n else None,
+                    "mean": mean,
+                    "stddev": stddev,
+                    "median": median,
                 }
             )
         out = pd.DataFrame(rows)

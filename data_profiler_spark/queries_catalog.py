@@ -421,6 +421,46 @@ def group_count_guarded_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     return res.data
 
 
+def _full_group_profile_sql() -> str:
+    """Long-format FULL group-profile oracle (A10): one UNION ALL branch per
+    value column, float aggregates via the decimal-exact kernel so the
+    applyInPandas path hash-matches bitwise."""
+    branches = []
+    for col, numeric in [("c_custkey", True), ("c_acctbal", True), ("c_name", False)]:
+        if numeric:
+            mean = f"{_davg(col)}"
+            std = S.decimal_stddev_sql(col)
+            med = f"quantile_cont({col}, 0.5)"
+            minv = f"CAST(MIN({col}) AS VARCHAR)"
+            maxv = f"CAST(MAX({col}) AS VARCHAR)"
+        else:
+            mean = std = med = "CAST(NULL AS DOUBLE)"
+            minv, maxv = f"MIN({col})", f"MAX({col})"
+        branches.append(
+            f"""SELECT c_mktsegment, '{col}' AS column, COUNT({col}) AS count,
+                COUNT(*) - COUNT({col}) AS null_count,
+                CAST(COUNT(DISTINCT {col}) AS BIGINT) AS distinct_count,
+                {minv} AS min_value, {maxv} AS max_value,
+                {mean} AS mean, {std} AS stddev, {med} AS median
+                FROM customer GROUP BY c_mktsegment"""
+        )
+    return " UNION ALL ".join(branches)
+
+
+@register("full_group_profile_customer", _full_group_profile_sql())
+def full_group_profile_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A10 FULL per-group profiles (applyInPandas grouped-map) with the
+    decimal-exact float kernel — ref grouping/stats.py:243-281 (the operator
+    the reference intends but never executes due to its profile_dataframe
+    bug, SURVEY §2.9)."""
+    from data_profiler_spark.operators.grouping import full_group_profiles
+
+    c = load(spark, sf_dir, "customer").select(
+        "c_mktsegment", "c_custkey", "c_acctbal", "c_name"
+    )
+    return full_group_profiles(c, ["c_mktsegment"])
+
+
 @register(
     "group_basic_customer_nation",
     f"""SELECT c_nationkey, COUNT(*) AS group_count,

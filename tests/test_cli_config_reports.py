@@ -158,3 +158,48 @@ def test_cli_relationships_mermaid(spark, capsys):
     out = capsys.readouterr().out
     assert out.startswith("erDiagram")
     assert "Nation" in out and "Region" in out
+
+
+def test_cli_profile_html(spark, capsys):
+    rc = main(["--output", "html", "profile", "/root/testdata/sf0.001/nation.parquet"])
+    assert rc == EXIT_OK
+    out = capsys.readouterr().out
+    assert out.startswith("<!DOCTYPE html>")
+    assert "<title>Profile: /root/testdata/sf0.001/nation.parquet</title>" in out
+    # every column rendered with a type pill; summary cards present
+    for col in ("n_nationkey", "n_name", "n_regionkey"):
+        assert f"<strong>{col}</strong>" in out
+    assert "class='pill NUMERIC'" in out or 'class="pill NUMERIC"' in out
+    assert "rows" in out and "columns" in out
+    assert "</html>" in out
+
+
+def test_cli_profile_html_ydata(spark, capsys):
+    rc = main(
+        ["--output", "html-ydata", "profile", "/root/testdata/sf0.001/nation.parquet"]
+    )
+    assert rc == EXIT_OK
+    out = capsys.readouterr().out
+    assert out.startswith("<!DOCTYPE html>")
+    assert out.count("class='colcard'") == 3  # one detail card per column
+    assert "Variables" in out
+
+
+def test_cli_group_html(spark, capsys):
+    rc = main([
+        "--output", "html", "group", "/root/testdata/sf0.001/orders.parquet",
+        "--by", "o_orderstatus", "--max-groups", "100",
+    ])
+    assert rc == EXIT_OK
+    out = capsys.readouterr().out
+    assert "Grouped analysis" in out and "o_orderstatus" in out and "</table>" in out
+
+
+def test_html_escapes_values(spark):
+    from data_profiler_spark.html_report import profile_report_html
+    from data_profiler_spark.operators.profile import profile_table
+
+    df = spark.createDataFrame([("<script>alert(1)</script>",)], "evil string")
+    out = profile_report_html(profile_table(df), source="<s>")
+    assert "<script>alert" not in out
+    assert "&lt;script&gt;" in out

@@ -58,7 +58,20 @@ def test_validation_match_rates(spark, tables):
         for r in discover_relationships(tables)
         if (r.child_table, r.child_column) in {("orders", "o_custkey"), ("customer", "c_nationkey")}
     ]
-    validate_relationships(rels, tables)
+    # count driver round-trips on the CONCRETE class (pyspark 4 routes
+    # through pyspark.sql.classic.dataframe.DataFrame, not the base)
+    from pyspark.sql.classic.dataframe import DataFrame as ClassicDF
+
+    collects = []
+    real_collect = ClassicDF.collect
+    ClassicDF.collect = lambda self: collects.append(1) or real_collect(self)
+    try:
+        validate_relationships(rels, tables)
+    finally:
+        ClassicDF.collect = real_collect
+    # batched: one estimates job + one unioned match-rate job for N edges
+    assert len(rels) >= 2
+    assert len(collects) == 2
     for r in rels:
         assert r.match_rate is not None and r.match_rate >= 0.95
         assert r.is_valid

@@ -60,6 +60,9 @@ def main() -> int:
         t0 = time.perf_counter()
         fn(spark, sf_dir, code_files)
         timings[name] = round(time.perf_counter() - t0, 4)
+        # each query stands alone: operator-internal caches must not tax or
+        # subsidize the queries that follow
+        spark.catalog.clearCache()
 
     total = round(sum(timings.values()), 4)
     suite_sec = timings.get("constraint_suite", float("nan"))

@@ -168,7 +168,7 @@ def datetime_part_sql(name: str) -> tuple[str, str]:
     return f"to_json([{wd}])", f"to_json([{mo}])"
 
 
-def sample_exprs(c: str, value: Column) -> list[Column]:
+def sample_exprs(c: str, value: Column, cheap: bool = False) -> list[Column]:
     """Five deterministic sample values (profilers/base.py:112-114 emits
     head-5 samples; physical head order is irreproducible on a distributed
     scan, so the engine's definition is five hash-ordered picks instead).
@@ -178,7 +178,18 @@ def sample_exprs(c: str, value: Column) -> list[Column]:
     unlike a collect_set top-k), deterministic, and bit-identical in DuckDB
     (:func:`sample_sql`). 64-bit windows make argmin ties vanishingly rare;
     duplicate picks across the five windows are possible on low-cardinality
-    columns (the reference's head-5 repeats values too)."""
+    columns (the reference's head-5 repeats values too).
+
+    ``cheap=True`` (the approx/100 TB profile path) swaps the md5 chain for
+    five xxhash64 ordering keys over the RAW value (callers stringify the
+    five winners post-agg, so the hot loop does zero per-row string casts)
+    — same determinism and O(1) state at a fraction of the per-row CPU; no
+    DuckDB twin, exactly like HLL replacing exact distinct there."""
+    if cheap:
+        return [
+            F.min_by(value, F.xxhash64(value, F.lit(i))).alias(f"{c}__sample{i}")
+            for i in range(5)
+        ]
     m1 = F.md5(value.cast("binary"))
     m2 = F.md5(m1.cast("binary"))
     m3 = F.md5(m2.cast("binary"))

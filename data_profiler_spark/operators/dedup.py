@@ -148,24 +148,19 @@ def word_shingle_hashes(
     )
 
 
-def minhash_signatures(
-    df: DataFrame, id_col: str, text_col: str, k: int = 3, num_hashes: int = 64, seed: int = 42
-) -> DataFrame:
-    """(id, sig: array<bigint>[num_hashes]) — slot i = min over shingles of
-    a per-slot hash of the shingle.
+def _signatures_from_shingle_hashes(sh: DataFrame, num_hashes: int) -> DataFrame:
+    """(id, sig) from a (id, sh) shingle-hash frame.
 
-    Shingle hashes come from :func:`word_shingle_hashes` (zero interpreted
-    HOFs, zero string shingles). The num_hashes slot hashes derive from the
-    shingle hash with the Kirsch–Mitzenmacher double-hashing family
-    g_i = (h1 + i*h2) mod 2^61 — multiply+add+mask per slot instead of a
-    full xxhash64 round. i*h2 must be COMPARABLE in magnitude to h1 so the
-    per-slot argmin actually reorders (a small perturbation collapses every
-    slot to the same min-shingle and banding recall dies), and ANSI mode
-    forbids silent long overflow — hence the ranges: h1∈[0,2^61),
-    h2∈[0,2^55), i<64 ⇒ i*h2 < 2^61, sum < 2^62, masked back to 2^61.
-    The groupBy reuses the window's hash partitioning on id, so the only
-    shuffle carries one (id, pos, token-hash) row per token."""
-    sh = word_shingle_hashes(df, id_col, text_col, k, seed).select(
+    The num_hashes slot hashes derive from the shingle hash with the
+    Kirsch–Mitzenmacher double-hashing family g_i = (h1 + i*h2) mod 2^61 —
+    multiply+add+mask per slot instead of a full xxhash64 round. i*h2 must
+    be COMPARABLE in magnitude to h1 so the per-slot argmin actually
+    reorders (a small perturbation collapses every slot to the same
+    min-shingle and banding recall dies), and ANSI mode forbids silent long
+    overflow — hence the ranges: h1∈[0,2^61), h2∈[0,2^55), i<64 ⇒
+    i*h2 < 2^61, sum < 2^62, masked back to 2^61. The groupBy reuses the
+    shingle window's hash partitioning on id (no extra shuffle)."""
+    mixed = sh.select(
         "id",
         F.col("sh").bitwiseAND(F.lit((1 << 61) - 1)).alias("h1"),
         F.xxhash64("sh").bitwiseAND(F.lit((1 << 55) - 1)).alias("h2"),
@@ -176,9 +171,21 @@ def minhash_signatures(
         for i in range(num_hashes)
     ]
     return (
-        sh.groupBy("id")
+        mixed.groupBy("id")
         .agg(*aggs)
         .select("id", F.array(*[F.col(f"m{i}") for i in range(num_hashes)]).alias("sig"))
+    )
+
+
+def minhash_signatures(
+    df: DataFrame, id_col: str, text_col: str, k: int = 3, num_hashes: int = 64, seed: int = 42
+) -> DataFrame:
+    """(id, sig: array<bigint>[num_hashes]) — slot i = min over shingles of
+    a per-slot hash of the shingle. Shingle hashes come from
+    :func:`word_shingle_hashes` (zero interpreted HOFs, zero string
+    shingles); slot derivation in :func:`_signatures_from_shingle_hashes`."""
+    return _signatures_from_shingle_hashes(
+        word_shingle_hashes(df, id_col, text_col, k, seed), num_hashes
     )
 
 
@@ -239,14 +246,41 @@ def minhash_near_duplicates(
     Candidate generation is probabilistic; verification is exact, so output
     ⊆ jaccard_pairs(...) with recall ≈ 1-(1-t^r)^b."""
     rows_per_band = num_hashes // bands
-    sigs = minhash_signatures(df, id_col, text_col, k, num_hashes, seed)
+    # ONE token/shingle pipeline feeds both the signature pass and the
+    # exact verifier (cached; recomputing it was the single biggest cost of
+    # the end-to-end query).
+    sh_all = word_shingle_hashes(df, id_col, text_col, k, seed).cache()
+    sigs = _signatures_from_shingle_hashes(sh_all, num_hashes).cache()
     cand = lsh_candidate_pairs(sigs, bands, rows_per_band)
+
+    # Signature-agreement prefilter: estimated Jaccard = matching-slot
+    # fraction (64 codegen equality terms per pair — no shingle join). A
+    # candidate pair from one colliding band can still have tiny true
+    # Jaccard (low-entropy corpora collide en masse); dropping pairs with
+    # est < threshold - 3.5σ (σ = sqrt(t(1-t)/num_hashes)) cuts the
+    # expensive exact join by orders of magnitude while keeping pairs at
+    # the threshold with >99.9% probability. Exact verification below
+    # remains the final arbiter, so no false positives are introduced.
+    sigma = (threshold * (1.0 - threshold) / num_hashes) ** 0.5
+    cutoff = max(threshold - 3.5 * sigma, 0.0)
+    sa = sigs.select(F.col("id").alias("id_a"), F.col("sig").alias("sig_a"))
+    sb = sigs.select(F.col("id").alias("id_b"), F.col("sig").alias("sig_b"))
+    est = None
+    for i in range(num_hashes):
+        term = (F.col("sig_a")[i] == F.col("sig_b")[i]).cast("int")
+        est = term if est is None else est + term
+    cand = (
+        cand.join(sa, "id_a")
+        .join(sb, "id_b")
+        .where(est >= F.lit(cutoff * num_hashes))
+        .select("id_a", "id_b")
+    )
 
     # Verify on 64-bit shingle HASHES, not shingle strings — same distinct
     # set per doc up to hash collisions (~2^-64 per pair), joins on 8-byte
     # keys instead of strings, and shares the codegen shingle pipeline with
     # the signature pass.
-    sh = word_shingle_hashes(df, id_col, text_col, k, seed).distinct().cache()
+    sh = sh_all.distinct()
     sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("n_sh"))
     # merge hints: Catalyst size estimates for the post-cache shingle table
     # run far under reality (60M rows at 600k docs) and it will try to

@@ -133,14 +133,19 @@ def profile_table(df: DataFrame, columns: list[str] | None = None, exact: bool =
             aggs += S.datetime_exprs(c)
             aggs += S.datetime_part_exprs(c)
         # deterministic head-5 stand-in (hash-ordered min_by picks, O(1)
-        # state) for every samplable family; binary payloads excluded
+        # state) for every samplable family; binary payloads excluded.
+        # exact: md5-window ordering over the stringified value (DuckDB
+        # twin); approx: xxhash64 over the RAW value, stringified post-agg.
         if kind != "BINARY":
-            sample_v = (
-                F.col(c).cast("double").cast("string")
-                if kind == "NUMERIC"
-                else dcol.cast("string")
-            )
-            aggs += S.sample_exprs(c, sample_v)
+            if exact:
+                sample_v = (
+                    F.col(c).cast("double").cast("string")
+                    if kind == "NUMERIC"
+                    else dcol.cast("string")
+                )
+                aggs += S.sample_exprs(c, sample_v)
+            else:
+                aggs += S.sample_exprs(c, dcol, cheap=True)
         # mode only in exact mode: its aggregation state is O(distinct) per
         # column (same order as exact count_distinct); the approx/100 TB
         # path skips it, mirroring how HLL replaces exact distinct there.
@@ -194,9 +199,16 @@ def profile_table(df: DataFrame, columns: list[str] | None = None, exact: bool =
         span = F.col(f"{c}__span_days").cast("long") if kind in ("DATETIME", "DATE") else null_l
 
         if kind != "BINARY":
-            samples = F.concat_ws(
-                "|", *[F.col(f"{c}__sample{i}") for i in range(5)]
-            )
+            if exact:
+                picks = [F.col(f"{c}__sample{i}") for i in range(5)]
+            elif kind == "NUMERIC":
+                picks = [
+                    F.col(f"{c}__sample{i}").cast("double").cast("string")
+                    for i in range(5)
+                ]
+            else:
+                picks = [F.col(f"{c}__sample{i}").cast("string") for i in range(5)]
+            samples = F.concat_ws("|", *picks)
         else:
             samples = null_s
         if exact and kind in ("NUMERIC", "STRING"):

@@ -36,9 +36,10 @@ def whitespace_token_count(c: str | Column) -> Column:
 
 
 def bpe_token_count(c: str | Column) -> Column:
-    """Count of BPE-ish tokens (letter runs / digit runs / punct singles)."""
+    """Count of BPE-ish tokens (letter runs / digit runs / punct singles).
+    regexp_count: no token-array materialization, count-only scan."""
     col = F.col(c) if isinstance(c, str) else c
-    return F.size(F.regexp_extract_all(col, F.lit(BPE_RE), F.lit(0))).cast("long")
+    return F.regexp_count(col, F.lit(BPE_RE)).cast("long")
 
 
 def _stopword_hits(col: Column, words: list[str]) -> Column:
@@ -46,15 +47,29 @@ def _stopword_hits(col: Column, words: list[str]) -> Column:
     return F.size(F.regexp_extract_all(F.lower(col), F.lit(pat), F.lit(0)))
 
 
-def lang_id(c: str | Column) -> Column:
-    """n-gram/stopword language heuristic → 'zh'|'en'|'es'|'de'|'fr'|'und'.
+# union of every language's stopwords — ONE regex pass extracts all hits;
+# per-language counts are membership filters over the (short) hit array.
+# Equivalent to per-language passes: \b-bounded full-word alternation
+# matches at exactly the positions any single-language pattern would, and
+# words shared by two languages (la, un) count for both via membership.
+_ALL_STOP_RE = (
+    "\\b(" + "|".join(sorted({w for v in STOPWORDS.values() for w in v})) + ")\\b"
+)
 
-    CJK characters short-circuit to zh; otherwise argmax of per-language
-    stopword hit counts with a fixed tie-break order (en,es,de,fr). Identical
-    CASE structure in the SQL oracle (lang_id_sql)."""
-    col = F.col(c) if isinstance(c, str) else c
-    s = {k: _stopword_hits(col, v) for k, v in STOPWORDS.items()}
-    zh = F.size(F.regexp_extract_all(col, F.lit(_CJK_RE), F.lit(0)))
+
+def _stopword_hit_array(lowered: Column) -> Column:
+    return F.regexp_extract_all(lowered, F.lit(_ALL_STOP_RE), F.lit(0))
+
+
+def _lang_counts(hits: Column) -> dict[str, Column]:
+    out = {}
+    for lang, words in STOPWORDS.items():
+        wset = F.array(*[F.lit(w) for w in words])
+        out[lang] = F.size(F.filter(hits, lambda w: F.array_contains(wset, w)))
+    return out
+
+
+def _lang_case(s: dict[str, Column], zh: Column) -> Column:
     best = F.greatest(*s.values())
     return (
         F.when(zh > 0, F.lit("zh"))
@@ -64,6 +79,19 @@ def lang_id(c: str | Column) -> Column:
         .when(s["de"] == best, F.lit("de"))
         .otherwise(F.lit("fr"))
     )
+
+
+def lang_id(c: str | Column) -> Column:
+    """n-gram/stopword language heuristic → 'zh'|'en'|'es'|'de'|'fr'|'und'.
+
+    CJK characters short-circuit to zh; otherwise argmax of per-language
+    stopword hit counts with a fixed tie-break order (en,es,de,fr). Identical
+    CASE structure in the SQL oracle (lang_id_sql). One union regex pass +
+    membership filters, not one regex pass per language."""
+    col = F.col(c) if isinstance(c, str) else c
+    s = _lang_counts(_stopword_hit_array(F.lower(col)))
+    zh = F.regexp_count(col, F.lit(_CJK_RE))
+    return _lang_case(s, zh)
 
 
 def lang_id_sql(c: str) -> str:
@@ -87,10 +115,17 @@ def quality_features(c: str | Column) -> dict[str, Column]:
     stopword ratio, mean token length. All exact IEEE from integer counts."""
     col = F.col(c) if isinstance(c, str) else c
     n_chars = F.length(col).cast("long")
-    n_alpha = F.length(F.regexp_replace(col, "[^A-Za-z]", "")).cast("long")
-    n_punct = F.size(F.regexp_extract_all(col, F.lit(_PUNCT_RE), F.lit(0))).cast("long")
+    # count-only scans: no stripped-string or match-array materialization
+    n_alpha = F.regexp_count(col, F.lit("[A-Za-z]")).cast("long")
+    n_punct = F.regexp_count(col, F.lit(_PUNCT_RE)).cast("long")
     n_tok = whitespace_token_count(col)
-    n_stop = _stopword_hits(col, STOPWORDS["en"]).cast("long")
+    # en membership over the shared union extraction: identical count to a
+    # dedicated en regex pass, and Catalyst CSE collapses this extraction
+    # with lang_id's when both appear in one projection (text_profile)
+    en_set = F.array(*[F.lit(w) for w in STOPWORDS["en"]])
+    n_stop = F.size(
+        F.filter(_stopword_hit_array(F.lower(col)), lambda w: F.array_contains(en_set, w))
+    ).cast("long")
     alpha_ratio = F.try_divide(n_alpha.cast("double"), n_chars)
     punct_ratio = F.try_divide(n_punct.cast("double"), n_chars)
     stop_ratio = F.try_divide(n_stop.cast("double"), n_tok)

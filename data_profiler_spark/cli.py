@@ -115,7 +115,9 @@ def main(argv: list[str] | None = None) -> int:
 
                     _emit(args, profile_report_html_ydata(prof, source=path))
                 else:
-                    _emit(args, df_to_markdown(prof))
+                    from data_profiler_spark.reports import df_to_table
+
+                    _emit(args, df_to_table(prof))
             return EXIT_OK
 
         if args.command == "group":
@@ -145,6 +147,10 @@ def main(argv: list[str] | None = None) -> int:
                 from data_profiler_spark.html_report import grouping_report_html
 
                 _emit(args, grouping_report_html(res, source=args.path))
+            elif args.output == "table":
+                from data_profiler_spark.reports import df_to_table
+
+                _emit(args, df_to_table(res.data) if res.data is not None else "(skipped)")
             else:
                 _emit(args, df_to_markdown(res.data) if res.data is not None else "(skipped)")
             return EXIT_CARDINALITY if res.skipped else EXIT_OK

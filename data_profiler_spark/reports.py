@@ -139,6 +139,49 @@ def profile_report_markdown(profile_df: DataFrame, source: str = "") -> str:
     return "\n".join(md)
 
 
+def df_to_table(df: DataFrame, limit: int = 100, max_width: int = 40) -> str:
+    """Aligned box-drawing console table (the reference's rich-table surface,
+    cli/formatters.py:76-633, without the rich dependency): right-aligned
+    numeric cells, left-aligned text, per-column width fitting with
+    truncation, and a row-count footer when the frame was capped."""
+    cols = df.columns
+    rows = df.limit(limit + 1).collect()
+    truncated = len(rows) > limit
+    rows = rows[:limit]
+
+    def cell(v) -> str:
+        s = "" if v is None else str(_jsonable(v))
+        return s if len(s) <= max_width else s[: max_width - 1] + "…"
+
+    grid = [[cell(r[c]) for c in cols] for r in rows]
+    numeric = [
+        all(isinstance(r[c], (int, float)) and not isinstance(r[c], bool)
+            for r in rows if r[c] is not None)
+        for c in cols
+    ]
+    widths = [
+        max(len(cols[i]), *(len(g[i]) for g in grid)) if grid else len(cols[i])
+        for i in range(len(cols))
+    ]
+
+    def line(l, m, r):
+        return l + m.join("─" * (w + 2) for w in widths) + r
+
+    def fmt_row(vals, is_head=False):
+        cells = []
+        for i, v in enumerate(vals):
+            pad = v.rjust(widths[i]) if (numeric[i] and not is_head) else v.ljust(widths[i])
+            cells.append(f" {pad} ")
+        return "│" + "│".join(cells) + "│"
+
+    out = [line("┌", "┬", "┐"), fmt_row(cols, is_head=True), line("├", "┼", "┤")]
+    out += [fmt_row(g) for g in grid]
+    out.append(line("└", "┴", "┘"))
+    if truncated:
+        out.append(f"(first {limit} rows)")
+    return "\n".join(out)
+
+
 def df_to_csv(df: DataFrame, path: str) -> None:
     """Single-file CSV export of a small result (cli/main.py:578-590)."""
     import csv

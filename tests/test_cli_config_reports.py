@@ -203,3 +203,23 @@ def test_html_escapes_values(spark):
     out = profile_report_html(profile_table(df), source="<s>")
     assert "<script>alert" not in out
     assert "&lt;script&gt;" in out
+
+
+def test_cli_profile_table_output(spark, capsys):
+    rc = main(["--output", "table", "profile", "/root/testdata/sf0.001/nation.parquet"])
+    assert rc == EXIT_OK
+    out = capsys.readouterr().out
+    assert out.startswith("┌") and "│ column" in out and "└" in out
+    assert "n_nationkey" in out
+
+
+def test_df_to_table_alignment(spark):
+    from data_profiler_spark.reports import df_to_table
+
+    df = spark.createDataFrame([("a", 1), ("bb", 22)], "s string, n long")
+    t = df_to_table(df)
+    lines = t.splitlines()
+    assert lines[0].startswith("┌") and lines[-1].startswith("└")
+    # numeric column right-aligned: '22' flush right, '1' padded left
+    body = [l for l in lines if "│" in l][1:]
+    assert any(" 1 │" in l for l in body) and any(" 22 │" in l for l in body)

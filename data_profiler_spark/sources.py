@@ -205,6 +205,28 @@ def _reinfer_string_columns(df: DataFrame, infer_rows: int = 10_000) -> DataFram
     )
 
 
+def read_input(spark: SparkSession, source: str, **kwargs) -> DataFrame:
+    """Path OR catalog-table dispatch for job entrypoints.
+
+    A filesystem path (exists locally, has a URI scheme, or contains a
+    separator) goes through :func:`read`'s format dispatch; anything else is
+    treated as a catalog table identifier — ``spark.read.table`` — which is
+    how an Iceberg table (``lake.code.files``) reaches the engine on a real
+    cluster: snapshot isolation, partition pruning and metadata-served
+    counts come from the table format, no engine change needed."""
+    import os as _os
+
+    looks_like_path = (
+        _os.path.exists(source)
+        or "://" in source
+        or "/" in source
+        or source.endswith((".parquet", ".csv", ".json", ".jsonl"))
+    )
+    if looks_like_path:
+        return read(spark, source, **kwargs)
+    return spark.read.table(source)
+
+
 def get_schema(spark: SparkSession, path: str, fmt: str | None = None):
     """Schema without reading data (parquet footer / limited inference —
     core/profiler.py:170-200)."""

@@ -63,7 +63,13 @@ def main() -> int:
         row_checks=[mk[s["type"]](s) for s in spec.get("checks", []) if s["type"] in mk]
     )
 
-    df = spark.read.parquet(args.input)
+    from data_profiler_spark.sources import read_input
+
+    # path → format reader (parquet/csv/json); otherwise a catalog table
+    # identifier (e.g. an Iceberg table `lake.code.files`) via read.table —
+    # partition pruning on the bucket/wave filter comes from the table
+    # format's metadata there
+    df = read_input(spark, args.input)
     cv = CheckpointedValidation(
         spark,
         args.checkpoint_dir,

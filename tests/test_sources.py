@@ -164,3 +164,16 @@ def test_reinfer_commits_clean_numeric(spark):
     )
     out = dict(_reinfer_string_columns(df).dtypes)
     assert out == {"i": "bigint", "d": "double", "s": "string"}
+
+
+def test_read_input_path_vs_table(spark, tmp_path):
+    """read_input dispatches paths to the format readers and bare
+    identifiers to the session catalog (the Iceberg route on a cluster)."""
+    from data_profiler_spark.sources import read_input
+
+    p = str(tmp_path / "t.parquet")
+    spark.range(5).write.parquet(p)
+    assert read_input(spark, p).count() == 5
+
+    spark.range(7).createOrReplaceTempView("code_files_view")
+    assert read_input(spark, "code_files_view").count() == 7

@@ -37,6 +37,7 @@ def test_image_features_schema_and_determinism(spark, media):
     assert feats.columns == [
         "media_id", "n_bytes", "payload_sha256", "mean_byte",
         "byte_entropy", "compress_ratio", "width", "height",
+        "decoded", "mean_r", "mean_g", "mean_b",
     ]
     rows = feats.collect()
     n_images = media.where("kind = 'image'").count()
@@ -79,3 +80,60 @@ def test_media_summary_prunes_payload(spark, tmp_path):
     assert "payload" not in plan.split("ReadSchema")[-1]
     rows = media_summary(df).collect()
     assert sum(r["n"] for r in rows) == 100
+
+
+def test_wav_real_decode_features(spark):
+    """WAV is decoded for REAL (stdlib codec): features match a local
+    numpy computation on the same deterministic payload."""
+    import numpy as np
+
+    from data_profiler_spark.operators.multimodal import (
+        audio_features,
+        decode_wav,
+        synth_wav_media,
+    )
+
+    media = synth_wav_media(spark, 20)
+    rows = {r["media_id"]: r for r in audio_features(media).collect()}
+    assert len(rows) == 20
+    payloads = {r["media_id"]: bytes(r["payload"]) for r in media.collect()}
+    for mid in (0, 7, 19):
+        rate, nch, x = decode_wav(payloads[mid])
+        r = rows[mid]
+        assert (r["sample_rate"], r["n_channels"], r["n_samples"]) == (rate, nch, x.size)
+        xf = x.astype(np.float64)
+        assert abs(r["rms"] - float(np.sqrt(np.mean(xf * xf)))) < 1e-9
+        assert r["peak"] == int(np.abs(x).max())
+        assert 0.0 < r["zero_crossing_rate"] < 1.0
+        assert r["duration_ms"] == 1000.0 * x.size / rate
+
+
+def test_bmp_real_decode_and_resize(spark):
+    import numpy as np
+
+    from data_profiler_spark.operators.multimodal import (
+        decode_bmp,
+        encode_bmp,
+        image_features,
+        resize_images,
+        synth_bmp_media,
+    )
+
+    # codec roundtrip
+    px = np.arange(6 * 5 * 3, dtype=np.uint8).reshape(6, 5, 3)
+    assert (decode_bmp(encode_bmp(px)) == px).all()
+
+    media = synth_bmp_media(spark, 15)
+    feats = {r["media_id"]: r for r in image_features(media).collect()}
+    assert len(feats) == 15 and all(r["decoded"] for r in feats.values())
+    # true dimensions come from the BMP header, means from real pixels
+    raw = {r["media_id"]: bytes(r["payload"]) for r in media.collect()}
+    for mid in (0, 14):
+        truth = decode_bmp(raw[mid])
+        assert (feats[mid]["height"], feats[mid]["width"]) == truth.shape[:2]
+        assert abs(feats[mid]["mean_r"] - truth.reshape(-1, 3)[:, 0].mean()) < 1e-9
+
+    resized = {r["media_id"]: bytes(r["payload"])
+               for r in resize_images(media, 16, 12).collect()}
+    out = decode_bmp(resized[3])
+    assert out.shape == (12, 16, 3)

@@ -71,22 +71,33 @@ def main() -> int:
         ],
     )
 
-    from data_profiler_spark.operators.constraints import collect_suite
+    n_rows = spark.read.parquet(code_files).count()
 
-    n_rows = spark.read.parquet(code_files).count()  # untimed warm-up + size
+    def run_once():
+        out = run_suite(
+            df,
+            suite,
+            partition_col=F.pmod(F.hash("repo"), F.lit(64)),
+            parents={"commits": (commits, ("repo", "commit"))},
+            content_col="content",
+            key_cols=["repo", "path", "commit"],
+        )
+        return (
+            out["verdicts"].collect(),
+            out["violations"].collect(),
+            out["uniqueness"].collect(),
+            out["referential"].collect(),
+        )
+
+    # Untimed warm-up pass: whole-stage codegen compilation, plan caching
+    # and JVM JIT are one-time per-process costs — on the 10^12-file target
+    # they amortize to zero, but at bench scale they are a FIXED ~20s that
+    # would masquerade as poor scaling (the 4N run pays the same fixed cost
+    # over a 4x shorter parallel phase). Steady-state throughput is the
+    # metric the north rule scales.
+    run_once()
     t0 = time.perf_counter()
-    out = run_suite(
-        df,
-        suite,
-        partition_col=F.pmod(F.hash("repo"), F.lit(64)),
-        parents={"commits": (commits, ("repo", "commit"))},
-        content_col="content",
-        key_cols=["repo", "path", "commit"],
-    )
-    verdicts = out["verdicts"].collect()
-    violations = out["violations"].collect()
-    uniq = out["uniqueness"].collect()
-    ref = out["referential"].collect()
+    verdicts, violations, uniq, ref = run_once()
     suite_sec = time.perf_counter() - t0
 
     vio_lines = sorted(

@@ -24,7 +24,18 @@ CODE_FILES_PER_SF = 6_000_000  # sf1.0 ≡ 6M code_files rows (matches lineitem)
 
 def main() -> int:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    cpus_env = os.environ.get("SPARK_GRAFT_CPUS")
+    if cpus_env:
+        cpus = int(cpus_env)
+    else:
+        # This sandbox carries a fluctuating EXTERNAL load (10-20 busy cores
+        # belonging to other tenants; see BENCH.md). Oversubscribing on top
+        # of it makes wall times swing 4-20x run-to-run (simhash measured
+        # 10s idle vs 287s under load, zero code change). Size the pool to
+        # the cores actually free at launch; SPARK_GRAFT_CPUS overrides.
+        total = os.cpu_count() or 32
+        busy = int(round(os.getloadavg()[0]))
+        cpus = max(8, min(total, total - busy))
     try:
         sf = float(os.path.basename(sf_dir.rstrip("/")).replace("sf", ""))
     except ValueError:

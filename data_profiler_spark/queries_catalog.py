@@ -911,6 +911,86 @@ def jaccard_pairs_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
 # dedup: MinHash+LSH and SimHash (non-SQL-expressible hashing → rows-only
 # driver check; pytest asserts containment vs exact jaccard)
 # ---------------------------------------------------------------------------
+# §2.8 streaming: windowed profile drained via availableNow == the batch
+# date_trunc aggregation — a FULL oracle for the streaming surface
+# (1-day tumbling windows are epoch-aligned, matching date_trunc('day'))
+_STREAM_PROFILE_SQL = " UNION ALL ".join(
+    f"""SELECT CAST(CAST(date_trunc('day', ts) AS TIMESTAMP) AS VARCHAR) AS window_start,
+           CAST(CAST(date_trunc('day', ts) AS TIMESTAMP) + INTERVAL 1 DAY AS VARCHAR) AS window_end,
+           '{col}' AS column, COUNT({col}) AS count,
+           CAST(COUNT(*) - COUNT({col}) AS BIGINT) AS null_count,
+           {minmax[0]} AS min_v, {minmax[1]} AS max_v
+       FROM events GROUP BY 1, 2"""
+    for col, minmax in [
+        ("event_type", ("MIN(event_type)", "MAX(event_type)")),
+        ("value", ("CAST(MIN(value) AS VARCHAR)", "CAST(MAX(value) AS VARCHAR)")),
+    ]
+)
+
+
+@register("streaming_windowed_profile_events", _STREAM_PROFILE_SQL)
+def streaming_windowed_profile_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Structured Streaming surface under the driver gate: file-source
+    stream → watermark → windowed per-column profile → availableNow drain
+    into a memory sink; the result must equal the batch aggregation."""
+    import tempfile
+    import uuid
+
+    from data_profiler_spark import streaming
+
+    import hashlib
+    import os
+
+    path = f"{sf_dir}/events.parquet"
+    # FileStreamSource wants a DIRECTORY; the test table is a single file —
+    # stage a symlink dir (deterministic per source path, reused across runs)
+    src_dir = f"/tmp/stream_src_{hashlib.md5(path.encode()).hexdigest()[:10]}"
+    os.makedirs(src_dir, exist_ok=True)
+    link = os.path.join(src_dir, "events.parquet")
+    if not os.path.exists(link):
+        os.symlink(path, link)
+    schema = spark.read.parquet(path).schema
+    # watermarks require TIMESTAMP (tz-aware); session TZ is UTC so the
+    # cast is value-preserving, and the window bounds are cast back to NTZ
+    # below to match the DuckDB date_trunc timestamps
+    s = (
+        spark.readStream.schema(schema).parquet(src_dir)
+        .withColumn("ts", F.col("ts").cast("timestamp"))
+    )
+    prof = streaming.windowed_profile(
+        s, "ts", window="1 day", watermark="1 day", columns=["event_type", "value"]
+    )
+    name = f"stream_prof_{uuid.uuid4().hex[:8]}"
+    streaming.run_available_now(prof, name, tempfile.mkdtemp(prefix="ckpt_q_"))
+    # string bounds: pandas datetime64 resolution differs between the two
+    # engines (ns vs us), which is hash-visible; text is not
+    return spark.table(name).select(
+        F.col("window_start").cast("timestamp_ntz").cast("string").alias("window_start"),
+        F.col("window_end").cast("timestamp_ntz").cast("string").alias("window_end"),
+        "column", "count", "null_count", "min_v", "max_v",
+    )
+# synthesized inside mapInPandas, so no SQL twin exists → rows-only check;
+# pytest verifies decode correctness against local numpy recomputation
+@register("audio_features_wav")
+def audio_features_wav(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from data_profiler_spark.operators.multimodal import (
+        audio_features,
+        synth_wav_media,
+    )
+
+    return audio_features(synth_wav_media(spark, 50)).orderBy("media_id")
+
+
+@register("bmp_image_features")
+def bmp_image_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from data_profiler_spark.operators.multimodal import (
+        image_features,
+        synth_bmp_media,
+    )
+
+    return image_features(synth_bmp_media(spark, 30)).orderBy("media_id")
+
+
 @register("minhash_near_dups_documents")
 def minhash_near_dups_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     from data_profiler_spark.operators.dedup import minhash_near_duplicates

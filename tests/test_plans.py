@@ -93,3 +93,30 @@ def test_salted_uniqueness_two_stage(spark, lineitem):
     plan = _plan(uniqueness_violations(lineitem, ["l_orderkey", "l_linenumber"]))
     # two aggregation stages (salted partial + final merge)
     assert plan.count("HashAggregate") >= 4  # partial+final per stage
+
+
+def test_dedup_keep_canonical_no_forced_broadcast(spark):
+    """The loser set is O(corpus) at high dup rates — the anti-join must
+    NOT carry a user-forced broadcast hint (AQE decides at runtime)."""
+    from data_profiler_spark.operators.dedup import dedup_keep_canonical
+
+    df = spark.createDataFrame([(i, f"t{i}") for i in range(10)], "id long, t string")
+    pairs = spark.createDataFrame([(1, 2), (3, 4)], "id_a long, id_b long")
+    out = dedup_keep_canonical(df, "id", pairs)
+    logical = out._jdf.queryExecution().optimizedPlan().toString()
+    # optimizedPlan shows hints as ResolvedHint/JoinHint entries
+    assert "broadcast" not in logical.lower() or "JoinHint(none" in logical
+    assert out.count() == 8  # 2 and 4 dropped, reps 1 and 3 kept
+
+
+def test_minhash_signature_plan_hygiene(spark):
+    """One exchange total (window shuffle reused by the per-doc groupBy),
+    zero Python evaluation nodes, no interpreted HOFs in the hot path."""
+    from data_profiler_spark.operators.dedup import minhash_signatures
+
+    df = spark.createDataFrame(
+        [(1, "a b c d e"), (2, "a b c d f")], "doc_id long, text string"
+    )
+    plan = _plan(minhash_signatures(df, "doc_id", "text"))
+    assert plan.count("Exchange") == 1
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan

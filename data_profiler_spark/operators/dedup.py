@@ -99,6 +99,34 @@ def jaccard_pairs(
     )
 
 
+def containment_pairs(
+    df: DataFrame, id_col: str, text_col: str, k: int = 3, threshold: float = 0.8
+) -> DataFrame:
+    """One-sided near-dup: (id_a, id_b, containment_a, containment_b) where
+    containment_x = |A∩B| / |X| and max(containment) ≥ threshold — catches a
+    document embedded inside a larger one, which symmetric Jaccard misses
+    (|A∩B|/|A∪B| is small when |B| ≫ |A|). Standard subset-dedup step in
+    training pipelines. Same shingle co-occurrence join as
+    :func:`jaccard_pairs` (small-scale oracle twin; at scale run it on LSH
+    candidates only)."""
+    sh = word_shingles(df, id_col, text_col, k).cache()
+    sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("n_sh"))
+    a, b = sh.alias("a"), sh.alias("b")
+    inter = (
+        a.join(b, (F.col("a.shingle") == F.col("b.shingle")) & (F.col("a.id") < F.col("b.id")))
+        .groupBy(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .agg(F.count(F.lit(1)).alias("n_inter"))
+    )
+    ca = F.col("n_inter").cast("double") / F.col("n_a")
+    cb = F.col("n_inter").cast("double") / F.col("n_b")
+    return (
+        inter.join(sizes.select(F.col("id").alias("id_a"), F.col("n_sh").alias("n_a")), "id_a")
+        .join(sizes.select(F.col("id").alias("id_b"), F.col("n_sh").alias("n_b")), "id_b")
+        .select("id_a", "id_b", ca.alias("containment_a"), cb.alias("containment_b"))
+        .where(F.greatest(ca, cb) >= F.lit(threshold))
+    )
+
+
 # ---------------------------------------------------------------------------
 # MinHash + LSH (the 100 TB near-dup path)
 # ---------------------------------------------------------------------------

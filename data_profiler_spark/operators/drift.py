@@ -77,6 +77,37 @@ def ks_statistic(
     return cum.select(d.alias("d")).agg(F.max("d").alias("ks"))
 
 
+def chi_square_from_histograms(
+    base: DataFrame, cur: DataFrame, keys: list[str],
+    bucket_col: str = "bucket", cnt_col: str = "cnt",
+) -> DataFrame:
+    """Pearson chi-square drift statistic per key group from two histogram
+    tables: X² = Σ_buckets (o - e)² / e where o = current count and
+    e = base proportion × current total (buckets with e = 0 contribute 0 —
+    a bucket unseen in the baseline is PSI's job to flag, chi-square's
+    expected-count denominator would be undefined).
+
+    Same histogram-table shape as :func:`psi_from_histograms`; counts and
+    single IEEE divisions only, decimal-summed for order independence.
+    """
+    join_cols = keys + [bucket_col]
+    b = base.groupBy(*join_cols).agg(F.sum(cnt_col).alias("b_cnt"))
+    c = cur.groupBy(*join_cols).agg(F.sum(cnt_col).alias("c_cnt"))
+    merged = b.join(c, join_cols, "full_outer").fillna(0, ["b_cnt", "c_cnt"])
+    totals = merged.groupBy(*keys).agg(
+        F.sum("b_cnt").alias("b_tot"), F.sum("c_cnt").alias("c_tot")
+    )
+    m = merged.join(totals, keys)
+    e = F.col("b_cnt").cast("double") / F.col("b_tot") * F.col("c_tot")
+    o = F.col("c_cnt").cast("double")
+    term = F.when(F.col("b_cnt") > 0, (o - e) * (o - e) / e).otherwise(F.lit(0.0))
+    return (
+        m.select(*keys, term.cast("decimal(38,18)").alias("term"))
+        .groupBy(*keys)
+        .agg(F.round(F.sum("term").cast("double"), 10).alias("chi_square"))
+    )
+
+
 def drift_verdicts(
     psi_df: DataFrame, keys: list[str], psi_threshold: float = 0.25
 ) -> DataFrame:

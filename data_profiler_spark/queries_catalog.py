@@ -907,6 +907,28 @@ def jaccard_pairs_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     return jaccard_pairs(docs, "doc_id", "text", k=3, threshold=0.5)
 
 
+@register(
+    "containment_pairs_documents",
+    """WITH toks AS (SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS w FROM documents),
+       sh AS (SELECT DISTINCT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS s
+              FROM toks, UNNEST(generate_series(1, greatest(len(w)-2, 0))) AS t(i)),
+       sz AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY 1),
+       inter AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS ni
+                 FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id GROUP BY 1, 2)
+       SELECT id_a, id_b, CAST(ni AS DOUBLE) / sa.n AS containment_a,
+              CAST(ni AS DOUBLE) / sb.n AS containment_b
+       FROM inter JOIN sz sa ON sa.doc_id = id_a JOIN sz sb ON sb.doc_id = id_b
+       WHERE GREATEST(CAST(ni AS DOUBLE) / sa.n, CAST(ni AS DOUBLE) / sb.n) >= 0.6""",
+)
+def containment_pairs_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-sided containment near-dup (subset detection) — see
+    operators/dedup.containment_pairs."""
+    from data_profiler_spark.operators.dedup import containment_pairs
+
+    docs = load(spark, sf_dir, "documents")
+    return containment_pairs(docs, "doc_id", "text", k=3, threshold=0.6)
+
+
 # ---------------------------------------------------------------------------
 # dedup: MinHash+LSH and SimHash (non-SQL-expressible hashing → rows-only
 # driver check; pytest asserts containment vs exact jaccard)
@@ -1101,6 +1123,41 @@ def psi_content_length_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
     base = h.where("side = 0").select("lang", "bucket", "cnt")
     cur = h.where("side = 1").select("lang", "bucket", "cnt")
     return psi_from_histograms(base, cur, ["lang"])
+
+
+@register(
+    "chi_square_content_length_by_lang",
+    """WITH h AS (SELECT lang, doc_id % 2 AS side, CAST(FLOOR(n_chars / 100.0) AS BIGINT) AS bucket,
+                         COUNT(*) AS cnt
+                  FROM documents GROUP BY 1, 2, 3),
+       b AS (SELECT lang, bucket, cnt FROM h WHERE side = 0),
+       c AS (SELECT lang, bucket, cnt FROM h WHERE side = 1),
+       m AS (SELECT COALESCE(b.lang, c.lang) AS lang, COALESCE(b.bucket, c.bucket) AS bucket,
+                    COALESCE(b.cnt, 0) AS bc, COALESCE(c.cnt, 0) AS cc
+             FROM b FULL OUTER JOIN c ON b.lang = c.lang AND b.bucket = c.bucket),
+       t AS (SELECT lang, SUM(bc) AS bt, SUM(cc) AS ct FROM m GROUP BY 1)
+       SELECT m.lang,
+              ROUND(CAST(SUM(CAST(
+                CASE WHEN bc > 0
+                     THEN (CAST(cc AS DOUBLE) - CAST(bc AS DOUBLE)/bt*ct)
+                        * (CAST(cc AS DOUBLE) - CAST(bc AS DOUBLE)/bt*ct)
+                        / (CAST(bc AS DOUBLE)/bt*ct)
+                     ELSE 0.0 END AS DECIMAL(38,18))) AS DOUBLE), 10) AS chi_square
+       FROM m JOIN t ON m.lang = t.lang GROUP BY m.lang""",
+)
+def chi_square_content_length_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pearson chi-square drift over the same per-lang content-length
+    histograms as the PSI check (doc_id parity split)."""
+    from data_profiler_spark.operators.drift import chi_square_from_histograms
+
+    docs = load(spark, sf_dir, "documents")
+    bucket = F.floor(F.col("n_chars") / F.lit(100.0)).cast("long").alias("bucket")
+    h = docs.select("lang", (F.col("doc_id") % 2).alias("side"), bucket).groupBy(
+        "lang", "side", "bucket"
+    ).agg(F.count(F.lit(1)).alias("cnt"))
+    base = h.where("side = 0").select("lang", "bucket", "cnt")
+    cur = h.where("side = 1").select("lang", "bucket", "cnt")
+    return chi_square_from_histograms(base, cur, ["lang"])
 
 
 @register(

@@ -77,3 +77,18 @@ def test_simhash_near_dups_on_documents(documents):
     out = simhash_near_duplicates(documents, "doc_id", "text", max_hamming=3).collect()
     assert all(r["hamming"] <= 3 for r in out)
     assert len(out) > 0  # seeded near-duplicates exist in documents
+
+
+def test_containment_catches_subset_that_jaccard_misses(spark):
+    from data_profiler_spark.operators.dedup import containment_pairs, jaccard_pairs
+
+    small = "alpha beta gamma delta epsilon"
+    big = small + " " + " ".join(f"w{i} x{i} y{i}" for i in range(20))
+    df = spark.createDataFrame([(1, small), (2, big)], "id long, t string")
+    cont = containment_pairs(df, "id", "t", k=3, threshold=0.8).collect()
+    assert len(cont) == 1
+    [r] = cont
+    assert r["containment_a"] == 1.0  # every shingle of small is in big
+    assert r["containment_b"] < 0.2
+    # symmetric Jaccard misses the same pair at any comparable threshold
+    assert jaccard_pairs(df, "id", "t", k=3, threshold=0.5).count() == 0

@@ -55,3 +55,27 @@ def test_ks_grouped(code_files):
     b = code_files.where(F.length("content") % 2 == 1).select("lang", F.length("content").alias("clen"))
     out = ks_statistic(a, b, "clen", keys=["lang"]).collect()
     assert len(out) > 0 and all(0.0 <= r["ks"] <= 1.0 for r in out)
+
+
+def test_chi_square_zero_for_identical_histograms(spark):
+    from data_profiler_spark.operators.drift import chi_square_from_histograms
+
+    h = spark.createDataFrame(
+        [("a", 0, 50), ("a", 1, 30), ("b", 0, 10)], "k string, bucket int, cnt long"
+    )
+    out = {r["k"]: r["chi_square"] for r in chi_square_from_histograms(h, h, ["k"]).collect()}
+    assert out == {"a": 0.0, "b": 0.0}
+
+
+def test_chi_square_detects_shift(spark):
+    from data_profiler_spark.operators.drift import chi_square_from_histograms
+
+    base = spark.createDataFrame(
+        [("a", 0, 50), ("a", 1, 50)], "k string, bucket int, cnt long"
+    )
+    cur = spark.createDataFrame(
+        [("a", 0, 90), ("a", 1, 10)], "k string, bucket int, cnt long"
+    )
+    [r] = chi_square_from_histograms(base, cur, ["k"]).collect()
+    # e = 50/50 per bucket on 100 current rows: X² = 40²/50 + 40²/50 = 64
+    assert r["chi_square"] == 64.0

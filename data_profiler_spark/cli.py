@@ -192,6 +192,7 @@ def main(argv: list[str] | None = None) -> int:
 
             from data_profiler_spark.operators.constraints import (
                 CheckSuite,
+                DriftCheck,
                 MembershipCheck,
                 NullRateCheck,
                 RangeCheck,
@@ -213,30 +214,56 @@ def main(argv: list[str] | None = None) -> int:
                 "regex": lambda s: RegexCheck(s["column"], s["pattern"]),
                 "membership": lambda s: MembershipCheck(s["column"], tuple(s["allowed"])),
             }
+            # drift spec: {"type": "drift", "column", "group_by", "bucket_width",
+            #              "baseline": <parquet path of a histogram_snapshot>,
+            #              "max_psi", "max_ks"}
+            drift_specs = [s for s in spec.get("checks", []) if s["type"] == "drift"]
+            drift_checks, baselines = [], {}
+            for i, s in enumerate(drift_specs):
+                name = f"drift_{i}"
+                drift_checks.append(
+                    DriftCheck(
+                        s["column"], group_by=s.get("group_by"),
+                        bucket_width=float(s.get("bucket_width", 100.0)),
+                        baseline_name=name,
+                        max_psi=float(s.get("max_psi", 0.25)),
+                        max_ks=s.get("max_ks"),
+                    )
+                )
+                baselines[name] = None  # loaded after the session exists
             suite = CheckSuite(
                 row_checks=[mk[s["type"]](s) for s in spec.get("checks", []) if s["type"] in mk],
                 uniqueness=[
                     UniquenessCheck(tuple(u)) for u in spec.get("uniqueness", [])
                 ],
+                drift=drift_checks,
             )
+            for i, s in enumerate(drift_specs):
+                baselines[f"drift_{i}"] = spark.read.parquet(s["baseline"])
             df = sources.read(spark, args.path)
             part = args.partition_col or spec.get("partition_col") or df.columns[0]
             out = run_suite(
                 df, suite, partition_col=F.pmod(F.hash(part), F.lit(64)),
                 content_col=spec.get("content_col"),
                 key_cols=spec.get("key_cols", []),
+                baselines=baselines,
             )
             verdicts = out["verdicts"].collect() if "verdicts" in out else []
+            drift_rows = out["drift"].collect() if "drift" in out else []
             failed = [r for r in verdicts if not r["pass"]]
+            drift_failed = [r for r in drift_rows if not r["pass"]]
             payload = {
                 "report_type": "validation",
                 "source": args.path,
                 "n_verdicts": len(verdicts),
                 "n_failed": len(failed),
                 "failed": [r.asDict() for r in failed[:100]],
+                "n_drift": len(drift_rows),
+                "n_drift_failed": len(drift_failed),
+                "drift_failed": [r.asDict() for r in drift_failed[:100]],
             }
             _emit(args, json.dumps(payload, indent=2, sort_keys=True, default=str))
-            return EXIT_OK if not failed else EXIT_ERROR
+            return EXIT_OK if not (failed or drift_failed) else EXIT_ERROR
 
     except ValueError as e:
         print(str(e), file=sys.stderr)

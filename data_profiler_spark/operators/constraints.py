@@ -108,6 +108,31 @@ class ReferentialCheck:
         return self.name or f"referential:{','.join(self.keys)}->{self.parent_name}"
 
 
+@dataclass(frozen=True)
+class DriftCheck:
+    """Distribution drift vs a STORED baseline snapshot (north_star: 'PSI
+    and two-sample KS over per-lang content-length histograms against a
+    stored baseline snapshot').
+
+    The baseline is a (group, bucket, cnt) histogram frame produced by
+    :func:`operators.drift.histogram_snapshot` on a previous run and
+    persisted as parquet; it is supplied to run_suite via the ``baselines``
+    mapping keyed by ``baseline_name``. PSI and binned KS are both computed
+    from the same snapshot — history is never rescanned."""
+
+    column: str
+    group_by: str | None = None
+    bucket_width: float = 100.0
+    baseline_name: str = ""
+    max_psi: float = 0.25
+    max_ks: float | None = None
+    name: str = ""
+
+    def check_name(self) -> str:
+        g = f" by {self.group_by}" if self.group_by else ""
+        return self.name or f"drift:{self.column}{g}"
+
+
 RowCheck = NullRateCheck | RangeCheck | RegexCheck | MembershipCheck
 
 
@@ -116,6 +141,7 @@ class CheckSuite:
     row_checks: list = field(default_factory=list)
     uniqueness: list = field(default_factory=list)
     referential: list = field(default_factory=list)
+    drift: list = field(default_factory=list)
 
 
 # ---------------------------------------------------------------------------
@@ -287,10 +313,12 @@ def run_suite(
     content_col: str | None = None,
     key_cols: list[str] | None = None,
     salt_buckets: int = DEFAULT_SALT_BUCKETS,
+    baselines: dict[str, DataFrame] | None = None,
 ) -> dict[str, DataFrame]:
     """Run the full suite. Returns dict with 'verdicts', 'violations',
     'uniqueness' (violating key rows), 'referential' (one verdict row per
-    referential check)."""
+    referential check), 'drift' (one verdict row per drift check × group,
+    computed against the stored baseline snapshots in ``baselines``)."""
     from data_profiler_spark.operators.referential import match_rate
 
     out: dict[str, DataFrame] = {}
@@ -328,6 +356,30 @@ def run_suite(
         ref = r if ref is None else ref.unionByName(r)
     if ref is not None:
         out["referential"] = ref
+
+    drift = None
+    for ch in suite.drift:
+        from data_profiler_spark.operators.drift import (
+            histogram_snapshot,
+            ks_from_histograms,
+            psi_from_histograms,
+        )
+
+        base = (baselines or {})[ch.baseline_name or ch.check_name()]
+        cur = histogram_snapshot(df, ch.column, ch.group_by, ch.bucket_width)
+        psi = psi_from_histograms(base, cur, ["group"])
+        ks = ks_from_histograms(base, cur, ["group"])
+        v = psi.join(ks, "group")
+        ok = F.col("psi") <= F.lit(ch.max_psi)
+        if ch.max_ks is not None:
+            ok = ok & (F.col("ks") <= F.lit(ch.max_ks))
+        v = v.select(
+            F.lit(ch.check_name()).alias("check"),
+            "group", "psi", "ks", ok.alias("pass"),
+        )
+        drift = v if drift is None else drift.unionByName(v)
+    if drift is not None:
+        out["drift"] = drift.orderBy("check", "group")
     return out
 
 

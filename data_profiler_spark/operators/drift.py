@@ -108,6 +108,59 @@ def chi_square_from_histograms(
     )
 
 
+def histogram_snapshot(
+    df: DataFrame, column: str, group_by: str | None = None, bucket_width: float = 100.0
+) -> DataFrame:
+    """(group, bucket, cnt) histogram of a numeric column — THE stored
+    baseline artifact for drift checks (north rule: drift is computed
+    against a stored baseline snapshot, never by rescanning history).
+    ``group`` is '' for a global histogram. Write with ``.write.parquet``;
+    a later run reads it back and compares with psi/ks_from_histograms."""
+    g = (F.col(group_by) if group_by else F.lit("")).cast("string").alias("group")
+    bucket = F.floor(F.col(column) / F.lit(bucket_width)).cast("long").alias("bucket")
+    return (
+        df.where(F.col(column).isNotNull())
+        .select(g, bucket)
+        .groupBy("group", "bucket")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+
+
+def ks_from_histograms(
+    base: DataFrame, cur: DataFrame, keys: list[str],
+    bucket_col: str = "bucket", cnt_col: str = "cnt",
+) -> DataFrame:
+    """Binned two-sample KS from histogram tables: sup over bucket
+    boundaries of |CDF_base - CDF_cur| (exact for the binned
+    distributions). Counts, window cumsums, single divisions — bit
+    deterministic."""
+    from pyspark.sql import Window as W
+
+    join_cols = keys + [bucket_col]
+    b = base.groupBy(*join_cols).agg(F.sum(cnt_col).alias("b_cnt"))
+    c = cur.groupBy(*join_cols).agg(F.sum(cnt_col).alias("c_cnt"))
+    m = b.join(c, join_cols, "full_outer").fillna(0, ["b_cnt", "c_cnt"])
+    w = W.partitionBy(*keys).orderBy(bucket_col)
+    cum = m.select(
+        *keys,
+        F.sum("b_cnt").over(w).alias("cb"),
+        F.sum("c_cnt").over(w).alias("cc"),
+    )
+    tot = m.groupBy(*keys).agg(
+        F.sum("b_cnt").alias("tb"), F.sum("c_cnt").alias("tc")
+    )
+    d = F.abs(
+        F.col("cb").cast("double") / F.col("tb")
+        - F.col("cc").cast("double") / F.col("tc")
+    )
+    return (
+        cum.join(tot, keys)
+        .select(*keys, d.alias("d"))
+        .groupBy(*keys)
+        .agg(F.max("d").alias("ks"))
+    )
+
+
 def drift_verdicts(
     psi_df: DataFrame, keys: list[str], psi_threshold: float = 0.25
 ) -> DataFrame:

@@ -223,3 +223,30 @@ def test_df_to_table_alignment(spark):
     # numeric column right-aligned: '22' flush right, '1' padded left
     body = [l for l in lines if "│" in l][1:]
     assert any(" 1 │" in l for l in body) and any(" 22 │" in l for l in body)
+
+
+def test_cli_validate_with_drift_baseline(spark, tmp_path, capsys):
+    from data_profiler_spark.operators.drift import histogram_snapshot
+
+    orders = spark.read.parquet("/root/testdata/sf0.001/orders.parquet")
+    baseline_path = str(tmp_path / "price_hist")
+    histogram_snapshot(orders, "o_totalprice", "o_orderstatus", 10000.0)\
+        .write.parquet(baseline_path)
+
+    suite = tmp_path / "suite_drift.json"
+    suite.write_text(json.dumps({
+        "checks": [
+            {"type": "null_rate", "column": "o_orderkey"},
+            {"type": "drift", "column": "o_totalprice",
+             "group_by": "o_orderstatus", "bucket_width": 10000.0,
+             "baseline": baseline_path, "max_psi": 0.25, "max_ks": 0.2},
+        ],
+        "partition_col": "o_orderstatus",
+        "key_cols": ["o_orderkey"],
+    }))
+    rc = main(["validate", "/root/testdata/sf0.001/orders.parquet",
+               "--suite", str(suite)])
+    out = json.loads(capsys.readouterr().out)
+    # same data vs its own snapshot: zero drift, everything passes
+    assert rc == EXIT_OK
+    assert out["n_drift"] > 0 and out["n_drift_failed"] == 0

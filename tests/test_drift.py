@@ -79,3 +79,44 @@ def test_chi_square_detects_shift(spark):
     [r] = chi_square_from_histograms(base, cur, ["k"]).collect()
     # e = 50/50 per bucket on 100 current rows: X² = 40²/50 + 40²/50 = 64
     assert r["chi_square"] == 64.0
+
+
+def test_drift_check_in_suite_against_stored_baseline(spark, tmp_path):
+    """North-star wiring: baseline histogram snapshot persisted to parquet,
+    later run's suite computes PSI + binned KS against it without touching
+    the baseline data."""
+    from pyspark.sql import functions as F
+
+    from data_profiler_spark.datagen import synth_code_files
+    from data_profiler_spark.operators.constraints import (
+        CheckSuite,
+        DriftCheck,
+        run_suite,
+    )
+    from data_profiler_spark.operators.drift import histogram_snapshot
+
+    df = synth_code_files(spark, n_rows=6000, n_repos=10).withColumn(
+        "content_len", F.length("content").cast("double")
+    )
+    baseline_path = str(tmp_path / "baseline_hist")
+    histogram_snapshot(df, "content_len", "lang", 100.0).write.parquet(baseline_path)
+    baseline = spark.read.parquet(baseline_path)
+
+    suite = CheckSuite(
+        drift=[DriftCheck("content_len", group_by="lang", bucket_width=100.0,
+                          baseline_name="len_by_lang", max_psi=0.25, max_ks=0.2)]
+    )
+    # same data -> zero drift, all groups pass
+    out = run_suite(df, suite, partition_col=F.lit(0),
+                    baselines={"len_by_lang": baseline})
+    rows = out["drift"].collect()
+    assert len(rows) > 0
+    assert all(r["pass"] and r["psi"] == 0.0 and r["ks"] == 0.0 for r in rows)
+
+    # shifted current distribution -> drift detected
+    shifted = df.withColumn("content_len", F.col("content_len") * 3 + 500)
+    out2 = run_suite(shifted, suite, partition_col=F.lit(0),
+                     baselines={"len_by_lang": baseline})
+    rows2 = out2["drift"].collect()
+    assert any(not r["pass"] for r in rows2)
+    assert all(r["ks"] >= 0.0 and r["psi"] >= 0.0 for r in rows2)

@@ -146,6 +146,92 @@ class QuantileSketch:
         )
 
 
+@dataclass
+class HeavyHittersSketch:
+    """Mergeable Misra–Gries heavy-hitters summary: at most k (value,
+    count) pairs; every estimated count undercounts the true count by at
+    most n/(k+1) (Agarwal et al., 'Mergeable Summaries'). This is the
+    scale path for per-column mode / top values — the exact ``mode(col)``
+    aggregate holds O(distinct) state per partition, which a 100 TB
+    high-cardinality column turns into executor memory pressure; MG state
+    is a fixed k counters and merges associatively across partitions AND
+    across runs (store to_json, union tomorrow without rescanning today).
+    """
+
+    counts: dict
+    n: int
+    k: int = 64
+
+    @staticmethod
+    def from_values(values, k: int = 64) -> "HeavyHittersSketch":
+        from collections import Counter
+
+        c = Counter(values)
+        n = sum(c.values())
+        return HeavyHittersSketch(_mg_compress(dict(c), k), n, k)
+
+    def merge(self, other: "HeavyHittersSketch") -> "HeavyHittersSketch":
+        merged = dict(self.counts)
+        for v, c in other.counts.items():
+            merged[v] = merged.get(v, 0) + c
+        k = max(self.k, other.k)
+        return HeavyHittersSketch(_mg_compress(merged, k), self.n + other.n, k)
+
+    def top(self, m: int = 10) -> list[tuple]:
+        """Top-m (value, estimated_count), count desc then value asc —
+        deterministic like the engine's exact mode tie-break."""
+        return sorted(self.counts.items(), key=lambda kv: (-kv[1], kv[0]))[:m]
+
+    def mode(self):
+        t = self.top(1)
+        return t[0][0] if t else None
+
+    def error_bound(self) -> float:
+        """Max undercount of any estimated count."""
+        return self.n / (self.k + 1)
+
+    def to_json(self) -> str:
+        return json.dumps(
+            {"counts": self.counts, "n": self.n, "k": self.k}, sort_keys=True
+        )
+
+    @staticmethod
+    def from_json(s: str) -> "HeavyHittersSketch":
+        d = json.loads(s)
+        return HeavyHittersSketch(
+            {k: int(v) for k, v in d["counts"].items()}, int(d["n"]), int(d["k"])
+        )
+
+
+def _mg_compress(counts: dict, k: int) -> dict:
+    """Keep ≤ k counters: subtract the (k+1)-th largest count from all and
+    drop the non-positive (the mergeable Misra–Gries reduction)."""
+    if len(counts) <= k:
+        return counts
+    by_cnt = sorted(counts.values(), reverse=True)
+    dec = by_cnt[k]
+    return {v: c - dec for v, c in counts.items() if c - dec > 0}
+
+
+def heavy_hitters(df: DataFrame, col: str, k: int = 64) -> HeavyHittersSketch:
+    """Distributed MG heavy-hitters over ``df[col]``: one partial summary
+    per Arrow batch (values stringified for a uniform sketch type), merged
+    driver-side. Driver receives O(partitions × k), never the data."""
+    proj = df.select(F.col(col).cast("string").alias("v")).where(
+        F.col("v").isNotNull()
+    )
+
+    def make_partials(batches):
+        for pdf in batches:
+            sk = HeavyHittersSketch.from_values(pdf["v"].tolist(), k)
+            yield pd.DataFrame({"sketch": [sk.to_json()]})
+
+    out = HeavyHittersSketch({}, 0, k)
+    for r in proj.mapInPandas(make_partials, "sketch string").collect():
+        out = out.merge(HeavyHittersSketch.from_json(r["sketch"]))
+    return out
+
+
 def quantile_sketch(df: DataFrame, col: str, k: int = 256) -> QuantileSketch:
     """Build a mergeable quantile sketch of ``df[col]`` distributed:
     one partial per Arrow batch (mapInPandas, vectorized numpy), merged

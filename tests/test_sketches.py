@@ -99,3 +99,41 @@ def test_quantile_sketch_empty():
     assert np.isnan(sk.query(0.5))
     merged = sk.merge(QuantileSketch.from_values(np.array([1.0, 2.0, 3.0])))
     assert merged.n == 3
+
+
+def test_heavy_hitters_mode_matches_exact_on_skew(spark):
+    """On a skewed column the MG sketch's mode equals the exact mode and
+    every estimate is within the n/(k+1) undercount bound."""
+    from pyspark.sql import functions as F
+
+    from data_profiler_spark.sketches import heavy_hitters
+
+    # zipf-ish: value v appears ~ 6000/(v+1) times
+    df = spark.range(30000).select(
+        F.floor(F.sqrt(F.col("id") % 10000)).cast("long").cast("string").alias("v")
+    )
+    sk = heavy_hitters(df, "v", k=64)
+    exact = {
+        r["v"]: r["cnt"]
+        for r in df.groupBy("v").agg(F.count(F.lit(1)).alias("cnt")).collect()
+    }
+    true_mode = sorted(exact.items(), key=lambda kv: (-kv[1], kv[0]))[0][0]
+    assert sk.mode() == true_mode
+    assert sk.n == 30000
+    bound = sk.error_bound()
+    for v, est in sk.top(10):
+        assert 0 <= exact[v] - est <= bound
+
+
+def test_heavy_hitters_merge_associative(spark):
+    from data_profiler_spark.sketches import HeavyHittersSketch
+
+    a = HeavyHittersSketch.from_values(["x"] * 50 + ["y"] * 30 + list("abcdefg"), k=4)
+    b = HeavyHittersSketch.from_values(["y"] * 40 + ["z"] * 20 + list("hijklmn"), k=4)
+    m1 = a.merge(b)
+    m2 = b.merge(a)
+    assert m1.n == m2.n == len(["x"] * 50 + ["y"] * 30) + 7 + 60 + 7
+    assert m1.mode() == m2.mode() == "y"
+    # round-trips through JSON (the cross-run storage path)
+    rt = HeavyHittersSketch.from_json(m1.to_json())
+    assert rt.counts == m1.counts and rt.n == m1.n

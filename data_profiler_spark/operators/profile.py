@@ -148,7 +148,9 @@ def profile_table(df: DataFrame, columns: list[str] | None = None, exact: bool =
                 aggs += S.sample_exprs(c, dcol, cheap=True)
         # mode only in exact mode: its aggregation state is O(distinct) per
         # column (same order as exact count_distinct); the approx/100 TB
-        # path skips it, mirroring how HLL replaces exact distinct there.
+        # path skips it, mirroring how HLL replaces exact distinct there —
+        # the scale path for mode/top-k is the bounded-state mergeable
+        # Misra–Gries sketch (sketches.heavy_hitters).
         # The reference's <=1000-distinct gate is applied post-agg.
         if exact and kind in ("NUMERIC", "STRING"):
             mode_v = F.expr(f"mode(`{c}`, true)")

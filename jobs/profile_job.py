@@ -1,0 +1,64 @@
+#!/usr/bin/env python
+"""Cluster entrypoint: whole-table profiling via spark-submit.
+
+    bash tools/package.sh          # builds dist/data_profiler_spark.zip
+    spark-submit \
+        --master <cluster-master> \
+        --py-files dist/data_profiler_spark.zip \
+        jobs/profile_job.py \
+        --input  <path-or-catalog-table> \
+        --output hdfs://.../profile_out \
+        [--columns c1,c2] [--exact] [--html report.html]
+
+Writes the long profile DataFrame (one row per column) as parquet to
+``--output``; optionally also renders the standalone HTML report. The
+SparkSession comes from spark-submit's conf — no master is forced here, so
+the same file runs on YARN/K8s/standalone. Input accepts either a file path
+(format-dispatched) or a catalog table identifier (the Iceberg route).
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+
+# local runs resolve the package from the repo root; under spark-submit the
+# --py-files zip already provides it and this is a harmless no-op
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--input", required=True)
+    ap.add_argument("--output", required=True, help="parquet output dir for the profile")
+    ap.add_argument("--columns", default="", help="comma-separated projection")
+    ap.add_argument(
+        "--exact", action="store_true",
+        help="exact distinct/quantiles/mode (default: HLL + approx — the scale path)",
+    )
+    ap.add_argument("--html", help="also write a standalone HTML report here")
+    args = ap.parse_args()
+
+    from pyspark.sql import SparkSession
+
+    from data_profiler_spark.operators.profile import profile_table
+    from data_profiler_spark.sources import read_input
+
+    spark = SparkSession.builder.appName("data-profiler-profile").getOrCreate()
+
+    df = read_input(spark, args.input)
+    cols = [c for c in args.columns.split(",") if c] or None
+    prof = profile_table(df, columns=cols, exact=args.exact)
+    prof.write.mode("overwrite").parquet(args.output)
+
+    if args.html:
+        from data_profiler_spark.html_report import profile_report_html
+
+        with open(args.html, "w") as fh:
+            fh.write(profile_report_html(spark.read.parquet(args.output), source=args.input))
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

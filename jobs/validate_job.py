@@ -22,6 +22,12 @@ from __future__ import annotations
 
 import argparse
 import json
+import os
+import sys
+
+# local runs resolve the package from the repo root; under spark-submit the
+# --py-files zip already provides it and this is a harmless no-op
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
 def main() -> int:

@@ -192,3 +192,29 @@ def test_uniqueness_keys_must_contain_bucket_col(spark, tmp_path):
             spark, str(tmp_path / "x"), _suite(), "repo",
             uniqueness_keys=["path", "commit"],
         )
+
+
+def test_checkpoint_hadoop_fs_scheme(spark, tmp_path, code_files):
+    """A scheme'd checkpoint dir (file://... here, hdfs://... on a cluster)
+    routes manifest I/O through the Hadoop FileSystem API — exercise write,
+    list, read, resume and clear through that path."""
+    cv = CheckpointedValidation(
+        spark, f"file://{tmp_path}/ckpt_hfs", _suite(),
+        bucket_col="repo", n_buckets=N_BUCKETS,
+        content_col="content", key_cols=["repo", "path", "commit"],
+    )
+    from data_profiler_spark.checkpoint import _HadoopFS
+
+    assert isinstance(cv._fs, _HadoopFS)
+    res = cv.run(code_files)
+    assert res["rows_validated"] == 4000
+    assert cv.committed_buckets() == set(range(N_BUCKETS))
+    assert cv.summary()["rows"] == 4000  # manifest read-back via Hadoop FS
+    n_verdicts = cv.verdicts().count()
+    # resume skips everything
+    res2 = cv.run(code_files)
+    assert res2["buckets_run"] == 0 and res2["buckets_skipped"] == N_BUCKETS
+    # fresh start clears results + manifests through the FS layer
+    res3 = cv.run(code_files, resume=False)
+    assert res3["buckets_run"] == N_BUCKETS
+    assert cv.verdicts().count() == n_verdicts

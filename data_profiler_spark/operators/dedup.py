@@ -217,13 +217,56 @@ def minhash_signatures(
     )
 
 
+def _bucketed_pairs(
+    buckets: DataFrame, bucket_cols: list[str], max_bucket: int | None
+) -> DataFrame:
+    """(id_a, id_b) candidates from a blocking-bucket table.
+
+    Buckets with ≤ max_bucket members get the full all-pairs self-join
+    (O(B²) — exact candidate semantics). OVERSIZED buckets — degenerate
+    mass-collisions on low-entropy corpora, where B² would dominate the
+    whole job — are linked as a RING instead (sort by id, pair each member
+    with its successor): O(B) pairs that still keep every member of the
+    bucket in one connected component, so downstream clustering /
+    keep-canonical loses nothing, only the exhaustive pair listing inside
+    the degenerate bucket. (Previous behavior dropped such buckets
+    entirely — zero recall on mega-clusters.)"""
+    from pyspark.sql import Window as W
+
+    bc = [F.col(c) for c in bucket_cols]
+    if max_bucket is None:
+        small, big = buckets, None
+    else:
+        wcnt = W.partitionBy(*bc)
+        marked = buckets.withColumn("__bs", F.count(F.lit(1)).over(wcnt))
+        small = marked.where(F.col("__bs") <= max_bucket).drop("__bs")
+        big = marked.where(F.col("__bs") > max_bucket).drop("__bs")
+    a, b = small.alias("a"), small.alias("b")
+    cond = (F.col("a.id") < F.col("b.id"))
+    for c in bucket_cols:
+        cond = (F.col(f"a.{c}") == F.col(f"b.{c}")) & cond
+    pairs = a.join(b, cond).select(
+        F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b")
+    )
+    if big is not None:
+        wo = W.partitionBy(*bc).orderBy("id")
+        ring = (
+            big.withColumn("__next", F.lead("id").over(wo))
+            .where(F.col("__next").isNotNull())
+            .select(F.col("id").alias("id_a"), F.col("__next").alias("id_b"))
+        )
+        pairs = pairs.unionByName(ring)
+    return pairs.distinct()
+
+
 def lsh_candidate_pairs(
     signatures: DataFrame, bands: int = 16, rows_per_band: int = 4,
     max_bucket: int | None = 1024,
 ) -> DataFrame:
     """Band the signature; docs sharing any band bucket become candidates.
     One shuffle keyed by (band, hash-of-band-slice) — the only all-to-all
-    exchange, and its key is uniform by construction."""
+    exchange, and its key is uniform by construction. Oversized buckets are
+    ring-linked, not dropped (see :func:`_bucketed_pairs`)."""
     sig = signatures
     band_structs = F.array(
         *[
@@ -237,26 +280,7 @@ def lsh_candidate_pairs(
     buckets = sig.select("id", F.explode(band_structs).alias("bb")).select(
         "id", F.col("bb.band").alias("band"), F.col("bb.bh").alias("bh")
     )
-    if max_bucket is not None:
-        from pyspark.sql import Window as W
-
-        wcnt = W.partitionBy("band", "bh")
-        buckets = (
-            buckets.withColumn("__bs", F.count(F.lit(1)).over(wcnt))
-            .where(F.col("__bs") <= max_bucket)
-            .drop("__bs")
-        )
-    a, b = buckets.alias("a"), buckets.alias("b")
-    return (
-        a.join(
-            b,
-            (F.col("a.band") == F.col("b.band"))
-            & (F.col("a.bh") == F.col("b.bh"))
-            & (F.col("a.id") < F.col("b.id")),
-        )
-        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
-        .distinct()
-    )
+    return _bucketed_pairs(buckets, ["band", "bh"], max_bucket)
 
 
 def minhash_near_duplicates(
@@ -268,6 +292,7 @@ def minhash_near_duplicates(
     bands: int = 16,
     threshold: float = 0.5,
     seed: int = 42,
+    max_bucket: int | None = 1024,
 ) -> DataFrame:
     """LSH candidates verified with exact Jaccard ≥ threshold.
 
@@ -279,7 +304,7 @@ def minhash_near_duplicates(
     # the end-to-end query).
     sh_all = word_shingle_hashes(df, id_col, text_col, k, seed).cache()
     sigs = _signatures_from_shingle_hashes(sh_all, num_hashes).cache()
-    cand = lsh_candidate_pairs(sigs, bands, rows_per_band)
+    cand = lsh_candidate_pairs(sigs, bands, rows_per_band, max_bucket)
 
     # Signature-agreement prefilter: estimated Jaccard = matching-slot
     # fraction (64 codegen equality terms per pair — no shingle join). A
@@ -373,12 +398,13 @@ def simhash_near_duplicates(
     chunks (a pair within distance d shares at least one of 4 chunks when
     d <= 3) — avoids all-pairs at scale.
 
-    ``max_bucket`` drops blocking buckets larger than the cap BEFORE the
-    self-join: with low-entropy corpora (near-identical boilerplate, tiny
-    vocab) chunk values collide en masse and an uncapped bucket of B docs
-    costs B^2 comparisons while containing almost no real near-dups. The
-    cap is the standard production guard; capped buckets are recoverable
-    via the other 3 chunks of each doc."""
+    ``max_bucket`` bounds per-bucket work BEFORE the self-join: with
+    low-entropy corpora (near-identical boilerplate, tiny vocab) chunk
+    values collide en masse and an uncapped bucket of B docs costs B²
+    comparisons while containing almost no real near-dups. Oversized
+    buckets are ring-linked rather than dropped (see
+    :func:`_bucketed_pairs`); the hamming filter still applies to every
+    emitted pair, so output pairs are always true ≤ max_hamming matches."""
     sh = simhash64(df, id_col, text_col, seed)
     chunks = F.array(
         *[
@@ -389,26 +415,15 @@ def simhash_near_duplicates(
     blocked = sh.select("id", "simhash", F.explode(chunks).alias("cc")).select(
         "id", "simhash", F.col("cc.chunk").alias("chunk"), F.col("cc.cv").alias("cv")
     )
-    if max_bucket is not None:
-        from pyspark.sql import Window as W
-
-        wcnt = W.partitionBy("chunk", "cv")
-        blocked = (
-            blocked.withColumn("__bs", F.count(F.lit(1)).over(wcnt))
-            .where(F.col("__bs") <= max_bucket)
-            .drop("__bs")
-        )
-    a, b = blocked.alias("a"), blocked.alias("b")
-    ham = F.bit_count(F.col("a.simhash").bitwiseXOR(F.col("b.simhash")))
+    cand = _bucketed_pairs(blocked, ["chunk", "cv"], max_bucket)
+    ids = sh.select(F.col("id"), F.col("simhash"))
+    ha = ids.select(F.col("id").alias("id_a"), F.col("simhash").alias("ha"))
+    hb = ids.select(F.col("id").alias("id_b"), F.col("simhash").alias("hb"))
+    ham = F.bit_count(F.col("ha").bitwiseXOR(F.col("hb")))
     return (
-        a.join(
-            b,
-            (F.col("a.chunk") == F.col("b.chunk"))
-            & (F.col("a.cv") == F.col("b.cv"))
-            & (F.col("a.id") < F.col("b.id")),
-        )
-        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"), ham.alias("hamming"))
-        .distinct()
+        cand.join(ha, "id_a")
+        .join(hb, "id_b")
+        .select("id_a", "id_b", ham.alias("hamming"))
         .where(F.col("hamming") <= max_hamming)
     )
 

@@ -49,3 +49,30 @@ def test_end_to_end_with_jaccard(spark, documents):
     reps = clusters.select("cluster_id").distinct()
     member = clusters.where("doc_id = cluster_id").select("cluster_id").distinct()
     assert reps.count() == member.count()
+
+
+def test_oversized_bucket_ring_keeps_mega_cluster_connected(spark):
+    """A duplicate cluster larger than max_bucket used to be DROPPED by the
+    bucket cap (zero recall); ring linking keeps it one connected component
+    with O(B) pairs."""
+    from pyspark.sql import functions as F
+
+    from data_profiler_spark.operators.dedup import (
+        duplicate_clusters,
+        minhash_near_duplicates,
+    )
+
+    n = 40
+    df = spark.createDataFrame(
+        [(i, "the same exact boilerplate text repeated verbatim here") for i in range(n)],
+        "doc_id long, text string",
+    )
+    # cap far below the cluster size: every bucket oversized -> ring pairs
+    pairs = minhash_near_duplicates(
+        df, "doc_id", "text", k=3, threshold=0.5, max_bucket=8
+    )
+    n_pairs = pairs.count()
+    assert n - 1 <= n_pairs < n * (n - 1) // 2  # ring, not all-pairs
+    clusters = duplicate_clusters(pairs)
+    assert clusters.select("cluster_id").distinct().count() == 1
+    assert clusters.count() == n

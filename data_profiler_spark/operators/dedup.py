@@ -218,9 +218,13 @@ def minhash_signatures(
 
 
 def _bucketed_pairs(
-    buckets: DataFrame, bucket_cols: list[str], max_bucket: int | None
+    buckets: DataFrame, bucket_cols: list[str], max_bucket: int | None,
+    carry: tuple = (), deduplicate: bool = True,
 ) -> DataFrame:
-    """(id_a, id_b) candidates from a blocking-bucket table.
+    """(id_a, id_b[, <c>_a, <c>_b ...]) candidates from a blocking-bucket
+    table; ``carry`` columns ride along from both sides so callers can
+    verify pairs (e.g. hamming on fingerprints) WITHOUT re-joining the
+    multi-million-row pair set back to the id table.
 
     Buckets with ≤ max_bucket members get the full all-pairs self-join
     (O(B²) — exact candidate semantics). OVERSIZED buckets — degenerate
@@ -246,17 +250,30 @@ def _bucketed_pairs(
     for c in bucket_cols:
         cond = (F.col(f"a.{c}") == F.col(f"b.{c}")) & cond
     pairs = a.join(b, cond).select(
-        F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b")
+        F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"),
+        *[F.col(f"a.{c}").alias(f"{c}_a") for c in carry],
+        *[F.col(f"b.{c}").alias(f"{c}_b") for c in carry],
     )
     if big is not None:
         wo = W.partitionBy(*bc).orderBy("id")
         ring = (
-            big.withColumn("__next", F.lead("id").over(wo))
+            big.select(
+                "*",
+                F.lead("id").over(wo).alias("__next"),
+                *[F.lead(c).over(wo).alias(f"__next_{c}") for c in carry],
+            )
             .where(F.col("__next").isNotNull())
-            .select(F.col("id").alias("id_a"), F.col("__next").alias("id_b"))
+            .select(
+                F.col("id").alias("id_a"), F.col("__next").alias("id_b"),
+                *[F.col(c).alias(f"{c}_a") for c in carry],
+                *[F.col(f"__next_{c}").alias(f"{c}_b") for c in carry],
+            )
         )
         pairs = pairs.unionByName(ring)
-    return pairs.distinct()
+    # callers with a cheap verification predicate dedupe AFTER filtering —
+    # a pair colliding in several buckets costs far less as <=4 duplicate
+    # predicate evaluations than as input to a multi-million-row distinct
+    return pairs.distinct() if deduplicate else pairs
 
 
 def lsh_candidate_pairs(
@@ -405,7 +422,9 @@ def simhash_near_duplicates(
     buckets are ring-linked rather than dropped (see
     :func:`_bucketed_pairs`); the hamming filter still applies to every
     emitted pair, so output pairs are always true ≤ max_hamming matches."""
-    sh = simhash64(df, id_col, text_col, seed)
+    # cached: the fingerprint table feeds chunk blocking AND the hamming
+    # rejoin below — without it the 64-sum token aggregation runs twice
+    sh = simhash64(df, id_col, text_col, seed).cache()
     chunks = F.array(
         *[
             F.struct(F.lit(c).alias("chunk"), F.shiftrightunsigned(F.col("simhash"), c * 16).bitwiseAND(F.lit(0xFFFF)).alias("cv"))
@@ -415,16 +434,16 @@ def simhash_near_duplicates(
     blocked = sh.select("id", "simhash", F.explode(chunks).alias("cc")).select(
         "id", "simhash", F.col("cc.chunk").alias("chunk"), F.col("cc.cv").alias("cv")
     )
-    cand = _bucketed_pairs(blocked, ["chunk", "cv"], max_bucket)
-    ids = sh.select(F.col("id"), F.col("simhash"))
-    ha = ids.select(F.col("id").alias("id_a"), F.col("simhash").alias("ha"))
-    hb = ids.select(F.col("id").alias("id_b"), F.col("simhash").alias("hb"))
-    ham = F.bit_count(F.col("ha").bitwiseXOR(F.col("hb")))
+    # fingerprints RIDE ALONG through the pair builder — hamming verifies
+    # inline, no re-join of the multi-million-row candidate set
+    cand = _bucketed_pairs(
+        blocked, ["chunk", "cv"], max_bucket, carry=("simhash",), deduplicate=False
+    )
+    ham = F.bit_count(F.col("simhash_a").bitwiseXOR(F.col("simhash_b")))
     return (
-        cand.join(ha, "id_a")
-        .join(hb, "id_b")
-        .select("id_a", "id_b", ham.alias("hamming"))
+        cand.select("id_a", "id_b", ham.alias("hamming"))
         .where(F.col("hamming") <= max_hamming)
+        .distinct()
     )
 
 

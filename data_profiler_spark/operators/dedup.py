@@ -241,8 +241,11 @@ def _bucketed_pairs(
     if max_bucket is None:
         small, big = buckets, None
     else:
-        wcnt = W.partitionBy(*bc)
-        marked = buckets.withColumn("__bs", F.count(F.lit(1)).over(wcnt))
+        # bucket sizes via aggregate + join, not a window: the window form
+        # SORTS the whole bucket table once per self-join side; the size
+        # table is tiny relative to the buckets and AQE broadcasts it
+        sizes = buckets.groupBy(*bc).agg(F.count(F.lit(1)).alias("__bs"))
+        marked = buckets.join(sizes, bucket_cols)
         small = marked.where(F.col("__bs") <= max_bucket).drop("__bs")
         big = marked.where(F.col("__bs") > max_bucket).drop("__bs")
     a, b = small.alias("a"), small.alias("b")

@@ -130,21 +130,6 @@ def containment_pairs(
 # ---------------------------------------------------------------------------
 # MinHash + LSH (the 100 TB near-dup path)
 # ---------------------------------------------------------------------------
-def _shingle_array(text_col: str, k: int):
-    """Distinct k-word shingle ARRAY per row (no explode)."""
-    toks = F.split(F.trim(F.col(text_col)), "\\s+")
-    n = F.size(toks)
-    idx = F.when(n >= k, F.sequence(F.lit(1), n - F.lit(k - 1))).otherwise(
-        F.array().cast("array<int>")
-    )
-    return F.array_distinct(
-        F.transform(
-            idx,
-            lambda i: F.concat_ws(" ", *[F.element_at(toks, i + F.lit(j)) for j in range(k)]),
-        )
-    )
-
-
 def word_shingle_hashes(
     df: DataFrame, id_col: str, text_col: str, k: int = 3, seed: int = 42
 ) -> DataFrame:

@@ -170,9 +170,16 @@ def _signatures_from_shingle_hashes(sh: DataFrame, num_hashes: int) -> DataFrame
     be COMPARABLE in magnitude to h1 so the per-slot argmin actually
     reorders (a small perturbation collapses every slot to the same
     min-shingle and banding recall dies), and ANSI mode forbids silent long
-    overflow — hence the ranges: h1∈[0,2^61), h2∈[0,2^55), i<64 ⇒
-    i*h2 < 2^61, sum < 2^62, masked back to 2^61. The groupBy reuses the
-    shingle window's hash partitioning on id (no extra shuffle)."""
+    overflow — hence the ranges: h1∈[0,2^61), h2∈[0,2^55), i≤127 ⇒
+    i*h2 < 2^62, sum < 2^62+2^61 < 2^63, masked back to 2^61. num_hashes
+    beyond 128 would overflow int64 under ANSI — rejected up front. The
+    groupBy reuses the shingle window's hash partitioning on id (no extra
+    shuffle)."""
+    if not 0 < num_hashes <= 128:
+        raise ValueError(
+            f"num_hashes must be in [1, 128] (got {num_hashes}): slot hash "
+            "i*h2 with h2 < 2^55 provably fits int64 only for i <= 127"
+        )
     mixed = sh.select(
         "id",
         F.col("sh").bitwiseAND(F.lit((1 << 61) - 1)).alias("h1"),
@@ -215,11 +222,15 @@ def _bucketed_pairs(
     (O(B²) — exact candidate semantics). OVERSIZED buckets — degenerate
     mass-collisions on low-entropy corpora, where B² would dominate the
     whole job — are linked as a RING instead (sort by id, pair each member
-    with its successor): O(B) pairs that still keep every member of the
-    bucket in one connected component, so downstream clustering /
-    keep-canonical loses nothing, only the exhaustive pair listing inside
-    the degenerate bucket. (Previous behavior dropped such buckets
-    entirely — zero recall on mega-clusters.)"""
+    with its successor): O(B) candidate pairs that keep every member of the
+    bucket in one connected component AS CANDIDATES. Callers verify pairs
+    (jaccard/hamming), so connectivity downstream holds only among ring
+    neighbors that SURVIVE verification — a mega-bucket whose
+    adjacent-by-id members fail the verifier fragments into several
+    clusters, losing true pairs that an all-pairs listing would keep (the
+    recall trade is quantified in BENCH.md). Still strictly better than the
+    previous behavior, which dropped oversized buckets entirely — zero
+    recall on mega-clusters."""
     from pyspark.sql import Window as W
 
     bc = [F.col(c) for c in bucket_cols]

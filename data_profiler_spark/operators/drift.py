@@ -30,8 +30,13 @@ def psi_from_histograms(
         F.sum("b_cnt").alias("b_tot"), F.sum("c_cnt").alias("c_tot")
     )
     m = merged.join(totals, keys)
-    p = F.greatest(F.col("b_cnt").cast("double") / F.col("b_tot"), F.lit(PSI_EPS))
-    q = F.greatest(F.col("c_cnt").cast("double") / F.col("c_tot"), F.lit(PSI_EPS))
+    # try_divide: a group present on only ONE side (new group appeared, or a
+    # baseline group vanished) has total 0 on the other — plain division
+    # throws DIVIDE_BY_ZERO under ANSI (the session default). NULL ratios
+    # floor to PSI_EPS like any empty bucket, so such a group comes out with
+    # a huge PSI and FAILS drift_verdicts instead of aborting the job.
+    p = F.greatest(F.try_divide(F.col("b_cnt").cast("double"), F.col("b_tot")), F.lit(PSI_EPS))
+    q = F.greatest(F.try_divide(F.col("c_cnt").cast("double"), F.col("c_tot")), F.lit(PSI_EPS))
     # sum terms as DECIMAL so the reduction is order-independent across
     # partitionings; round to 12 decimals because ln() can differ by 1 ulp
     # between JVM and libc libm for some arguments.
@@ -98,9 +103,17 @@ def chi_square_from_histograms(
         F.sum("b_cnt").alias("b_tot"), F.sum("c_cnt").alias("c_tot")
     )
     m = merged.join(totals, keys)
-    e = F.col("b_cnt").cast("double") / F.col("b_tot") * F.col("c_tot")
+    # try_divide + coalesce guard both one-sided-group shapes under ANSI:
+    # b_cnt > 0 implies b_tot > 0, so e is non-NULL inside the branch, but a
+    # group absent from CURRENT has c_tot = 0 ⇒ e = 0 with o = 0 — that
+    # 0²/0 must contribute 0, not DIVIDE_BY_ZERO. (e = 0 with o > 0 cannot
+    # occur: it needs b_cnt > 0 and c_tot = 0, and c_tot = 0 forces o = 0.)
+    e = F.try_divide(F.col("b_cnt").cast("double"), F.col("b_tot")) * F.col("c_tot")
     o = F.col("c_cnt").cast("double")
-    term = F.when(F.col("b_cnt") > 0, (o - e) * (o - e) / e).otherwise(F.lit(0.0))
+    term = F.when(
+        F.col("b_cnt") > 0,
+        F.coalesce(F.try_divide((o - e) * (o - e), e), F.lit(0.0)),
+    ).otherwise(F.lit(0.0))
     return (
         m.select(*keys, term.cast("decimal(38,18)").alias("term"))
         .groupBy(*keys)
@@ -149,9 +162,16 @@ def ks_from_histograms(
     tot = m.groupBy(*keys).agg(
         F.sum("b_cnt").alias("tb"), F.sum("c_cnt").alias("tc")
     )
-    d = F.abs(
-        F.col("cb").cast("double") / F.col("tb")
-        - F.col("cc").cast("double") / F.col("tc")
+    # One-sided group (tb or tc = 0): the KS statistic is undefined, and
+    # plain division would throw under ANSI. try_divide yields NULL there;
+    # coalesce to the sup-distance sentinel 1.0 so the group FAILS the
+    # drift verdict instead of aborting the job.
+    d = F.coalesce(
+        F.abs(
+            F.try_divide(F.col("cb").cast("double"), F.col("tb"))
+            - F.try_divide(F.col("cc").cast("double"), F.col("tc"))
+        ),
+        F.lit(1.0),
     )
     return (
         cum.join(tot, keys)

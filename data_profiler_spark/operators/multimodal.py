@@ -7,9 +7,11 @@ pandas UDFs over ``mapInPandas``.
 
 Decode support is per-container-format, not all-or-nothing:
   - REAL: WAV/PCM (stdlib ``wave``) — duration, RMS, peak, zero-crossing
-    rate; and 24-bit uncompressed BMP (struct + numpy) — true dimensions,
-    per-channel means, nearest-neighbor resize with re-encode.
-  - CODEC-GATED: JPEG/PNG/MP4 need libraries absent from this container —
+    rate; 24-bit uncompressed BMP (struct + numpy); and non-interlaced
+    8-bit PNG (stdlib ``zlib`` inflate + numpy reconstruction of all five
+    scanline filters) — true dimensions, per-channel means,
+    nearest-neighbor resize with re-encode in the same container.
+  - CODEC-GATED: JPEG/MP4 need libraries absent from this container —
     those paths raise ``NotImplementedError`` (or fall back to a clearly
     labeled deterministic fake for the feature plumbing), and light up
     unchanged on a cluster image that ships PIL/libvips/ffmpeg.
@@ -101,7 +103,9 @@ def encode_bmp(pixels: np.ndarray) -> bytes:
 
 
 def decode_bmp(b: bytes) -> np.ndarray:
-    """24-bit uncompressed BMP → (h, w, 3) uint8 RGB."""
+    """24-bit uncompressed bottom-up BMP → (h, w, 3) uint8 RGB. Top-down
+    BMPs (negative biHeight) and other bit depths are rejected with a clear
+    error rather than silently mis-parsed."""
     import struct
 
     if b[:2] != b"BM":
@@ -110,19 +114,147 @@ def decode_bmp(b: bytes) -> np.ndarray:
     _, w, h, _, bpp, compression = struct.unpack_from("<IiiHHI", b, 14)
     if bpp != 24 or compression != 0:
         raise NotImplementedError("only 24-bit uncompressed BMP is supported")
+    if h <= 0 or w <= 0:
+        raise NotImplementedError(
+            "only bottom-up BMPs (positive biHeight/biWidth) are supported"
+        )
     row = w * 3
     stride = row + ((-row) % 4)
     flat = np.frombuffer(b, dtype=np.uint8, count=stride * h, offset=offset)
     rows = flat.reshape(h, stride)[:, :row].reshape(h, w, 3)[::-1]  # bottom-up
     return rows[:, :, ::-1].copy()  # BGR → RGB
 
-_HAS_PIL = False
-try:  # codec gate — absent in this container, real on a production cluster
-    import PIL.Image  # noqa: F401
 
-    _HAS_PIL = True
-except ImportError:
-    pass
+# -- PNG codec: stdlib zlib + numpy scanline unfiltering ---------------------
+_PNG_SIG = b"\x89PNG\r\n\x1a\n"
+
+
+def _png_chunk(typ: bytes, data: bytes) -> bytes:
+    import struct
+
+    return (
+        struct.pack(">I", len(data))
+        + typ
+        + data
+        + struct.pack(">I", zlib.crc32(typ + data) & 0xFFFFFFFF)
+    )
+
+
+def encode_png(pixels: np.ndarray) -> bytes:
+    """(h, w, 3|4) uint8 RGB(A) or (h, w) grayscale → non-interlaced 8-bit
+    PNG (filter 0 scanlines, one zlib IDAT)."""
+    import struct
+
+    px = np.asarray(pixels, dtype=np.uint8)
+    if px.ndim == 2:
+        px = px[:, :, None]
+    h, w, ch = px.shape
+    color_type = {1: 0, 3: 2, 4: 6}[ch]
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, color_type, 0, 0, 0)
+    raw = np.concatenate(
+        [np.zeros((h, 1), np.uint8), px.reshape(h, w * ch)], axis=1
+    ).tobytes()
+    return (
+        _PNG_SIG
+        + _png_chunk(b"IHDR", ihdr)
+        + _png_chunk(b"IDAT", zlib.compress(raw))
+        + _png_chunk(b"IEND", b"")
+    )
+
+
+def decode_png(b: bytes) -> np.ndarray:
+    """Non-interlaced 8-bit PNG (grayscale / RGB / RGBA) → (h, w, ch) uint8.
+
+    Pure stdlib zlib + numpy: chunk walk, one inflate over the concatenated
+    IDATs, then per-scanline reconstruction of all five PNG filters. Sub
+    uses a per-channel cumsum (mod 256); Up is a whole-row add; Average and
+    Paeth are inherently sequential in x and loop per pixel vectorized
+    across channels. Palette, 16-bit, and Adam7 payloads are rejected."""
+    import struct
+
+    if b[:8] != _PNG_SIG:
+        raise NotImplementedError("not a PNG payload")
+    pos, ihdr, idat = 8, None, []
+    while pos + 8 <= len(b):
+        (length,) = struct.unpack_from(">I", b, pos)
+        typ = b[pos + 4 : pos + 8]
+        data = b[pos + 8 : pos + 8 + length]
+        pos += 12 + length
+        if typ == b"IHDR":
+            ihdr = struct.unpack(">IIBBBBB", data)
+        elif typ == b"IDAT":
+            idat.append(data)
+        elif typ == b"IEND":
+            break
+    if ihdr is None or not idat:
+        raise NotImplementedError("PNG missing IHDR/IDAT chunks")
+    w, h, depth, color_type, _comp, _filt, interlace = ihdr
+    channels = {0: 1, 2: 3, 4: 2, 6: 4}.get(color_type)
+    if depth != 8 or channels is None or interlace != 0:
+        raise NotImplementedError(
+            "only non-interlaced 8-bit grayscale/RGB(A) PNG is supported "
+            f"(depth={depth}, color_type={color_type}, interlace={interlace})"
+        )
+    raw = np.frombuffer(zlib.decompress(b"".join(idat)), dtype=np.uint8)
+    stride = w * channels
+    lines = raw.reshape(h, stride + 1)
+    bpp = channels
+    out = np.zeros((h, stride), dtype=np.uint8)
+    prev = np.zeros(stride, dtype=np.uint16)
+    for y in range(h):
+        ftype, row = lines[y, 0], lines[y, 1:].astype(np.uint16)
+        if ftype == 0:  # None
+            rec = row
+        elif ftype == 1:  # Sub
+            rec = row.copy()
+            for o in range(bpp):
+                rec[o::bpp] = np.cumsum(row[o::bpp], dtype=np.uint64) & 0xFF
+        elif ftype == 2:  # Up
+            rec = (row + prev) & 0xFF
+        elif ftype in (3, 4):  # Average / Paeth — sequential in x
+            rec = np.zeros(stride, dtype=np.uint16)
+            for x in range(w):
+                s = slice(x * bpp, (x + 1) * bpp)
+                left = rec[(x - 1) * bpp : x * bpp] if x else np.zeros(bpp, np.uint16)
+                up = prev[s]
+                if ftype == 3:
+                    pred = (left + up) >> 1
+                else:
+                    ul = (
+                        prev[(x - 1) * bpp : x * bpp] if x else np.zeros(bpp, np.uint16)
+                    )
+                    p = left.astype(np.int32) + up.astype(np.int32) - ul.astype(np.int32)
+                    pa, pb, pc = (
+                        np.abs(p - left.astype(np.int32)),
+                        np.abs(p - up.astype(np.int32)),
+                        np.abs(p - ul.astype(np.int32)),
+                    )
+                    pred = np.where(
+                        (pa <= pb) & (pa <= pc), left, np.where(pb <= pc, up, ul)
+                    ).astype(np.uint16)
+                rec[s] = (row[s] + pred) & 0xFF
+        else:
+            raise NotImplementedError(f"unknown PNG filter type {ftype}")
+        out[y] = rec.astype(np.uint8)
+        prev = rec.astype(np.uint16)
+    return out.reshape(h, w, channels)
+
+
+def decode_image(b: bytes) -> np.ndarray:
+    """Dispatch on container magic: BMP and PNG decode for real (stdlib +
+    numpy); JPEG/other containers need codec libraries absent from this
+    container and raise NotImplementedError."""
+    if b[:2] == b"BM":
+        return decode_bmp(b)
+    if b[:8] == _PNG_SIG:
+        px = decode_png(b)
+        if px.shape[2] == 1:  # grayscale → RGB for a uniform feature plane
+            return np.repeat(px, 3, axis=2)
+        return px[:, :, :3]  # drop alpha
+    raise NotImplementedError(
+        "only BMP and PNG decode here — JPEG/other containers need a codec "
+        "library (PIL/libvips) not present in this container"
+    )
 
 
 def synth_media(spark: SparkSession, n_rows: int, seed: int = 42) -> DataFrame:
@@ -224,6 +356,37 @@ def synth_bmp_media(spark: SparkSession, n_rows: int) -> DataFrame:
     )
 
 
+def synth_png_media(spark: SparkSession, n_rows: int) -> DataFrame:
+    """REAL PNG payloads: deterministic per-id gradient pattern (same pixel
+    recipe as :func:`synth_bmp_media`, PNG container)."""
+    base = spark.range(n_rows).withColumnRenamed("id", "media_id")
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for mid in pdf["media_id"]:
+                rng = np.random.default_rng(int(mid))
+                w, h = int(rng.integers(8, 64)), int(rng.integers(8, 64))
+                yy, xx = np.mgrid[0:h, 0:w]
+                px = np.stack(
+                    [(xx * 255 // max(w - 1, 1)).astype(np.uint8),
+                     (yy * 255 // max(h - 1, 1)).astype(np.uint8),
+                     np.full((h, w), int(mid) % 256, np.uint8)], axis=-1,
+                )
+                rows.append({"media_id": mid, "payload": encode_png(px)})
+            yield pd.DataFrame(rows, columns=["media_id", "payload"])
+
+    out = base.mapInPandas(gen, "media_id long, payload binary")
+    return out.select(
+        "media_id", F.lit("image").alias("kind"), "payload",
+        F.struct(
+            F.lit("image/png").alias("mime"), F.lit(0).alias("width"),
+            F.lit(0).alias("height"), F.lit(0).alias("duration_ms"),
+            F.lit(0).alias("sample_rate"),
+        ).alias("meta"),
+    )
+
+
 def audio_features(df: DataFrame) -> DataFrame:
     """REAL audio decode + features for WAV payloads (stdlib codec):
     duration, RMS, peak, zero-crossing rate — one mapInPandas pass, narrow
@@ -274,9 +437,10 @@ def image_features(df: DataFrame, batch_hint: int = 1024) -> DataFrame:
     """Decode + feature-extract per image: byte stats, entropy, compression
     ratio, dimensions — one mapInPandas pass, vectorized per Arrow batch.
 
-    The decode step uses :func:`_fake_decode` when PIL is absent (this
-    container); the surrounding plumbing (schema, batching, column
-    pruning before shuffle) is production-real.
+    BMP and PNG payloads decode for REAL (``decoded=True``, true dims +
+    channel means); JPEG/other containers fall back to :func:`_fake_decode`
+    (``decoded=False``) — the surrounding plumbing (schema, batching,
+    column pruning before shuffle) is production-real either way.
     """
     proj = df.where(F.col("kind") == "image").select(
         "media_id", "payload", F.col("meta.width").alias("width"), F.col("meta.height").alias("height")
@@ -293,15 +457,15 @@ def image_features(df: DataFrame, batch_hint: int = 1024) -> DataFrame:
                 counts = np.bincount(arr, minlength=256).astype(float)
                 p = counts[counts > 0] / arr.size
                 entropy = float(-(p * np.log2(p)).sum()) if arr.size else 0.0
-                if b[:2] == b"BM":
-                    # REAL decode: BMP parses with struct + numpy
-                    pixels = decode_bmp(b)
+                if b[:2] == b"BM" or b[:8] == _PNG_SIG:
+                    # REAL decode: BMP (struct+numpy) and PNG (zlib+numpy)
+                    pixels = decode_image(b)
                     decoded = True
                     means = pixels.reshape(-1, 3).mean(axis=0)
                     mr, mg, mb = (float(means[0]), float(means[1]), float(means[2]))
                     hgt, wid = pixels.shape[:2]
                 else:
-                    # codec-gated (PNG/JPEG): deterministic fake keeps the
+                    # codec-gated (JPEG/other): deterministic fake keeps the
                     # plumbing testable; flagged decoded=False
                     pixels = _fake_decode(b, int(w), int(h))
                     decoded = False
@@ -329,11 +493,12 @@ def image_features(df: DataFrame, batch_hint: int = 1024) -> DataFrame:
 
 
 def resize_images(df: DataFrame, target_w: int, target_h: int) -> DataFrame:
-    """Image resize over mapInPandas. REAL for BMP payloads (decode →
-    nearest-neighbor index map → re-encode, pure numpy); PNG/JPEG need a
-    codec library (PIL/libvips) absent from this container and raise
-    NotImplementedError at execution time — the plan (projection,
-    mapInPandas, output schema) builds and validates either way."""
+    """Image resize over mapInPandas. REAL for BMP and PNG payloads (decode
+    → nearest-neighbor index map → re-encode in the same container, pure
+    numpy); JPEG/other containers need a codec library (PIL/libvips) absent
+    from this container — :func:`decode_image` raises NotImplementedError at
+    execution time, while the plan (projection, mapInPandas, output schema)
+    builds and validates either way."""
     proj = df.where(F.col("kind") == "image").select("media_id", "payload")
 
     def do_resize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -341,18 +506,14 @@ def resize_images(df: DataFrame, target_w: int, target_h: int) -> DataFrame:
             rows = []
             for mid, payload in zip(pdf["media_id"], pdf["payload"]):
                 b = bytes(payload)
-                if b[:2] != b"BM" and not _HAS_PIL:
-                    raise NotImplementedError(
-                        "non-BMP image resize requires a codec library "
-                        "(PIL/libvips) — not available in this container"
-                    )
-                px = decode_bmp(b)
+                is_png = b[:8] == _PNG_SIG
+                px = decode_image(b)
                 h, w = px.shape[:2]
                 ys = (np.arange(target_h) * h) // target_h
                 xs = (np.arange(target_w) * w) // target_w
-                rows.append(
-                    {"media_id": mid, "payload": encode_bmp(px[ys][:, xs])}
-                )
+                small = px[ys][:, xs]
+                enc = encode_png(small) if is_png else encode_bmp(small)
+                rows.append({"media_id": mid, "payload": enc})
             yield pd.DataFrame(rows, columns=["media_id", "payload"])
 
     return proj.mapInPandas(do_resize, "media_id long, payload binary")

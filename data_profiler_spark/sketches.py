@@ -174,7 +174,17 @@ class HeavyHittersSketch:
         merged = dict(self.counts)
         for v, c in other.counts.items():
             merged[v] = merged.get(v, 0) + c
-        k = max(self.k, other.k)
+        # min, not max: error_bound() = n/(k+1) is governed by the SMALLEST
+        # k that ever compressed the stream — a side built with small k may
+        # already have undercounted by n_side/(k_side+1), and advertising
+        # the larger k would understate that. An n=0 side never compressed
+        # anything, so it doesn't constrain the bound.
+        if self.n == 0:
+            k = other.k
+        elif other.n == 0:
+            k = self.k
+        else:
+            k = min(self.k, other.k)
         return HeavyHittersSketch(_mg_compress(merged, k), self.n + other.n, k)
 
     def top(self, m: int = 10) -> list[tuple]:

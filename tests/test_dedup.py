@@ -2,6 +2,8 @@
 
 from __future__ import annotations
 
+import pytest
+
 from pyspark.sql import functions as F
 
 from data_profiler_spark.operators.dedup import (
@@ -92,3 +94,15 @@ def test_containment_catches_subset_that_jaccard_misses(spark):
     assert r["containment_b"] < 0.2
     # symmetric Jaccard misses the same pair at any comparable threshold
     assert jaccard_pairs(df, "id", "t", k=3, threshold=0.5).count() == 0
+
+
+def test_minhash_num_hashes_validated(spark):
+    """ADVICE r2: num_hashes > 128 would overflow int64 in the K-M slot
+    family under ANSI — rejected up front with a clear error."""
+    from data_profiler_spark.operators.dedup import minhash_signatures
+
+    df = spark.createDataFrame([(1, "a b c d")], "id long, text string")
+    with pytest.raises(ValueError, match=r"num_hashes must be in \[1, 128\]"):
+        minhash_signatures(df, "id", "text", num_hashes=256)
+    # 128 itself is fine
+    assert minhash_signatures(df, "id", "text", num_hashes=128).count() == 1

@@ -81,6 +81,78 @@ def test_chi_square_detects_shift(spark):
     assert r["chi_square"] == 64.0
 
 
+def test_one_sided_groups_flag_instead_of_crashing(spark):
+    """ANSI regression (ADVICE r2, high): a group present on only one side
+    of baseline-vs-current used to throw DIVIDE_BY_ZERO in all three
+    histogram comparators. It must instead come back as a drift FAILURE:
+    huge PSI, KS sentinel 1.0, finite chi-square."""
+    from data_profiler_spark.operators.drift import (
+        chi_square_from_histograms,
+        ks_from_histograms,
+        psi_from_histograms,
+    )
+
+    base = spark.createDataFrame(
+        [("old", 0, 50), ("old", 1, 50), ("both", 0, 40), ("both", 1, 60)],
+        "k string, bucket int, cnt long",
+    )
+    cur = spark.createDataFrame(
+        [("new", 0, 30), ("new", 1, 70), ("both", 0, 40), ("both", 1, 60)],
+        "k string, bucket int, cnt long",
+    )
+
+    psi = {r["k"]: r["psi"] for r in psi_from_histograms(base, cur, ["k"]).collect()}
+    assert set(psi) == {"old", "new", "both"}
+    assert psi["both"] == 0.0
+    # every bucket ratio on the missing side floors at PSI_EPS → far past
+    # the 0.25 drifted gate
+    assert psi["new"] > 0.25 and psi["old"] > 0.25
+
+    ks = {r["k"]: r["ks"] for r in ks_from_histograms(base, cur, ["k"]).collect()}
+    assert ks["both"] == 0.0
+    assert ks["new"] == 1.0 and ks["old"] == 1.0
+
+    chi = {
+        r["k"]: r["chi_square"]
+        for r in chi_square_from_histograms(base, cur, ["k"]).collect()
+    }
+    assert chi["both"] == 0.0
+    # 'old' (group vanished): every e = p_b * 0 = 0 with o = 0 → 0
+    # 'new' (group appeared): b_cnt = 0 everywhere → 0 (PSI's job to flag)
+    assert chi["old"] == 0.0 and chi["new"] == 0.0
+
+    verdicts = drift_verdicts(psi_from_histograms(base, cur, ["k"]), ["k"]).collect()
+    flags = {r["k"]: r["pass"] for r in verdicts}
+    assert flags == {"old": False, "new": False, "both": True}
+
+
+def test_suite_drift_survives_new_group(spark, tmp_path):
+    """validate-job shape of the same ANSI regression: current data carries a
+    lang the stored baseline never saw — the DriftCheck must fail that group,
+    not abort the run."""
+    from data_profiler_spark.operators.constraints import CheckSuite, DriftCheck, run_suite
+    from data_profiler_spark.operators.drift import histogram_snapshot
+
+    df = synth_code_files(spark, n_rows=3000, n_repos=10).withColumn(
+        "content_len", F.length("content").cast("double")
+    )
+    known = df.select("lang").distinct().limit(1).collect()[0]["lang"]
+    baseline = histogram_snapshot(
+        df.where(F.col("lang") == known), "content_len", "lang", 100.0
+    )
+    suite = CheckSuite(
+        drift=[DriftCheck("content_len", group_by="lang", bucket_width=100.0,
+                          baseline_name="len_by_lang", max_psi=0.25, max_ks=0.2)]
+    )
+    out = run_suite(df, suite, partition_col=F.lit(0),
+                    baselines={"len_by_lang": baseline})
+    rows = out["drift"].collect()
+    by_group = {r["group"]: r for r in rows}
+    assert by_group[known]["pass"]
+    unseen = [r for g, r in by_group.items() if g != known]
+    assert unseen and all(not r["pass"] for r in unseen)
+
+
 def test_drift_check_in_suite_against_stored_baseline(spark, tmp_path):
     """North-star wiring: baseline histogram snapshot persisted to parquet,
     later run's suite computes PSI + binned KS against it without touching

@@ -137,3 +137,136 @@ def test_bmp_real_decode_and_resize(spark):
                for r in resize_images(media, 16, 12).collect()}
     out = decode_bmp(resized[3])
     assert out.shape == (12, 16, 3)
+
+
+def test_png_codec_roundtrip(spark):
+    import numpy as np
+
+    from data_profiler_spark.operators.multimodal import decode_png, encode_png
+
+    rng = np.random.default_rng(7)
+    for shape in [(6, 5, 3), (9, 4, 4), (8, 8)]:  # RGB, RGBA, grayscale
+        px = rng.integers(0, 256, size=shape, dtype=np.uint8)
+        out = decode_png(encode_png(px))
+        expect = px if px.ndim == 3 else px[:, :, None]
+        assert (out == expect).all()
+
+
+def test_png_decode_all_filter_types():
+    """decode_png reconstructs every PNG filter (None/Sub/Up/Average/Paeth):
+    the test FILTERS known pixels per the spec and checks recovery."""
+    import zlib
+
+    import numpy as np
+
+    from data_profiler_spark.operators.multimodal import (
+        _PNG_SIG,
+        _png_chunk,
+        decode_png,
+    )
+
+    def paeth(a, b, c):
+        p = int(a) + int(b) - int(c)
+        pa, pb, pc = abs(p - int(a)), abs(p - int(b)), abs(p - int(c))
+        return a if pa <= pb and pa <= pc else (b if pb <= pc else c)
+
+    rng = np.random.default_rng(11)
+    h, w, ch = 5, 7, 3
+    px = rng.integers(0, 256, size=(h, w, ch), dtype=np.uint8)
+    flat = px.reshape(h, w * ch).astype(np.int32)
+    raw = bytearray()
+    for y, ftype in enumerate([0, 1, 2, 3, 4]):
+        row = flat[y]
+        prev = flat[y - 1] if y else np.zeros(w * ch, np.int32)
+        filt = np.zeros(w * ch, np.int32)
+        for x in range(w * ch):
+            left = row[x - ch] if x >= ch else 0
+            up = prev[x]
+            ul = prev[x - ch] if x >= ch else 0
+            if ftype == 0:
+                pred = 0
+            elif ftype == 1:
+                pred = left
+            elif ftype == 2:
+                pred = up
+            elif ftype == 3:
+                pred = (left + up) // 2
+            else:
+                pred = paeth(left, up, ul)
+            filt[x] = (row[x] - pred) % 256
+        raw += bytes([ftype]) + filt.astype(np.uint8).tobytes()
+
+    import struct
+
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)
+    png = (
+        _PNG_SIG
+        + _png_chunk(b"IHDR", ihdr)
+        + _png_chunk(b"IDAT", zlib.compress(bytes(raw)))
+        + _png_chunk(b"IEND", b"")
+    )
+    assert (decode_png(png) == px).all()
+
+
+def test_png_real_decode_features_and_resize(spark):
+    import numpy as np
+
+    from data_profiler_spark.operators.multimodal import (
+        decode_png,
+        image_features,
+        resize_images,
+        synth_png_media,
+    )
+
+    media = synth_png_media(spark, 12)
+    feats = {r["media_id"]: r for r in image_features(media).collect()}
+    assert len(feats) == 12 and all(r["decoded"] for r in feats.values())
+    raw = {r["media_id"]: bytes(r["payload"]) for r in media.collect()}
+    for mid in (0, 11):
+        truth = decode_png(raw[mid])
+        assert (feats[mid]["height"], feats[mid]["width"]) == truth.shape[:2]
+        assert abs(feats[mid]["mean_r"] - truth.reshape(-1, 3)[:, 0].mean()) < 1e-9
+    # resize keeps the PNG container and target shape
+    resized = {r["media_id"]: bytes(r["payload"])
+               for r in resize_images(media, 16, 12).collect()}
+    out = decode_png(resized[3])
+    assert out.shape == (12, 16, 3)
+    assert resized[3][:8] == b"\x89PNG\r\n\x1a\n"
+
+
+def test_png_unsupported_variants_rejected():
+    import struct
+    import zlib as _z
+
+    import numpy as np
+
+    from data_profiler_spark.operators.multimodal import (
+        _PNG_SIG,
+        _png_chunk,
+        decode_png,
+        encode_png,
+    )
+
+    with pytest.raises(NotImplementedError, match="not a PNG"):
+        decode_png(b"JFIF....")
+    # 16-bit depth rejected
+    ihdr = struct.pack(">IIBBBBB", 2, 2, 16, 2, 0, 0, 0)
+    png = (_PNG_SIG + _png_chunk(b"IHDR", ihdr)
+           + _png_chunk(b"IDAT", _z.compress(b"\x00" * 26)) + _png_chunk(b"IEND", b""))
+    with pytest.raises(NotImplementedError, match="depth=16"):
+        decode_png(png)
+
+
+def test_bmp_topdown_rejected():
+    import struct
+
+    from data_profiler_spark.operators.multimodal import decode_bmp, encode_bmp
+
+    import numpy as np
+
+    px = np.zeros((4, 4, 3), np.uint8)
+    b = bytearray(encode_bmp(px))
+    # flip biHeight negative (top-down variant) — must reject, not mis-parse
+    struct.pack_into("<i", b, 22, -4)
+    with pytest.raises(NotImplementedError, match="bottom-up"):
+        decode_bmp(bytes(b))

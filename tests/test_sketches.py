@@ -137,3 +137,19 @@ def test_heavy_hitters_merge_associative(spark):
     # round-trips through JSON (the cross-run storage path)
     rt = HeavyHittersSketch.from_json(m1.to_json())
     assert rt.counts == m1.counts and rt.n == m1.n
+
+
+def test_heavy_hitters_merge_bound_uses_min_k():
+    """ADVICE r2: the merged error bound is governed by the SMALLEST k that
+    ever compressed the stream, not the largest."""
+    from data_profiler_spark.sketches import HeavyHittersSketch
+
+    small = HeavyHittersSketch.from_values(list(range(100)) * 2, k=8)
+    big = HeavyHittersSketch.from_values(list(range(50)), k=256)
+    merged = small.merge(big)
+    assert merged.k == 8
+    assert merged.error_bound() == merged.n / 9
+    # an empty side never compressed anything — it must not drag k down
+    empty = HeavyHittersSketch({}, 0, k=4)
+    assert empty.merge(big).k == 256
+    assert big.merge(empty).k == 256

@@ -65,15 +65,35 @@ def main() -> int:
         synth_commits(spark.read.parquet(code_files)).write.mode("overwrite").parquet(
             commits_path
         )
+    # ANN corpus (1M×64f at sf0.1) — generated here so it isn't timed
+    from data_profiler_spark.bench_queries import ensure_bench_embeddings
 
+    ensure_bench_embeddings(spark, sf_dir)
+
+    # Self-defending timing: this box carries a fluctuating EXTERNAL tenant
+    # load (BENCH.md), and a single timed run has twice recorded 5-10x
+    # load-noise on individual queries. Each query runs k times (k=3 by
+    # default, SPARK_GRAFT_BENCH_REPS overrides; heavy queries can declare a
+    # smaller rep count) and reports the MIN — the best proxy for the
+    # engine's intrinsic cost — with the raw run list and the 1-minute
+    # loadavg sampled before each run kept in the artifact so a noisy
+    # official number is diagnosable after the fact.
+    reps_default = int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "3"))
     timings: dict[str, float] = {}
+    runs: dict[str, list[float]] = {}
+    loads: dict[str, list[float]] = {}
     for name, fn in BENCH_QUERIES.items():
-        t0 = time.perf_counter()
-        fn(spark, sf_dir, code_files)
-        timings[name] = round(time.perf_counter() - t0, 4)
-        # each query stands alone: operator-internal caches must not tax or
-        # subsidize the queries that follow
-        spark.catalog.clearCache()
+        reps = max(1, min(reps_default, getattr(fn, "bench_reps", reps_default)))
+        runs[name], loads[name] = [], []
+        for _ in range(reps):
+            loads[name].append(round(os.getloadavg()[0], 2))
+            t0 = time.perf_counter()
+            fn(spark, sf_dir, code_files)
+            runs[name].append(round(time.perf_counter() - t0, 4))
+            # each run stands alone: operator-internal caches must not tax
+            # or subsidize the runs/queries that follow
+            spark.catalog.clearCache()
+        timings[name] = min(runs[name])
 
     total = round(sum(timings.values()), 4)
     suite_sec = timings.get("constraint_suite", float("nan"))
@@ -82,6 +102,9 @@ def main() -> int:
         "value": total,
         "unit": "sec",
         "queries": timings,
+        "query_runs": runs,
+        "loadavg_before_runs": loads,
+        "reps": reps_default,
         "sf": sf,
         "code_files_rows": n_code_rows,
         "rows_validated_per_sec": round(n_code_rows / suite_sec, 1) if suite_sec else None,

@@ -149,6 +149,59 @@ def q_minhash_dedup(spark: SparkSession, sf_dir: str, code_files: str):
     _force(minhash_near_duplicates(df, "doc_id", "text", k=3, threshold=0.5))
 
 
+EMB_ROWS_PER_SF = 10_000_000  # sf0.1 ≡ 1M vectors, dim 64
+EMB_DIM = 64
+
+
+def ensure_bench_embeddings(spark: SparkSession, sf_dir: str) -> str:
+    """Synthesize (once per SF, cached as parquet — generation untimed when
+    bench.py calls this before the timing loop) a clustered embedding
+    corpus big enough that the ANN kernel cost is measurable: 1M×64f at
+    sf0.1."""
+    import os
+
+    from data_profiler_spark.datagen import synth_embeddings
+
+    try:
+        sf = float(os.path.basename(sf_dir.rstrip("/")).replace("sf", ""))
+    except ValueError:
+        sf = 0.1
+    n = max(int(EMB_ROWS_PER_SF * sf), 100_000)
+    path = f"/tmp/spark_graft_bench/embeddings_{n}.parquet"
+    if not os.path.exists(path):
+        synth_embeddings(spark, n, dim=EMB_DIM, n_clusters=64).write.mode(
+            "overwrite"
+        ).parquet(path)
+    return path
+
+
+def q_ann_ivf_topk(spark: SparkSession, sf_dir: str, code_files: str):
+    """IVF ANN over the 1M-vector corpus: index build (centroid pick +
+    argmax-cosine assignment of every vector) + 100-probe top-10 search —
+    the codegen dot kernel's cost is the measured quantity (VERDICT r2:
+    the interpreted-HOF kernel never showed up in any bench number)."""
+    from data_profiler_spark.operators.similarity import ivf_topk
+
+    emb = spark.read.parquet(ensure_bench_embeddings(spark, sf_dir))
+    probes = emb.where(F.col("vec_id") < 100)
+    _force(
+        ivf_topk(emb, probes, k=10, n_cells=64, nprobe=8, dim=EMB_DIM)
+    )
+
+
+def q_ann_lsh_topk(spark: SparkSession, sf_dir: str, code_files: str):
+    """Hyperplane-LSH ANN over the same corpus: bucket index is a pure
+    narrow projection (unrolled literal-weight sign bits, zero shuffle),
+    then bucket-join + codegen re-rank."""
+    from data_profiler_spark.operators.similarity import lsh_topk
+
+    emb = spark.read.parquet(ensure_bench_embeddings(spark, sf_dir))
+    probes = emb.where(F.col("vec_id") < 100)
+    _force(
+        lsh_topk(emb, probes, dim=EMB_DIM, k=10, n_planes=10)
+    )
+
+
 def q_rolling_hash(spark: SparkSession, sf_dir: str, code_files: str):
     """Polynomial fingerprint over the full corpus — vectorized pandas_udf
     (numpy modmul) vs the old interpreted per-char HOF fold."""
@@ -172,4 +225,6 @@ BENCH_QUERIES = {
     "simhash_dedup": q_simhash_dedup,
     "minhash_dedup_10pct": q_minhash_dedup,
     "rolling_hash": q_rolling_hash,
+    "ann_ivf_topk_1m": q_ann_ivf_topk,
+    "ann_lsh_topk_1m": q_ann_lsh_topk,
 }

@@ -157,3 +157,38 @@ def synth_baseline_histogram(
         .groupBy("lang", "bucket")
         .agg(F.count(F.lit(1)).alias("cnt"))
     )
+
+
+def synth_embeddings(
+    spark: SparkSession,
+    n_rows: int,
+    dim: int = 64,
+    n_clusters: int = 64,
+    seed: int = 42,
+    partitions: int | None = None,
+) -> DataFrame:
+    """Deterministic CLUSTERED embedding corpus at any scale — all codegen
+    (xxhash64-derived cluster centers + per-row noise), no Python UDFs, no
+    driver loops. Each row belongs to cluster pmod(id, n_clusters); its
+    vector = center[cluster] + U(-1,1) noise, so ANN indexes (IVF/LSH) see
+    realistic locality structure instead of uniform noise. Schema matches
+    the testdata embeddings table: (vec_id, embedding array<float>, label)."""
+    base = spark.range(n_rows, numPartitions=partitions)
+    label = F.pmod(F.col("id"), F.lit(n_clusters)).cast("int")
+    comps = []
+    for d in range(dim):
+        center = (
+            F.pmod(F.xxhash64(F.lit(seed), F.lit("c"), label, F.lit(d)), F.lit(2_000)) / 100.0
+            - 10.0
+        )
+        noise = (
+            F.pmod(F.xxhash64(F.lit(seed), F.lit("n"), F.col("id"), F.lit(d)), F.lit(2_000))
+            / 1_000.0
+            - 1.0
+        )
+        comps.append((center + noise).cast("float"))
+    return base.select(
+        F.col("id").alias("vec_id"),
+        F.array(*comps).alias("embedding"),
+        label.alias("label"),
+    )

@@ -1,17 +1,144 @@
 """Similarity search over embedding columns (driver mandate).
 
-Baseline: brute-force cosine top-k (exact, oracle-checkable).
-Scale path: random-hyperplane LSH buckets — candidates only from matching
-buckets, then exact re-rank; the hyperplanes are generated DETERMINISTICALLY
-from xxhash64 so two runs (or two cluster sizes) build identical indexes.
+Baseline: brute-force cosine top-k (exact, oracle-checkable, codegen
+kernel). Scale paths (IVF, hyperplane LSH): ONE Arrow-batched mapInPandas
+scan of the embedding table — each batch assigns its vectors to a cell /
+bucket, scores them against ONLY that cell's probes with a vectorized
+numpy kernel, and emits per-batch per-probe local top-k. No candidate-pair
+join is ever materialized (the previous declarative form built a 64M-row
+BroadcastNestedLoopJoin of array-carrying rows at 1M×64 cells — the
+measured CPU sink of VERDICT r2 #1), no shuffle of the corpus happens at
+all, and the final global top-k reduces a tiny (probes × batches × k) set.
+
+Bit-parity contract: every cosine — codegen chain or numpy kernel —
+accumulates over dimensions in index order from 0.0 (numpy:
+``acc += M[:, d] * p[d]`` per d, elementwise float64, no reassociation),
+which is the exact association order of the DuckDB
+list_transform/list_sum oracle. The brute-force and IVF full-probe oracle
+hashes verify this bitwise.
+
+Determinism: centroids are picked in xxhash64 order of data ids,
+hyperplanes derive from xxhash64(seed, plane, d), per-batch local top-k ∪
+global top-k is partition-invariant, and every tie breaks (desc sim, asc
+id) — two runs, partitionings, or cluster sizes produce identical results.
 """
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from data_profiler_spark.operators.dedup import cosine
+TOPK_SCHEMA = "probe_id long, neighbor_id long, cos_sim double"
+
+
+def dot_fixed(a: Column, b: Column, dim: int) -> Column:
+    """Codegen dot product of two fixed-``dim`` array columns in double.
+    Left-to-right accumulation from 0.0 — bit-identical to a sequential
+    fold. Vectors shorter than ``dim`` yield NULL (GetArrayItem out of
+    bounds), matching the old zip_with behavior on ragged input."""
+    out = F.lit(0.0)
+    for i in range(dim):
+        out = out + a[i].cast("double") * b[i].cast("double")
+    return out
+
+
+def norm_fixed(a: Column, dim: int) -> Column:
+    """L2 norm via the same codegen chain (bit-identical to the HOF
+    transform+fold it replaced)."""
+    out = F.lit(0.0)
+    for i in range(dim):
+        x = a[i].cast("double")
+        out = out + x * x
+    return F.sqrt(out)
+
+
+def _infer_dim(emb: DataFrame, vec_col: str) -> int:
+    """Embedding dimensionality from one row (tiny Spark action). Callers
+    on a hot path should pass ``dim`` explicitly to stay fully lazy."""
+    row = emb.select(F.size(F.col(vec_col)).alias("d")).first()
+    if row is None or row["d"] is None or row["d"] <= 0:
+        raise ValueError(f"cannot infer embedding dim from column {vec_col!r}")
+    return int(row["d"])
+
+
+# ---------------------------------------------------------------------------
+# numpy kernel — vectorized over rows, SEQUENTIAL over dims (fold order)
+# ---------------------------------------------------------------------------
+def _to_matrix(col: pd.Series, dim: int) -> np.ndarray:
+    """Arrow list column → (n, dim) float64 matrix."""
+    return np.stack([np.asarray(v, dtype=np.float64) for v in col]) if len(col) else np.zeros((0, dim))
+
+
+def _seq_dot(M: np.ndarray, p: np.ndarray) -> np.ndarray:
+    """Row-wise dot accumulated in dim index order — bit-identical to the
+    sequential fold / DuckDB list_sum (np.dot would reassociate)."""
+    acc = np.zeros(M.shape[0])
+    for d in range(M.shape[1]):
+        acc += M[:, d] * p[d]
+    return acc
+
+
+def _seq_norms(M: np.ndarray) -> np.ndarray:
+    acc = np.zeros(M.shape[0])
+    for d in range(M.shape[1]):
+        x = M[:, d]
+        acc += x * x
+    return np.sqrt(acc)
+
+
+def _local_topk(
+    nids: np.ndarray, scores: np.ndarray, probe_id: int, k: int
+) -> list[tuple[int, int, float]]:
+    """Per-batch top-k by (desc score, asc neighbor_id) — the same order as
+    the final global window, so local-topk ∪ global-topk == global-topk."""
+    if nids.size == 0:
+        return []
+    order = np.lexsort((nids, -scores))[:k]
+    return [(probe_id, int(nids[i]), float(scores[i])) for i in order]
+
+
+def _pairs_frame(out: list[tuple[int, int, float]]) -> pd.DataFrame:
+    """(probe_id, neighbor_id, cos_sim) rows with stable dtypes even when
+    empty (object-dtype empty frames break Arrow conversion)."""
+    if not out:
+        return pd.DataFrame(
+            {
+                "probe_id": pd.Series(dtype="int64"),
+                "neighbor_id": pd.Series(dtype="int64"),
+                "cos_sim": pd.Series(dtype="float64"),
+            }
+        )
+    return pd.DataFrame(out, columns=["probe_id", "neighbor_id", "cos_sim"])
+
+
+def _global_topk(spark, rows_df: DataFrame, k: int) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    w = W.partitionBy("probe_id").orderBy(F.desc("cos_sim"), F.asc("neighbor_id"))
+    return (
+        rows_df.withColumn("rank", F.row_number().over(w).cast("int"))
+        .where(F.col("rank") <= k)
+        .select("probe_id", "neighbor_id", "cos_sim", "rank")
+    )
+
+
+def _collect_probes(
+    probes: DataFrame, id_col: str, vec_col: str, dim: int
+) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Probes are small by contract (they are broadcast-shaped in every
+    form of this API); collect once → (ids, P matrix, norms)."""
+    rows = probes.select(F.col(id_col).alias("i"), F.col(vec_col).alias("v")).collect()
+    ids = np.array([r["i"] for r in rows], dtype=np.int64)
+    P = (
+        np.stack([np.asarray(r["v"], dtype=np.float64) for r in rows])
+        if rows
+        else np.zeros((0, dim))
+    )
+    return ids, P, _seq_norms(P)
 
 
 def brute_force_topk(
@@ -20,25 +147,64 @@ def brute_force_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     k: int = 10,
+    dim: int | None = None,
 ) -> DataFrame:
     """Exact cosine top-k for each probe → (probe_id, neighbor_id, cos_sim,
     rank). Probes are broadcast (small); ties broken by neighbor id so the
-    result is a deterministic set."""
-    from pyspark.sql import Window as W
-
-    p = probes.select(F.col(id_col).alias("probe_id"), F.col(vec_col).alias("pv"))
-    e = emb.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("nv"))
+    result is a deterministic set. Norms are computed once per side before
+    the join — the per-pair work is one codegen dot + one division."""
+    dim = dim or _infer_dim(emb, vec_col)
+    p = probes.select(
+        F.col(id_col).alias("probe_id"),
+        F.col(vec_col).alias("pv"),
+        norm_fixed(F.col(vec_col), dim).alias("pn"),
+    )
+    e = emb.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("nv"),
+        norm_fixed(F.col(vec_col), dim).alias("nn"),
+    )
     scored = (
         e.crossJoin(F.broadcast(p))
         .where(F.col("probe_id") != F.col("neighbor_id"))
-        .select("probe_id", "neighbor_id", cosine(F.col("pv"), F.col("nv")).alias("cos_sim"))
+        .select(
+            "probe_id",
+            "neighbor_id",
+            (dot_fixed(F.col("pv"), F.col("nv"), dim) / (F.col("pn") * F.col("nn"))).alias(
+                "cos_sim"
+            ),
+        )
     )
-    w = W.partitionBy("probe_id").orderBy(F.desc("cos_sim"), F.asc("neighbor_id"))
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .where(F.col("rank") <= k)
-        .select("probe_id", "neighbor_id", "cos_sim", "rank")
+    return _global_topk(emb.sparkSession, scored, k)
+
+
+def _plane_weights(spark, dim: int, n_planes: int, seed: int) -> list[list[float]]:
+    """n_planes × dim hyperplane weights in [-1, 1), derived from
+    xxhash64(seed, plane, d) with ONE tiny Spark job (n_planes·dim rows
+    collected once) so the values are identical on every run, cluster size,
+    and executor count — the index is reproducible by construction."""
+    rows = (
+        spark.range(n_planes * dim)
+        .select(
+            (F.col("id") / dim).cast("long").alias("plane"),
+            F.pmod(F.col("id"), F.lit(dim)).alias("d"),
+            (
+                F.pmod(
+                    F.xxhash64(
+                        F.lit(seed), (F.col("id") / dim).cast("long"), F.pmod(F.col("id"), F.lit(dim))
+                    ),
+                    F.lit(2_000_000),
+                )
+                / 1_000_000.0
+                - 1.0
+            ).alias("w"),
+        )
+        .collect()
     )
+    weights = [[0.0] * dim for _ in range(n_planes)]
+    for r in rows:
+        weights[int(r["plane"])][int(r["d"])] = float(r["w"])
+    return weights
 
 
 def hyperplane_bits(
@@ -50,42 +216,32 @@ def hyperplane_bits(
     seed: int = 42,
 ) -> DataFrame:
     """(id, bucket) — sign bits of projections onto n_planes deterministic
-    pseudo-random hyperplanes. Plane weights w[p][d] = xxhash64(seed,p,d)
-    mapped to [-1,1); built as an array literal-free plan (posexplode +
-    broadcast join), all JVM-side."""
+    pseudo-random hyperplanes, as an UNROLLED literal-weight codegen
+    projection: a pure narrow scan with ZERO shuffle. (The previous
+    formulation exploded every vector component and re-aggregated — two
+    exchanges of rows×dim records that dominated the index build.)"""
     spark = emb.sparkSession
-    planes = (
-        spark.range(n_planes)
-        .withColumnRenamed("id", "plane")
-        .crossJoin(spark.range(dim).withColumnRenamed("id", "d"))
-        .select(
-            "plane",
-            "d",
-            (
-                F.pmod(F.xxhash64(F.lit(seed), F.col("plane"), F.col("d")), F.lit(2_000_000))
-                / 1_000_000.0
-                - 1.0
-            ).alias("w"),
+    weights = _plane_weights(spark, dim, n_planes, seed)
+    v = F.col(vec_col)
+    bucket = F.lit(0).cast("long")
+    for p in range(n_planes):
+        dot = F.lit(0.0)
+        for d in range(dim):
+            dot = dot + v[d].cast("double") * F.lit(weights[p][d])
+        bucket = bucket + F.when(dot >= 0, F.lit(1 << p).cast("long")).otherwise(
+            F.lit(0).cast("long")
         )
-    )
-    comps = emb.select(
-        F.col(id_col).alias("id"), F.posexplode(F.col(vec_col)).alias("d", "x")
-    )
-    proj = (
-        comps.join(F.broadcast(planes), "d")
-        .groupBy("id", "plane")
-        .agg(F.sum(F.col("x").cast("double") * F.col("w")).alias("dot"))
-    )
-    bit = F.when(F.col("dot") >= 0, F.lit(1)).otherwise(F.lit(0))
-    return (
-        proj.select("id", "plane", bit.alias("b"))
-        .groupBy("id")
-        .agg(
-            F.sum(F.col("b").cast("long") * F.pow(F.lit(2.0), F.col("plane")).cast("long")).alias(
-                "bucket"
-            )
-        )
-    )
+    return emb.select(F.col(id_col).alias("id"), bucket.alias("bucket"))
+
+
+def _np_buckets(M: np.ndarray, W: np.ndarray) -> np.ndarray:
+    """Bucket values for a batch, same weights AND the same per-dim
+    accumulation order as :func:`hyperplane_bits` — the two formulations
+    agree bitwise on the sign test."""
+    out = np.zeros(M.shape[0], dtype=np.int64)
+    for p in range(W.shape[0]):
+        out += (_seq_dot(M, W[p]) >= 0).astype(np.int64) << p
+    return out
 
 
 def lsh_topk(
@@ -100,70 +256,153 @@ def lsh_topk(
 ) -> DataFrame:
     """ANN top-k: candidates share the probe's hyperplane bucket; exact
     cosine re-rank on candidates only. Recall < 1 by construction — the
-    scale path when brute force is infeasible."""
-    from pyspark.sql import Window as W
+    scale path when brute force is infeasible.
 
-    bits = hyperplane_bits(emb, id_col, vec_col, dim, n_planes, seed)
-    e = emb.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("nv")).join(
-        bits.withColumnRenamed("id", "neighbor_id"), "neighbor_id"
-    )
-    p = probes.select(F.col(id_col).alias("probe_id"), F.col(vec_col).alias("pv")).join(
-        bits.withColumnRenamed("id", "probe_id"), "probe_id"
-    )
-    cand = e.join(
-        F.broadcast(p.withColumnRenamed("bucket", "pbucket")),
-        (F.col("bucket") == F.col("pbucket")) & (F.col("probe_id") != F.col("neighbor_id")),
-    )
-    scored = cand.select(
-        "probe_id", "neighbor_id", cosine(F.col("pv"), F.col("nv")).alias("cos_sim")
-    )
-    w = W.partitionBy("probe_id").orderBy(F.desc("cos_sim"), F.asc("neighbor_id"))
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .where(F.col("rank") <= k)
-        .select("probe_id", "neighbor_id", "cos_sim", "rank")
-    )
+    ONE mapInPandas scan: each Arrow batch computes its vectors' buckets,
+    scores them against only the probes whose bucket matches, and emits
+    local top-k. No pair join, no corpus shuffle."""
+    spark = emb.sparkSession
+    W = np.asarray(_plane_weights(spark, dim, n_planes, seed))
+    pids, P, pn = _collect_probes(probes, id_col, vec_col, dim)
+    pbuckets = _np_buckets(P, W)
+    by_bucket: dict[int, np.ndarray] = {}
+    for j, b in enumerate(pbuckets):
+        by_bucket.setdefault(int(b), []).append(j)
+    by_bucket = {b: np.asarray(js) for b, js in by_bucket.items()}
+
+    proj = emb.select(F.col(id_col).alias("nid"), F.col(vec_col).alias("v"))
+
+    def score(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            M = _to_matrix(pdf["v"], dim)
+            nids = pdf["nid"].to_numpy(dtype=np.int64)
+            nn = _seq_norms(M)
+            buckets = _np_buckets(M, W)
+            out: list[tuple[int, int, float]] = []
+            for b in np.unique(buckets):
+                js = by_bucket.get(int(b))
+                if js is None:
+                    continue
+                mask = buckets == b
+                Msub, nsub, nnsub = M[mask], nids[mask], nn[mask]
+                for j in js:
+                    scores = _seq_dot(Msub, P[j]) / (nnsub * pn[j])
+                    keep = nsub != pids[j]
+                    out.extend(_local_topk(nsub[keep], scores[keep], int(pids[j]), k))
+            yield _pairs_frame(out)
+
+    return _global_topk(spark, proj.mapInPandas(score, TOPK_SCHEMA), k)
 
 
 # ---------------------------------------------------------------------------
 # IVF-flat ANN: coarse quantizer cells + nprobe search (the classic
 # inverted-file index, centroids drawn deterministically from the data)
 # ---------------------------------------------------------------------------
-def ivf_index(
+def _centroids_np(
     emb: DataFrame,
-    id_col: str = "vec_id",
-    vec_col: str = "embedding",
-    n_cells: int = 16,
-    seed: int = 42,
-) -> tuple[DataFrame, DataFrame]:
-    """Build (centroids, assignments).
-
-    Centroids are ``n_cells`` data vectors picked in deterministic
-    xxhash64 order (IVF with sampled centroids — no k-means iterations;
-    at 100 TB you'd refine with a few Lloyd rounds over a sample, same
-    plan shape). Assignment = argmax cosine vs broadcast centroids: one
-    scan, no shuffle of the embedding table."""
-    from pyspark.sql import Window as W
-
-    cent = (
+    id_col: str,
+    vec_col: str,
+    n_cells: int,
+    seed: int,
+    dim: int,
+    lloyd_rounds: int = 0,
+    sample_rows: int = 100_000,
+) -> tuple[np.ndarray, np.ndarray]:
+    """(cids sorted asc, C matrix) — ``n_cells`` data vectors picked in
+    deterministic xxhash64 order; optionally refined with ``lloyd_rounds``
+    k-means rounds over a deterministic hash-sample of ``sample_rows``
+    vectors (driver-side numpy — the sample is bounded regardless of corpus
+    size, so this is cheap and exactly reproducible). Empty cells keep
+    their previous centroid."""
+    rows = (
         emb.select(F.col(id_col).alias("cid"), F.col(vec_col).alias("cv"))
         .orderBy(
             F.pmod(F.xxhash64(F.col("cid").cast("string"), F.lit(seed)), F.lit(1_000_003)),
             F.col("cid"),
         )
         .limit(n_cells)
+        .collect()
     )
-    a = emb.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v")).crossJoin(
-        F.broadcast(cent)
+    rows.sort(key=lambda r: r["cid"])
+    cids = np.array([r["cid"] for r in rows], dtype=np.int64)
+    C = np.stack([np.asarray(r["cv"], dtype=np.float64) for r in rows])
+    if lloyd_rounds > 0:
+        n_total = emb.count()
+        keep_mod = max(n_total // max(sample_rows, 1), 1)
+        sample = (
+            emb.select(F.col(vec_col).alias("v"))
+            .where(
+                F.pmod(
+                    F.xxhash64(F.col(id_col).cast("string"), F.lit(seed + 1)), F.lit(keep_mod)
+                )
+                == 0
+            )
+            .collect()
+        )
+        S = np.stack([np.asarray(r["v"], dtype=np.float64) for r in sample])
+        sn = _seq_norms(S)
+        for _ in range(lloyd_rounds):
+            cn = _seq_norms(C)
+            best_sim = np.full(S.shape[0], -np.inf)
+            best = np.zeros(S.shape[0], dtype=np.int64)
+            for c in range(C.shape[0]):
+                sim = _seq_dot(S, C[c]) / (sn * cn[c])
+                upd = sim > best_sim  # strict: ties keep the smaller cid
+                best_sim[upd] = sim[upd]
+                best[upd] = c
+            for c in range(C.shape[0]):
+                members = S[best == c]
+                if members.shape[0]:
+                    # float32 round-trip matches the storage type of seeded
+                    # centroids (data vectors are array<float>)
+                    C[c] = members.mean(axis=0).astype(np.float32).astype(np.float64)
+    return cids, C
+
+
+def ivf_index(
+    emb: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_cells: int = 16,
+    seed: int = 42,
+    dim: int | None = None,
+    lloyd_rounds: int = 0,
+    sample_rows: int = 100_000,
+) -> tuple[DataFrame, DataFrame]:
+    """Build (centroids, assignments).
+
+    Assignment = argmax cosine vs the (tiny, closure-captured) centroid
+    matrix inside ONE mapInPandas scan — no join, no shuffle of the
+    embedding table. Ties break toward the smaller cid, matching the old
+    declarative form."""
+    spark = emb.sparkSession
+    dim = dim or _infer_dim(emb, vec_col)
+    cids, C = _centroids_np(
+        emb, id_col, vec_col, n_cells, seed, dim, lloyd_rounds, sample_rows
     )
-    scored = a.select("id", "cid", cosine(F.col("v"), F.col("cv")).alias("sim"))
-    w = W.partitionBy("id").orderBy(F.desc("sim"), F.asc("cid"))
-    assign = (
-        scored.withColumn("__rn", F.row_number().over(w))
-        .where(F.col("__rn") == 1)
-        .select("id", "cid")
+    cn = _seq_norms(C)
+    cent = spark.createDataFrame(
+        [(int(i), [float(x) for x in np.asarray(v, dtype=np.float32)]) for i, v in zip(cids, C)],
+        "cid long, cv array<float>",
     )
-    return cent, assign
+    proj = emb.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
+
+    def assign(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            M = _to_matrix(pdf["v"], dim)
+            vn = _seq_norms(M)
+            best_sim = np.full(M.shape[0], -np.inf)
+            best = np.zeros(M.shape[0], dtype=np.int64)
+            for c in range(C.shape[0]):
+                sim = _seq_dot(M, C[c]) / (vn * cn[c])
+                upd = sim > best_sim
+                best_sim[upd] = sim[upd]
+                best[upd] = c
+            yield pd.DataFrame(
+                {"id": pdf["id"].to_numpy(dtype=np.int64), "cid": cids[best]}
+            )
+
+    return cent, proj.mapInPandas(assign, "id long, cid long")
 
 
 def ivf_topk(
@@ -175,38 +414,58 @@ def ivf_topk(
     n_cells: int = 16,
     nprobe: int = 4,
     seed: int = 42,
+    dim: int | None = None,
+    lloyd_rounds: int = 0,
 ) -> DataFrame:
     """ANN top-k via IVF: each probe searches only its ``nprobe`` nearest
     cells' members, then exact cosine re-rank. nprobe == n_cells degrades
-    gracefully to exact brute force (recall 1.0) — the recall/cost knob."""
-    from pyspark.sql import Window as W
+    gracefully to exact brute force (recall 1.0) — the recall/cost knob.
 
-    cent, assign = ivf_index(emb, id_col, vec_col, n_cells, seed)
+    Assignment and re-rank are FUSED into one mapInPandas scan: each batch
+    assigns its vectors to cells, scores them against only the probes that
+    search those cells, and emits local top-k. Candidate pairs are never
+    materialized; the corpus is never shuffled."""
+    spark = emb.sparkSession
+    dim = dim or _infer_dim(emb, vec_col)
+    cids, C = _centroids_np(emb, id_col, vec_col, n_cells, seed, dim, lloyd_rounds)
+    cn = _seq_norms(C)
 
-    p = probes.select(F.col(id_col).alias("probe_id"), F.col(vec_col).alias("pv"))
-    pc = p.crossJoin(F.broadcast(cent)).select(
-        "probe_id", "pv", "cid", cosine(F.col("pv"), F.col("cv")).alias("csim")
-    )
-    wp = W.partitionBy("probe_id").orderBy(F.desc("csim"), F.asc("cid"))
-    probe_cells = (
-        pc.withColumn("__rn", F.row_number().over(wp))
-        .where(F.col("__rn") <= nprobe)
-        .select("probe_id", "pv", "cid")
-    )
+    pids, P, pn = _collect_probes(probes, id_col, vec_col, dim)
+    # nprobe nearest cells per probe (desc sim, asc cid) → invert to
+    # cell index → probe indices
+    probes_in_cell: dict[int, list[int]] = {}
+    for j in range(P.shape[0]):
+        sims = _seq_dot(C, P[j]) / (cn * pn[j])
+        top = np.lexsort((cids, -sims))[:nprobe]
+        for c in top:
+            probes_in_cell.setdefault(int(c), []).append(j)
+    cell_probes = {c: np.asarray(js) for c, js in probes_in_cell.items()}
 
-    members = emb.select(
-        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("nv")
-    ).join(assign.withColumnRenamed("id", "neighbor_id"), "neighbor_id")
+    proj = emb.select(F.col(id_col).alias("nid"), F.col(vec_col).alias("v"))
 
-    cand = members.join(F.broadcast(probe_cells), "cid").where(
-        F.col("probe_id") != F.col("neighbor_id")
-    )
-    scored = cand.select(
-        "probe_id", "neighbor_id", cosine(F.col("pv"), F.col("nv")).alias("cos_sim")
-    )
-    w = W.partitionBy("probe_id").orderBy(F.desc("cos_sim"), F.asc("neighbor_id"))
-    return (
-        scored.withColumn("rank", F.row_number().over(w).cast("int"))
-        .where(F.col("rank") <= k)
-        .select("probe_id", "neighbor_id", "cos_sim", "rank")
-    )
+    def score(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            M = _to_matrix(pdf["v"], dim)
+            nids = pdf["nid"].to_numpy(dtype=np.int64)
+            nn = _seq_norms(M)
+            best_sim = np.full(M.shape[0], -np.inf)
+            best = np.zeros(M.shape[0], dtype=np.int64)
+            for c in range(C.shape[0]):
+                sim = _seq_dot(M, C[c]) / (nn * cn[c])
+                upd = sim > best_sim
+                best_sim[upd] = sim[upd]
+                best[upd] = c
+            out: list[tuple[int, int, float]] = []
+            for c in np.unique(best):
+                js = cell_probes.get(int(c))
+                if js is None:
+                    continue
+                mask = best == c
+                Msub, nsub, nnsub = M[mask], nids[mask], nn[mask]
+                for j in js:
+                    scores = _seq_dot(Msub, P[j]) / (nnsub * pn[j])
+                    keep = nsub != pids[j]
+                    out.extend(_local_topk(nsub[keep], scores[keep], int(pids[j]), k))
+            yield _pairs_frame(out)
+
+    return _global_topk(spark, proj.mapInPandas(score, TOPK_SCHEMA), k)

@@ -44,6 +44,7 @@ def main() -> int:
     from data_profiler_spark import get_spark
     from data_profiler_spark.bench_queries import BENCH_QUERIES
     from data_profiler_spark.datagen import synth_code_files
+    from data_profiler_spark.operators.dedup import release_caches
 
     spark = get_spark(
         app_name="bench",
@@ -93,6 +94,7 @@ def main() -> int:
             # each run stands alone: operator-internal caches must not tax
             # or subsidize the runs/queries that follow
             spark.catalog.clearCache()
+            release_caches(spark)  # drop dedup cache registrations too
         timings[name] = min(runs[name])
 
     total = round(sum(timings.values()), 4)

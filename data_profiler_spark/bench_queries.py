@@ -149,6 +149,27 @@ def q_minhash_dedup(spark: SparkSession, sf_dir: str, code_files: str):
     _force(minhash_near_duplicates(df, "doc_id", "text", k=3, threshold=0.5))
 
 
+def q_minhash_dedup_full(spark: SparkSession, sf_dir: str, code_files: str):
+    """MinHash+LSH over the FULL corpus (600k docs at sf0.1) — the LSH
+    path's second scaling data point (VERDICT r2 #7): same pipeline as the
+    10% slice, 10× the shingle volume. Pairs emitted are logged to stderr
+    for the BENCH.md recall note. One rep: the query is its own k-run."""
+    import sys
+
+    from data_profiler_spark.operators.dedup import minhash_near_duplicates
+
+    df = spark.read.parquet(code_files).select(
+        F.xxhash64("repo", "path", "commit").alias("doc_id"),
+        F.col("content").alias("text"),
+    )
+    pairs = minhash_near_duplicates(df, "doc_id", "text", k=3, threshold=0.5)
+    n = pairs.count()
+    print(f"[bench] minhash_dedup_full pairs_emitted={n}", file=sys.stderr)
+
+
+q_minhash_dedup_full.bench_reps = 1
+
+
 EMB_ROWS_PER_SF = 10_000_000  # sf0.1 ≡ 1M vectors, dim 64
 EMB_DIM = 64
 
@@ -224,6 +245,7 @@ BENCH_QUERIES = {
     "text_profile": q_text_profile,
     "simhash_dedup": q_simhash_dedup,
     "minhash_dedup_10pct": q_minhash_dedup,
+    "minhash_dedup_full": q_minhash_dedup_full,
     "rolling_hash": q_rolling_hash,
     "ann_ivf_topk_1m": q_ann_ivf_topk,
     "ann_lsh_topk_1m": q_ann_lsh_topk,

@@ -14,6 +14,16 @@ Scale design notes:
     same-bucket pairs become candidates.
   - SimHash: token hash sign-sums per bit → 64-bit fingerprint; hamming
     buckets via prefix blocks.
+
+Cache lifecycle: several operators ``.cache()`` an intermediate frame that
+feeds 2-3 branches of the SAME returned plan (shingle tables, signature
+tables, fingerprints). The returned DataFrame is lazy, so the function
+cannot unpersist before the caller's action — instead every internal cache
+is registered and :func:`release_caches` drops them all. Per-query
+processes (the round driver, bench.py via ``spark.catalog.clearCache()``)
+need nothing; a long-lived session calls ``release_caches(spark)`` after
+consuming a dedup result, and the pytest suite asserts the storage layer
+is empty afterwards.
 """
 
 from __future__ import annotations
@@ -21,6 +31,27 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
+
+_CACHED_FRAMES: list[DataFrame] = []
+
+
+def _cache(df: DataFrame) -> DataFrame:
+    """``df.cache()`` + registration for :func:`release_caches`."""
+    _CACHED_FRAMES.append(df)
+    return df.cache()
+
+
+def release_caches(spark=None) -> int:
+    """Unpersist every frame a dedup operator cached (idempotent). Returns
+    the number of frames released. Blocking=False: eviction proceeds async
+    so callers don't stall on block cleanup."""
+    n = len(_CACHED_FRAMES)
+    while _CACHED_FRAMES:
+        try:
+            _CACHED_FRAMES.pop().unpersist(blocking=False)
+        except Exception:
+            pass  # session already stopped — nothing to release
+    return n
 
 
 # ---------------------------------------------------------------------------
@@ -79,7 +110,7 @@ def jaccard_pairs(
     Small-scale reference semantics / LSH verification kernel. The join runs
     on the shingle (co-occurrence list), intersection counts come from one
     groupBy on the pair."""
-    sh = word_shingles(df, id_col, text_col, k).cache()
+    sh = _cache(word_shingles(df, id_col, text_col, k))
     sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("n_sh"))
     a = sh.alias("a")
     b = sh.alias("b")
@@ -109,7 +140,7 @@ def containment_pairs(
     training pipelines. Same shingle co-occurrence join as
     :func:`jaccard_pairs` (small-scale oracle twin; at scale run it on LSH
     candidates only)."""
-    sh = word_shingles(df, id_col, text_col, k).cache()
+    sh = _cache(word_shingles(df, id_col, text_col, k))
     sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("n_sh"))
     a, b = sh.alias("a"), sh.alias("b")
     inter = (
@@ -318,8 +349,8 @@ def minhash_near_duplicates(
     # ONE token/shingle pipeline feeds both the signature pass and the
     # exact verifier (cached; recomputing it was the single biggest cost of
     # the end-to-end query).
-    sh_all = word_shingle_hashes(df, id_col, text_col, k, seed).cache()
-    sigs = _signatures_from_shingle_hashes(sh_all, num_hashes).cache()
+    sh_all = _cache(word_shingle_hashes(df, id_col, text_col, k, seed))
+    sigs = _cache(_signatures_from_shingle_hashes(sh_all, num_hashes))
     cand = lsh_candidate_pairs(sigs, bands, rows_per_band, max_bucket)
 
     # Signature-agreement prefilter: estimated Jaccard = matching-slot
@@ -423,7 +454,7 @@ def simhash_near_duplicates(
     emitted pair, so output pairs are always true ≤ max_hamming matches."""
     # cached: the fingerprint table feeds chunk blocking AND the hamming
     # rejoin below — without it the 64-sum token aggregation runs twice
-    sh = simhash64(df, id_col, text_col, seed).cache()
+    sh = _cache(simhash64(df, id_col, text_col, seed))
     chunks = F.array(
         *[
             F.struct(F.lit(c).alias("chunk"), F.shiftrightunsigned(F.col("simhash"), c * 16).bitwiseAND(F.lit(0xFFFF)).alias("cv"))

@@ -103,3 +103,39 @@ def test_json_typed_array_column(embeddings):
     by = {r["column"]: r for r in rows}
     assert by["embedding"]["semantic_type"] == "JSON"
     assert by["embedding"]["distinct_count"] > 0
+
+
+def test_approx_mode_matches_exact_on_skew(spark, orders):
+    """VERDICT r2 #3: approx-mode profiles emit mode_value from the
+    bounded-state Misra-Gries plan instead of NULL, and on a skewed column
+    it agrees with the exact mode() aggregate. Numeric modes keep the exact
+    path's double formatting."""
+    from pyspark.sql import functions as F
+
+    # heavily skewed string + numeric columns with a clear winner
+    df = spark.range(20000).select(
+        F.when(F.col("id") % 3 == 0, F.lit("alpha"))
+        .otherwise(F.concat(F.lit("v"), (F.col("id") % 400).cast("string")))
+        .alias("s"),
+        F.when(F.col("id") % 4 == 0, F.lit(7))
+        .otherwise(F.col("id") % 100)
+        .cast("int")
+        .alias("x"),
+    )
+    exact = {r["column"]: r["mode_value"] for r in profile_table(df, exact=True).collect()}
+    approx = {r["column"]: r["mode_value"] for r in profile_table(df, exact=False).collect()}
+    assert exact["s"] == "alpha" and approx["s"] == "alpha"
+    assert exact["x"] == "7.0" and approx["x"] == "7.0"
+    # real-table smoke: same winner on a low-cardinality orders column
+    e = {r["column"]: r for r in profile_table(orders, exact=False).collect()}
+    assert e["o_orderpriority"]["mode_value"] is not None
+
+
+def test_approx_mode_gated_above_1000_distinct(spark):
+    """The reference's <=1000-distinct mode gate applies to the approx path
+    too (via the HLL estimate): a ~unique column reports no mode."""
+    from pyspark.sql import functions as F
+
+    df = spark.range(20000).select(F.col("id").cast("string").alias("u"))
+    rows = {r["column"]: r for r in profile_table(df, exact=False).collect()}
+    assert rows["u"]["mode_value"] is None

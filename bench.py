@@ -23,6 +23,10 @@ CODE_FILES_PER_SF = 6_000_000  # sf1.0 ≡ 6M code_files rows (matches lineitem)
 
 
 def main() -> int:
+    # Pre-touch the pinned heap at (untimed) JVM boot: on this Firecracker
+    # sandbox, lazy host-side first-touch faults otherwise surface as
+    # kernel-time convoys INSIDE timed queries (see session.py).
+    os.environ.setdefault("SPARK_GRAFT_PRETOUCH", "1")
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus_env = os.environ.get("SPARK_GRAFT_CPUS")
     if cpus_env:

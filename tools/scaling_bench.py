@@ -40,12 +40,20 @@ def _ensure_input(n_rows: int) -> tuple[str, str]:
 
 
 def run_at(cpus: int, code_files: str, commits: str) -> dict:
+    load_before = os.getloadavg()[0]
     out = subprocess.run(
         [sys.executable, os.path.join(REPO, "tools", "scaling_run.py"),
          str(cpus), code_files, commits],
         capture_output=True, text=True, timeout=3000, check=True,
     )
-    return json.loads(out.stdout.strip().splitlines()[-1])
+    r = json.loads(out.stdout.strip().splitlines()[-1])
+    r["loadavg_before"] = round(load_before, 2)
+    # 1-min loadavg right after the leg exits still carries most of any
+    # mid-leg external spike (the leg's own threads stopped counting the
+    # moment it exited, but the average decays over ~1 min) — sample it so
+    # the corruption guard can see spikes that began after leg start.
+    r["loadavg_after"] = round(os.getloadavg()[0], 2)
+    return r
 
 
 def main() -> int:
@@ -88,6 +96,31 @@ def main() -> int:
             file=sys.stderr,
         )
         return 1
+    # Idle guard: external tenant load can only SLOW a leg, and a slowed N
+    # leg INFLATES apparent efficiency — so a measurement taken under load
+    # is untrustworthy in both directions. Require both legs to have
+    # started at (near-)idle before recording.
+    max_load = float(os.environ.get("SCALING_MAX_LOAD", "3.0"))
+    if lo["loadavg_before"] > max_load or hi["loadavg_before"] > max_load:
+        print(
+            f"WARN: loadavg before legs was {lo['loadavg_before']}/"
+            f"{hi['loadavg_before']} (> {max_load}) — measurement taken "
+            "under external load; BENCH.md left untouched.",
+            file=sys.stderr,
+        )
+        return 1
+    # Post-leg load check catches spikes that BEGAN mid-leg: right after a
+    # leg exits, the 1-min average still carries the leg's own ~cpus
+    # contribution plus any external load, so anything well above
+    # cpus + slack means a tenant spike overlapped the timed pass.
+    if (lo["loadavg_after"] > lo_cpus + 4) or (hi["loadavg_after"] > hi_cpus + 4):
+        print(
+            f"WARN: loadavg after legs was {lo['loadavg_after']}/"
+            f"{hi['loadavg_after']} (legs are {lo_cpus}/{hi_cpus} threads) — "
+            "an external spike overlapped a timed pass; BENCH.md left untouched.",
+            file=sys.stderr,
+        )
+        return 1
 
     md = f"""# BENCH — scaling evidence (north rule)
 
@@ -96,10 +129,10 @@ Same constraint suite (6 row checks + salted uniqueness on
 (repo,path,commit) + referential (repo,commit)->commits), same
 {n_rows:,}-row synthetic code_files input, fresh JVM per run.
 
-| parallelism | suite wall (s) | rows validated/sec |
-| --- | --- | --- |
-| local[{lo_cpus}]  (N)  | {lo["suite_sec"]} | {lo["rows_per_sec"]:,} |
-| local[{hi_cpus}] (4N) | {hi["suite_sec"]} | {hi["rows_per_sec"]:,} |
+| parallelism | suite wall (s) | rows validated/sec | loadavg start/end |
+| --- | --- | --- | --- |
+| local[{lo_cpus}]  (N)  | {lo["suite_sec"]} | {lo["rows_per_sec"]:,} | {lo["loadavg_before"]} / {lo["loadavg_after"]} |
+| local[{hi_cpus}] (4N) | {hi["suite_sec"]} | {hi["rows_per_sec"]:,} | {hi["loadavg_before"]} / {hi["loadavg_after"]} |
 
 - **Scaling efficiency (4N vs N): {result["efficiency_4N_vs_N"]}** (target >= 0.8)
 - **Outputs bit-identical across cluster sizes: {identical}**
@@ -129,10 +162,16 @@ Same constraint suite (6 row checks + salted uniqueness on
   this; pre-touching restores the machine the north rule assumes.
 - External-load caveat: this sandbox also carries a fluctuating external
   tenant load of 0-21 busy cores. The scaling harness refuses to record a
-  measurement where 4N is not faster than N (load-corruption guard), and
-  official numbers are taken at observed idle. `SCALING_N=2` reproduces
-  the low-core 2/8 pair that fits under heavy ambient load (round-2
-  evidence: 0.876 efficiency at 2-vs-8).
+  measurement where 4N is not faster than N, or where either leg started
+  at loadavg > 3 (a slowed N leg would INFLATE apparent efficiency, so
+  load corrupts in both directions). `SCALING_N=8` runs the 8/32 pair;
+  because the box has exactly 32 vCPUs shared with the external tenant,
+  the 32-thread leg has never had an uncontended window. Best recorded
+  8/32 pair (2026-08-17, both legs partially contended): N=8 123.1 s,
+  4N=32 49.8 s, 2.47x speedup = 0.617 efficiency, with bit-identical
+  output fingerprints across the two sizes. The low-core N/4N pair in
+  the headline table fits inside the reliably-free cores and measures
+  the engine, not the neighbors.
 
 Headline operator timings at sf0.1 live in the driver-recorded
 `BENCH_r{{N}}.json` (produced by `python bench.py`). Those wall times carry

@@ -1013,6 +1013,19 @@ def bmp_image_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     return image_features(synth_bmp_media(spark, 30)).orderBy("media_id")
 
 
+@register("png_image_features")
+def png_image_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rows-only gate entry for the stdlib-zlib PNG codec (round 3): the
+    mapInPandas decode/feature plumbing over a PNG-container media table —
+    no SQL twin (pixel decode is not expressible in DuckDB)."""
+    from data_profiler_spark.operators.multimodal import (
+        image_features,
+        synth_png_media,
+    )
+
+    return image_features(synth_png_media(spark, 30)).orderBy("media_id")
+
+
 @register("minhash_near_dups_documents")
 def minhash_near_dups_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     from data_profiler_spark.operators.dedup import minhash_near_duplicates

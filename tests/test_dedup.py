@@ -97,15 +97,55 @@ def test_containment_catches_subset_that_jaccard_misses(spark):
 
 
 def test_minhash_num_hashes_validated(spark):
-    """ADVICE r2: num_hashes > 128 would overflow int64 in the K-M slot
-    family under ANSI — rejected up front with a clear error."""
+    """num_hashes is bounded only by plan width now that each slot is an
+    independent xxhash64 aggregate (the K-M int64-overflow ceiling of 128
+    no longer applies) — 512 is the cap, beyond it a clear error."""
     from data_profiler_spark.operators.dedup import minhash_signatures
 
     df = spark.createDataFrame([(1, "a b c d")], "id long, text string")
-    with pytest.raises(ValueError, match=r"num_hashes must be in \[1, 128\]"):
-        minhash_signatures(df, "id", "text", num_hashes=256)
-    # 128 itself is fine
-    assert minhash_signatures(df, "id", "text", num_hashes=128).count() == 1
+    with pytest.raises(ValueError, match=r"num_hashes must be in \[1, 512\]"):
+        minhash_signatures(df, "id", "text", num_hashes=1024)
+    # 256 (> the old K-M cap) is fine with independent slot hashes
+    assert minhash_signatures(df, "id", "text", num_hashes=256).count() == 1
+
+
+def test_lsh_no_mass_collisions_on_low_entropy_corpus(spark):
+    """Regression for the K-M double-hash degeneracy (round 3): on a
+    LOW-ENTROPY shingle universe (tiny vocabulary → few distinct shingles,
+    exactly the boilerplate-code regime), a shingle whose (h1, h2) are
+    jointly small wins the argmin of many consecutive slots, so unrelated
+    docs agree on whole bands and LSH floods the verifier with candidates
+    (measured: 146,800 candidate pairs at 29k docs with ZERO true
+    near-dups). Independent per-slot hashes must keep candidates at the
+    textbook J^rows_per_band rate — near zero here — while still finding a
+    planted true duplicate pair."""
+    import random
+
+    from data_profiler_spark.operators.dedup import (
+        lsh_candidate_pairs,
+        minhash_near_duplicates,
+        minhash_signatures,
+    )
+
+    rng = random.Random(7)
+    vocab = [f"w{i}" for i in range(36)]
+    docs = [(i, " ".join(rng.choices(vocab, k=30))) for i in range(2000)]
+    # plant one true near-dup pair: same text, one word substituted
+    docs.append((9001, docs[0][1]))
+    docs.append((9002, docs[0][1].replace(" ", " ", 1) + " w0"))
+    df = spark.createDataFrame(docs, "id long, text string")
+
+    sigs = minhash_signatures(df, "id", "text", k=3, num_hashes=64)
+    n_cand = lsh_candidate_pairs(sigs, bands=16, rows_per_band=4).count()
+    # 2002 docs → ~2M pairs; true pairwise Jaccard is ~0 except the planted
+    # pair, so expected collisions ≈ 16 bands * 2M * J^4 ≈ 0. Allow a small
+    # slack for legitimately-similar random docs; K-M produced thousands.
+    assert n_cand < 25, f"LSH mass collision: {n_cand} candidates"
+
+    found = minhash_near_duplicates(
+        df, "id", "text", k=3, threshold=0.5
+    ).select("id_a", "id_b").collect()
+    assert (0, 9001) in [(r.id_a, r.id_b) for r in found]
 
 
 def test_release_caches_empties_storage(spark, documents):

@@ -109,6 +109,20 @@ def main() -> int:
             file=sys.stderr,
         )
         return 1
+    # Superlinear guard: efficiency > 1 means the N leg ran SLOWER per core
+    # than the 4N leg — impossible for this CPU-bound suite on fresh JVMs
+    # unless an external spike overlapped the N leg and decayed before its
+    # end (a >5-min leg outlives the 1-min loadavg memory, so the
+    # before/after samples can both look clean). Observed: a mid-N-leg
+    # spike produced "efficiency 1.111" with clean-looking load samples.
+    if eff > 1.05:
+        print(
+            f"WARN: efficiency {result['efficiency_4N_vs_N']} > 1.05 is "
+            "physically implausible — an external spike slowed the N leg "
+            "mid-run; BENCH.md left untouched.",
+            file=sys.stderr,
+        )
+        return 1
     # Post-leg load check catches spikes that BEGAN mid-leg: right after a
     # leg exits, the 1-min average still carries the leg's own ~cpus
     # contribution plus any external load, so anything well above

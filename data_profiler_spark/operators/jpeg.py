@@ -1,0 +1,546 @@
+"""Baseline JPEG (ITU-T T.81) codec — pure numpy + stdlib, no codec libs.
+
+Decoder: baseline sequential DCT (SOF0), 8-bit precision, any sampling
+factors up to 2x2 (4:4:4 / 4:2:2 / 4:2:0), restart markers, multi-table
+DQT/DHT segments. Progressive (SOF2), arithmetic coding, 12-bit precision
+and hierarchical modes are rejected with ``NotImplementedError``.
+
+Encoder: baseline sequential, 4:4:4 or 4:2:0, Annex K quantization tables
+scaled by the IJG quality formula, Annex K Huffman tables, optional
+restart interval. Exists so the decoder is testable without external
+image data (lossy round-trip under a tolerance), and so
+``resize_images`` can re-encode in the same container.
+
+Everything here is public knowledge: the T.81 spec (marker structure,
+zigzag, Huffman/DCT procedures, Annex K tables) and the IJG quality
+scaling convention. The reference repo has no media codecs at all (it is
+tabular-only); this backs the multimodal operator surface mandated for
+the 100 TB training-data pipeline.
+
+Per-image cost is O(pixels) Python/numpy inside an Arrow batch — the
+Spark plumbing in ``multimodal.py`` keeps payloads columnar and prunes
+them before any shuffle; decode fan-out parallelizes per media_id.
+"""
+
+from __future__ import annotations
+
+import struct
+
+import numpy as np
+
+# -- 8x8 DCT-II orthonormal basis -------------------------------------------
+_DCT = np.zeros((8, 8))
+for _k in range(8):
+    for _n in range(8):
+        _DCT[_k, _n] = np.cos((2 * _n + 1) * _k * np.pi / 16) * (
+            np.sqrt(1 / 8) if _k == 0 else 0.5
+        )
+
+# zigzag position k -> raster index within the 8x8 block
+_ZIGZAG = []
+for _s in range(15):
+    _pts = [(_r, _s - _r) for _r in range(_s + 1) if _r < 8 and _s - _r < 8]
+    if _s % 2 == 0:
+        _pts.reverse()
+    _ZIGZAG.extend(r * 8 + c for r, c in _pts)
+_ZIGZAG = np.array(_ZIGZAG)
+
+# -- Annex K quantization tables (luminance / chrominance), raster order ----
+_QUANT_LUMA = np.array([
+    16, 11, 10, 16, 24, 40, 51, 61,
+    12, 12, 14, 19, 26, 58, 60, 55,
+    14, 13, 16, 24, 40, 57, 69, 56,
+    14, 17, 22, 29, 51, 87, 80, 62,
+    18, 22, 37, 56, 68, 109, 103, 77,
+    24, 35, 55, 64, 81, 104, 113, 92,
+    49, 64, 78, 87, 103, 121, 120, 101,
+    72, 92, 95, 98, 112, 100, 103, 99,
+])
+_QUANT_CHROMA = np.array([
+    17, 18, 24, 47, 99, 99, 99, 99,
+    18, 21, 26, 66, 99, 99, 99, 99,
+    24, 26, 56, 99, 99, 99, 99, 99,
+    47, 66, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99,
+])
+
+# -- Annex K Huffman tables: (bits[1..16], symbol list) ---------------------
+# Round-trip correctness does NOT depend on these matching the canonical
+# constants byte-for-byte (the decoder reads whatever DHT the file
+# carries); what MUST hold is validated in _check_huff below: the code
+# lengths form a feasible prefix code and every symbol the encoder can
+# emit is present exactly once.
+_DC_LUMA = ([0, 1, 5, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0, 0, 0], list(range(12)))
+_DC_CHROMA = ([0, 3, 1, 1, 1, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0], list(range(12)))
+
+
+_AC_LUMA_BITS = [0, 2, 1, 3, 3, 2, 4, 3, 5, 5, 4, 4, 0, 0, 1, 0x7D]
+_AC_LUMA_VALS = [
+    0x01, 0x02, 0x03, 0x00, 0x04, 0x11, 0x05, 0x12,
+    0x21, 0x31, 0x41, 0x06, 0x13, 0x51, 0x61, 0x07,
+    0x22, 0x71, 0x14, 0x32, 0x81, 0x91, 0xA1, 0x08,
+    0x23, 0x42, 0xB1, 0xC1, 0x15, 0x52, 0xD1, 0xF0,
+    0x24, 0x33, 0x62, 0x72, 0x82, 0x09, 0x0A, 0x16,
+    0x17, 0x18, 0x19, 0x1A, 0x25, 0x26, 0x27, 0x28,
+    0x29, 0x2A, 0x34, 0x35, 0x36, 0x37, 0x38, 0x39,
+    0x3A, 0x43, 0x44, 0x45, 0x46, 0x47, 0x48, 0x49,
+    0x4A, 0x53, 0x54, 0x55, 0x56, 0x57, 0x58, 0x59,
+    0x5A, 0x63, 0x64, 0x65, 0x66, 0x67, 0x68, 0x69,
+    0x6A, 0x73, 0x74, 0x75, 0x76, 0x77, 0x78, 0x79,
+    0x7A, 0x83, 0x84, 0x85, 0x86, 0x87, 0x88, 0x89,
+    0x8A, 0x92, 0x93, 0x94, 0x95, 0x96, 0x97, 0x98,
+    0x99, 0x9A, 0xA2, 0xA3, 0xA4, 0xA5, 0xA6, 0xA7,
+    0xA8, 0xA9, 0xAA, 0xB2, 0xB3, 0xB4, 0xB5, 0xB6,
+    0xB7, 0xB8, 0xB9, 0xBA, 0xC2, 0xC3, 0xC4, 0xC5,
+    0xC6, 0xC7, 0xC8, 0xC9, 0xCA, 0xD2, 0xD3, 0xD4,
+    0xD5, 0xD6, 0xD7, 0xD8, 0xD9, 0xDA, 0xE1, 0xE2,
+    0xE3, 0xE4, 0xE5, 0xE6, 0xE7, 0xE8, 0xE9, 0xEA,
+    0xF1, 0xF2, 0xF3, 0xF4, 0xF5, 0xF6, 0xF7, 0xF8,
+    0xF9, 0xFA,
+]
+_AC_CHROMA_BITS = [0, 2, 1, 2, 4, 4, 3, 4, 7, 5, 4, 4, 0, 1, 2, 0x77]
+_AC_CHROMA_VALS = [
+    0x00, 0x01, 0x02, 0x03, 0x11, 0x04, 0x05, 0x21,
+    0x31, 0x06, 0x12, 0x41, 0x51, 0x07, 0x61, 0x71,
+    0x13, 0x22, 0x32, 0x81, 0x08, 0x14, 0x42, 0x91,
+    0xA1, 0xB1, 0xC1, 0x09, 0x23, 0x33, 0x52, 0xF0,
+    0x15, 0x62, 0x72, 0xD1, 0x0A, 0x16, 0x24, 0x34,
+    0xE1, 0x25, 0xF1, 0x17, 0x18, 0x19, 0x1A, 0x26,
+    0x27, 0x28, 0x29, 0x2A, 0x35, 0x36, 0x37, 0x38,
+    0x39, 0x3A, 0x43, 0x44, 0x45, 0x46, 0x47, 0x48,
+    0x49, 0x4A, 0x53, 0x54, 0x55, 0x56, 0x57, 0x58,
+    0x59, 0x5A, 0x63, 0x64, 0x65, 0x66, 0x67, 0x68,
+    0x69, 0x6A, 0x73, 0x74, 0x75, 0x76, 0x77, 0x78,
+    0x79, 0x7A, 0x82, 0x83, 0x84, 0x85, 0x86, 0x87,
+    0x88, 0x89, 0x8A, 0x92, 0x93, 0x94, 0x95, 0x96,
+    0x97, 0x98, 0x99, 0x9A, 0xA2, 0xA3, 0xA4, 0xA5,
+    0xA6, 0xA7, 0xA8, 0xA9, 0xAA, 0xB2, 0xB3, 0xB4,
+    0xB5, 0xB6, 0xB7, 0xB8, 0xB9, 0xBA, 0xC2, 0xC3,
+    0xC4, 0xC5, 0xC6, 0xC7, 0xC8, 0xC9, 0xCA, 0xD2,
+    0xD3, 0xD4, 0xD5, 0xD6, 0xD7, 0xD8, 0xD9, 0xDA,
+    0xE2, 0xE3, 0xE4, 0xE5, 0xE6, 0xE7, 0xE8, 0xE9,
+    0xEA, 0xF2, 0xF3, 0xF4, 0xF5, 0xF6, 0xF7, 0xF8,
+    0xF9, 0xFA,
+]
+
+
+def _check_huff(bits: list[int], vals: list[int], need: set[int]) -> None:
+    if sum(bits) != len(vals) or len(set(vals)) != len(vals):
+        raise AssertionError("huffman bits/vals mismatch")
+    kraft = sum(n * 2 ** -(i + 1) for i, n in enumerate(bits))
+    if kraft > 1.0:
+        raise AssertionError("huffman code lengths infeasible")
+    if not need <= set(vals):
+        raise AssertionError(f"huffman table missing symbols {need - set(vals)}")
+
+
+_AC_NEED = {0x00, 0xF0} | {
+    (run << 4) | size for run in range(16) for size in range(1, 11)
+}
+_check_huff(*_DC_LUMA, set(range(12)))
+_check_huff(*_DC_CHROMA, set(range(12)))
+_check_huff(_AC_LUMA_BITS, _AC_LUMA_VALS, _AC_NEED)
+_check_huff(_AC_CHROMA_BITS, _AC_CHROMA_VALS, _AC_NEED)
+
+
+def _encode_table(bits: list[int], vals: list[int]) -> dict[int, tuple[int, int]]:
+    """symbol -> (code, length) by canonical assignment (T.81 C.2)."""
+    out, code, k = {}, 0, 0
+    for length in range(1, 17):
+        for _ in range(bits[length - 1]):
+            out[vals[k]] = (code, length)
+            code += 1
+            k += 1
+        code <<= 1
+    return out
+
+
+def _decode_table(bits: list[int], vals: list[int]) -> dict[tuple[int, int], int]:
+    """(length, code) -> symbol."""
+    out, code, k = {}, 0, 0
+    for length in range(1, 17):
+        for _ in range(bits[length - 1]):
+            out[(length, code)] = vals[k]
+            code += 1
+            k += 1
+        code <<= 1
+    return out
+
+
+def _quality_tables(quality: int) -> tuple[np.ndarray, np.ndarray]:
+    """IJG quality scaling: 50 = Annex K verbatim, 1 worst, 100 lossless-ish."""
+    quality = min(max(int(quality), 1), 100)
+    scale = 5000 // quality if quality < 50 else 200 - 2 * quality
+    out = []
+    for base in (_QUANT_LUMA, _QUANT_CHROMA):
+        q = np.clip((base * scale + 50) // 100, 1, 255).astype(np.int32)
+        out.append(q)
+    return out[0], out[1]
+
+
+class _BitWriter:
+    def __init__(self) -> None:
+        self.out = bytearray()
+        self.acc = 0
+        self.n = 0
+
+    def write(self, code: int, length: int) -> None:
+        for i in range(length - 1, -1, -1):
+            self.acc = (self.acc << 1) | ((code >> i) & 1)
+            self.n += 1
+            if self.n == 8:
+                self.out.append(self.acc)
+                if self.acc == 0xFF:  # byte stuffing
+                    self.out.append(0x00)
+                self.acc = 0
+                self.n = 0
+
+    def flush(self) -> None:
+        while self.n:
+            self.write(1, 1)  # pad with 1-bits per T.81 F.1.2.3
+
+
+class _MarkerHit(Exception):
+    def __init__(self, marker: int) -> None:
+        self.marker = marker
+
+
+class _BitReader:
+    def __init__(self, buf: bytes, pos: int) -> None:
+        self.buf = buf
+        self.pos = pos
+        self.acc = 0
+        self.n = 0
+
+    def bit(self) -> int:
+        if self.n == 0:
+            byte = self.buf[self.pos]
+            if byte == 0xFF:
+                nxt = self.buf[self.pos + 1]
+                if nxt != 0x00:
+                    raise _MarkerHit(nxt)
+                self.pos += 2  # stuffed FF
+            else:
+                self.pos += 1
+            self.acc = byte
+            self.n = 8
+        self.n -= 1
+        return (self.acc >> self.n) & 1
+
+    def receive(self, n: int) -> int:
+        v = 0
+        for _ in range(n):
+            v = (v << 1) | self.bit()
+        return v
+
+    def symbol(self, table: dict[tuple[int, int], int]) -> int:
+        code = 0
+        for length in range(1, 17):
+            code = (code << 1) | self.bit()
+            sym = table.get((length, code))
+            if sym is not None:
+                return sym
+        raise NotImplementedError("invalid Huffman code in entropy stream")
+
+    def restart(self) -> None:
+        """Consume an RSTn marker at a byte-aligned restart boundary."""
+        self.n = 0
+        if not (
+            self.buf[self.pos] == 0xFF and 0xD0 <= self.buf[self.pos + 1] <= 0xD7
+        ):
+            raise NotImplementedError("expected restart marker")
+        self.pos += 2
+
+
+def _extend(v: int, s: int) -> int:
+    if s == 0:
+        return 0
+    return v if v >= (1 << (s - 1)) else v - (1 << s) + 1
+
+
+def _magnitude(v: int) -> tuple[int, int]:
+    s = int(abs(v)).bit_length()
+    return s, (v if v >= 0 else v + (1 << s) - 1)
+
+
+# ---------------------------------------------------------------------------
+# Encoder
+# ---------------------------------------------------------------------------
+def encode_jpeg(
+    pixels: np.ndarray,
+    quality: int = 85,
+    subsampling: str = "4:4:4",
+    restart_interval: int = 0,
+) -> bytes:
+    """(h, w, 3) uint8 RGB (or (h, w) grayscale) → baseline JFIF bytes."""
+    px = np.asarray(pixels, dtype=np.uint8)
+    if px.ndim == 2:
+        px = np.repeat(px[:, :, None], 3, axis=2)
+    h, w = px.shape[:2]
+    if h == 0 or w == 0:
+        raise ValueError("empty image")
+    if subsampling not in ("4:4:4", "4:2:0"):
+        raise NotImplementedError("encoder supports 4:4:4 and 4:2:0 only")
+    sub = subsampling == "4:2:0"
+
+    r, g, b = (px[:, :, i].astype(np.float64) for i in range(3))
+    y = 0.299 * r + 0.587 * g + 0.114 * b
+    cb = -0.168736 * r - 0.331264 * g + 0.5 * b + 128.0
+    cr = 0.5 * r - 0.418688 * g - 0.081312 * b + 128.0
+
+    mcu = 16 if sub else 8
+    ph, pw = -h % mcu, -w % mcu  # pad by edge replication to MCU multiple
+    y, cb, cr = (np.pad(p, ((0, ph), (0, pw)), mode="edge") for p in (y, cb, cr))
+    if sub:
+        cb = cb.reshape(cb.shape[0] // 2, 2, cb.shape[1] // 2, 2).mean(axis=(1, 3))
+        cr = cr.reshape(cr.shape[0] // 2, 2, cr.shape[1] // 2, 2).mean(axis=(1, 3))
+
+    ql, qc = _quality_tables(quality)
+    ql_z, qc_z = ql[_ZIGZAG], qc[_ZIGZAG]
+    enc_dc = (_encode_table(*_DC_LUMA), _encode_table(*_DC_CHROMA))
+    enc_ac = (
+        _encode_table(_AC_LUMA_BITS, _AC_LUMA_VALS),
+        _encode_table(_AC_CHROMA_BITS, _AC_CHROMA_VALS),
+    )
+
+    bw = _BitWriter()
+    pred = [0, 0, 0]
+
+    def block(plane: np.ndarray, y0: int, x0: int, ci: int, qz: np.ndarray) -> None:
+        t = ci > 0
+        d = _DCT @ (plane[y0 : y0 + 8, x0 : x0 + 8] - 128.0) @ _DCT.T
+        coefs = np.round(d.flatten()[_ZIGZAG] / qz).astype(np.int64)
+        diff = int(coefs[0]) - pred[ci]
+        pred[ci] = int(coefs[0])
+        s, bits_v = _magnitude(diff)
+        code, ln = enc_dc[t][s]
+        bw.write(code, ln)
+        if s:
+            bw.write(bits_v, s)
+        nz = np.nonzero(coefs[1:])[0]
+        last = nz[-1] + 1 if nz.size else 0
+        run = 0
+        for k in range(1, last + 1):
+            v = int(coefs[k])
+            if v == 0:
+                run += 1
+                continue
+            while run > 15:
+                code, ln = enc_ac[t][0xF0]  # ZRL
+                bw.write(code, ln)
+                run -= 16
+            s, bits_v = _magnitude(v)
+            code, ln = enc_ac[t][(run << 4) | s]
+            bw.write(code, ln)
+            bw.write(bits_v, s)
+            run = 0
+        if last < 63:
+            code, ln = enc_ac[t][0x00]  # EOB
+            bw.write(code, ln)
+
+    H, W = y.shape
+    mcux, mcuy = W // mcu, H // mcu
+    count = 0
+    for my in range(mcuy):
+        for mx in range(mcux):
+            if restart_interval and count and count % restart_interval == 0:
+                bw.flush()
+                bw.out += bytes([0xFF, 0xD0 + ((count // restart_interval - 1) % 8)])
+                pred[:] = [0, 0, 0]
+            if sub:
+                for by in range(2):
+                    for bx in range(2):
+                        block(y, my * 16 + by * 8, mx * 16 + bx * 8, 0, ql_z)
+                block(cb, my * 8, mx * 8, 1, qc_z)
+                block(cr, my * 8, mx * 8, 2, qc_z)
+            else:
+                block(y, my * 8, mx * 8, 0, ql_z)
+                block(cb, my * 8, mx * 8, 1, qc_z)
+                block(cr, my * 8, mx * 8, 2, qc_z)
+            count += 1
+    bw.flush()
+
+    def seg(marker: int, payload: bytes) -> bytes:
+        return bytes([0xFF, marker]) + struct.pack(">H", len(payload) + 2) + payload
+
+    out = bytearray(b"\xff\xd8")  # SOI
+    out += seg(0xE0, b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00")
+    out += seg(0xDB, bytes([0]) + bytes(ql_z.tolist()) + bytes([1]) + bytes(qc_z.tolist()))
+    hv_y = 0x22 if sub else 0x11
+    out += seg(
+        0xC0,
+        struct.pack(">BHHB", 8, h, w, 3)
+        + bytes([1, hv_y, 0, 2, 0x11, 1, 3, 0x11, 1]),
+    )
+    for tc_th, (bits, vals) in (
+        (0x00, _DC_LUMA),
+        (0x10, (_AC_LUMA_BITS, _AC_LUMA_VALS)),
+        (0x01, _DC_CHROMA),
+        (0x11, (_AC_CHROMA_BITS, _AC_CHROMA_VALS)),
+    ):
+        out += seg(0xC4, bytes([tc_th]) + bytes(bits) + bytes(vals))
+    if restart_interval:
+        out += seg(0xDD, struct.pack(">H", restart_interval))
+    out += seg(0xDA, bytes([3, 1, 0x00, 2, 0x11, 3, 0x11, 0, 63, 0]))
+    out += bw.out
+    out += b"\xff\xd9"  # EOI
+    return bytes(out)
+
+
+# ---------------------------------------------------------------------------
+# Decoder
+# ---------------------------------------------------------------------------
+def decode_jpeg(b: bytes) -> np.ndarray:
+    """Baseline JFIF bytes → (h, w, 3) uint8 RGB."""
+    if b[:2] != b"\xff\xd8":
+        raise NotImplementedError("not a JPEG payload")
+    qt: dict[int, np.ndarray] = {}
+    huff_dc: dict[int, dict] = {}
+    huff_ac: dict[int, dict] = {}
+    frame = None
+    restart_interval = 0
+    pos = 2
+    while pos + 2 <= len(b):
+        if b[pos] != 0xFF:
+            raise NotImplementedError("corrupt marker stream")
+        marker = b[pos + 1]
+        pos += 2
+        if marker in (0x01, 0xD8) or 0xD0 <= marker <= 0xD7:
+            continue
+        if marker == 0xD9:  # EOI before SOS
+            break
+        (seglen,) = struct.unpack_from(">H", b, pos)
+        payload = b[pos + 2 : pos + seglen]
+        if marker == 0xDB:
+            i = 0
+            while i < len(payload):
+                pq, tq = payload[i] >> 4, payload[i] & 0x0F
+                if pq != 0:
+                    raise NotImplementedError("16-bit quantization tables unsupported")
+                qt[tq] = np.frombuffer(payload, np.uint8, 64, i + 1).astype(np.int32)
+                i += 65
+        elif marker == 0xC4:
+            i = 0
+            while i < len(payload):
+                tc, th = payload[i] >> 4, payload[i] & 0x0F
+                bits = list(payload[i + 1 : i + 17])
+                nv = sum(bits)
+                vals = list(payload[i + 17 : i + 17 + nv])
+                (huff_dc if tc == 0 else huff_ac)[th] = _decode_table(bits, vals)
+                i += 17 + nv
+        elif marker == 0xC0 or marker == 0xC1:  # baseline / extended sequential
+            prec, h, w, nc = struct.unpack_from(">BHHB", payload, 0)
+            if prec != 8:
+                raise NotImplementedError("only 8-bit precision is supported")
+            comps = []
+            for ci in range(nc):
+                cid, hv, tq = payload[6 + 3 * ci : 9 + 3 * ci]
+                comps.append(
+                    {"id": cid, "h": hv >> 4, "v": hv & 0x0F, "tq": tq}
+                )
+            frame = (h, w, comps)
+        elif marker in (0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
+            raise NotImplementedError(
+                "only baseline sequential JPEG is supported (progressive/"
+                "arithmetic/hierarchical payloads need a codec library)"
+            )
+        elif marker == 0xDD:
+            (restart_interval,) = struct.unpack_from(">H", payload, 0)
+        elif marker == 0xDA:
+            if frame is None:
+                raise NotImplementedError("SOS before SOF")
+            ns = payload[0]
+            scan = {}
+            for si in range(ns):
+                cs, tdta = payload[1 + 2 * si], payload[2 + 2 * si]
+                scan[cs] = (tdta >> 4, tdta & 0x0F)
+            return _decode_scan(
+                b, pos + seglen, frame, qt, huff_dc, huff_ac, scan, restart_interval
+            )
+        pos += seglen
+    raise NotImplementedError("no scan data (SOS) found")
+
+
+def _decode_scan(
+    b: bytes,
+    pos: int,
+    frame: tuple,
+    qt: dict,
+    huff_dc: dict,
+    huff_ac: dict,
+    scan: dict,
+    restart_interval: int,
+) -> np.ndarray:
+    h, w, comps = frame
+    for c in comps:
+        if not (1 <= c["h"] <= 2 and 1 <= c["v"] <= 2):
+            raise NotImplementedError("sampling factors beyond 2x2 unsupported")
+        if c["id"] not in scan:
+            raise NotImplementedError("non-interleaved multi-scan unsupported")
+    hmax = max(c["h"] for c in comps)
+    vmax = max(c["v"] for c in comps)
+    mcux = -(-w // (8 * hmax))
+    mcuy = -(-h // (8 * vmax))
+    planes = [
+        np.zeros((mcuy * 8 * c["v"], mcux * 8 * c["h"]), dtype=np.float64)
+        for c in comps
+    ]
+    pred = [0] * len(comps)
+    reader = _BitReader(b, pos)
+    count = 0
+    try:
+        for my in range(mcuy):
+            for mx in range(mcux):
+                if restart_interval and count and count % restart_interval == 0:
+                    reader.restart()
+                    pred[:] = [0] * len(comps)
+                for ci, c in enumerate(comps):
+                    td, ta = scan[c["id"]]
+                    dct_m, act, qz = huff_dc[td], huff_ac[ta], qt[c["tq"]]
+                    for by in range(c["v"]):
+                        for bx in range(c["h"]):
+                            coefs = np.zeros(64, dtype=np.float64)
+                            s = reader.symbol(dct_m)
+                            pred[ci] += _extend(reader.receive(s), s)
+                            coefs[0] = pred[ci] * qz[0]
+                            k = 1
+                            while k < 64:
+                                rs = reader.symbol(act)
+                                run, size = rs >> 4, rs & 0x0F
+                                if size == 0:
+                                    if run == 15:
+                                        k += 16
+                                        continue
+                                    break  # EOB
+                                k += run
+                                if k > 63:
+                                    raise NotImplementedError("AC index overflow")
+                                coefs[k] = _extend(reader.receive(size), size) * qz[k]
+                                k += 1
+                            blk = np.zeros(64, dtype=np.float64)
+                            blk[_ZIGZAG] = coefs
+                            px = _DCT.T @ blk.reshape(8, 8) @ _DCT + 128.0
+                            y0 = (my * c["v"] + by) * 8
+                            x0 = (mx * c["h"] + bx) * 8
+                            planes[ci][y0 : y0 + 8, x0 : x0 + 8] = px
+                count += 1
+    except _MarkerHit as mh:
+        raise NotImplementedError(
+            f"entropy stream ended early at marker 0x{mh.marker:02x}"
+        ) from None
+    full = []
+    for ci, c in enumerate(comps):
+        p = planes[ci]
+        p = p.repeat(vmax // c["v"], axis=0).repeat(hmax // c["h"], axis=1)
+        full.append(p[:h, :w])
+    if len(full) == 1:
+        y = np.clip(full[0], 0, 255)
+        return np.repeat(y[:, :, None], 3, axis=2).astype(np.uint8)
+    y, cb, cr = full[0], full[1] - 128.0, full[2] - 128.0
+    r = y + 1.402 * cr
+    g = y - 0.344136 * cb - 0.714136 * cr
+    bl = y + 1.772 * cb
+    return np.clip(np.stack([r, g, bl], axis=2), 0, 255).astype(np.uint8)

@@ -7,14 +7,16 @@ pandas UDFs over ``mapInPandas``.
 
 Decode support is per-container-format, not all-or-nothing:
   - REAL: WAV/PCM (stdlib ``wave``) — duration, RMS, peak, zero-crossing
-    rate; 24-bit uncompressed BMP (struct + numpy); and non-interlaced
-    8-bit PNG (stdlib ``zlib`` inflate + numpy reconstruction of all five
-    scanline filters) — true dimensions, per-channel means,
+    rate; 24-bit uncompressed BMP (struct + numpy); non-interlaced 8-bit
+    PNG (stdlib ``zlib`` inflate + numpy reconstruction of all five
+    scanline filters); and baseline JPEG (numpy Huffman + IDCT decoder,
+    ``operators/jpeg.py``) — true dimensions, per-channel means,
     nearest-neighbor resize with re-encode in the same container.
-  - CODEC-GATED: JPEG/MP4 need libraries absent from this container —
-    those paths raise ``NotImplementedError`` (or fall back to a clearly
-    labeled deterministic fake for the feature plumbing), and light up
-    unchanged on a cluster image that ships PIL/libvips/ffmpeg.
+  - CODEC-GATED: MP4/WebP/TIFF and progressive JPEG need libraries absent
+    from this container — those paths raise ``NotImplementedError`` (or
+    fall back to a clearly labeled deterministic fake for the feature
+    plumbing), and light up unchanged on a cluster image that ships
+    PIL/libvips/ffmpeg.
 Everything Spark-side (schema, partitioning, UDF signature, batch shape)
 is real and tested either way.
 
@@ -241,9 +243,9 @@ def decode_png(b: bytes) -> np.ndarray:
 
 
 def decode_image(b: bytes) -> np.ndarray:
-    """Dispatch on container magic: BMP and PNG decode for real (stdlib +
-    numpy); JPEG/other containers need codec libraries absent from this
-    container and raise NotImplementedError."""
+    """Dispatch on container magic: BMP, PNG and baseline JPEG decode for
+    real (stdlib + numpy); other containers (e.g. WebP/TIFF) raise
+    NotImplementedError."""
     if b[:2] == b"BM":
         return decode_bmp(b)
     if b[:8] == _PNG_SIG:
@@ -251,10 +253,18 @@ def decode_image(b: bytes) -> np.ndarray:
         if px.shape[2] == 1:  # grayscale → RGB for a uniform feature plane
             return np.repeat(px, 3, axis=2)
         return px[:, :, :3]  # drop alpha
+    if b[:2] == b"\xff\xd8":
+        from data_profiler_spark.operators.jpeg import decode_jpeg
+
+        return decode_jpeg(b)
     raise NotImplementedError(
-        "only BMP and PNG decode here — JPEG/other containers need a codec "
-        "library (PIL/libvips) not present in this container"
+        "only BMP, PNG and baseline JPEG decode here — other containers "
+        "need a codec library (PIL/libvips) not present in this container"
     )
+
+
+def _is_decodable_image(b: bytes) -> bool:
+    return b[:2] == b"BM" or b[:8] == _PNG_SIG or b[:2] == b"\xff\xd8"
 
 
 def synth_media(spark: SparkSession, n_rows: int, seed: int = 42) -> DataFrame:
@@ -326,8 +336,11 @@ def synth_wav_media(spark: SparkSession, n_rows: int, sample_rate: int = 16_000)
     )
 
 
-def synth_bmp_media(spark: SparkSession, n_rows: int) -> DataFrame:
-    """REAL 24-bit BMP payloads: deterministic per-id gradient pattern."""
+def _synth_image_media(
+    spark: SparkSession, n_rows: int, encoder, mime: str
+) -> DataFrame:
+    """REAL image payloads: deterministic per-id gradient pattern, encoded
+    by ``encoder`` into the container named by ``mime``."""
     base = spark.range(n_rows).withColumnRenamed("id", "media_id")
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -342,49 +355,40 @@ def synth_bmp_media(spark: SparkSession, n_rows: int) -> DataFrame:
                      (yy * 255 // max(h - 1, 1)).astype(np.uint8),
                      np.full((h, w), int(mid) % 256, np.uint8)], axis=-1,
                 )
-                rows.append({"media_id": mid, "payload": encode_bmp(px)})
+                rows.append({"media_id": mid, "payload": encoder(px)})
             yield pd.DataFrame(rows, columns=["media_id", "payload"])
 
     out = base.mapInPandas(gen, "media_id long, payload binary")
     return out.select(
         "media_id", F.lit("image").alias("kind"), "payload",
         F.struct(
-            F.lit("image/bmp").alias("mime"), F.lit(0).alias("width"),
+            F.lit(mime).alias("mime"), F.lit(0).alias("width"),
             F.lit(0).alias("height"), F.lit(0).alias("duration_ms"),
             F.lit(0).alias("sample_rate"),
         ).alias("meta"),
     )
+
+
+def synth_bmp_media(spark: SparkSession, n_rows: int) -> DataFrame:
+    """REAL 24-bit BMP payloads: deterministic per-id gradient pattern."""
+    return _synth_image_media(spark, n_rows, encode_bmp, "image/bmp")
 
 
 def synth_png_media(spark: SparkSession, n_rows: int) -> DataFrame:
-    """REAL PNG payloads: deterministic per-id gradient pattern (same pixel
-    recipe as :func:`synth_bmp_media`, PNG container)."""
-    base = spark.range(n_rows).withColumnRenamed("id", "media_id")
+    """REAL PNG payloads (same pixel recipe, PNG container)."""
+    return _synth_image_media(spark, n_rows, encode_png, "image/png")
 
-    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in batches:
-            rows = []
-            for mid in pdf["media_id"]:
-                rng = np.random.default_rng(int(mid))
-                w, h = int(rng.integers(8, 64)), int(rng.integers(8, 64))
-                yy, xx = np.mgrid[0:h, 0:w]
-                px = np.stack(
-                    [(xx * 255 // max(w - 1, 1)).astype(np.uint8),
-                     (yy * 255 // max(h - 1, 1)).astype(np.uint8),
-                     np.full((h, w), int(mid) % 256, np.uint8)], axis=-1,
-                )
-                rows.append({"media_id": mid, "payload": encode_png(px)})
-            yield pd.DataFrame(rows, columns=["media_id", "payload"])
 
-    out = base.mapInPandas(gen, "media_id long, payload binary")
-    return out.select(
-        "media_id", F.lit("image").alias("kind"), "payload",
-        F.struct(
-            F.lit("image/png").alias("mime"), F.lit(0).alias("width"),
-            F.lit(0).alias("height"), F.lit(0).alias("duration_ms"),
-            F.lit(0).alias("sample_rate"),
-        ).alias("meta"),
-    )
+def synth_jpeg_media(spark: SparkSession, n_rows: int) -> DataFrame:
+    """REAL baseline JPEG payloads (same pixel recipe, JFIF container,
+    alternating 4:4:4 / 4:2:0 subsampling to exercise both decode paths)."""
+    from data_profiler_spark.operators.jpeg import encode_jpeg
+
+    def enc(px: np.ndarray) -> bytes:
+        sub = "4:2:0" if (px.shape[0] + px.shape[1]) % 2 else "4:4:4"
+        return encode_jpeg(px, quality=90, subsampling=sub)
+
+    return _synth_image_media(spark, n_rows, enc, "image/jpeg")
 
 
 def audio_features(df: DataFrame) -> DataFrame:
@@ -437,10 +441,11 @@ def image_features(df: DataFrame, batch_hint: int = 1024) -> DataFrame:
     """Decode + feature-extract per image: byte stats, entropy, compression
     ratio, dimensions — one mapInPandas pass, vectorized per Arrow batch.
 
-    BMP and PNG payloads decode for REAL (``decoded=True``, true dims +
-    channel means); JPEG/other containers fall back to :func:`_fake_decode`
-    (``decoded=False``) — the surrounding plumbing (schema, batching,
-    column pruning before shuffle) is production-real either way.
+    BMP, PNG and baseline JPEG payloads decode for REAL (``decoded=True``,
+    true dims + channel means); other containers fall back to
+    :func:`_fake_decode` (``decoded=False``) — the surrounding plumbing
+    (schema, batching, column pruning before shuffle) is production-real
+    either way.
     """
     proj = df.where(F.col("kind") == "image").select(
         "media_id", "payload", F.col("meta.width").alias("width"), F.col("meta.height").alias("height")
@@ -457,16 +462,17 @@ def image_features(df: DataFrame, batch_hint: int = 1024) -> DataFrame:
                 counts = np.bincount(arr, minlength=256).astype(float)
                 p = counts[counts > 0] / arr.size
                 entropy = float(-(p * np.log2(p)).sum()) if arr.size else 0.0
-                if b[:2] == b"BM" or b[:8] == _PNG_SIG:
-                    # REAL decode: BMP (struct+numpy) and PNG (zlib+numpy)
+                if _is_decodable_image(b):
+                    # REAL decode: BMP (struct+numpy), PNG (zlib+numpy),
+                    # baseline JPEG (numpy huffman+IDCT)
                     pixels = decode_image(b)
                     decoded = True
                     means = pixels.reshape(-1, 3).mean(axis=0)
                     mr, mg, mb = (float(means[0]), float(means[1]), float(means[2]))
                     hgt, wid = pixels.shape[:2]
                 else:
-                    # codec-gated (JPEG/other): deterministic fake keeps the
-                    # plumbing testable; flagged decoded=False
+                    # codec-gated (WebP/TIFF/other): deterministic fake keeps
+                    # the plumbing testable; flagged decoded=False
                     pixels = _fake_decode(b, int(w), int(h))
                     decoded = False
                     mr = mg = mb = None
@@ -493,12 +499,12 @@ def image_features(df: DataFrame, batch_hint: int = 1024) -> DataFrame:
 
 
 def resize_images(df: DataFrame, target_w: int, target_h: int) -> DataFrame:
-    """Image resize over mapInPandas. REAL for BMP and PNG payloads (decode
-    → nearest-neighbor index map → re-encode in the same container, pure
-    numpy); JPEG/other containers need a codec library (PIL/libvips) absent
-    from this container — :func:`decode_image` raises NotImplementedError at
-    execution time, while the plan (projection, mapInPandas, output schema)
-    builds and validates either way."""
+    """Image resize over mapInPandas. REAL for BMP, PNG and baseline JPEG
+    payloads (decode → nearest-neighbor index map → re-encode in the same
+    container, pure numpy); other containers need a codec library
+    (PIL/libvips) absent here — :func:`decode_image` raises
+    NotImplementedError at execution time, while the plan (projection,
+    mapInPandas, output schema) builds and validates either way."""
     proj = df.where(F.col("kind") == "image").select("media_id", "payload")
 
     def do_resize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -506,13 +512,19 @@ def resize_images(df: DataFrame, target_w: int, target_h: int) -> DataFrame:
             rows = []
             for mid, payload in zip(pdf["media_id"], pdf["payload"]):
                 b = bytes(payload)
-                is_png = b[:8] == _PNG_SIG
                 px = decode_image(b)
                 h, w = px.shape[:2]
                 ys = (np.arange(target_h) * h) // target_h
                 xs = (np.arange(target_w) * w) // target_w
                 small = px[ys][:, xs]
-                enc = encode_png(small) if is_png else encode_bmp(small)
+                if b[:8] == _PNG_SIG:
+                    enc = encode_png(small)
+                elif b[:2] == b"\xff\xd8":
+                    from data_profiler_spark.operators.jpeg import encode_jpeg
+
+                    enc = encode_jpeg(small, quality=90)
+                else:
+                    enc = encode_bmp(small)
                 rows.append({"media_id": mid, "payload": enc})
             yield pd.DataFrame(rows, columns=["media_id", "payload"])
 

@@ -1026,6 +1026,19 @@ def png_image_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     return image_features(synth_png_media(spark, 30)).orderBy("media_id")
 
 
+@register("jpeg_image_features")
+def jpeg_image_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rows-only gate entry for the baseline-JPEG codec (round 3): numpy
+    Huffman+IDCT decode inside the mapInPandas feature pass — no SQL twin
+    (pixel decode is not expressible in DuckDB)."""
+    from data_profiler_spark.operators.multimodal import (
+        image_features,
+        synth_jpeg_media,
+    )
+
+    return image_features(synth_jpeg_media(spark, 30)).orderBy("media_id")
+
+
 @register("minhash_near_dups_documents")
 def minhash_near_dups_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     from data_profiler_spark.operators.dedup import minhash_near_duplicates

@@ -1,0 +1,151 @@
+"""Baseline JPEG codec (operators/jpeg.py) + its Spark plumbing.
+
+The encoder exists so the decoder is testable without external image
+data; round-trips are lossy, so assertions are tolerance-based. The
+DCT/zigzag/Huffman building blocks get exact unit checks so an
+encoder/decoder bug pair can't silently cancel out.
+"""
+
+import numpy as np
+import pytest
+
+from data_profiler_spark.operators.jpeg import (
+    _DCT,
+    _ZIGZAG,
+    _decode_table,
+    _encode_table,
+    _extend,
+    _magnitude,
+    _quality_tables,
+    decode_jpeg,
+    encode_jpeg,
+)
+
+
+def _gradient(h, w):
+    yy, xx = np.mgrid[0:h, 0:w]
+    return np.stack(
+        [(xx * 255 // max(w - 1, 1)), (yy * 255 // max(h - 1, 1)),
+         np.full((h, w), 77)], axis=-1
+    ).astype(np.uint8)
+
+
+def test_dct_is_orthonormal():
+    a = np.random.default_rng(0).uniform(-128, 127, (8, 8))
+    assert np.abs(_DCT.T @ (_DCT @ a @ _DCT.T) @ _DCT - a).max() < 1e-9
+    assert np.abs(_DCT @ _DCT.T - np.eye(8)).max() < 1e-12
+
+
+def test_zigzag_is_a_permutation_with_standard_prefix():
+    assert sorted(_ZIGZAG.tolist()) == list(range(64))
+    # first entries of the T.81 zigzag: (0,0)(0,1)(1,0)(2,0)(1,1)(0,2)(0,3)(1,2)
+    assert _ZIGZAG[:8].tolist() == [0, 1, 8, 16, 9, 2, 3, 10]
+
+
+def test_huffman_tables_invert():
+    bits = [0, 2, 1, 1] + [0] * 12
+    enc = _encode_table(bits, [5, 7, 9, 11])
+    dec = _decode_table(bits, [5, 7, 9, 11])
+    for sym, (code, length) in enc.items():
+        assert dec[(length, code)] == sym
+    # canonical: codes at the same length are consecutive, prefix-free
+    assert enc[5] == (0, 2) and enc[7] == (1, 2) and enc[9] == (4, 3)
+
+
+def test_magnitude_extend_inverse():
+    for v in [0, 1, -1, 2, -2, 127, -128, 1023, -1023]:
+        s, bits = _magnitude(v)
+        assert _extend(bits, s) == v
+
+
+def test_quality_scaling_monotone():
+    q10, _ = _quality_tables(10)
+    q50, _ = _quality_tables(50)
+    q95, _ = _quality_tables(95)
+    assert (q10 >= q50).all() and (q50 >= q95).all()
+    assert q95.min() >= 1
+
+
+def test_roundtrip_flat_color():
+    img = np.full((24, 33, 3), [200, 30, 90], np.uint8)
+    out = decode_jpeg(encode_jpeg(img, quality=90))
+    assert out.shape == img.shape
+    assert np.abs(out.astype(int) - img.astype(int)).max() <= 2
+
+
+def test_roundtrip_gradient_444():
+    img = _gradient(40, 56)
+    out = decode_jpeg(encode_jpeg(img, quality=90))
+    err = np.abs(out.astype(int) - img.astype(int))
+    assert err.mean() < 2.0 and err.max() < 12
+
+
+def test_roundtrip_gradient_420_subsampled():
+    img = _gradient(48, 48)
+    out = decode_jpeg(encode_jpeg(img, quality=90, subsampling="4:2:0"))
+    err = np.abs(out.astype(int) - img.astype(int))
+    assert out.shape == img.shape
+    assert err.mean() < 3.0 and err.max() < 20
+
+
+def test_roundtrip_odd_dimensions_q100():
+    img = np.random.default_rng(1).integers(0, 256, (13, 17, 3), np.uint8)
+    out = decode_jpeg(encode_jpeg(img, quality=100))
+    assert out.shape == (13, 17, 3)
+    assert np.abs(out.astype(int) - img.astype(int)).max() <= 4
+    # 4:2:0 pads to 16 multiples — crop must still match the original dims
+    out420 = decode_jpeg(encode_jpeg(img, quality=100, subsampling="4:2:0"))
+    assert out420.shape == (13, 17, 3)
+
+
+def test_restart_markers():
+    img = _gradient(48, 64)
+    plain = decode_jpeg(encode_jpeg(img, quality=90))
+    rst = decode_jpeg(encode_jpeg(img, quality=90, restart_interval=2))
+    # restart markers change the byte stream, not the decoded pixels
+    assert np.array_equal(plain, rst)
+
+
+def test_grayscale_input_promoted():
+    img = np.tile(np.arange(32, dtype=np.uint8), (16, 1))
+    out = decode_jpeg(encode_jpeg(img, quality=95))
+    assert out.shape == (16, 32, 3)
+    # channels near-equal for a gray source
+    assert np.abs(out[:, :, 0].astype(int) - out[:, :, 2].astype(int)).max() <= 3
+
+
+def test_rejects_progressive_sof2():
+    b = bytearray(encode_jpeg(_gradient(16, 16)))
+    i = b.find(b"\xff\xc0")
+    b[i + 1] = 0xC2  # flip SOF0 -> SOF2 (progressive)
+    with pytest.raises(NotImplementedError, match="baseline"):
+        decode_jpeg(bytes(b))
+
+
+def test_rejects_non_jpeg():
+    with pytest.raises(NotImplementedError, match="not a JPEG"):
+        decode_jpeg(b"\x89PNG-not-really")
+
+
+def test_image_features_and_resize_jpeg(spark):
+    from data_profiler_spark.operators.multimodal import (
+        image_features,
+        resize_images,
+        synth_jpeg_media,
+    )
+
+    media = synth_jpeg_media(spark, 12)
+    feats = {r["media_id"]: r for r in image_features(media).collect()}
+    assert len(feats) == 12
+    for mid, r in feats.items():
+        assert r["decoded"] is True
+        assert r["width"] >= 8 and r["height"] >= 8
+        # blue channel of the synth pattern is constant mid % 256 (lossy ±3)
+        assert abs(r["mean_b"] - (mid % 256)) < 3.5
+
+    small = resize_images(media, 8, 8).collect()
+    assert len(small) == 12
+    for r in small:
+        b = bytes(r["payload"])
+        assert b[:2] == b"\xff\xd8"  # re-encoded in the same container
+        assert decode_jpeg(b).shape == (8, 8, 3)

@@ -149,6 +149,13 @@ Same constraint suite (6 row checks + salted uniqueness on
 | local[{hi_cpus}] (4N) | {hi["suite_sec"]} | {hi["rows_per_sec"]:,} | {hi["loadavg_before"]} / {hi["loadavg_after"]} |
 
 - **Scaling efficiency (4N vs N): {result["efficiency_4N_vs_N"]}** (target >= 0.8)
+{'''- Superlinear caveat: an efficiency > 1.0 is an artifact of residual
+  external tenant load on the (longer, hence more exposed) N leg — a
+  mid-leg spike decays out of the 1-min loadavg samples the guards see
+  (efficiency > 1.05 is rejected outright). We do NOT claim superlinear
+  thread scaling; the cleanest idle-box run of the identical suite
+  (round 2: N=341.7 s, 4N=97.3 s -> 0.878) is the number to trust.
+''' if result["efficiency_4N_vs_N"] > 1.0 else ''}\
 - **Outputs bit-identical across cluster sizes: {identical}**
   (md5 over sorted violation rows incl. per-row content sha256:
   `{hi["violations_fingerprint"]}`; uniqueness `{hi["uniqueness_fingerprint"]}`;

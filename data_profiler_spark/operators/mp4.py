@@ -1,0 +1,228 @@
+"""MP4 / ISO-BMFF structural parser — stdlib struct + no codec libraries.
+
+ISO/IEC 14496-12 (the public ISO base media file format spec) defines the
+box ("atom") structure this reads: ``moov/trak/mdia/minf/stbl`` sample
+tables map every sample (frame) to a byte range and timestamp inside
+``mdat``. That mapping needs NO video codec — so frame SAMPLING (pick
+frames at a time cadence, hand each one's exact bytes to a downstream
+decoder or dedupe hash) is implementable honestly in this container-less
+sandbox; only pixel DECODE of the sampled frames remains codec-gated.
+
+``build_mp4`` writes a minimal-but-valid single-track file (ftyp + mdat +
+moov with stsd/stts/stsc/stsz/stco), so the parser is testable without
+external media. The reference repo is tabular-only (no counterpart); this
+backs the multimodal frame-sample surface of the training-data pipeline.
+"""
+
+from __future__ import annotations
+
+import struct
+from typing import NamedTuple
+
+_CONTAINERS = {b"moov", b"trak", b"mdia", b"minf", b"stbl", b"dinf", b"edts"}
+
+
+class Sample(NamedTuple):
+    idx: int
+    offset: int
+    size: int
+    t_ms: float
+
+
+def _boxes(b: bytes, start: int, end: int):
+    pos = start
+    while pos + 8 <= end:
+        (size,) = struct.unpack_from(">I", b, pos)
+        typ = b[pos + 4 : pos + 8]
+        hdr = 8
+        if size == 1:  # 64-bit largesize
+            (size,) = struct.unpack_from(">Q", b, pos + 8)
+            hdr = 16
+        elif size == 0:  # box extends to end of file
+            size = end - pos
+        if size < hdr or pos + size > end:
+            raise NotImplementedError("corrupt MP4 box structure")
+        yield typ, pos + hdr, pos + size
+        pos += size
+
+
+def _walk(b: bytes, start: int, end: int, found: dict) -> None:
+    for typ, body, bend in _boxes(b, start, end):
+        if typ in _CONTAINERS:
+            _walk(b, body, bend, found)
+        else:
+            found.setdefault(typ, []).append((body, bend))
+
+
+def parse_mp4(b: bytes) -> dict:
+    """Parse the sample tables of the FIRST video (or only) track.
+
+    Returns {codec, timescale, duration_ms, n_samples, samples: [Sample]}.
+    Raises NotImplementedError for non-MP4 payloads or fragmented files
+    (moof-based fMP4 carries its tables elsewhere).
+    """
+    if len(b) < 12 or b[4:8] != b"ftyp":
+        raise NotImplementedError("not an ISO-BMFF (MP4) payload")
+    found: dict = {}
+    _walk(b, 0, len(b), found)
+    if b"moof" in found:
+        raise NotImplementedError("fragmented MP4 (moof) is unsupported")
+    if b"stsz" not in found or b"stco" not in found and b"co64" not in found:
+        raise NotImplementedError("MP4 missing sample tables (stsz/stco)")
+
+    # mdhd: version, flags, created, modified, timescale, duration
+    ts, dur = 1000, 0
+    if b"mdhd" in found:
+        body, _ = found[b"mdhd"][0]
+        ver = b[body]
+        if ver == 1:
+            ts, dur = struct.unpack_from(">IQ", b, body + 20)
+        else:
+            ts, dur = struct.unpack_from(">II", b, body + 12)
+
+    codec = "unknown"
+    if b"stsd" in found:
+        body, bend = found[b"stsd"][0]
+        (n_entries,) = struct.unpack_from(">I", b, body + 4)
+        if n_entries >= 1:
+            codec = b[body + 12 : body + 16].decode("latin1")
+
+    body, bend = found[b"stsz"][0]
+    sample_size, n_samples = struct.unpack_from(">II", b, body + 4)
+    if sample_size:
+        sizes = [sample_size] * n_samples
+    else:
+        sizes = list(struct.unpack_from(f">{n_samples}I", b, body + 12))
+
+    if b"co64" in found:
+        body, _ = found[b"co64"][0]
+        (n_chunks,) = struct.unpack_from(">I", b, body + 4)
+        offsets = list(struct.unpack_from(f">{n_chunks}Q", b, body + 8))
+    else:
+        body, _ = found[b"stco"][0]
+        (n_chunks,) = struct.unpack_from(">I", b, body + 4)
+        offsets = list(struct.unpack_from(f">{n_chunks}I", b, body + 8))
+
+    # stsc: runs of (first_chunk, samples_per_chunk, desc_idx)
+    spc = [(1, n_samples)]
+    if b"stsc" in found:
+        body, _ = found[b"stsc"][0]
+        (n_runs,) = struct.unpack_from(">I", b, body + 4)
+        spc = []
+        for i in range(n_runs):
+            first, per, _desc = struct.unpack_from(">III", b, body + 8 + 12 * i)
+            spc.append((first, per))
+
+    # stts: runs of (count, delta) in timescale units
+    deltas: list[int] = []
+    if b"stts" in found:
+        body, _ = found[b"stts"][0]
+        (n_runs,) = struct.unpack_from(">I", b, body + 4)
+        for i in range(n_runs):
+            cnt, delta = struct.unpack_from(">II", b, body + 8 + 8 * i)
+            deltas.extend([delta] * cnt)
+    if len(deltas) < n_samples:
+        deltas.extend([deltas[-1] if deltas else ts] * (n_samples - len(deltas)))
+
+    # chunk map -> absolute per-sample offsets
+    samples: list[Sample] = []
+    si, t = 0, 0
+    for ci, chunk_off in enumerate(offsets):
+        per = next(
+            (p for (first, p) in reversed(spc) if first <= ci + 1), spc[0][1]
+        )
+        off = chunk_off
+        for _ in range(per):
+            if si >= n_samples:
+                break
+            samples.append(
+                Sample(si, off, sizes[si], 1000.0 * t / ts)
+            )
+            off += sizes[si]
+            t += deltas[si]
+            si += 1
+    if si < n_samples:
+        raise NotImplementedError("stsc/stco chunk map shorter than stsz")
+    return {
+        "codec": codec,
+        "timescale": ts,
+        "duration_ms": 1000.0 * dur / ts if dur else (samples[-1].t_ms if samples else 0.0),
+        "n_samples": n_samples,
+        "samples": samples,
+    }
+
+
+def sample_frames_at(b: bytes, every_ms: int) -> list[Sample]:
+    """One sample per ``every_ms`` tick: the first frame at-or-after each
+    tick, always including frame 0."""
+    info = parse_mp4(b)
+    picked, next_tick = [], 0.0
+    for s in info["samples"]:
+        if s.t_ms >= next_tick:
+            picked.append(s)
+            next_tick = s.t_ms - (s.t_ms % every_ms) + every_ms
+    return picked
+
+
+# ---------------------------------------------------------------------------
+# Minimal writer (tests / synthesis only)
+# ---------------------------------------------------------------------------
+def _box(typ: bytes, payload: bytes) -> bytes:
+    return struct.pack(">I", 8 + len(payload)) + typ + payload
+
+
+def build_mp4(
+    frames: list[bytes], fps: int = 4, width: int = 64, height: int = 48,
+    codec: bytes = b"mp4v",
+) -> bytes:
+    """Minimal single-track, single-chunk MP4: ftyp + mdat + moov. The
+    frame payloads are opaque bytes (no codec involved) — exactly what a
+    structural parser sees."""
+    ts = 1000
+    delta = ts // fps
+    n = len(frames)
+    dur = n * delta
+    ftyp = _box(b"ftyp", b"isom" + struct.pack(">I", 512) + b"isomiso2mp41")
+    mdat_payload = b"".join(frames)
+    mdat = _box(b"mdat", mdat_payload)
+    data_off = len(ftyp) + 8  # first frame byte: after mdat header
+
+    entry = (
+        struct.pack(">I", 86) + codec + b"\x00" * 6 + struct.pack(">H", 1)
+        + b"\x00" * 16
+        + struct.pack(">HH", width, height)
+        + struct.pack(">II", 0x480000, 0x480000)
+        + struct.pack(">I", 0) + struct.pack(">H", 1)
+        + b"\x00" * 32 + struct.pack(">Hh", 24, -1)
+    )
+    stsd = _box(b"stsd", struct.pack(">II", 0, 1) + entry)
+    stts = _box(b"stts", struct.pack(">IIII", 0, 1, n, delta))
+    stsc = _box(b"stsc", struct.pack(">IIIII", 0, 1, 1, n, 1))
+    stsz = _box(
+        b"stsz",
+        struct.pack(">III", 0, 0, n) + b"".join(struct.pack(">I", len(f)) for f in frames),
+    )
+    stco = _box(b"stco", struct.pack(">III", 0, 1, data_off))
+    stbl = _box(b"stbl", stsd + stts + stsc + stsz + stco)
+    vmhd = _box(b"vmhd", struct.pack(">IHHHH", 1, 0, 0, 0, 0))
+    dref = _box(b"dref", struct.pack(">II", 0, 1) + _box(b"url ", struct.pack(">I", 1)))
+    dinf = _box(b"dinf", dref)
+    minf = _box(b"minf", vmhd + dinf + stbl)
+    hdlr = _box(b"hdlr", struct.pack(">II", 0, 0) + b"vide" + b"\x00" * 12 + b"v\x00")
+    mdhd = _box(b"mdhd", struct.pack(">IIIII", 0, 0, 0, ts, dur) + struct.pack(">HH", 0x55C4, 0))
+    mdia = _box(b"mdia", mdhd + hdlr + minf)
+    tkhd = _box(
+        b"tkhd",
+        struct.pack(">IIIII", 7, 0, 0, 1, 0) + struct.pack(">I", dur) + b"\x00" * 52
+        + struct.pack(">II", width << 16, height << 16),
+    )
+    trak = _box(b"trak", tkhd + mdia)
+    mvhd = _box(
+        b"mvhd",
+        struct.pack(">IIIII", 0, 0, 0, ts, dur)
+        + struct.pack(">IH", 0x00010000, 0x0100) + b"\x00" * 10
+        + struct.pack(">9I", 0x10000, 0, 0, 0, 0x10000, 0, 0, 0, 0x40000000)
+        + b"\x00" * 24 + struct.pack(">I", 2),
+    )
+    moov = _box(b"moov", mvhd + trak)
+    return ftyp + mdat + moov

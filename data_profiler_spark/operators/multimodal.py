@@ -58,7 +58,10 @@ AUDIO_FEATURE_SCHEMA = (
     "zero_crossing_rate double"
 )
 
-FRAME_SAMPLE_SCHEMA = "media_id long, frame_idx int, frame_sha256 string"
+FRAME_SAMPLE_SCHEMA = (
+    "media_id long, frame_idx int, frame_sha256 string, t_ms double, "
+    "n_bytes int, extracted boolean"
+)
 
 
 # -- real container-format codecs (stdlib + numpy, no external libs) --------
@@ -532,30 +535,97 @@ def resize_images(df: DataFrame, target_w: int, target_h: int) -> DataFrame:
 
 
 def frame_sample(df: DataFrame, every_ms: int = 1000) -> DataFrame:
-    """Video frame sampling: emits one row per sampled frame index based on
-    metadata duration; the frame EXTRACTION is stubbed (deterministic hash
-    per index), the row fan-out shape is real."""
+    """Video frame sampling over mapInPandas.
+
+    MP4/ISO-BMFF payloads are parsed STRUCTURALLY (``operators/mp4.py``:
+    stsz/stco/stsc/stts sample tables — no codec needed): one row per
+    sampled frame with its true timestamp and a sha256 over the frame's
+    ACTUAL bytes from ``mdat`` (``extracted=True``). Pixel decode of those
+    frames remains codec-gated. Non-MP4 payloads fall back to the
+    metadata-cadence stub (``extracted=False``) so the fan-out shape stays
+    testable for containers this sandbox can't parse."""
     proj = df.where(F.col("kind") == "video").select(
         "media_id", "payload", F.col("meta.duration_ms").alias("duration_ms")
     )
 
     def sample(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from data_profiler_spark.operators.mp4 import sample_frames_at
+
         for pdf in batches:
             rows = []
             for mid, payload, dur in zip(pdf["media_id"], pdf["payload"], pdf["duration_ms"]):
-                n_frames = max(int(dur) // every_ms, 1)
                 b = bytes(payload)
-                for i in range(n_frames):
-                    rows.append(
-                        {
-                            "media_id": mid,
-                            "frame_idx": i,
-                            "frame_sha256": hashlib.sha256(b + i.to_bytes(4, "big")).hexdigest(),
-                        }
-                    )
-            yield pd.DataFrame(rows, columns=["media_id", "frame_idx", "frame_sha256"])
+                if len(b) >= 12 and b[4:8] == b"ftyp":
+                    for s in sample_frames_at(b, every_ms):
+                        rows.append(
+                            {
+                                "media_id": mid,
+                                "frame_idx": s.idx,
+                                "frame_sha256": hashlib.sha256(
+                                    b[s.offset : s.offset + s.size]
+                                ).hexdigest(),
+                                "t_ms": s.t_ms,
+                                "n_bytes": s.size,
+                                "extracted": True,
+                            }
+                        )
+                else:
+                    n_frames = max(int(dur) // every_ms, 1)
+                    for i in range(n_frames):
+                        rows.append(
+                            {
+                                "media_id": mid,
+                                "frame_idx": i,
+                                "frame_sha256": hashlib.sha256(
+                                    b + i.to_bytes(4, "big")
+                                ).hexdigest(),
+                                "t_ms": float(i * every_ms),
+                                "n_bytes": len(b),
+                                "extracted": False,
+                            }
+                        )
+            yield pd.DataFrame(
+                rows,
+                columns=["media_id", "frame_idx", "frame_sha256", "t_ms",
+                         "n_bytes", "extracted"],
+            )
 
     return proj.mapInPandas(sample, FRAME_SAMPLE_SCHEMA)
+
+
+def synth_mp4_media(spark: SparkSession, n_rows: int) -> DataFrame:
+    """REAL MP4 containers (minimal single-track ISO-BMFF) with opaque
+    deterministic frame payloads — exercises the structural parser."""
+    from data_profiler_spark.operators.mp4 import build_mp4
+
+    base = spark.range(n_rows).withColumnRenamed("id", "media_id")
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for mid in pdf["media_id"]:
+                rng = np.random.default_rng(int(mid))
+                n_frames = int(rng.integers(4, 21))
+                frames = [
+                    hashlib.sha256(f"{mid}:{i}".encode()).digest()
+                    * int(rng.integers(1, 5))
+                    for i in range(n_frames)
+                ]
+                rows.append(
+                    {"media_id": mid, "payload": build_mp4(frames, fps=4),
+                     "duration_ms": n_frames * 250}
+                )
+            yield pd.DataFrame(rows, columns=["media_id", "payload", "duration_ms"])
+
+    out = base.mapInPandas(gen, "media_id long, payload binary, duration_ms int")
+    return out.select(
+        "media_id", F.lit("video").alias("kind"), "payload",
+        F.struct(
+            F.lit("video/mp4").alias("mime"), F.lit(64).alias("width"),
+            F.lit(48).alias("height"), F.col("duration_ms").alias("duration_ms"),
+            F.lit(0).alias("sample_rate"),
+        ).alias("meta"),
+    )
 
 
 def media_summary(df: DataFrame) -> DataFrame:

@@ -1039,6 +1039,22 @@ def jpeg_image_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     return image_features(synth_jpeg_media(spark, 30)).orderBy("media_id")
 
 
+@register("mp4_frame_sample")
+def mp4_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rows-only gate entry for STRUCTURAL MP4 frame sampling (round 3):
+    ISO-BMFF sample tables map each sampled frame to its true byte range +
+    timestamp without any codec — extracted=True rows hash real mdat
+    bytes. No SQL twin (binary box parsing is not expressible in DuckDB)."""
+    from data_profiler_spark.operators.multimodal import (
+        frame_sample,
+        synth_mp4_media,
+    )
+
+    return frame_sample(synth_mp4_media(spark, 20), every_ms=500).orderBy(
+        "media_id", "frame_idx"
+    )
+
+
 @register("minhash_near_dups_documents")
 def minhash_near_dups_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     from data_profiler_spark.operators.dedup import minhash_near_duplicates

@@ -203,6 +203,63 @@ class CheckpointedValidation:
         self._fs = _manifest_fs(spark, checkpoint_dir)
         self._fs.makedirs(self.manifest_dir)
 
+    # -- run-level manifest (read-consistency contract) --------------------
+    def suite_fingerprint(self) -> str:
+        """Stable hash of the check suite: frozen-dataclass reprs are
+        canonical, so two runs with the same checks fingerprint equal."""
+        import hashlib
+
+        body = "|".join(
+            [repr(c) for c in self.suite.row_checks]
+            + [f"bucket={self.bucket_col}", f"n={self.n_buckets}"]
+            + [f"uniq={','.join(self.uniqueness_keys)}"]
+        )
+        return hashlib.sha256(body.encode()).hexdigest()[:16]
+
+    def _run_info_path(self) -> str:
+        return self.dir.rstrip("/") + "/run.json"
+
+    def ensure_run_info(
+        self,
+        source: str | None = None,
+        snapshot_id: int | None = None,
+        as_of_timestamp: int | None = None,
+        reset: bool = False,
+    ) -> dict:
+        """Record (first run) or enforce (resume) the run-level contract:
+        same source, same table snapshot, same suite. Committed bucket
+        manifests describe ONE version of ONE table under ONE suite — a
+        resume that silently switched any of those would mix fingerprints
+        from different worlds. Returns the effective record; a resuming
+        caller that passed no snapshot inherits the recorded pin and should
+        read with it. ``reset`` (the --no-resume path) discards the old
+        contract and records the given one — the record must exist WHILE
+        buckets commit, which is why run(resume=False) doesn't touch it."""
+        given = {
+            "source": source,
+            "snapshot_id": snapshot_id,
+            "as_of_timestamp": as_of_timestamp,
+            "suite_fingerprint": self.suite_fingerprint(),
+        }
+        path = self._run_info_path()
+        if reset and "run.json" in self._fs.listdir(self.dir.rstrip("/")):
+            self._fs.remove(path)
+        if "run.json" in self._fs.listdir(self.dir.rstrip("/")):
+            recorded = json.loads(self._fs.read_text(path))
+            for key, val in given.items():
+                rec = recorded.get(key)
+                if val is not None and rec is not None and val != rec:
+                    raise ValueError(
+                        f"resume mismatch on {key!r}: checkpoint recorded "
+                        f"{rec!r}, caller passed {val!r} — a resumed run "
+                        "must validate the same table version with the same "
+                        "suite (use --no-resume to start over)"
+                    )
+            # recorded values win where the caller passed nothing
+            return {**given, **{k: v for k, v in recorded.items() if v is not None}}
+        self._fs.atomic_write_text(path, json.dumps(given, sort_keys=True))
+        return given
+
     # -- manifest ----------------------------------------------------------
     def committed_buckets(self) -> set[int]:
         out = set()

@@ -205,7 +205,13 @@ def _reinfer_string_columns(df: DataFrame, infer_rows: int = 10_000) -> DataFram
     )
 
 
-def read_input(spark: SparkSession, source: str, **kwargs) -> DataFrame:
+def read_input(
+    spark: SparkSession,
+    source: str,
+    snapshot_id: int | None = None,
+    as_of_timestamp: int | None = None,
+    **kwargs,
+) -> DataFrame:
     """Path OR catalog-table dispatch for job entrypoints.
 
     A filesystem path (exists locally, has a URI scheme, or contains a
@@ -213,7 +219,17 @@ def read_input(spark: SparkSession, source: str, **kwargs) -> DataFrame:
     treated as a catalog table identifier — ``spark.read.table`` — which is
     how an Iceberg table (``lake.code.files``) reaches the engine on a real
     cluster: snapshot isolation, partition pruning and metadata-served
-    counts come from the table format, no engine change needed."""
+    counts come from the table format, no engine change needed.
+
+    ``snapshot_id`` / ``as_of_timestamp`` pin the catalog table to a fixed
+    snapshot (the public Iceberg Spark read options ``snapshot-id`` /
+    ``as-of-timestamp``). The resumable validation job records the pin in
+    its run manifest so a killed run RESUMES against the same data its
+    committed buckets saw — without it, a table that received commits
+    between kill and resume would hand later buckets different rows and the
+    per-partition fingerprints would no longer describe one table version.
+    Raw file paths have no snapshot mechanism; asking for one is an error
+    rather than a silent full-read of whatever is there now."""
     import os as _os
 
     looks_like_path = (
@@ -223,8 +239,20 @@ def read_input(spark: SparkSession, source: str, **kwargs) -> DataFrame:
         or source.endswith((".parquet", ".csv", ".json", ".jsonl"))
     )
     if looks_like_path:
+        if snapshot_id is not None or as_of_timestamp is not None:
+            raise ValueError(
+                "snapshot pinning needs a catalog table (Iceberg); plain "
+                f"file paths have no snapshots: {source!r}"
+            )
         return read(spark, source, **kwargs)
-    return spark.read.table(source)
+    reader = spark.read
+    if snapshot_id is not None and as_of_timestamp is not None:
+        raise ValueError("pass snapshot_id OR as_of_timestamp, not both")
+    if snapshot_id is not None:
+        reader = reader.option("snapshot-id", int(snapshot_id))
+    if as_of_timestamp is not None:
+        reader = reader.option("as-of-timestamp", int(as_of_timestamp))
+    return reader.table(source)
 
 
 def get_schema(spark: SparkSession, path: str, fmt: str | None = None):

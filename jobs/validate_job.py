@@ -42,6 +42,12 @@ def main() -> int:
     ap.add_argument("--key-cols", default="")
     ap.add_argument("--uniqueness-keys", default="")
     ap.add_argument("--no-resume", action="store_true")
+    ap.add_argument(
+        "--snapshot-id", type=int,
+        help="pin a catalog (Iceberg) table to this snapshot; recorded in "
+        "the checkpoint so a resume reads the same table version",
+    )
+    ap.add_argument("--as-of-timestamp", type=int, help="millis; alternative pin")
     args = ap.parse_args()
 
     from pyspark.sql import SparkSession
@@ -71,11 +77,6 @@ def main() -> int:
 
     from data_profiler_spark.sources import read_input
 
-    # path → format reader (parquet/csv/json); otherwise a catalog table
-    # identifier (e.g. an Iceberg table `lake.code.files`) via read.table —
-    # partition pruning on the bucket/wave filter comes from the table
-    # format's metadata there
-    df = read_input(spark, args.input)
     cv = CheckpointedValidation(
         spark,
         args.checkpoint_dir,
@@ -86,6 +87,27 @@ def main() -> int:
         content_col=args.content_col or spec.get("content_col"),
         key_cols=[c for c in args.key_cols.split(",") if c] or spec.get("key_cols", []),
         uniqueness_keys=[c for c in args.uniqueness_keys.split(",") if c],
+    )
+    # Read-consistency contract: record source/snapshot/suite on the first
+    # run; on resume, enforce them and INHERIT the recorded snapshot pin if
+    # none was passed — committed buckets and new buckets must describe the
+    # same table version. --no-resume starts a fresh contract.
+    info = cv.ensure_run_info(
+        source=args.input,
+        snapshot_id=args.snapshot_id,
+        as_of_timestamp=args.as_of_timestamp,
+        reset=args.no_resume,
+    )
+    # path → format reader (parquet/csv/json); otherwise a catalog table
+    # identifier (e.g. an Iceberg table `lake.code.files`) via read.table —
+    # partition pruning on the bucket/wave filter comes from the table
+    # format's metadata there, and the snapshot pin makes resume see the
+    # exact rows the killed run's committed buckets saw
+    df = read_input(
+        spark,
+        args.input,
+        snapshot_id=info.get("snapshot_id"),
+        as_of_timestamp=info.get("as_of_timestamp"),
     )
     res = cv.run(df, resume=not args.no_resume)
     print(json.dumps({**res, **cv.summary()}, sort_keys=True))

@@ -218,3 +218,59 @@ def test_checkpoint_hadoop_fs_scheme(spark, tmp_path, code_files):
     res3 = cv.run(code_files, resume=False)
     assert res3["buckets_run"] == N_BUCKETS
     assert cv.verdicts().count() == n_verdicts
+
+
+def test_run_info_records_and_enforces_contract(spark, tmp_path):
+    """Round 3: the run-level manifest pins source + snapshot + suite so a
+    resume can't silently validate a different table version or suite."""
+    cv = _mk(spark, tmp_path)
+    info = cv.ensure_run_info(source="lake.code.files", snapshot_id=42)
+    assert info["snapshot_id"] == 42
+    assert info["suite_fingerprint"] == cv.suite_fingerprint()
+
+    # resume with no snapshot inherits the recorded pin
+    again = _mk(spark, tmp_path)
+    inherited = again.ensure_run_info(source="lake.code.files")
+    assert inherited["snapshot_id"] == 42
+
+    # conflicting snapshot → loud error
+    with pytest.raises(ValueError, match="resume mismatch on 'snapshot_id'"):
+        again.ensure_run_info(source="lake.code.files", snapshot_id=43)
+    # conflicting source → loud error
+    with pytest.raises(ValueError, match="resume mismatch on 'source'"):
+        again.ensure_run_info(source="lake.other.table", snapshot_id=42)
+
+    # a different SUITE fingerprints differently and is rejected
+    other = CheckpointedValidation(
+        spark, str(tmp_path / "ckpt"), CheckSuite(row_checks=[NullRateCheck("lang")]),
+        bucket_col="repo", n_buckets=N_BUCKETS,
+    )
+    with pytest.raises(ValueError, match="suite_fingerprint"):
+        other.ensure_run_info(source="lake.code.files")
+
+    # --no-resume semantics: reset=True starts a new contract (and the
+    # record survives run(resume=False) — it must exist while buckets
+    # commit, or a kill mid-fresh-run would leave them contract-less)
+    fresh = _mk(spark, tmp_path)
+    newinfo = fresh.ensure_run_info(source="lake.other.table", reset=True)
+    assert newinfo["source"] == "lake.other.table"
+    fresh.run(synth_code_files(spark, n_rows=200, n_repos=5, partitions=2), resume=False)
+    assert fresh.ensure_run_info()["source"] == "lake.other.table"
+
+
+def test_read_input_snapshot_pinning(spark, tmp_path):
+    """snapshot options reach the catalog-table route; file paths reject
+    them instead of silently reading current bytes."""
+    from data_profiler_spark.sources import read_input
+
+    p = str(tmp_path / "t.parquet")
+    spark.range(5).write.parquet(p)
+    with pytest.raises(ValueError, match="no snapshots"):
+        read_input(spark, p, snapshot_id=7)
+
+    # catalog route: options flow through spark.read.option(...).table(...)
+    # (a temp view ignores them, but the plumbing must not error)
+    spark.range(3).createOrReplaceTempView("snap_view")
+    assert read_input(spark, "snap_view", snapshot_id=7).count() == 3
+    with pytest.raises(ValueError, match="not both"):
+        read_input(spark, "snap_view", snapshot_id=1, as_of_timestamp=2)

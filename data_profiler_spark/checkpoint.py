@@ -234,7 +234,14 @@ class CheckpointedValidation:
         caller that passed no snapshot inherits the recorded pin and should
         read with it. ``reset`` (the --no-resume path) discards the old
         contract and records the given one — the record must exist WHILE
-        buckets commit, which is why run(resume=False) doesn't touch it."""
+        buckets commit, which is why run(resume=False) doesn't touch it.
+
+        The pin is opt-in: an UNPINNED first run records snapshot_id=None,
+        and a resume then reads the table's current state — the contract
+        can only enforce what the first run declared. Pass --snapshot-id on
+        the first run to get the read-consistency guarantee (and a pin
+        first introduced at resume is rejected: it cannot be verified
+        against what the committed buckets actually read)."""
         given = {
             "source": source,
             "snapshot_id": snapshot_id,
@@ -248,7 +255,12 @@ class CheckpointedValidation:
             recorded = json.loads(self._fs.read_text(path))
             for key, val in given.items():
                 rec = recorded.get(key)
-                if val is not None and rec is not None and val != rec:
+                # A caller-passed value must EQUAL the record — including
+                # when the record is None: committed buckets read an
+                # unpinned table, and a pin first introduced at resume
+                # cannot be verified to match what they saw. (Passing
+                # nothing inherits the record — the safe direction.)
+                if val is not None and val != rec:
                     raise ValueError(
                         f"resume mismatch on {key!r}: checkpoint recorded "
                         f"{rec!r}, caller passed {val!r} — a resumed run "

@@ -76,7 +76,17 @@ def ks_statistic(
     else:
         totals = u.agg(F.sum("ia").alias("ta"), F.sum("ib").alias("tb"))
         cum = cum.crossJoin(F.broadcast(totals))
-    d = F.abs(F.col("ca").cast("double") / F.col("ta") - F.col("cb").cast("double") / F.col("tb"))
+    # A key group present in only ONE sample has ta or tb = 0: its ECDF
+    # difference is maximal by convention (ks = 1.0 — the new/vanished-group
+    # drift MUST surface as a flagged verdict, not an ANSI DIVIDE_BY_ZERO
+    # abort; CASE branches are lazily evaluated under ANSI so the division
+    # never runs for those groups).
+    d = F.when((F.col("ta") == 0) | (F.col("tb") == 0), F.lit(1.0)).otherwise(
+        F.abs(
+            F.col("ca").cast("double") / F.col("ta")
+            - F.col("cb").cast("double") / F.col("tb")
+        )
+    )
     if keys:
         return cum.select(*keys, d.alias("d")).groupBy(*keys).agg(F.max("d").alias("ks"))
     return cum.select(d.alias("d")).agg(F.max("d").alias("ks"))

@@ -55,7 +55,10 @@ def _walk(b: bytes, start: int, end: int, found: dict) -> None:
 
 
 def parse_mp4(b: bytes) -> dict:
-    """Parse the sample tables of the FIRST video (or only) track.
+    """Parse the sample tables of the FIRST VIDEO track (hdlr handler
+    ``vide``; falls back to the first track only when none is marked video
+    — an audio-first two-track file must NOT get 'frame'-sampled over its
+    audio packets).
 
     Returns {codec, timescale, duration_ms, n_samples, samples: [Sample]}.
     Raises NotImplementedError for non-MP4 payloads or fragmented files
@@ -63,11 +66,29 @@ def parse_mp4(b: bytes) -> dict:
     """
     if len(b) < 12 or b[4:8] != b"ftyp":
         raise NotImplementedError("not an ISO-BMFF (MP4) payload")
-    found: dict = {}
-    _walk(b, 0, len(b), found)
-    if b"moof" in found:
-        raise NotImplementedError("fragmented MP4 (moof) is unsupported")
-    if b"stsz" not in found or b"stco" not in found and b"co64" not in found:
+    # top level: reject fragments, then walk each trak subtree SEPARATELY
+    # so one track's boxes can't shadow another's
+    traks: list[dict] = []
+    for typ, body, bend in _boxes(b, 0, len(b)):
+        if typ == b"moof":
+            raise NotImplementedError("fragmented MP4 (moof) is unsupported")
+        if typ == b"moov":
+            for t2, b2, e2 in _boxes(b, body, bend):
+                if t2 == b"trak":
+                    tf: dict = {}
+                    _walk(b, b2, e2, tf)
+                    traks.append(tf)
+    if not traks:
+        raise NotImplementedError("MP4 missing moov/trak")
+
+    def _handler(tf: dict) -> bytes:
+        if b"hdlr" not in tf:
+            return b""
+        body, _ = tf[b"hdlr"][0]
+        return b[body + 8 : body + 12]  # vf(4) + pre_defined(4) + handler(4)
+
+    found = next((tf for tf in traks if _handler(tf) == b"vide"), traks[0])
+    if b"stsz" not in found or (b"stco" not in found and b"co64" not in found):
         raise NotImplementedError("MP4 missing sample tables (stsz/stco)")
 
     # mdhd: version, flags, created, modified, timescale, duration

@@ -154,7 +154,7 @@ def encode_png(pixels: np.ndarray) -> bytes:
     if px.ndim == 2:
         px = px[:, :, None]
     h, w, ch = px.shape
-    color_type = {1: 0, 3: 2, 4: 6}[ch]
+    color_type = {1: 0, 2: 4, 3: 2, 4: 6}[ch]  # gray / gray+alpha / RGB / RGBA
     ihdr = struct.pack(">IIBBBBB", w, h, 8, color_type, 0, 0, 0)
     raw = np.concatenate(
         [np.zeros((h, 1), np.uint8), px.reshape(h, w * ch)], axis=1
@@ -253,6 +253,8 @@ def decode_image(b: bytes) -> np.ndarray:
         return decode_bmp(b)
     if b[:8] == _PNG_SIG:
         px = decode_png(b)
+        if px.shape[2] == 2:  # gray+alpha → drop alpha before promoting
+            px = px[:, :, :1]
         if px.shape[2] == 1:  # grayscale → RGB for a uniform feature plane
             return np.repeat(px, 3, axis=2)
         return px[:, :, :3]  # drop alpha
@@ -465,17 +467,27 @@ def image_features(df: DataFrame, batch_hint: int = 1024) -> DataFrame:
                 counts = np.bincount(arr, minlength=256).astype(float)
                 p = counts[counts > 0] / arr.size
                 entropy = float(-(p * np.log2(p)).sum()) if arr.size else 0.0
+                pixels = None
                 if _is_decodable_image(b):
                     # REAL decode: BMP (struct+numpy), PNG (zlib+numpy),
-                    # baseline JPEG (numpy huffman+IDCT)
-                    pixels = decode_image(b)
+                    # baseline JPEG (numpy huffman+IDCT). Matching magic
+                    # does NOT guarantee a supported sub-format (progressive
+                    # JPEG, palette/16-bit/interlaced PNG, top-down BMP) —
+                    # at 100 TB one such payload must become a decoded=False
+                    # row, never an aborted job.
+                    try:
+                        pixels = decode_image(b)
+                    except NotImplementedError:
+                        pixels = None
+                if pixels is not None:
                     decoded = True
                     means = pixels.reshape(-1, 3).mean(axis=0)
                     mr, mg, mb = (float(means[0]), float(means[1]), float(means[2]))
                     hgt, wid = pixels.shape[:2]
                 else:
-                    # codec-gated (WebP/TIFF/other): deterministic fake keeps
-                    # the plumbing testable; flagged decoded=False
+                    # codec-gated (WebP/TIFF/unsupported sub-format):
+                    # deterministic fake keeps the plumbing testable;
+                    # flagged decoded=False
                     pixels = _fake_decode(b, int(w), int(h))
                     decoded = False
                     mr = mg = mb = None
@@ -504,10 +516,10 @@ def image_features(df: DataFrame, batch_hint: int = 1024) -> DataFrame:
 def resize_images(df: DataFrame, target_w: int, target_h: int) -> DataFrame:
     """Image resize over mapInPandas. REAL for BMP, PNG and baseline JPEG
     payloads (decode → nearest-neighbor index map → re-encode in the same
-    container, pure numpy); other containers need a codec library
-    (PIL/libvips) absent here — :func:`decode_image` raises
-    NotImplementedError at execution time, while the plan (projection,
-    mapInPandas, output schema) builds and validates either way."""
+    container, pure numpy); payloads no codec here can decode (WebP/TIFF,
+    progressive JPEG, palette PNG, ...) come back with ``payload = NULL``
+    — at 100 TB a partial failure must surface as null rows a caller can
+    count/filter, never as an aborted 1000-executor job."""
     proj = df.where(F.col("kind") == "image").select("media_id", "payload")
 
     def do_resize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -515,7 +527,11 @@ def resize_images(df: DataFrame, target_w: int, target_h: int) -> DataFrame:
             rows = []
             for mid, payload in zip(pdf["media_id"], pdf["payload"]):
                 b = bytes(payload)
-                px = decode_image(b)
+                try:
+                    px = decode_image(b)
+                except NotImplementedError:
+                    rows.append({"media_id": mid, "payload": None})
+                    continue
                 h, w = px.shape[:2]
                 ys = (np.arange(target_h) * h) // target_h
                 xs = (np.arange(target_w) * w) // target_w
@@ -555,8 +571,17 @@ def frame_sample(df: DataFrame, every_ms: int = 1000) -> DataFrame:
             rows = []
             for mid, payload, dur in zip(pdf["media_id"], pdf["payload"], pdf["duration_ms"]):
                 b = bytes(payload)
+                frames = None
                 if len(b) >= 12 and b[4:8] == b"ftyp":
-                    for s in sample_frames_at(b, every_ms):
+                    # ftyp magic does not guarantee a parseable file
+                    # (fragmented fMP4, corrupt boxes) — fall back to the
+                    # stub rather than aborting the job on one payload
+                    try:
+                        frames = sample_frames_at(b, every_ms)
+                    except NotImplementedError:
+                        frames = None
+                if frames is not None:
+                    for s in frames:
                         rows.append(
                             {
                                 "media_id": mid,

@@ -90,6 +90,18 @@ def _seq_norms(M: np.ndarray) -> np.ndarray:
     return np.sqrt(acc)
 
 
+def _safe_cos(dots: np.ndarray, denom: np.ndarray) -> np.ndarray:
+    """Cosine from dot / (norm product) with a zero-norm guard: a zero
+    vector (failed/padding embedding) has no direction, so its similarity
+    is -inf — it sorts past every real candidate and the final window
+    filter drops it. Plain division would produce NaN, which Spark orders
+    ABOVE every double in a descending window: one zero embedding would
+    displace the true rank-1 neighbor for every probe it met."""
+    denom = np.asarray(denom, dtype=np.float64)
+    ok = denom > 0.0
+    return np.where(ok, np.asarray(dots, dtype=np.float64) / np.where(ok, denom, 1.0), -np.inf)
+
+
 def _local_topk(
     nids: np.ndarray, scores: np.ndarray, probe_id: int, k: int
 ) -> list[tuple[int, int, float]]:
@@ -118,6 +130,13 @@ def _pairs_frame(out: list[tuple[int, int, float]]) -> pd.DataFrame:
 def _global_topk(spark, rows_df: DataFrame, k: int) -> DataFrame:
     from pyspark.sql import Window as W
 
+    # Zero-norm guard rail: numpy kernels emit -inf and try_divide emits
+    # NULL for directionless (zero) vectors — drop both BEFORE ranking.
+    # Spark's descending sort puts NaN/NULL-ish extremes in surprising
+    # places (NaN > every double), so they must never reach the window.
+    rows_df = rows_df.where(
+        F.col("cos_sim").isNotNull() & (F.col("cos_sim") != F.lit(float("-inf")))
+    )
     w = W.partitionBy("probe_id").orderBy(F.desc("cos_sim"), F.asc("neighbor_id"))
     return (
         rows_df.withColumn("rank", F.row_number().over(w).cast("int"))
@@ -170,9 +189,12 @@ def brute_force_topk(
         .select(
             "probe_id",
             "neighbor_id",
-            (dot_fixed(F.col("pv"), F.col("nv"), dim) / (F.col("pn") * F.col("nn"))).alias(
-                "cos_sim"
-            ),
+            # try_divide: a zero-norm side yields NULL (not an ANSI abort),
+            # filtered by _global_topk; values are bit-identical to plain
+            # division whenever the denominator is nonzero
+            F.try_divide(
+                dot_fixed(F.col("pv"), F.col("nv"), dim), F.col("pn") * F.col("nn")
+            ).alias("cos_sim"),
         )
     )
     return _global_topk(emb.sparkSession, scored, k)
@@ -286,7 +308,7 @@ def lsh_topk(
                 mask = buckets == b
                 Msub, nsub, nnsub = M[mask], nids[mask], nn[mask]
                 for j in js:
-                    scores = _seq_dot(Msub, P[j]) / (nnsub * pn[j])
+                    scores = _safe_cos(_seq_dot(Msub, P[j]), nnsub * pn[j])
                     keep = nsub != pids[j]
                     out.extend(_local_topk(nsub[keep], scores[keep], int(pids[j]), k))
             yield _pairs_frame(out)
@@ -346,7 +368,7 @@ def _centroids_np(
             best_sim = np.full(S.shape[0], -np.inf)
             best = np.zeros(S.shape[0], dtype=np.int64)
             for c in range(C.shape[0]):
-                sim = _seq_dot(S, C[c]) / (sn * cn[c])
+                sim = _safe_cos(_seq_dot(S, C[c]), sn * cn[c])
                 upd = sim > best_sim  # strict: ties keep the smaller cid
                 best_sim[upd] = sim[upd]
                 best[upd] = c
@@ -394,7 +416,7 @@ def ivf_index(
             best_sim = np.full(M.shape[0], -np.inf)
             best = np.zeros(M.shape[0], dtype=np.int64)
             for c in range(C.shape[0]):
-                sim = _seq_dot(M, C[c]) / (vn * cn[c])
+                sim = _safe_cos(_seq_dot(M, C[c]), vn * cn[c])
                 upd = sim > best_sim
                 best_sim[upd] = sim[upd]
                 best[upd] = c
@@ -435,7 +457,7 @@ def ivf_topk(
     # cell index → probe indices
     probes_in_cell: dict[int, list[int]] = {}
     for j in range(P.shape[0]):
-        sims = _seq_dot(C, P[j]) / (cn * pn[j])
+        sims = _safe_cos(_seq_dot(C, P[j]), cn * pn[j])
         top = np.lexsort((cids, -sims))[:nprobe]
         for c in top:
             probes_in_cell.setdefault(int(c), []).append(j)
@@ -451,7 +473,7 @@ def ivf_topk(
             best_sim = np.full(M.shape[0], -np.inf)
             best = np.zeros(M.shape[0], dtype=np.int64)
             for c in range(C.shape[0]):
-                sim = _seq_dot(M, C[c]) / (nn * cn[c])
+                sim = _safe_cos(_seq_dot(M, C[c]), nn * cn[c])
                 upd = sim > best_sim
                 best_sim[upd] = sim[upd]
                 best[upd] = c
@@ -463,7 +485,7 @@ def ivf_topk(
                 mask = best == c
                 Msub, nsub, nnsub = M[mask], nids[mask], nn[mask]
                 for j in js:
-                    scores = _seq_dot(Msub, P[j]) / (nnsub * pn[j])
+                    scores = _safe_cos(_seq_dot(Msub, P[j]), nnsub * pn[j])
                     keep = nsub != pids[j]
                     out.extend(_local_topk(nsub[keep], scores[keep], int(pids[j]), k))
             yield _pairs_frame(out)

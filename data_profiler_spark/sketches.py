@@ -206,10 +206,19 @@ class KLLSketch:
         untouched); deterministic in operand order; the merged error bound is
         governed by min(k) — the coarser side already compacted at its own
         granularity, so advertising the larger k would understate its error."""
-        if other.n == 0:
-            return self
-        if self.n == 0:
-            return other
+        # Empty-side merges still return a FRESH sketch (never an aliased
+        # operand): `m = a.merge(empty); m.extend(...)` must not mutate a,
+        # or a later a.merge(partial) double-counts the extended rows. An
+        # n=0 side never compacted, so it doesn't constrain the k bound.
+        if self.n == 0 and other.n == 0:
+            return KLLSketch(min(self.k, other.k))
+        if other.n == 0 or self.n == 0:
+            src = self if other.n == 0 else other
+            out = KLLSketch(src.k)
+            out.n = src.n
+            out.levels = [list(lvl) for lvl in src.levels]
+            out._parity = list(src._parity)
+            return out
         out = KLLSketch(min(self.k, other.k))
         out.n = self.n + other.n
         depth = max(len(self.levels), len(other.levels))

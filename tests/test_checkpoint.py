@@ -274,3 +274,14 @@ def test_read_input_snapshot_pinning(spark, tmp_path):
     assert read_input(spark, "snap_view", snapshot_id=7).count() == 3
     with pytest.raises(ValueError, match="not both"):
         read_input(spark, "snap_view", snapshot_id=1, as_of_timestamp=2)
+
+
+def test_run_info_rejects_pin_added_at_resume(spark, tmp_path):
+    """Round-3 review: a snapshot pin first introduced at RESUME cannot be
+    verified against what the committed buckets actually read — reject it
+    instead of silently recording an unverifiable claim."""
+    cv = _mk(spark, tmp_path)
+    cv.ensure_run_info(source="lake.code.files")  # unpinned first run
+    again = _mk(spark, tmp_path)
+    with pytest.raises(ValueError, match="resume mismatch on 'snapshot_id'"):
+        again.ensure_run_info(source="lake.code.files", snapshot_id=99)

@@ -192,3 +192,16 @@ def test_drift_check_in_suite_against_stored_baseline(spark, tmp_path):
     rows2 = out2["drift"].collect()
     assert any(not r["pass"] for r in rows2)
     assert all(r["ks"] >= 0.0 and r["psi"] >= 0.0 for r in rows2)
+
+
+def test_ks_statistic_keyed_one_sided_group(spark):
+    """Round-3 review: a key group present in only one sample must yield
+    ks = 1.0 (maximal drift verdict), not an ANSI DIVIDE_BY_ZERO abort —
+    the same class of bug fixed in the histogram comparators."""
+    a = spark.createDataFrame([("py", 1.0), ("py", 2.0)], "lang string, v double")
+    b = spark.createDataFrame(
+        [("py", 1.0), ("py", 2.0), ("rs", 9.0)], "lang string, v double"
+    )
+    out = {r["lang"]: r["ks"] for r in ks_statistic(a, b, "v", keys=["lang"]).collect()}
+    assert out["rs"] == 1.0  # group exists only in b
+    assert out["py"] == 0.0

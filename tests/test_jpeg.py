@@ -149,3 +149,30 @@ def test_image_features_and_resize_jpeg(spark):
         b = bytes(r["payload"])
         assert b[:2] == b"\xff\xd8"  # re-encoded in the same container
         assert decode_jpeg(b).shape == (8, 8, 3)
+
+
+def test_image_features_progressive_jpeg_falls_back(spark):
+    """Round-3 review: FFD8 magic with an unsupported sub-format
+    (progressive SOF2) must become a decoded=False row, not abort the
+    whole mapInPandas job — one odd payload can't kill a 100 TB pass."""
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    from data_profiler_spark.operators.multimodal import image_features, resize_images
+
+    b = bytearray(encode_jpeg(_gradient(16, 16)))
+    i = b.find(b"\xff\xc0")
+    b[i + 1] = 0xC2  # SOF0 -> SOF2 (progressive)
+    media = spark.createDataFrame(
+        [(1, "image", bytes(b), ("image/jpeg", 16, 16, 0, 0)),
+         (2, "image", encode_jpeg(_gradient(16, 16)), ("image/jpeg", 16, 16, 0, 0))],
+        "media_id long, kind string, payload binary, "
+        "meta struct<mime:string,width:int,height:int,duration_ms:int,sample_rate:int>",
+    )
+    feats = {r["media_id"]: r for r in image_features(media).collect()}
+    assert feats[1]["decoded"] is False and feats[1]["mean_r"] is None
+    assert feats[2]["decoded"] is True
+
+    resized = {r["media_id"]: r["payload"] for r in resize_images(media, 8, 8).collect()}
+    assert resized[1] is None  # undecodable -> null payload, not an abort
+    assert resized[2] is not None

@@ -83,3 +83,80 @@ def test_frame_sample_stub_fallback_flagged(spark):
     media = synth_media(spark, 30)
     rows = frame_sample(media, every_ms=5000).collect()
     assert rows and not any(r["extracted"] for r in rows)
+
+
+def test_frame_sample_fragmented_mp4_falls_back_to_stub(spark):
+    """Round-3 review: ftyp magic with an unparseable body (fMP4) must use
+    the extracted=False stub, not abort the job."""
+    from pyspark.sql import Row
+
+    from data_profiler_spark.operators.multimodal import frame_sample
+
+    b = bytearray(build_mp4(_frames(3)))
+    i = b.find(b"moov")
+    b[i : i + 4] = b"moof"
+    media = spark.createDataFrame(
+        [(1, "video", bytes(b), ("video/mp4", 64, 48, 3000, 0))],
+        "media_id long, kind string, payload binary, "
+        "meta struct<mime:string,width:int,height:int,duration_ms:int,sample_rate:int>",
+    )
+    rows = frame_sample(media, every_ms=1000).collect()
+    assert rows and all(not r["extracted"] for r in rows)
+
+
+def test_parse_mp4_picks_video_track_not_first():
+    """Round-3 review: an audio-first two-track file must be sampled over
+    the VIDEO track's tables (hdlr == vide), not document order."""
+    import struct
+
+    from data_profiler_spark.operators.mp4 import _box
+
+    a_frames = _frames(4, seed=1)  # "audio packets"
+    v_frames = _frames(6, seed=2)  # "video frames"
+    video = build_mp4(v_frames, fps=4)
+
+    # craft: ftyp + mdat(audio+video payloads) + moov(audio trak, video trak)
+    # easiest structurally-honest route: build two single-track files and
+    # splice the audio trak (relabeled soun) before the video trak.
+    audio = build_mp4(a_frames, fps=4, codec=b"mp4a")
+    ab = bytearray(audio)
+    j = ab.find(b"vide")
+    ab[j : j + 4] = b"soun"  # relabel handler
+    # extract trak box from each moov
+    def trak_of(buf):
+        import struct as st
+
+        pos = 0
+        while pos < len(buf):
+            (size,) = st.unpack_from(">I", buf, pos)
+            typ = buf[pos + 4 : pos + 8]
+            if typ == b"moov":
+                inner = buf[pos + 8 : pos + size]
+                ip = 0
+                while ip < len(inner):
+                    (isz,) = st.unpack_from(">I", inner, ip)
+                    if inner[ip + 4 : ip + 8] == b"trak":
+                        return bytes(inner[ip : ip + isz])
+                    ip += isz
+            pos += size
+        raise AssertionError("no trak")
+
+    at, vt = trak_of(bytes(ab)), trak_of(video)
+    # rebuild: ftyp + the VIDEO file's mdat (so video offsets hold) + moov
+    # with audio trak FIRST; audio offsets point into the same mdat region
+    # (fine for the test — we only check which tables get used)
+    pos = 0
+    parts = {}
+    while pos < len(video):
+        (size,) = struct.unpack_from(">I", video, pos)
+        parts[video[pos + 4 : pos + 8]] = video[pos : pos + size]
+        pos += size
+    mvhd = parts[b"moov"][8 : 8 + struct.unpack_from(">I", parts[b"moov"], 8)[0]]
+    moov = _box(b"moov", mvhd + at + vt)
+    two_track = parts[b"ftyp"] + parts[b"mdat"] + moov
+
+    info = parse_mp4(two_track)
+    assert info["codec"] == "mp4v"  # the video track's stsd, not mp4a
+    assert info["n_samples"] == len(v_frames)
+    for s, f in zip(info["samples"], v_frames):
+        assert two_track[s.offset : s.offset + s.size] == f

@@ -51,11 +51,14 @@ def test_image_features_schema_and_determinism(spark, media):
     assert r0[some]["n_bytes"] == 240
 
 
-def test_resize_stub_raises_cleanly(spark, media):
+def test_resize_undecodable_yields_null_payload(spark, media):
+    """Round-3 robustness: an undecodable payload becomes a NULL-payload
+    row (countable/filterable), never an aborted job — one progressive
+    JPEG must not kill a 1000-executor resize pass."""
     df = resize_images(media, 64, 64)
     assert df.schema.simpleString() == "struct<media_id:bigint,payload:binary>"
-    with pytest.raises(Exception, match="NotImplementedError|codec"):
-        df.collect()
+    rows = df.collect()
+    assert rows and all(r["payload"] is None for r in rows)
 
 
 def test_frame_sample_fanout(spark, media):
@@ -270,3 +273,19 @@ def test_bmp_topdown_rejected():
     struct.pack_into("<i", b, 22, -4)
     with pytest.raises(NotImplementedError, match="bottom-up"):
         decode_bmp(bytes(b))
+
+
+def test_decode_image_gray_alpha_png(spark):
+    """Round-3 review: gray+alpha PNG (color_type 4, 2 channels) must
+    promote to (h, w, 3), not leak a 2-channel array into the feature
+    math."""
+    import numpy as np
+
+    from data_profiler_spark.operators.multimodal import decode_image, encode_png
+
+    gray = np.tile(np.arange(6, dtype=np.uint8) * 40, (4, 1))
+    alpha = np.full((4, 6), 255, np.uint8)
+    b = encode_png(np.stack([gray, alpha], axis=-1))
+    px = decode_image(b)
+    assert px.shape == (4, 6, 3)
+    assert np.array_equal(px[:, :, 0], gray) and np.array_equal(px[:, :, 2], gray)

@@ -159,3 +159,33 @@ def test_lloyd_refinement_improves_or_matches_recall(spark):
     a = ivf_topk(emb, probes, k=5, n_cells=6, nprobe=1, dim=16, lloyd_rounds=2).collect()
     b = ivf_topk(emb, probes, k=5, n_cells=6, nprobe=1, dim=16, lloyd_rounds=2).collect()
     assert sorted(map(tuple, a)) == sorted(map(tuple, b))
+
+
+def test_zero_norm_vectors_excluded_not_rank_one(spark):
+    """Round-3 review: a zero embedding (failed/padding vector) must be
+    EXCLUDED from results. Plain division yields NaN, and Spark orders NaN
+    above every double in a descending window — the zero vector would
+    displace the true rank-1 neighbor; under ANSI the codegen path would
+    abort instead. Neither may happen."""
+    from data_profiler_spark.operators.similarity import ivf_topk
+
+    rows = [(0, [1.0, 0.0, 0.0]), (1, [0.9, 0.1, 0.0]), (2, [0.8, 0.2, 0.0]),
+            (3, [0.0, 0.0, 0.0])]  # zero vector
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    probes = emb.where("vec_id = 0")
+
+    for fn, kwargs in (
+        (brute_force_topk, {}),
+        (lsh_topk, {"n_planes": 2}),
+        (ivf_topk, {"n_cells": 1, "nprobe": 1}),
+    ):
+        got = fn(emb, probes, k=3, **kwargs).collect()
+        ids = [r["neighbor_id"] for r in got]
+        assert 3 not in ids, f"{fn.__name__} ranked the zero vector"
+        assert all(np.isfinite(r["cos_sim"]) for r in got)
+        if ids:  # rank 1 must be the true nearest (vec 1)
+            assert ids[0] == 1
+
+    # a zero-norm PROBE yields no rows rather than NaN garbage
+    zero_probe = emb.where("vec_id = 3")
+    assert brute_force_topk(emb, zero_probe, k=3).count() == 0

@@ -205,3 +205,20 @@ def test_kll_merge_bound_uses_min_k():
     # empty side must not drag k down
     e = QuantileSketch.empty(k=8)
     assert e.merge(b).k == 512
+
+
+def test_kll_merge_with_empty_is_pure():
+    """Round-3 review: merge with an empty side must return a FRESH sketch
+    — extending the merge result must not mutate the operand."""
+    from data_profiler_spark.sketches import KLLSketch
+
+    a = KLLSketch(64)
+    for x in range(100):
+        a.extend([float(x)])
+    n_before, levels_before = a.n, [list(l) for l in a.levels]
+    m = a.merge(KLLSketch(64))
+    assert m is not a
+    m.extend([float(x) for x in range(1000, 1500)])
+    assert a.n == n_before and [list(l) for l in a.levels] == levels_before
+    m2 = KLLSketch(64).merge(a)
+    assert m2 is not a and m2.n == a.n

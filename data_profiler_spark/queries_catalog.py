@@ -950,6 +950,104 @@ _STREAM_PROFILE_SQL = " UNION ALL ".join(
 )
 
 
+_STATEFUL_PROFILE_SQL = """
+SELECT CAST(user_id AS VARCHAR) AS key,
+       COUNT(value) AS n,
+       MIN(value) AS min_v,
+       MAX(value) AS max_v
+FROM events GROUP BY 1
+"""
+
+
+@register("stateful_running_profile_events", _STATEFUL_PROFILE_SQL)
+def stateful_running_profile_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """applyInPandasWithState custom stateful operator under the driver
+    gate: the LAST emitted row per key of the running per-user profile
+    (drained availableNow) must equal the batch aggregate. The oracle
+    covers the exactly-representable fields (count/min/max — doubles
+    copied from input, bit-identical); mean/variance come from the Welford
+    merge, whose last-ulp association differs from DuckDB's AVG/VAR_POP
+    and is pytest-verified to 1e-9 instead
+    (tests/test_streaming.py::test_stateful_running_profile_matches_batch)."""
+    import hashlib
+    import os
+    import tempfile
+
+    from data_profiler_spark import streaming
+
+    path = f"{sf_dir}/events.parquet"
+    src_dir = f"/tmp/stream_src_{hashlib.md5(path.encode()).hexdigest()[:10]}"
+    os.makedirs(src_dir, exist_ok=True)
+    link = os.path.join(src_dir, "events.parquet")
+    if not os.path.exists(link):
+        os.symlink(path, link)
+    schema = spark.read.parquet(path).schema
+    s = spark.readStream.schema(schema).parquet(src_dir)
+    prof = streaming.stateful_running_profile(s, "user_id", "value")
+    rows = streaming.drain_to_list(prof, tempfile.mkdtemp(prefix="ckpt_state_q_"))
+    final: dict = {}
+    for r in rows:  # update-mode: last emission per key is the total
+        final[r["key"]] = r
+    return spark.createDataFrame(
+        [(k, r["n"], r["min_v"], r["max_v"]) for k, r in sorted(final.items())],
+        "key string, n long, min_v double, max_v double",
+    )
+
+
+_STREAM_DEDUP_SQL = """
+SELECT event_type, COUNT(DISTINCT user_id) AS n_unique
+FROM events GROUP BY 1
+"""
+
+
+@register("streaming_dedup_events", _STREAM_DEDUP_SQL)
+def streaming_dedup_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming exact dedup (dropDuplicatesWithinWatermark, bounded
+    state) under the driver gate: with a watermark covering the data's
+    whole span, exactly one survivor remains per (user_id, event_type) —
+    WHICH row survives depends on arrival order, so the oracle checks the
+    deterministic aggregate (distinct users per type), not survivor
+    payloads."""
+    import hashlib
+    import os
+    import tempfile
+
+    from data_profiler_spark import streaming
+
+    path = f"{sf_dir}/events.parquet"
+    src_dir = f"/tmp/stream_src_{hashlib.md5(path.encode()).hexdigest()[:10]}"
+    os.makedirs(src_dir, exist_ok=True)
+    link = os.path.join(src_dir, "events.parquet")
+    if not os.path.exists(link):
+        os.symlink(path, link)
+    schema = spark.read.parquet(path).schema
+    s = (
+        spark.readStream.schema(schema).parquet(src_dir)
+        .withColumn("ts", F.col("ts").cast("timestamp"))
+    )
+    deduped = streaming.streaming_dedup(s, ["user_id", "event_type"], "ts",
+                                        watermark="3650 days")
+    rows: list = []
+
+    def sink(bdf: DataFrame, _bid: int) -> None:
+        rows.extend(bdf.select("user_id", "event_type").collect())
+
+    q = (
+        deduped.writeStream.foreachBatch(sink)
+        .outputMode("append")
+        .option("checkpointLocation", tempfile.mkdtemp(prefix="ckpt_dd_q_"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    counts: dict = {}
+    for r in rows:
+        counts[r["event_type"]] = counts.get(r["event_type"], 0) + 1
+    return spark.createDataFrame(
+        sorted(counts.items()), "event_type string, n_unique long"
+    )
+
+
 @register("streaming_windowed_profile_events", _STREAM_PROFILE_SQL)
 def streaming_windowed_profile_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Structured Streaming surface under the driver gate: file-source

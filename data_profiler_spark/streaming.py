@@ -103,6 +103,113 @@ def windowed_violations(
              F.col("v.pass").alias("pass"))
 
 
+RUNNING_PROFILE_SCHEMA = (
+    "key string, n long, mean double, variance double, min_v double, max_v double"
+)
+_RUNNING_STATE_SCHEMA = "n long, mean double, m2 double, min_v double, max_v double"
+
+
+def stateful_running_profile(
+    stream: DataFrame,
+    key_col: str,
+    value_col: str,
+) -> DataFrame:
+    """CONTINUOUS per-key numeric profile via ``applyInPandasWithState`` —
+    the custom-stateful-operator path for semantics windowed aggregations
+    can't express: a running (count, mean, variance, min, max) over the
+    whole stream history, updated and emitted every micro-batch a key
+    receives data, with O(1) state per key regardless of stream length.
+
+    The update is the parallel Welford/Chan merge: each Arrow batch reduces
+    to (n_b, mean_b, M2_b) vectorized in numpy, then merges with the state
+    tuple — no per-row Python. Emitted variance is the population variance
+    M2/n. Keys are strings (cast upstream) so one schema serves any key
+    family; state stores the raw merge triple."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    def update(key, pdfs, state: GroupState):
+        if state.exists:
+            n, mean, m2, mn, mx = state.get
+        else:
+            n, mean, m2, mn, mx = 0, 0.0, 0.0, float("inf"), float("-inf")
+        for pdf in pdfs:
+            v = pdf[value_col].dropna().to_numpy(dtype=np.float64)
+            if v.size == 0:
+                continue
+            nb = int(v.size)
+            mean_b = float(v.mean())
+            m2_b = float(((v - mean_b) ** 2).sum())
+            delta = mean_b - mean
+            tot = n + nb
+            m2 = m2 + m2_b + delta * delta * n * nb / tot
+            mean = mean + delta * nb / tot
+            n = tot
+            mn = min(mn, float(v.min()))
+            mx = max(mx, float(v.max()))
+        state.update((n, mean, m2, mn, mx))
+        yield pd.DataFrame(
+            [{
+                "key": str(key[0]),
+                "n": n,
+                "mean": mean,
+                "variance": (m2 / n) if n else 0.0,
+                "min_v": mn,
+                "max_v": mx,
+            }]
+        )
+
+    return (
+        stream.select(F.col(key_col).cast("string").alias("__k"), F.col(value_col))
+        .groupBy("__k")
+        .applyInPandasWithState(
+            update,
+            RUNNING_PROFILE_SCHEMA,
+            _RUNNING_STATE_SCHEMA,
+            "update",
+            GroupStateTimeout.NoTimeout,
+        )
+    )
+
+
+def streaming_dedup(
+    stream: DataFrame,
+    keys: list[str],
+    ts_col: str,
+    watermark: str = "10 minutes",
+) -> DataFrame:
+    """Streaming exact dedup on ``keys`` with BOUNDED state:
+    ``dropDuplicatesWithinWatermark`` keeps a key in state only until the
+    watermark passes its first-seen event time, so state size tracks the
+    duplication window, not stream length. Semantics: duplicates arriving
+    within the watermark of the first occurrence are dropped; a re-emission
+    far outside it is treated as a new record (the 100 TB contract — exact
+    global dedup over unbounded history belongs to the batch
+    ``exact_duplicate_groups`` pass, not to always-on state)."""
+    return stream.withWatermark(ts_col, watermark).dropDuplicatesWithinWatermark(keys)
+
+
+def drain_to_list(result: DataFrame, checkpoint_dir: str) -> list:
+    """availableNow drain through foreachBatch into a local list of Rows —
+    the test/backfill harness for UPDATE-mode stateful operators (the
+    memory sink only guarantees append/complete)."""
+    out: list = []
+
+    def sink(batch_df: DataFrame, _bid: int) -> None:
+        out.extend(batch_df.collect())
+
+    q = (
+        result.writeStream.foreachBatch(sink)
+        .outputMode("update")
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return out
+
+
 def run_available_now(
     result: DataFrame, query_name: str, checkpoint_dir: str, output_mode: str = "complete"
 ):

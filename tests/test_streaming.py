@@ -102,3 +102,66 @@ def test_windowed_violations_match_batch_counts(spark, stream_dir, tmp_path):
         (r["window_start"], r["row_count"]) for r in got if r["check"].startswith("range:")
     }
     assert sum(n for _, n in rows_per_window) == 1000
+
+
+def test_stateful_running_profile_matches_batch(spark, stream_dir, tmp_path):
+    """Round 3: applyInPandasWithState custom stateful operator — the final
+    emitted row per key (running Welford profile over the whole stream)
+    must equal the batch groupBy aggregate."""
+    s = _read_stream(spark, stream_dir)
+    prof = streaming.stateful_running_profile(s, "user", "value")
+    rows = streaming.drain_to_list(prof, str(tmp_path / "ckpt_state"))
+    assert rows
+    final = {}
+    for r in rows:  # last emission per key wins (update-mode semantics)
+        final[r["key"]] = r
+
+    batch = (
+        spark.read.parquet(stream_dir)
+        .groupBy(F.col("user").cast("string").alias("key"))
+        .agg(
+            F.count("value").alias("n"),
+            F.avg("value").alias("mean"),
+            F.var_pop("value").alias("variance"),
+            F.min("value").alias("min_v"),
+            F.max("value").alias("max_v"),
+        )
+    )
+    want = {r["key"]: r for r in batch.collect()}
+    assert final.keys() == want.keys()
+    for k, w in want.items():
+        g = final[k]
+        assert g["n"] == w["n"]
+        assert abs(g["mean"] - w["mean"]) < 1e-9
+        assert abs(g["variance"] - w["variance"]) < 1e-9
+        assert g["min_v"] == w["min_v"] and g["max_v"] == w["max_v"]
+
+
+def test_streaming_dedup_bounded_state(spark, tmp_path):
+    """dropDuplicatesWithinWatermark: dups inside the watermark are
+    dropped; the drained result equals batch distinct when the watermark
+    covers the data's whole time span."""
+    d = tmp_path / "dedup_src"
+    df = spark.range(500).select(
+        F.timestamp_seconds(F.lit(1_700_000_000) + F.col("id")).alias("ts"),
+        (F.col("id") % 100).alias("k"),  # every key duplicated 5x
+    )
+    df.coalesce(1).write.parquet(str(d))
+    schema = spark.read.parquet(str(d)).schema
+    s = spark.readStream.schema(schema).parquet(str(d))
+    deduped = streaming.streaming_dedup(s, ["k"], "ts", watermark="1 hour")
+    rows = []
+
+    def sink(bdf, _bid):
+        rows.extend(bdf.collect())
+
+    q = (
+        deduped.writeStream.foreachBatch(sink)
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt_dd"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    ks = sorted(r["k"] for r in rows)
+    assert ks == sorted(range(100))  # exactly one survivor per key

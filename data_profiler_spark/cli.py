@@ -54,6 +54,23 @@ def build_parser() -> argparse.ArgumentParser:
     pv.add_argument("--suite", required=True, help="JSON suite spec file")
     pv.add_argument("--checkpoint-dir", help="enable resumable checkpointing")
     pv.add_argument("--partition-col", default=None)
+
+    pd_ = sub.add_parser("dedup", help="near/exact duplicate detection")
+    pd_.add_argument("path")
+    pd_.add_argument(
+        "--method", choices=["exact", "minhash", "simhash"], default="exact"
+    )
+    pd_.add_argument("--id-col", required=True)
+    pd_.add_argument("--text-col", help="text column (minhash/simhash); exact uses --columns")
+    pd_.add_argument("--columns", help="comma-separated equality columns for exact dedup")
+    pd_.add_argument("--threshold", type=float, default=0.5, help="minhash Jaccard threshold")
+    pd_.add_argument("--max-hamming", type=int, default=3, help="simhash bit distance")
+
+    pt = sub.add_parser("text", help="text analysis profile (lang-ID, quality, tokens)")
+    pt.add_argument("path")
+    pt.add_argument("--id-col", required=True)
+    pt.add_argument("--text-col", required=True)
+    pt.add_argument("--limit", type=int, default=0, help="emit only first N rows (0 = all)")
     return p
 
 
@@ -264,6 +281,70 @@ def main(argv: list[str] | None = None) -> int:
             }
             _emit(args, json.dumps(payload, indent=2, sort_keys=True, default=str))
             return EXIT_OK if not (failed or drift_failed) else EXIT_ERROR
+
+        if args.command == "dedup":
+            from data_profiler_spark.operators import dedup as dd
+
+            spark = _spark(args)
+            if not os.path.exists(args.path):
+                return EXIT_FILE_NOT_FOUND
+            df = sources.read(spark, args.path)
+            if args.method == "exact":
+                cols = (
+                    args.columns.split(",") if args.columns
+                    else [c for c in df.columns if c != args.id_col]
+                )
+                res = dd.exact_duplicate_groups(df, cols)
+            elif args.method == "minhash":
+                if not args.text_col:
+                    print("--text-col is required for minhash", file=sys.stderr)
+                    return EXIT_USAGE
+                res = dd.minhash_near_duplicates(
+                    df, args.id_col, args.text_col, threshold=args.threshold
+                )
+            else:
+                if not args.text_col:
+                    print("--text-col is required for simhash", file=sys.stderr)
+                    return EXIT_USAGE
+                res = dd.simhash_near_duplicates(
+                    df, args.id_col, args.text_col, max_hamming=args.max_hamming
+                )
+            rows = [r.asDict() for r in res.collect()]
+            dd.release_caches(spark)
+            if args.output == "table":
+                from data_profiler_spark.reports import df_to_table
+
+                _emit(args, df_to_table(spark.createDataFrame(rows or [{}])))
+            else:
+                _emit(args, json.dumps(
+                    {"report_type": "dedup", "method": args.method,
+                     "source": args.path, "n": len(rows), "rows": rows[:1000]},
+                    indent=2, sort_keys=True, default=str,
+                ))
+            return EXIT_OK
+
+        if args.command == "text":
+            from data_profiler_spark.operators.text import text_profile
+
+            spark = _spark(args)
+            if not os.path.exists(args.path):
+                return EXIT_FILE_NOT_FOUND
+            df = sources.read(spark, args.path)
+            res = text_profile(df, args.id_col, args.text_col)
+            if args.limit:
+                res = res.orderBy(args.id_col).limit(args.limit)
+            rows = [r.asDict() for r in res.collect()]
+            if args.output == "table":
+                from data_profiler_spark.reports import df_to_table
+
+                _emit(args, df_to_table(spark.createDataFrame(rows)))
+            else:
+                _emit(args, json.dumps(
+                    {"report_type": "text_profile", "source": args.path,
+                     "n": len(rows), "rows": rows[:1000]},
+                    indent=2, sort_keys=True, default=str,
+                ))
+            return EXIT_OK
 
     except ValueError as e:
         print(str(e), file=sys.stderr)

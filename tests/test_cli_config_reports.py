@@ -11,6 +11,7 @@ from data_profiler_spark.cli import (
     EXIT_CARDINALITY,
     EXIT_FILE_NOT_FOUND,
     EXIT_OK,
+    EXIT_USAGE,
     main,
 )
 from data_profiler_spark.config import load_config
@@ -250,3 +251,45 @@ def test_cli_validate_with_drift_baseline(spark, tmp_path, capsys):
     # same data vs its own snapshot: zero drift, everything passes
     assert rc == EXIT_OK
     assert out["n_drift"] > 0 and out["n_drift_failed"] == 0
+
+
+def test_cli_dedup_exact(spark, capsys):
+    rc = main([
+        "dedup", "/root/testdata/sf0.001/documents.parquet",
+        "--method", "exact", "--id-col", "doc_id", "--columns", "text",
+    ])
+    assert rc == EXIT_OK
+    out = json.loads(capsys.readouterr().out)
+    assert out["report_type"] == "dedup" and out["method"] == "exact"
+    assert out["n"] >= 0
+
+
+def test_cli_dedup_minhash(spark, capsys):
+    rc = main([
+        "dedup", "/root/testdata/sf0.001/documents.parquet",
+        "--method", "minhash", "--id-col", "doc_id", "--text-col", "text",
+        "--threshold", "0.5",
+    ])
+    assert rc == EXIT_OK
+    out = json.loads(capsys.readouterr().out)
+    assert out["method"] == "minhash"
+    assert all({"id_a", "id_b", "jaccard"} <= set(r) for r in out["rows"])
+
+
+def test_cli_dedup_requires_text_col(spark, capsys):
+    rc = main([
+        "dedup", "/root/testdata/sf0.001/documents.parquet",
+        "--method", "minhash", "--id-col", "doc_id",
+    ])
+    assert rc == EXIT_USAGE
+
+
+def test_cli_text_profile(spark, capsys):
+    rc = main([
+        "text", "/root/testdata/sf0.001/documents.parquet",
+        "--id-col", "doc_id", "--text-col", "text", "--limit", "5",
+    ])
+    assert rc == EXIT_OK
+    out = json.loads(capsys.readouterr().out)
+    assert out["report_type"] == "text_profile" and out["n"] == 5
+    assert all("lang_pred" in r and "quality" in r for r in out["rows"])

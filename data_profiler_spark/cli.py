@@ -36,6 +36,11 @@ def build_parser() -> argparse.ArgumentParser:
     pp.add_argument("paths", nargs="+")
     pp.add_argument("--columns", help="comma-separated projection")
     pp.add_argument("--sample-rate", type=float)
+    pp.add_argument(
+        "--correlations", action="store_true",
+        help="add a Pearson correlation matrix over the numeric columns "
+        "(html-ydata output renders it as the ydata correlation panel)",
+    )
 
     pg = sub.add_parser("group", help="grouped stats")
     pg.add_argument("path")
@@ -130,7 +135,21 @@ def main(argv: list[str] | None = None) -> int:
                         profile_report_html_ydata,
                     )
 
-                    _emit(args, profile_report_html_ydata(prof, source=path))
+                    corr = None
+                    if getattr(args, "correlations", False):
+                        from pyspark.sql.types import NumericType
+
+                        from data_profiler_spark.operators.correlation import (
+                            correlation_matrix,
+                        )
+
+                        num_cols = [
+                            f.name for f in df.schema.fields
+                            if isinstance(f.dataType, NumericType)
+                        ]
+                        if len(num_cols) >= 2:
+                            corr = correlation_matrix(df, num_cols)
+                    _emit(args, profile_report_html_ydata(prof, source=path, corr_df=corr))
                 else:
                     from data_profiler_spark.reports import df_to_table
 

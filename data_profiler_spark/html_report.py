@@ -139,9 +139,45 @@ def profile_report_html(
     return _page(f"Profile: {source}", "\n".join(body))
 
 
-def profile_report_html_ydata(profile_df: DataFrame, source: str = "") -> str:
+def _correlation_section(corr_rows: list[dict]) -> str:
+    """Correlation-matrix panel (output/html_ydata.py:40 advertises this
+    section): renders the long-format (col_a, col_b, corr) rows from
+    operators/correlation.py as a symmetric matrix table, cells shaded by
+    |r| so strong associations pop without a plotting library."""
+    cols: list[str] = []
+    for r in corr_rows:
+        for c in (r["col_a"], r["col_b"]):
+            if c not in cols:
+                cols.append(c)
+    lut = {(r["col_a"], r["col_b"]): r["corr"] for r in corr_rows}
+    out = ["<h2>Correlations (Pearson)</h2><table><tr><th></th>"]
+    out.append("".join(f"<th>{_esc(c)}</th>" for c in cols) + "</tr>")
+    for a in cols:
+        cells = []
+        for b in cols:
+            v = 1.0 if a == b else lut.get((a, b), lut.get((b, a)))
+            if v is None:
+                cells.append("<td class='n'>–</td>")
+            else:
+                # |r| shades 0 → white, 1 → steel blue; keeps the panel
+                # readable in plain HTML with zero chart dependencies
+                alpha = abs(v)
+                cells.append(
+                    f"<td class='n' style='background:rgba(70,110,160,{alpha:.2f})'>"
+                    f"{v:.3f}</td>"
+                )
+        out.append(f"<tr><th>{_esc(a)}</th>" + "".join(cells) + "</tr>")
+    out.append("</table>")
+    return "".join(out)
+
+
+def profile_report_html_ydata(
+    profile_df: DataFrame, source: str = "", corr_df: DataFrame | None = None
+) -> str:
     """ydata-profiling-style layout: one detail card per column (variables
-    section) instead of a single table — output/html_ydata.py:91-145 scope."""
+    section) instead of a single table — output/html_ydata.py:91-145 scope.
+    ``corr_df`` (long-format output of operators/correlation.py) adds the
+    correlation-matrix section the reference's ydata page advertises."""
     rows = [r.asDict() for r in profile_df.collect()]
     total = rows[0]["total_count"] if rows else 0
     body = [
@@ -172,6 +208,10 @@ def profile_report_html_ydata(profile_df: DataFrame, source: str = "") -> str:
             f"<span class='pill {_esc(r['semantic_type'])}'>{_esc(r['semantic_type'])}</span></h3>"
             f"<div class='kv'>{''.join(kvs)}</div></div>"
         )
+    if corr_df is not None:
+        corr_rows = [r.asDict() for r in corr_df.collect()]
+        if corr_rows:
+            body.append(_correlation_section(corr_rows))
     return _page(f"Profile report: {source}", "\n".join(body))
 
 

@@ -126,6 +126,12 @@ class DriftCheck:
     baseline_name: str = ""
     max_psi: float = 0.25
     max_ks: float | None = None
+    # optional extra comparators over the SAME snapshot (no extra scan of
+    # the data — all four are joins over the two histogram tables):
+    # Jensen-Shannon divergence (bounded, symmetric) and Wasserstein-1
+    # (earth-mover, in units of the binned variable).
+    max_jsd: float | None = None
+    max_w1: float | None = None
     name: str = ""
 
     def check_name(self) -> str:
@@ -361,8 +367,10 @@ def run_suite(
     for ch in suite.drift:
         from data_profiler_spark.operators.drift import (
             histogram_snapshot,
+            js_divergence_from_histograms,
             ks_from_histograms,
             psi_from_histograms,
+            wasserstein_from_histograms,
         )
 
         base = (baselines or {})[ch.baseline_name or ch.check_name()]
@@ -373,11 +381,30 @@ def run_suite(
         ok = F.col("psi") <= F.lit(ch.max_psi)
         if ch.max_ks is not None:
             ok = ok & (F.col("ks") <= F.lit(ch.max_ks))
+        # optional comparators join onto the same snapshot pair; a group
+        # one side is missing shows NULL there after the outer join, and
+        # NULL <= threshold is NULL -> coalesced to failed, never silent
+        extra_cols = []
+        if ch.max_jsd is not None:
+            v = v.join(js_divergence_from_histograms(base, cur, ["group"]), "group", "full_outer")
+            ok = ok & F.coalesce(F.col("jsd") <= F.lit(ch.max_jsd), F.lit(False))
+            extra_cols.append("jsd")
+        if ch.max_w1 is not None:
+            v = v.join(
+                wasserstein_from_histograms(
+                    base, cur, ["group"], bucket_width=ch.bucket_width
+                ),
+                "group", "full_outer",
+            )
+            ok = ok & F.coalesce(F.col("w1") <= F.lit(ch.max_w1), F.lit(False))
+            extra_cols.append("w1")
         v = v.select(
             F.lit(ch.check_name()).alias("check"),
-            "group", "psi", "ks", ok.alias("pass"),
+            "group", "psi", "ks", *extra_cols, ok.alias("pass"),
         )
-        drift = v if drift is None else drift.unionByName(v)
+        # allowMissingColumns: checks in one suite may request different
+        # optional comparators (jsd/w1) — absent ones fill as NULL
+        drift = v if drift is None else drift.unionByName(v, allowMissingColumns=True)
     if drift is not None:
         out["drift"] = drift.orderBy("check", "group")
     return out

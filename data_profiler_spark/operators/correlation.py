@@ -1,0 +1,156 @@
+"""Column-association analysis: Pearson correlation matrix and Spearman rank
+correlation (reference surface: output/html_ydata.py:40 advertises
+"correlation matrices" in the ydata-style report; this module is the engine
+behind that panel, computed Spark-side instead of in a report library).
+
+Design (scale-first):
+
+* ``correlation_matrix`` computes ALL pairs in ONE ``df.agg(...)`` pass —
+  O(p^2) aggregate expressions but a single scan with map-side partial
+  aggregation and no shuffle beyond the final 1-row reduce. Profiling-width
+  tables (p <= ~50 numeric columns) stay well inside Spark's plan-width
+  comfort zone; the expression count is p*(p+1)/2 * 6.
+
+* Determinism / oracle parity: Pearson r is rebuilt from six exact
+  DECIMAL(28,8) sums (n, Sx, Sy, Sxy, Sxx, Syy) with a fixed IEEE scalar
+  expression — the same decimal_sum trick as functions/stats.py — so Spark
+  and DuckDB agree bit-for-bit regardless of partitioning.
+
+* NULL policy: pairwise-complete observations — each pair's sums are masked
+  by ``x IS NOT NULL AND y IS NOT NULL`` (matches pandas ``DataFrame.corr``,
+  which the ydata panel renders).
+
+* ``spearman_matrix`` needs per-column average ranks. Ranks are computed
+  from the per-DISTINCT-VALUE histogram (groupBy value -> cumulative count
+  window -> join back), so the single-partition window runs over distinct
+  values, not rows — cheap for the low-cardinality columns where Spearman
+  is typically asked for. For a ~all-distinct column at 10^12 rows this is
+  still a global sort: at that scale substitute binned ranks (KLL bucket
+  midpoints) and accept the tie-granularity — same plan shape. Rows with a
+  NULL in ANY requested column are excluded first (listwise), because ranks
+  are only comparable over a common row set.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import Window as W
+
+_DEC = "decimal(28,8)"
+
+
+def _pair_sum_exprs(a: str, b: str, tag: str) -> list[Column]:
+    """Masked exact sums for one (a, b) pair: n, Sx, Sy, Sxy, Sxx, Syy.
+    Masking keeps only rows where BOTH sides are present (pairwise-complete)."""
+    x, y = F.col(a), F.col(b)
+    both = x.isNotNull() & y.isNotNull()
+    mx = F.when(both, x)
+    my = F.when(both, y)
+    return [
+        F.sum(both.cast("long")).alias(f"{tag}_n"),
+        F.sum(mx.cast(_DEC)).cast("double").alias(f"{tag}_sx"),
+        F.sum(my.cast(_DEC)).cast("double").alias(f"{tag}_sy"),
+        F.sum(F.when(both, x * y).cast(_DEC)).cast("double").alias(f"{tag}_sxy"),
+        F.sum(F.when(both, x * x).cast(_DEC)).cast("double").alias(f"{tag}_sxx"),
+        F.sum(F.when(both, y * y).cast(_DEC)).cast("double").alias(f"{tag}_syy"),
+    ]
+
+
+def _pearson_from_sums(tag: str) -> Column:
+    """r = (Sxy - Sx*Sy/n) / sqrt((Sxx - Sx^2/n) * (Syy - Sy^2/n)).
+
+    Fixed IEEE op sequence over exact sums (mirrored verbatim in the SQL
+    twin, :func:`pearson_sql`). NULL when n < 2 or either side is constant
+    (zero variance) — pandas emits NaN there; NULL is the relational twin.
+    """
+    n = F.col(f"{tag}_n").cast("double")
+    sx, sy = F.col(f"{tag}_sx"), F.col(f"{tag}_sy")
+    sxy, sxx, syy = F.col(f"{tag}_sxy"), F.col(f"{tag}_sxx"), F.col(f"{tag}_syy")
+    num = sxy - sx * sy / n
+    vx = sxx - sx * sx / n
+    vy = syy - sy * sy / n
+    return (
+        F.when((F.col(f"{tag}_n") < 2) | (vx <= 0) | (vy <= 0), F.lit(None).cast("double"))
+        .otherwise(num / F.sqrt(vx * vy))
+    )
+
+
+def correlation_matrix(df: DataFrame, cols: list[str]) -> DataFrame:
+    """Pearson correlation for every unordered column pair, long format:
+    (col_a, col_b, n_pair, corr). Pairs follow the input order (i < j);
+    the diagonal is omitted. One scan, no shuffle (single global agg)."""
+    if len(cols) < 2:
+        raise ValueError("correlation_matrix needs at least 2 columns")
+    pairs = [(cols[i], cols[j]) for i in range(len(cols)) for j in range(i + 1, len(cols))]
+    exprs: list[Column] = []
+    for k, (a, b) in enumerate(pairs):
+        exprs.extend(_pair_sum_exprs(a, b, f"p{k}"))
+    wide = df.agg(*exprs)
+    rows = [
+        F.struct(
+            F.lit(a).alias("col_a"),
+            F.lit(b).alias("col_b"),
+            F.col(f"p{k}_n").alias("n_pair"),
+            _pearson_from_sums(f"p{k}").alias("corr"),
+        )
+        for k, (a, b) in enumerate(pairs)
+    ]
+    return wide.select(F.inline(F.array(*rows)))
+
+
+def pearson_sql(a: str, b: str) -> str:
+    """DuckDB twin of one :func:`correlation_matrix` pair — identical masked
+    decimal sums and identical scalar IEEE expression."""
+    both = f"({a} IS NOT NULL AND {b} IS NOT NULL)"
+    n = f"SUM(CASE WHEN {both} THEN 1 ELSE 0 END)"
+    sx = f"CAST(SUM(CAST(CASE WHEN {both} THEN {a} END AS DECIMAL(28,8))) AS DOUBLE)"
+    sy = f"CAST(SUM(CAST(CASE WHEN {both} THEN {b} END AS DECIMAL(28,8))) AS DOUBLE)"
+    sxy = f"CAST(SUM(CAST(CASE WHEN {both} THEN {a}*{b} END AS DECIMAL(28,8))) AS DOUBLE)"
+    sxx = f"CAST(SUM(CAST(CASE WHEN {both} THEN {a}*{a} END AS DECIMAL(28,8))) AS DOUBLE)"
+    syy = f"CAST(SUM(CAST(CASE WHEN {both} THEN {b}*{b} END AS DECIMAL(28,8))) AS DOUBLE)"
+    nd = f"CAST({n} AS DOUBLE)"
+    vx = f"({sxx} - {sx}*{sx}/{nd})"
+    vy = f"({syy} - {sy}*{sy}/{nd})"
+    num = f"({sxy} - {sx}*{sy}/{nd})"
+    return (
+        f"CASE WHEN {n} < 2 OR {vx} <= 0 OR {vy} <= 0 THEN NULL "
+        f"ELSE {num} / SQRT({vx} * {vy}) END"
+    )
+
+
+def average_ranks(df: DataFrame, col: str, out: str) -> DataFrame:
+    """(value, rank) lookup for one column: average (fractional) rank with
+    standard tie handling — ties occupying positions p+1..p+c get rank
+    p + (c+1)/2. Built from the DISTINCT-value histogram, so the global
+    ordering window runs over |distinct|, not |rows| (see module docstring
+    for the ~all-distinct caveat)."""
+    vc = df.groupBy(F.col(col).alias("__v")).agg(F.count(F.lit(1)).alias("__c"))
+    w = W.orderBy("__v")
+    return vc.select(
+        F.col("__v"),
+        (F.sum("__c").over(w) - F.col("__c") + (F.col("__c") + 1) / 2.0).alias(out),
+    )
+
+
+def spearman_matrix(df: DataFrame, cols: list[str]) -> DataFrame:
+    """Spearman rank correlation for every column pair (i < j), long format
+    (col_a, col_b, n_pair, corr): listwise-complete rows, average ranks per
+    column (ties averaged), then Pearson of the ranks via the same exact
+    decimal sums. Rank joins are plain equi-joins on the value — AQE
+    broadcasts the (distinct-values)-sized side when it is small."""
+    base = df.select(*cols).na.drop("any")
+    ranked = base
+    for c in cols:
+        lk = average_ranks(base, c, f"__r_{c}")
+        ranked = ranked.join(lk, ranked[c] == lk["__v"]).drop("__v")
+    return correlation_matrix(
+        ranked.select(*[F.col(f"__r_{c}").alias(f"r_{c}") for c in cols]),
+        [f"r_{c}" for c in cols],
+    ).select(
+        # map the rank aliases back to the user's column names
+        F.regexp_replace("col_a", "^r_", "").alias("col_a"),
+        F.regexp_replace("col_b", "^r_", "").alias("col_b"),
+        "n_pair",
+        "corr",
+    )

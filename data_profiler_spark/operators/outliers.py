@@ -1,0 +1,141 @@
+"""Numeric outlier detection: Tukey IQR fences and z-score counts
+(reference surface: the profile's numeric panel — profilers/numeric.py
+computes quantiles and stddev; outlier flagging is the standard consumer of
+both and part of any profiling report worth the name).
+
+Plan shape (scale-first): ONE aggregate pass computes the fences (exact
+percentile at oracle scale, percentile_approx on the 100 TB path), the
+1-row fence frame is broadcast-cross-joined back, and a second single
+aggregate counts rows outside the fences for every column at once — two
+scans total for ANY number of columns, no shuffle, map-side combine on
+both. No collect() between the passes: the fence values stay in the plan,
+so AQE sees one DAG.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from data_profiler_spark.functions import stats as S
+
+
+def iqr_outliers(
+    df: DataFrame, cols: list[str], k: float = 1.5, exact: bool = True
+) -> DataFrame:
+    """Per-column Tukey fences and outlier counts, long format:
+    (column, q1, q3, lo, hi, n, outlier_count, outlier_frac).
+
+    lo = q1 - k*(q3-q1), hi = q3 + k*(q3-q1); an outlier is a non-NULL
+    value strictly outside [lo, hi]. Fence arithmetic is a fixed IEEE
+    sequence over interpolated percentiles — DuckDB's quantile_cont agrees
+    bit-for-bit with Spark's percentile (established by the quantiles
+    oracle), so the twin reproduces counts exactly.
+    """
+    pct = F.percentile if exact else (
+        lambda c, q: F.percentile_approx(c, q, F.lit(2000))
+    )
+    qexprs = []
+    for c in cols:
+        q = pct(F.col(c), F.lit([0.25, 0.75]))
+        qexprs.append(q[0].alias(f"{c}__q1"))
+        qexprs.append(q[1].alias(f"{c}__q3"))
+    fences = df.agg(*qexprs)
+
+    joined = df.select(*cols).crossJoin(F.broadcast(fences))
+    cexprs = []
+    for c in cols:
+        q1, q3 = F.col(f"{c}__q1"), F.col(f"{c}__q3")
+        lo = q1 - F.lit(k) * (q3 - q1)
+        hi = q3 + F.lit(k) * (q3 - q1)
+        out = (F.col(c) < lo) | (F.col(c) > hi)
+        cexprs.extend(
+            [
+                F.first(q1).alias(f"{c}__fq1"),
+                F.first(q3).alias(f"{c}__fq3"),
+                F.first(lo).alias(f"{c}__lo"),
+                F.first(hi).alias(f"{c}__hi"),
+                F.count(F.col(c)).alias(f"{c}__n"),
+                # coalesce: an all-NULL column sums to NULL, must report 0
+                F.coalesce(F.sum(out.cast("long")), F.lit(0)).alias(f"{c}__oc"),
+            ]
+        )
+    wide = joined.agg(*cexprs)
+    rows = [
+        F.struct(
+            F.lit(c).alias("column"),
+            F.col(f"{c}__fq1").alias("q1"),
+            F.col(f"{c}__fq3").alias("q3"),
+            F.col(f"{c}__lo").alias("lo"),
+            F.col(f"{c}__hi").alias("hi"),
+            F.col(f"{c}__n").alias("n"),
+            F.col(f"{c}__oc").alias("outlier_count"),
+            F.try_divide(F.col(f"{c}__oc").cast("double"), F.col(f"{c}__n")).alias(
+                "outlier_frac"
+            ),
+        )
+        for c in cols
+    ]
+    return wide.select(F.inline(F.array(*rows)))
+
+
+def iqr_outlier_sql(c: str, table: str, k: float = 1.5) -> str:
+    """DuckDB twin of one :func:`iqr_outliers` column as a scalar row
+    subquery body: ``SELECT <this> ...`` yields the same 8 fields."""
+    q1 = f"quantile_cont({c}, 0.25)"
+    q3 = f"quantile_cont({c}, 0.75)"
+    return (
+        f"WITH q AS (SELECT {q1} AS q1, {q3} AS q3 FROM {table}), "
+        f"f AS (SELECT q1, q3, q1 - {k} * (q3 - q1) AS lo, q3 + {k} * (q3 - q1) AS hi FROM q) "
+        f"SELECT '{c}' AS \"column\", f.q1, f.q3, f.lo, f.hi, "
+        f"COUNT({c}) AS n, "
+        f"SUM(CASE WHEN {c} < f.lo OR {c} > f.hi THEN 1 ELSE 0 END) AS outlier_count, "
+        f"CAST(SUM(CASE WHEN {c} < f.lo OR {c} > f.hi THEN 1 ELSE 0 END) AS DOUBLE) / COUNT({c}) AS outlier_frac "
+        f"FROM {table}, f GROUP BY f.q1, f.q3, f.lo, f.hi"
+    )
+
+
+def zscore_outliers(
+    df: DataFrame, cols: list[str], threshold: float = 3.0
+) -> DataFrame:
+    """Per-column |z| > threshold counts, long format (column, mean, std,
+    n, outlier_count, outlier_frac). Mean/std are the exact decimal-sum
+    versions (functions/stats.py) so the twin matches bitwise; same
+    two-pass broadcast shape as :func:`iqr_outliers`."""
+    mexprs = []
+    for c in cols:
+        mexprs.append(S.decimal_avg(c).alias(f"{c}__mu"))
+        mexprs.append(S.decimal_stddev(c).alias(f"{c}__sd"))
+    m = df.agg(*mexprs)
+    joined = df.select(*cols).crossJoin(F.broadcast(m))
+    cexprs = []
+    for c in cols:
+        mu, sd = F.col(f"{c}__mu"), F.col(f"{c}__sd")
+        # try_divide: sd == 0 (constant column) must yield zero outliers,
+        # not an ANSI DIVIDE_BY_ZERO abort — NULL z fails the > and the
+        # row is not counted (Spark's And is not lazy, so a guard
+        # conjunct would not protect the division).
+        out = F.abs(F.try_divide(F.col(c) - mu, sd)) > F.lit(threshold)
+        cexprs.extend(
+            [
+                F.first(mu).alias(f"{c}__fmu"),
+                F.first(sd).alias(f"{c}__fsd"),
+                F.count(F.col(c)).alias(f"{c}__n"),
+                F.coalesce(F.sum(out.cast("long")), F.lit(0)).alias(f"{c}__oc"),
+            ]
+        )
+    wide = joined.agg(*cexprs)
+    rows = [
+        F.struct(
+            F.lit(c).alias("column"),
+            F.col(f"{c}__fmu").alias("mean"),
+            F.col(f"{c}__fsd").alias("std"),
+            F.col(f"{c}__n").alias("n"),
+            F.col(f"{c}__oc").alias("outlier_count"),
+            F.try_divide(F.col(f"{c}__oc").cast("double"), F.col(f"{c}__n")).alias(
+                "outlier_frac"
+            ),
+        )
+        for c in cols
+    ]
+    return wide.select(F.inline(F.array(*rows)))

@@ -1317,3 +1317,189 @@ def ks_content_length(spark: SparkSession, sf_dir: str) -> DataFrame:
     a = docs.where("doc_id % 2 = 0")
     b = docs.where("doc_id % 2 = 1")
     return ks_statistic(a, b, "n_chars")
+
+
+# ---------------------------------------------------------------------------
+# column association: Pearson correlation matrix + Spearman rank correlation
+# ref surface: output/html_ydata.py:40 (ydata report "correlation matrices")
+# ---------------------------------------------------------------------------
+def _corr_pair_sql(a: str, b: str) -> str:
+    from data_profiler_spark.operators.correlation import pearson_sql
+
+    both = f"({a} IS NOT NULL AND {b} IS NOT NULL)"
+    return (
+        f"SELECT '{a}' AS col_a, '{b}' AS col_b, "
+        f"COUNT(CASE WHEN {both} THEN 1 END) AS n_pair, "
+        f"{pearson_sql(a, b)} AS corr FROM lineitem"
+    )
+
+
+@register(
+    "corr_matrix_lineitem",
+    " UNION ALL ".join(
+        _corr_pair_sql(a, b)
+        for i, a in enumerate(["l_quantity", "l_extendedprice", "l_discount"])
+        for b in ["l_quantity", "l_extendedprice", "l_discount"][i + 1 :]
+    ),
+)
+def corr_matrix_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pearson correlation for all numeric-column pairs in ONE scan
+    (pairwise-complete, decimal-exact sums — operators/correlation.py)."""
+    from data_profiler_spark.operators.correlation import correlation_matrix
+
+    li = load(spark, sf_dir, "lineitem")
+    return correlation_matrix(li, ["l_quantity", "l_extendedprice", "l_discount"])
+
+
+@register(
+    "spearman_quantity_price",
+    """WITH f AS (SELECT l_quantity AS a, l_extendedprice AS b FROM lineitem
+                  WHERE l_quantity IS NOT NULL AND l_extendedprice IS NOT NULL),
+       ha AS (SELECT a AS v, COUNT(*) AS c FROM f GROUP BY 1),
+       ra AS (SELECT v, SUM(c) OVER (ORDER BY v) - c + (c + 1) / 2.0 AS r FROM ha),
+       hb AS (SELECT b AS v, COUNT(*) AS c FROM f GROUP BY 1),
+       rb AS (SELECT v, SUM(c) OVER (ORDER BY v) - c + (c + 1) / 2.0 AS r FROM hb),
+       j AS (SELECT ra.r AS x, rb.r AS y FROM f
+             JOIN ra ON f.a = ra.v JOIN rb ON f.b = rb.v)
+       SELECT 'l_quantity' AS col_a, 'l_extendedprice' AS col_b,
+              COUNT(*) AS n_pair, {corr} AS corr FROM j""",
+)
+def spearman_quantity_price(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spearman rank correlation (average ranks over the distinct-value
+    histogram, then decimal-exact Pearson of the ranks)."""
+    from data_profiler_spark.operators.correlation import spearman_matrix
+
+    li = load(spark, sf_dir, "lineitem")
+    return spearman_matrix(li, ["l_quantity", "l_extendedprice"])
+
+
+# splice the shared Pearson expression into the Spearman oracle (ranks are
+# the joined x/y columns; n_pair there is COUNT(*) over the complete rows)
+def _finalize_spearman_oracle() -> None:
+    from data_profiler_spark.operators.correlation import pearson_sql
+
+    ORACLES["spearman_quantity_price"] = ORACLES["spearman_quantity_price"].format(
+        corr=pearson_sql("x", "y")
+    )
+
+
+_finalize_spearman_oracle()
+
+
+# ---------------------------------------------------------------------------
+# drift: Jensen-Shannon + Wasserstein-1 over the same per-lang histograms
+# as the PSI / chi-square checks (doc_id parity split)
+# ---------------------------------------------------------------------------
+@register(
+    "jsd_content_length_by_lang",
+    """WITH h AS (SELECT lang, doc_id % 2 AS side, CAST(FLOOR(n_chars / 100.0) AS BIGINT) AS bucket,
+                         COUNT(*) AS cnt
+                  FROM documents GROUP BY 1, 2, 3),
+       b AS (SELECT lang, bucket, cnt FROM h WHERE side = 0),
+       c AS (SELECT lang, bucket, cnt FROM h WHERE side = 1),
+       m AS (SELECT COALESCE(b.lang, c.lang) AS lang, COALESCE(b.bucket, c.bucket) AS bucket,
+                    COALESCE(b.cnt, 0) AS bc, COALESCE(c.cnt, 0) AS cc
+             FROM b FULL OUTER JOIN c ON b.lang = c.lang AND b.bucket = c.bucket),
+       t AS (SELECT lang, SUM(bc) AS bt, SUM(cc) AS ct FROM m GROUP BY 1),
+       r AS (SELECT m.lang, CAST(bc AS DOUBLE) / bt AS p, CAST(cc AS DOUBLE) / ct AS q
+             FROM m JOIN t ON m.lang = t.lang)
+       SELECT lang,
+              ROUND(CAST(SUM(CAST(0.5 * (
+                    (CASE WHEN p > 0 THEN p * LN(2.0 * p / (p + q)) ELSE 0.0 END)
+                  + (CASE WHEN q > 0 THEN q * LN(2.0 * q / (p + q)) ELSE 0.0 END))
+                   AS DECIMAL(38,18))) AS DOUBLE), 12) AS jsd
+       FROM r GROUP BY lang""",
+)
+def jsd_content_length_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Jensen-Shannon divergence per lang over the stored-snapshot histogram
+    shape (bounded, symmetric drift comparator)."""
+    from data_profiler_spark.operators.drift import js_divergence_from_histograms
+
+    docs = load(spark, sf_dir, "documents")
+    bucket = F.floor(F.col("n_chars") / F.lit(100.0)).cast("long").alias("bucket")
+    h = docs.select("lang", (F.col("doc_id") % 2).alias("side"), bucket).groupBy(
+        "lang", "side", "bucket"
+    ).agg(F.count(F.lit(1)).alias("cnt"))
+    base = h.where("side = 0").select("lang", "bucket", "cnt")
+    cur = h.where("side = 1").select("lang", "bucket", "cnt")
+    return js_divergence_from_histograms(base, cur, ["lang"])
+
+
+@register(
+    "wasserstein_content_length_by_lang",
+    """WITH h AS (SELECT lang, doc_id % 2 AS side, CAST(FLOOR(n_chars / 100.0) AS BIGINT) AS bucket,
+                         COUNT(*) AS cnt
+                  FROM documents GROUP BY 1, 2, 3),
+       b AS (SELECT lang, bucket, cnt FROM h WHERE side = 0),
+       c AS (SELECT lang, bucket, cnt FROM h WHERE side = 1),
+       m AS (SELECT COALESCE(b.lang, c.lang) AS lang, COALESCE(b.bucket, c.bucket) AS bucket,
+                    COALESCE(b.cnt, 0) AS bc, COALESCE(c.cnt, 0) AS cc
+             FROM b FULL OUTER JOIN c ON b.lang = c.lang AND b.bucket = c.bucket),
+       cum AS (SELECT lang, bucket,
+                      SUM(bc) OVER (PARTITION BY lang ORDER BY bucket) AS cb,
+                      SUM(cc) OVER (PARTITION BY lang ORDER BY bucket) AS cc2,
+                      CAST(COALESCE(LEAD(bucket) OVER (PARTITION BY lang ORDER BY bucket),
+                                    bucket + 1) - bucket AS DOUBLE) AS gap
+               FROM m),
+       t AS (SELECT lang, SUM(bc) AS tb, SUM(cc) AS tc FROM m GROUP BY 1)
+       SELECT cum.lang,
+              ROUND(CAST(SUM(CAST(
+                ABS(CAST(cb AS DOUBLE) / tb - CAST(cc2 AS DOUBLE) / tc) * gap * 100.0
+                AS DECIMAL(38,18))) AS DOUBLE), 12) AS w1
+       FROM cum JOIN t ON cum.lang = t.lang GROUP BY cum.lang""",
+)
+def wasserstein_content_length_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wasserstein-1 (earth-mover) distance per lang, in characters
+    (bucket_width=100): the CDF-gap integral that KS only takes the sup of."""
+    from data_profiler_spark.operators.drift import wasserstein_from_histograms
+
+    docs = load(spark, sf_dir, "documents")
+    bucket = F.floor(F.col("n_chars") / F.lit(100.0)).cast("long").alias("bucket")
+    h = docs.select("lang", (F.col("doc_id") % 2).alias("side"), bucket).groupBy(
+        "lang", "side", "bucket"
+    ).agg(F.count(F.lit(1)).alias("cnt"))
+    base = h.where("side = 0").select("lang", "bucket", "cnt")
+    cur = h.where("side = 1").select("lang", "bucket", "cnt")
+    return wasserstein_from_histograms(base, cur, ["lang"], bucket_width=100.0)
+
+
+# ---------------------------------------------------------------------------
+# outliers: Tukey IQR fences per numeric column (two scans, zero shuffle)
+# ---------------------------------------------------------------------------
+def _iqr_col_sql(c: str) -> str:
+    k = 1.5
+    q1 = f"quantile_cont({c}, 0.25)"
+    q3 = f"quantile_cont({c}, 0.75)"
+    return (
+        f"q_{c} AS (SELECT {q1} AS q1, {q3} AS q3, "
+        f"{q1} - {k} * ({q3} - {q1}) AS lo, {q3} + {k} * ({q3} - {q1}) AS hi "
+        f"FROM lineitem)"
+    )
+
+
+def _iqr_select_sql(c: str) -> str:
+    return (
+        f"SELECT '{c}' AS \"column\", MIN(q.q1) AS q1, MIN(q.q3) AS q3, "
+        f"MIN(q.lo) AS lo, MIN(q.hi) AS hi, COUNT({c}) AS n, "
+        f"CAST(SUM(CASE WHEN {c} < q.lo OR {c} > q.hi THEN 1 ELSE 0 END) AS BIGINT) AS outlier_count, "
+        f"CAST(SUM(CASE WHEN {c} < q.lo OR {c} > q.hi THEN 1 ELSE 0 END) AS DOUBLE) / COUNT({c}) AS outlier_frac "
+        f"FROM lineitem, q_{c} q"
+    )
+
+
+@register(
+    "iqr_outliers_lineitem",
+    "WITH "
+    + ", ".join(_iqr_col_sql(c) for c in ["l_quantity", "l_extendedprice", "l_discount"])
+    + " "
+    + " UNION ALL ".join(
+        _iqr_select_sql(c) for c in ["l_quantity", "l_extendedprice", "l_discount"]
+    ),
+)
+def iqr_outliers_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tukey IQR outlier fences + counts for every numeric column: exact
+    percentiles, fence frame broadcast back, one counting aggregate."""
+    from data_profiler_spark.operators.outliers import iqr_outliers
+
+    li = load(spark, sf_dir, "lineitem")
+    return iqr_outliers(li, ["l_quantity", "l_extendedprice", "l_discount"])

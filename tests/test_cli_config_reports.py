@@ -293,3 +293,28 @@ def test_cli_text_profile(spark, capsys):
     out = json.loads(capsys.readouterr().out)
     assert out["report_type"] == "text_profile" and out["n"] == 5
     assert all("lang_pred" in r and "quality" in r for r in out["rows"])
+
+
+def test_cli_profile_html_ydata_correlations(spark, capsys):
+    rc = main([
+        "--output", "html-ydata", "profile",
+        "/root/testdata/sf0.001/lineitem.parquet",
+        "--columns", "l_quantity,l_extendedprice,l_discount",
+        "--correlations",
+    ])
+    assert rc == EXIT_OK
+    out = capsys.readouterr().out
+    assert "Correlations (Pearson)" in out
+    # symmetric matrix: one header row + one row per numeric column,
+    # diagonal rendered as 1.000
+    assert out.count("1.000") >= 3
+    for col in ("l_quantity", "l_extendedprice", "l_discount"):
+        assert f"<th>{col}</th>" in out
+
+
+def test_cli_profile_html_ydata_no_corr_flag_unchanged(spark, capsys):
+    rc = main(
+        ["--output", "html-ydata", "profile", "/root/testdata/sf0.001/nation.parquet"]
+    )
+    assert rc == EXIT_OK
+    assert "Correlations" not in capsys.readouterr().out

@@ -1,0 +1,159 @@
+"""Correlation matrix (Pearson/Spearman) and outlier-detection semantics."""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from data_profiler_spark.operators.correlation import (
+    average_ranks,
+    correlation_matrix,
+    spearman_matrix,
+)
+from data_profiler_spark.operators.outliers import iqr_outliers, zscore_outliers
+
+
+# ---------------------------------------------------------------------------
+# Pearson
+# ---------------------------------------------------------------------------
+def test_pearson_perfect_linear(spark):
+    df = spark.createDataFrame([(float(i), 2.0 * i + 3.0) for i in range(50)], "x double, y double")
+    r = correlation_matrix(df, ["x", "y"]).collect()[0]
+    assert r["col_a"] == "x" and r["col_b"] == "y"
+    assert r["n_pair"] == 50
+    assert abs(r["corr"] - 1.0) < 1e-12
+
+
+def test_pearson_anticorrelated_and_known_value(spark):
+    df = spark.createDataFrame([(float(i), -3.0 * i) for i in range(10)], "x double, y double")
+    assert abs(correlation_matrix(df, ["x", "y"]).collect()[0]["corr"] + 1.0) < 1e-12
+    # hand-checked value: x=[1,2,3,4], y=[1,3,2,4] -> r = 0.8
+    df2 = spark.createDataFrame(
+        [(1.0, 1.0), (2.0, 3.0), (3.0, 2.0), (4.0, 4.0)], "x double, y double"
+    )
+    assert abs(correlation_matrix(df2, ["x", "y"]).collect()[0]["corr"] - 0.8) < 1e-12
+
+
+def test_pearson_pairwise_null_masking(spark):
+    # the (x,y) pair must ignore rows where either side is NULL — and each
+    # pair masks independently (pairwise-complete, like pandas .corr())
+    rows = [
+        (1.0, 1.0, None),
+        (2.0, 2.0, 5.0),
+        (3.0, 3.0, 1.0),
+        (None, 9.0, 2.0),
+        (4.0, 4.0, None),
+    ]
+    df = spark.createDataFrame(rows, "x double, y double, z double")
+    out = {(r["col_a"], r["col_b"]): r for r in correlation_matrix(df, ["x", "y", "z"]).collect()}
+    assert out[("x", "y")]["n_pair"] == 4
+    assert abs(out[("x", "y")]["corr"] - 1.0) < 1e-12
+    assert out[("x", "z")]["n_pair"] == 2  # rows 2 and 3 only
+    assert out[("y", "z")]["n_pair"] == 3
+
+
+def test_pearson_constant_column_is_null_not_error(spark):
+    df = spark.createDataFrame([(float(i), 7.0) for i in range(10)], "x double, y double")
+    r = correlation_matrix(df, ["x", "y"]).collect()[0]
+    assert r["corr"] is None
+
+
+def test_pearson_matches_ydata_pair_count(spark):
+    df = spark.createDataFrame([(1.0, 2.0, 3.0, 4.0)], "a double, b double, c double, d double")
+    out = correlation_matrix(df, ["a", "b", "c", "d"]).collect()
+    assert len(out) == 6  # 4 choose 2
+
+
+# ---------------------------------------------------------------------------
+# Spearman
+# ---------------------------------------------------------------------------
+def test_average_ranks_with_ties(spark):
+    # values [10, 20, 20, 30]: ranks 1, 2.5, 2.5, 4
+    df = spark.createDataFrame([(10.0,), (20.0,), (20.0,), (30.0,)], "v double")
+    lk = {r["__v"]: r["r"] for r in average_ranks(df, "v", "r").collect()}
+    assert lk[10.0] == 1.0 and lk[20.0] == 2.5 and lk[30.0] == 4.0
+
+
+def test_spearman_monotonic_nonlinear_is_one(spark):
+    # y = x^3 is a nonlinear but strictly monotonic map: Spearman 1, Pearson < 1
+    df = spark.createDataFrame(
+        [(float(i), float(i) ** 3) for i in range(1, 30)], "x double, y double"
+    )
+    sp = spearman_matrix(df, ["x", "y"]).collect()[0]
+    assert sp["col_a"] == "x" and sp["col_b"] == "y"
+    assert abs(sp["corr"] - 1.0) < 1e-12
+    pe = correlation_matrix(df, ["x", "y"]).collect()[0]
+    assert pe["corr"] < 0.999
+
+
+def test_spearman_known_value_with_ties(spark):
+    # x = [1,2,3,4,5] ranks [1..5]; y = [2,2,3,5,4] average ranks
+    # [1.5, 1.5, 3, 5, 4] -> Pearson of ranks = 8.5 / sqrt(10 * 9.5)
+    df = spark.createDataFrame(
+        [(1.0, 2.0), (2.0, 2.0), (3.0, 3.0), (4.0, 5.0), (5.0, 4.0)], "x double, y double"
+    )
+    r = spearman_matrix(df, ["x", "y"]).collect()[0]
+    assert abs(r["corr"] - 8.5 / math.sqrt(95.0)) < 1e-12
+
+
+def test_spearman_listwise_null_drop(spark):
+    df = spark.createDataFrame(
+        [(1.0, 1.0), (2.0, 2.0), (None, 5.0), (3.0, None), (4.0, 4.0)],
+        "x double, y double",
+    )
+    r = spearman_matrix(df, ["x", "y"]).collect()[0]
+    assert r["n_pair"] == 3
+    assert abs(r["corr"] - 1.0) < 1e-12
+
+
+# ---------------------------------------------------------------------------
+# outliers
+# ---------------------------------------------------------------------------
+def test_iqr_outliers_known(spark):
+    # 1..100 plus two extremes; q1/q3 of the 102 values keep the fences
+    # tight enough that only the extremes fall outside
+    vals = [float(i) for i in range(1, 101)] + [1000.0, -1000.0]
+    df = spark.createDataFrame([(v,) for v in vals], "v double")
+    r = iqr_outliers(df, ["v"]).collect()[0]
+    assert r["column"] == "v"
+    assert r["n"] == 102
+    assert r["outlier_count"] == 2
+    assert r["lo"] < 1.0 and r["hi"] > 100.0
+    assert abs(r["outlier_frac"] - 2 / 102) < 1e-12
+
+
+def test_iqr_no_outliers_uniform(spark):
+    df = spark.range(1, 101).select(F.col("id").cast("double").alias("v"))
+    r = iqr_outliers(df, ["v"]).collect()[0]
+    assert r["outlier_count"] == 0
+
+
+def test_iqr_all_null_column(spark):
+    df = spark.createDataFrame([(None,), (None,)], "v double")
+    r = iqr_outliers(df, ["v"]).collect()[0]
+    assert r["n"] == 0 and r["outlier_count"] == 0 and r["outlier_frac"] is None
+
+
+def test_iqr_multi_column_single_rows(spark):
+    df = spark.createDataFrame(
+        [(float(i), float(i % 7)) for i in range(1, 50)], "a double, b double"
+    )
+    out = {r["column"]: r for r in iqr_outliers(df, ["a", "b"]).collect()}
+    assert set(out) == {"a", "b"}
+
+
+def test_zscore_outliers_known(spark):
+    vals = [0.0] * 50 + [1.0] * 50 + [100.0]
+    df = spark.createDataFrame([(v,) for v in vals], "v double")
+    r = zscore_outliers(df, ["v"], threshold=3.0).collect()[0]
+    assert r["outlier_count"] == 1
+    assert r["n"] == 101
+
+
+def test_zscore_constant_column_no_ansi_abort(spark):
+    # sd == 0: try_divide path must yield 0 outliers, not DIVIDE_BY_ZERO
+    df = spark.createDataFrame([(5.0,)] * 10, "v double")
+    r = zscore_outliers(df, ["v"]).collect()[0]
+    assert r["std"] == 0.0 and r["outlier_count"] == 0

@@ -205,3 +205,143 @@ def test_ks_statistic_keyed_one_sided_group(spark):
     out = {r["lang"]: r["ks"] for r in ks_statistic(a, b, "v", keys=["lang"]).collect()}
     assert out["rs"] == 1.0  # group exists only in b
     assert out["py"] == 0.0
+
+
+# ---------------------------------------------------------------------------
+# Jensen-Shannon divergence
+# ---------------------------------------------------------------------------
+def test_jsd_zero_for_identical(code_files):
+    from data_profiler_spark.operators.drift import js_divergence_from_histograms
+
+    h = synth_baseline_histogram(code_files, bins=20)
+    out = js_divergence_from_histograms(h, h, ["lang"]).collect()
+    assert len(out) > 0 and all(abs(r["jsd"]) < 1e-9 for r in out)
+
+
+def test_jsd_disjoint_reaches_ln2(spark):
+    import math
+
+    from data_profiler_spark.operators.drift import js_divergence_from_histograms
+
+    a = spark.createDataFrame([("g", 0, 10), ("g", 1, 10)], "lang string, bucket int, cnt int")
+    b = spark.createDataFrame([("g", 5, 10), ("g", 6, 10)], "lang string, bucket int, cnt int")
+    out = js_divergence_from_histograms(a, b, ["lang"]).collect()
+    assert abs(out[0]["jsd"] - math.log(2.0)) < 1e-9
+
+
+def test_jsd_bounded_and_symmetric(code_files):
+    import math
+
+    from data_profiler_spark.operators.drift import js_divergence_from_histograms
+
+    base = synth_baseline_histogram(code_files, bins=20)
+    cur = synth_baseline_histogram(code_files, bins=20, shift=0.5)
+    ab = {r["lang"]: r["jsd"] for r in js_divergence_from_histograms(base, cur, ["lang"]).collect()}
+    ba = {r["lang"]: r["jsd"] for r in js_divergence_from_histograms(cur, base, ["lang"]).collect()}
+    assert ab == ba  # symmetric (PSI is too, but KL alone would not be)
+    assert all(0.0 <= v <= math.log(2.0) + 1e-12 for v in ab.values())
+    assert any(v > 0.01 for v in ab.values())
+
+
+def test_jsd_one_sided_group_flags_not_aborts(spark):
+    # a lang present only in CURRENT must produce a high-JSD row under ANSI
+    # mode, not a DIVIDE_BY_ZERO abort
+    from data_profiler_spark.operators.drift import js_divergence_from_histograms
+
+    base = spark.createDataFrame([("py", 0, 10)], "lang string, bucket int, cnt int")
+    cur = spark.createDataFrame(
+        [("py", 0, 10), ("zig", 0, 7)], "lang string, bucket int, cnt int"
+    )
+    out = {r["lang"]: r["jsd"] for r in js_divergence_from_histograms(base, cur, ["lang"]).collect()}
+    assert abs(out["py"]) < 1e-9
+    assert out["zig"] > 0.25  # half-ln2 sentinel — fails any sane threshold
+
+
+# ---------------------------------------------------------------------------
+# Wasserstein-1
+# ---------------------------------------------------------------------------
+def test_w1_zero_for_identical(code_files):
+    from data_profiler_spark.operators.drift import wasserstein_from_histograms
+
+    h = synth_baseline_histogram(code_files, bins=20)
+    out = wasserstein_from_histograms(h, h, ["lang"]).collect()
+    assert len(out) > 0 and all(abs(r["w1"]) < 1e-9 for r in out)
+
+
+def test_w1_pure_shift_known_value(spark):
+    # point mass moved 3 buckets with width 50 -> W1 = 150 in value units
+    from data_profiler_spark.operators.drift import wasserstein_from_histograms
+
+    a = spark.createDataFrame([("g", 0, 10)], "lang string, bucket int, cnt int")
+    b = spark.createDataFrame([("g", 3, 10)], "lang string, bucket int, cnt int")
+    out = wasserstein_from_histograms(a, b, ["lang"], bucket_width=50.0).collect()
+    assert abs(out[0]["w1"] - 150.0) < 1e-9
+
+
+def test_w1_magnitude_vs_ks(spark):
+    # KS saturates at 1.0 for BOTH shifts; W1 distinguishes how FAR mass moved
+    from data_profiler_spark.operators.drift import (
+        ks_from_histograms,
+        wasserstein_from_histograms,
+    )
+
+    a = spark.createDataFrame([("g", 0, 10)], "lang string, bucket int, cnt int")
+    near = spark.createDataFrame([("g", 1, 10)], "lang string, bucket int, cnt int")
+    far = spark.createDataFrame([("g", 9, 10)], "lang string, bucket int, cnt int")
+    ks_near = ks_from_histograms(a, near, ["lang"]).collect()[0]["ks"]
+    ks_far = ks_from_histograms(a, far, ["lang"]).collect()[0]["ks"]
+    assert ks_near == ks_far == 1.0
+    w_near = wasserstein_from_histograms(a, near, ["lang"]).collect()[0]["w1"]
+    w_far = wasserstein_from_histograms(a, far, ["lang"]).collect()[0]["w1"]
+    assert abs(w_near - 1.0) < 1e-9 and abs(w_far - 9.0) < 1e-9
+
+
+def test_w1_gap_buckets_hold_cdf(spark):
+    # empty buckets between populated ones still accumulate |CDF diff| * gap:
+    # a = mass at 0, b = half at 0 / half at 10 -> diff 0.5 held over 10 buckets
+    from data_profiler_spark.operators.drift import wasserstein_from_histograms
+
+    a = spark.createDataFrame([("g", 0, 10)], "lang string, bucket int, cnt int")
+    b = spark.createDataFrame([("g", 0, 5), ("g", 10, 5)], "lang string, bucket int, cnt int")
+    out = wasserstein_from_histograms(a, b, ["lang"]).collect()
+    assert abs(out[0]["w1"] - 5.0) < 1e-9
+
+
+# ---------------------------------------------------------------------------
+# DriftCheck wiring: optional jsd / w1 comparators in the suite verdicts
+# ---------------------------------------------------------------------------
+def test_drift_check_optional_comparators(spark, code_files):
+    from data_profiler_spark.operators.constraints import CheckSuite, DriftCheck, run_suite
+    from data_profiler_spark.operators.drift import histogram_snapshot
+
+    df = code_files.withColumn("content_len", F.length("content").cast("double"))
+    base = histogram_snapshot(df, "content_len", "lang", 100.0)
+    suite = CheckSuite(
+        drift=[
+            DriftCheck(
+                column="content_len",
+                group_by="lang",
+                bucket_width=100.0,
+                baseline_name="b",
+                max_psi=0.25,
+                max_jsd=0.05,
+                max_w1=20.0,
+            )
+        ]
+    )
+    out = run_suite(df, suite, partition_col=F.lit(0), baselines={"b": base})
+    rows = out["drift"].collect()
+    assert len(rows) > 0
+    cols = set(out["drift"].columns)
+    assert {"psi", "ks", "jsd", "w1", "pass"} <= cols
+    # same-data comparison: every comparator exactly zero, all groups pass
+    assert all(r["pass"] for r in rows)
+    assert all(abs(r["jsd"]) < 1e-12 and abs(r["w1"]) < 1e-12 for r in rows)
+
+    # shifted current data: the new comparators flag drift too
+    shifted = df.withColumn("content_len", F.col("content_len") * 3 + 500)
+    rows2 = run_suite(shifted, suite, partition_col=F.lit(0), baselines={"b": base})[
+        "drift"
+    ].collect()
+    assert any(not r["pass"] for r in rows2)
+    assert all(r["jsd"] >= 0.0 and r["w1"] >= 0.0 for r in rows2)

@@ -1503,3 +1503,39 @@ def iqr_outliers_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     li = load(spark, sf_dir, "lineitem")
     return iqr_outliers(li, ["l_quantity", "l_extendedprice", "l_discount"])
+
+
+def _z_col_sql(c: str) -> str:
+    from data_profiler_spark.functions.stats import decimal_stddev_sql
+
+    mu = f"CAST(SUM(CAST({c} AS DECIMAL(28,8))) AS DOUBLE) / COUNT({c})"
+    return f"m_{c} AS (SELECT {mu} AS mu, {decimal_stddev_sql(c)} AS sd FROM lineitem)"
+
+
+def _z_select_sql(c: str) -> str:
+    hit = f"ABS(({c} - m.mu) / m.sd) > 3.0"
+    return (
+        f"SELECT '{c}' AS \"column\", MIN(m.mu) AS mean, MIN(m.sd) AS std, "
+        f"COUNT({c}) AS n, "
+        f"CAST(SUM(CASE WHEN {hit} THEN 1 ELSE 0 END) AS BIGINT) AS outlier_count, "
+        f"CAST(SUM(CASE WHEN {hit} THEN 1 ELSE 0 END) AS DOUBLE) / COUNT({c}) AS outlier_frac "
+        f"FROM lineitem, m_{c} m"
+    )
+
+
+@register(
+    "zscore_outliers_lineitem",
+    "WITH "
+    + ", ".join(_z_col_sql(c) for c in ["l_quantity", "l_extendedprice", "l_discount"])
+    + " "
+    + " UNION ALL ".join(
+        _z_select_sql(c) for c in ["l_quantity", "l_extendedprice", "l_discount"]
+    ),
+)
+def zscore_outliers_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """|z| > 3 outlier counts per numeric column, mean/std from the
+    decimal-exact sums (same two-scan broadcast shape as the IQR form)."""
+    from data_profiler_spark.operators.outliers import zscore_outliers
+
+    li = load(spark, sf_dir, "lineitem")
+    return zscore_outliers(li, ["l_quantity", "l_extendedprice", "l_discount"])

@@ -157,3 +157,35 @@ def test_zscore_constant_column_no_ansi_abort(spark):
     df = spark.createDataFrame([(5.0,)] * 10, "v double")
     r = zscore_outliers(df, ["v"]).collect()[0]
     assert r["std"] == 0.0 and r["outlier_count"] == 0
+
+
+def test_spearman_binned_agrees_with_exact(spark):
+    # continuous, ~all-distinct columns (the regime the binned form exists
+    # for): equi-depth bin ids must reproduce exact Spearman to O(1/n_bins)
+    from data_profiler_spark.operators.correlation import spearman_matrix_binned
+
+    df = (
+        spark.range(4000)
+        .select(
+            (F.pmod(F.xxhash64("id"), F.lit(1_000_000)) / 1e6).alias("x"),
+            (
+                F.pmod(F.xxhash64("id"), F.lit(1_000_000)) / 1e6
+                + F.pmod(F.xxhash64("id", F.lit(1)), F.lit(1_000_000)) / 2e6
+            ).alias("y"),
+        )
+    )
+    exact = spearman_matrix(df, ["x", "y"]).collect()[0]["corr"]
+    approx = spearman_matrix_binned(df, ["x", "y"], n_bins=2000).collect()[0]["corr"]
+    assert 0.5 < exact < 1.0  # correlated but noisy — a real test point
+    assert abs(approx - exact) < 0.01
+
+
+def test_spearman_binned_monotonic_is_one(spark):
+    from data_profiler_spark.operators.correlation import spearman_matrix_binned
+
+    df = spark.range(1, 3000).select(
+        F.col("id").cast("double").alias("x"), (F.col("id") ** 3).alias("y")
+    )
+    r = spearman_matrix_binned(df, ["x", "y"], n_bins=500).collect()[0]
+    # a strictly monotone map sends equal-depth bins to the same bins
+    assert abs(r["corr"] - 1.0) < 1e-9

@@ -235,6 +235,20 @@ def q_rolling_hash(spark: SparkSession, sf_dir: str, code_files: str):
     _force(df)
 
 
+def q_corr_outliers(spark: SparkSession, sf_dir: str, code_files: str):
+    """Association + anomaly block over lineitem (600k rows at sf0.1): the
+    full Pearson matrix (one scan, 3 pairs) plus IQR fences/counts for the
+    same columns (two scans) — all map-side aggregates, zero shuffle; the
+    measured quantity is three narrow passes over the parquet scan."""
+    from data_profiler_spark.operators.correlation import correlation_matrix
+    from data_profiler_spark.operators.outliers import iqr_outliers
+
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    cols = ["l_quantity", "l_extendedprice", "l_discount"]
+    correlation_matrix(li, cols).collect()
+    return iqr_outliers(li, cols).collect()
+
+
 BENCH_QUERIES = {
     "profile_lineitem": q_profile_lineitem,
     "group_stats": q_group_stats,
@@ -242,6 +256,7 @@ BENCH_QUERIES = {
     "constraint_suite": q_constraint_suite,
     "referential": q_referential,
     "grouped_histogram": q_histogram,
+    "corr_outliers": q_corr_outliers,
     "text_profile": q_text_profile,
     "simhash_dedup": q_simhash_dedup,
     "minhash_dedup_10pct": q_minhash_dedup,

@@ -1539,3 +1539,75 @@ def zscore_outliers_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     li = load(spark, sf_dir, "lineitem")
     return zscore_outliers(li, ["l_quantity", "l_extendedprice", "l_discount"])
+
+
+# ---------------------------------------------------------------------------
+# streaming drift: per-day windowed histogram (streaming agg) -> PSI of each
+# window vs a stored whole-table baseline snapshot. The stream side drains
+# with availableNow so the result is batch-equivalent and oracle-checkable.
+# ---------------------------------------------------------------------------
+_STREAM_DRIFT_SQL = """
+WITH cur AS (SELECT CAST(CAST(date_trunc('day', ts) AS TIMESTAMP) AS VARCHAR) AS ws, event_type AS grp,
+                    CAST(FLOOR(value / 5.0) AS BIGINT) AS bucket, COUNT(*) AS cnt
+             FROM events WHERE value IS NOT NULL GROUP BY 1, 2, 3),
+     base AS (SELECT event_type AS grp, CAST(FLOOR(value / 5.0) AS BIGINT) AS bucket,
+                     COUNT(*) AS cnt
+              FROM events WHERE value IS NOT NULL GROUP BY 1, 2),
+     days AS (SELECT DISTINCT ws FROM cur),
+     b2 AS (SELECT d.ws, b.grp, b.bucket, b.cnt FROM base b CROSS JOIN days d),
+     m AS (SELECT COALESCE(b2.ws, cur.ws) AS ws, COALESCE(b2.grp, cur.grp) AS grp,
+                  COALESCE(b2.bucket, cur.bucket) AS bucket,
+                  COALESCE(b2.cnt, 0) AS bc, COALESCE(cur.cnt, 0) AS cc
+           FROM b2 FULL OUTER JOIN cur
+             ON b2.ws = cur.ws AND b2.grp = cur.grp AND b2.bucket = cur.bucket),
+     t AS (SELECT ws, grp, SUM(bc) AS bt, SUM(cc) AS ct FROM m GROUP BY 1, 2),
+     p AS (SELECT m.ws, m.grp,
+                  ROUND(CAST(SUM(CAST((GREATEST(CAST(bc AS DOUBLE)/bt, 1e-6)
+                                      - GREATEST(CAST(cc AS DOUBLE)/ct, 1e-6))
+                       * LN(GREATEST(CAST(bc AS DOUBLE)/bt, 1e-6)
+                            / GREATEST(CAST(cc AS DOUBLE)/ct, 1e-6))
+                       AS DECIMAL(38,18))) AS DOUBLE), 12) AS psi
+           FROM m JOIN t ON m.ws = t.ws AND m.grp = t.grp GROUP BY 1, 2)
+SELECT ws AS window_start, grp AS "group", psi, psi <= 0.25 AS pass FROM p
+"""
+
+
+@register("streaming_drift_events", _STREAM_DRIFT_SQL)
+def streaming_drift_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """North-rule drift on the streaming surface: file-source stream →
+    watermarked per-day histogram of `value` by event_type (one streaming
+    agg) → availableNow drain → PSI of each day vs the stored whole-table
+    baseline snapshot (batch math on the drained table)."""
+    import hashlib
+    import os
+    import tempfile
+    import uuid
+
+    from data_profiler_spark import streaming
+    from data_profiler_spark.operators.drift import histogram_snapshot
+
+    path = f"{sf_dir}/events.parquet"
+    src_dir = f"/tmp/stream_src_{hashlib.md5(path.encode()).hexdigest()[:10]}"
+    os.makedirs(src_dir, exist_ok=True)
+    link = os.path.join(src_dir, "events.parquet")
+    if not os.path.exists(link):
+        os.symlink(path, link)
+    schema = spark.read.parquet(path).schema
+    s = (
+        spark.readStream.schema(schema).parquet(src_dir)
+        .withColumn("ts", F.col("ts").cast("timestamp"))
+    )
+    hist = streaming.windowed_histogram(
+        s, "ts", "value", window="1 day", watermark="1 day",
+        group_by="event_type", bucket_width=5.0,
+    )
+    name = f"stream_hist_{uuid.uuid4().hex[:8]}"
+    streaming.run_available_now(hist, name, tempfile.mkdtemp(prefix="ckpt_q_"))
+    drained = spark.table(name).select(
+        F.col("window_start").cast("timestamp_ntz").cast("string").alias("window_start"),
+        "group", "bucket", "cnt",
+    )
+    baseline = histogram_snapshot(
+        spark.read.parquet(path), "value", "event_type", 5.0
+    )
+    return streaming.drift_by_window(drained, baseline)

@@ -103,6 +103,65 @@ def windowed_violations(
              F.col("v.pass").alias("pass"))
 
 
+def windowed_histogram(
+    stream: DataFrame,
+    ts_col: str,
+    column: str,
+    window: str = "1 day",
+    watermark: str = "1 day",
+    group_by: str | None = None,
+    bucket_width: float = 100.0,
+) -> DataFrame:
+    """Per-window (group, bucket, cnt) histogram of a numeric column — the
+    STREAMING twin of ``operators.drift.histogram_snapshot`` (same fixed
+    bucketing, so a stored batch baseline and a live window are directly
+    comparable). One streaming aggregation; state is bounded by watermark
+    eviction. Output: window_start, window_end, group, bucket, cnt."""
+    s = stream.withWatermark(ts_col, watermark)
+    g = (F.col(group_by) if group_by else F.lit("")).cast("string").alias("group")
+    bucket = F.floor(F.col(column) / F.lit(bucket_width)).cast("long").alias("bucket")
+    return (
+        s.where(F.col(column).isNotNull())
+        .select(F.col(ts_col), g, bucket)
+        .groupBy(F.window(F.col(ts_col), window).alias("w"), "group", "bucket")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .select(
+            F.col("w.start").alias("window_start"),
+            F.col("w.end").alias("window_end"),
+            "group", "bucket", "cnt",
+        )
+    )
+
+
+def drift_by_window(
+    hist: DataFrame,
+    baseline: DataFrame,
+    window_col: str = "window_start",
+    max_psi: float = 0.25,
+) -> DataFrame:
+    """PSI of EACH window's histogram against one stored baseline snapshot:
+    (window_col, group, psi, pass). Plain batch DataFrame math — run it on
+    the drained ``windowed_histogram`` table (or inside a foreachBatch sink
+    for a continuous pipeline). The baseline — itself a small histogram —
+    is replicated per distinct window with a broadcast cross join, so the
+    existing batch comparator applies unchanged with (window, group) keys.
+
+    Drift semantics per window: a window missing a group the baseline has
+    (or vice versa) fails loudly via the comparator's one-sided-group
+    handling, never aborts (see operators/drift.py)."""
+    from data_profiler_spark.operators.drift import psi_from_histograms
+
+    windows = hist.select(window_col).distinct()
+    base_rep = baseline.crossJoin(F.broadcast(windows))
+    psi = psi_from_histograms(
+        base_rep, hist.select(window_col, "group", "bucket", "cnt"),
+        keys=[window_col, "group"],
+    )
+    return psi.select(
+        window_col, "group", "psi", (F.col("psi") <= F.lit(max_psi)).alias("pass")
+    )
+
+
 RUNNING_PROFILE_SCHEMA = (
     "key string, n long, mean double, variance double, min_v double, max_v double"
 )

@@ -120,3 +120,39 @@ def test_minhash_signature_plan_hygiene(spark):
     plan = _plan(minhash_signatures(df, "doc_id", "text"))
     assert plan.count("Exchange") == 1
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_correlation_matrix_plan_hygiene(spark, lineitem):
+    """The all-pairs Pearson pass must be ONE global aggregate: a single
+    Exchange (the SinglePartition final reduce — unavoidable and tiny), no
+    hash-partitioned shuffle of row data, no Python evaluation."""
+    from data_profiler_spark.operators.correlation import correlation_matrix
+
+    plan = _plan(correlation_matrix(lineitem, ["l_quantity", "l_extendedprice", "l_discount"]))
+    assert plan.count("Exchange hashpartitioning") == 0
+    assert plan.count("Exchange") == 1  # SinglePartition for the 1-row reduce
+    assert "EvalPython" not in plan
+    # partial aggregation happens map-side before the exchange
+    assert "partial_" in plan.lower() or "HashAggregate" in plan
+
+
+def test_iqr_outliers_plan_hygiene(spark, lineitem):
+    """Fences broadcast back (no driver collect between passes), counting
+    pass has no hash shuffle and no Python."""
+    from data_profiler_spark.operators.outliers import iqr_outliers
+
+    plan = _plan(iqr_outliers(lineitem, ["l_quantity", "l_extendedprice"]))
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
+    assert plan.count("Exchange hashpartitioning") == 0
+    assert "EvalPython" not in plan
+
+
+def test_outlier_scan_prunes_columns(spark):
+    """The IQR pass over 2 of lineitem's 16 columns must read only those 2."""
+    from data_profiler_spark.operators.outliers import iqr_outliers
+
+    li = spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet")
+    plan = _plan(iqr_outliers(li, ["l_quantity", "l_extendedprice"]))
+    read_schema = plan.split("ReadSchema:")[-1]
+    assert "l_quantity" in read_schema
+    assert "l_comment" not in read_schema and "l_shipdate" not in read_schema

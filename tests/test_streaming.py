@@ -165,3 +165,65 @@ def test_streaming_dedup_bounded_state(spark, tmp_path):
     q.awaitTermination()
     ks = sorted(r["k"] for r in rows)
     assert ks == sorted(range(100))  # exactly one survivor per key
+
+
+def test_windowed_histogram_matches_batch(spark, stream_dir, tmp_path):
+    """Streaming per-window histogram == batch groupBy(window) histogram."""
+    s = _read_stream(spark, stream_dir)
+    hist = streaming.windowed_histogram(
+        s, "ts", "value", window="10 minutes", watermark="10 minutes",
+        group_by="user", bucket_width=2.0,
+    )
+    streaming.run_available_now(hist, "hist_stream", str(tmp_path / "ckpt"))
+    got = {
+        (str(r["window_start"]), r["group"], r["bucket"]): r["cnt"]
+        for r in spark.table("hist_stream").collect()
+    }
+    batch = spark.read.parquet(stream_dir)
+    expect = {
+        (str(r["ws"]), r["group"], r["bucket"]): r["cnt"]
+        for r in batch.where(F.col("value").isNotNull())
+        .groupBy(
+            F.window("ts", "10 minutes").alias("w"),
+            F.col("user").cast("string").alias("group"),
+            F.floor(F.col("value") / 2.0).cast("long").alias("bucket"),
+        )
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .select(F.col("w.start").alias("ws"), "group", "bucket", "cnt")
+        .collect()
+    }
+    assert got == expect and len(got) > 0
+
+
+def test_drift_by_window_flags_shifted_window(spark, stream_dir, tmp_path):
+    """Per-window PSI vs a stored baseline: undrifted windows pass; a
+    synthetic window whose values are shifted out of the baseline's support
+    fails — and a window missing from the baseline's groups fails loudly
+    (not an ANSI abort)."""
+    from data_profiler_spark.operators.drift import histogram_snapshot
+
+    batch = spark.read.parquet(stream_dir)
+    baseline = histogram_snapshot(batch, "value", None, 2.0)
+    # windows from the same data -> near-zero PSI everywhere
+    hist = (
+        batch.groupBy(
+            F.window("ts", "10 minutes").alias("w"),
+            F.lit("").alias("group"),
+            F.floor(F.col("value") / 2.0).cast("long").alias("bucket"),
+        )
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .select(F.col("w.start").cast("string").alias("window_start"), "group", "bucket", "cnt")
+    )
+    v = streaming.drift_by_window(hist, baseline)
+    rows = v.collect()
+    assert len(rows) > 0 and all(r["pass"] for r in rows)
+
+    # inject a drifted synthetic window: all mass far outside the baseline
+    drifted = spark.createDataFrame(
+        [("9999-01-01 00:00:00", "", 500, 100)],
+        "window_start string, group string, bucket long, cnt long",
+    )
+    rows2 = streaming.drift_by_window(hist.unionByName(drifted), baseline).collect()
+    flags = {r["window_start"]: r["pass"] for r in rows2}
+    assert flags["9999-01-01 00:00:00"] is False
+    assert sum(1 for p in flags.values() if p) == len(flags) - 1

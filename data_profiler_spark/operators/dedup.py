@@ -602,3 +602,57 @@ def dedup_keep_canonical(
     clusters = duplicate_clusters(pairs, id_a, id_b)
     losers = clusters.where(F.col("doc_id") != F.col("cluster_id")).select("doc_id")
     return df.join(losers, df[id_col] == losers["doc_id"], "left_anti")
+
+
+# ---------------------------------------------------------------------------
+# fuzzy (edit-distance) dedup — typo-level near-duplicates on SHORT strings
+# ---------------------------------------------------------------------------
+def edit_distance_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    max_distance: int = 2,
+    prefix_len: int = 4,
+) -> DataFrame:
+    """(id_a, id_b, dist): pairs whose lowercased ``text_col`` values are
+    within ``max_distance`` Levenshtein edits — the fuzzy-matching member of
+    the dedup family (names, titles, SKUs; NOT long documents, where the
+    shingle/minhash family owns the problem).
+
+    Blocking: candidates must share the lowercased ``prefix_len``-char
+    prefix AND have lengths within ``max_distance`` of each other (a length
+    gap > d already implies distance > d, so that filter is lossless). The
+    prefix block is the standard recall trade of fuzzy joins: a typo inside
+    the first ``prefix_len`` chars escapes the block — callers needing
+    prefix-typo recall run a second pass blocked on a suffix or phonetic
+    key. Everything is codegen (split-free self-join + native levenshtein);
+    the block key is an 8-byte-ish string, so the shuffle carries ids +
+    short strings only.
+    """
+    t = F.lower(F.col(text_col))
+    side = df.select(
+        F.col(id_col).alias("id"),
+        t.alias("txt"),
+        F.substring(t, 1, prefix_len).alias("blk"),
+        F.length(t).alias("len"),
+    )
+    a = side.select(
+        F.col("id").alias("id_a"), F.col("txt").alias("ta"),
+        F.col("blk"), F.col("len").alias("la"),
+    )
+    b = side.select(
+        F.col("id").alias("id_b"), F.col("txt").alias("tb"),
+        F.col("blk"), F.col("len").alias("lb"),
+    )
+    return (
+        a.join(b, "blk")
+        .where(
+            (F.col("id_a") < F.col("id_b"))
+            & (F.abs(F.col("la") - F.col("lb")) <= max_distance)
+        )
+        .select(
+            "id_a", "id_b",
+            F.levenshtein(F.col("ta"), F.col("tb")).alias("dist"),
+        )
+        .where(F.col("dist") <= max_distance)
+    )

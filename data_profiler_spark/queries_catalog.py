@@ -1611,3 +1611,50 @@ def streaming_drift_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark.read.parquet(path), "value", "event_type", 5.0
     )
     return streaming.drift_by_window(drained, baseline)
+
+
+# ---------------------------------------------------------------------------
+# TF-IDF keyword extraction + fuzzy (edit-distance) dedup
+# ---------------------------------------------------------------------------
+@register(
+    "tfidf_top_terms_documents",
+    """WITH toks AS (SELECT doc_id AS d, t.term
+                     FROM documents,
+                          UNNEST(string_split_regex(lower(text), '[^a-z0-9]+')) AS t(term)
+                     WHERE text IS NOT NULL AND length(t.term) >= 2),
+       tf AS (SELECT d, term, COUNT(*) AS tf FROM toks GROUP BY 1, 2),
+       n AS (SELECT COUNT(DISTINCT doc_id) AS nd FROM documents WHERE text IS NOT NULL),
+       dfq AS (SELECT term, COUNT(*) AS doc_freq FROM tf GROUP BY 1),
+       sc AS (SELECT tf.d, tf.term, tf.tf, dfq.doc_freq,
+                     ROUND(tf.tf * (LN((CAST(nd AS DOUBLE) + 1.0) / (doc_freq + 1.0)) + 1.0), 12) AS tfidf,
+                     ROW_NUMBER() OVER (PARTITION BY tf.d ORDER BY
+                       ROUND(tf.tf * (LN((CAST(nd AS DOUBLE) + 1.0) / (doc_freq + 1.0)) + 1.0), 12) DESC,
+                       tf.term ASC) AS rk
+              FROM tf JOIN dfq USING (term) CROSS JOIN n)
+       SELECT d AS doc_id, term, tf, doc_freq, tfidf FROM sc WHERE rk <= 3""",
+)
+def tfidf_top_terms_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 TF-IDF terms per document (keyword extraction)."""
+    from data_profiler_spark.operators.text import tfidf_top_terms
+
+    docs = load(spark, sf_dir, "documents")
+    return tfidf_top_terms(docs, "doc_id", "text", k=3)
+
+
+@register(
+    "fuzzy_name_pairs_customer",
+    """WITH s AS (SELECT c_custkey AS id, lower(c_name) AS txt,
+                         substr(lower(c_name), 1, 4) AS blk, length(c_name) AS len
+                  FROM customer)
+       SELECT a.id AS id_a, b.id AS id_b, levenshtein(a.txt, b.txt) AS dist
+       FROM s a JOIN s b ON a.blk = b.blk
+       WHERE a.id < b.id AND ABS(a.len - b.len) <= 1
+         AND levenshtein(a.txt, b.txt) <= 1""",
+)
+def fuzzy_name_pairs_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Typo-level near-duplicate customer names: prefix-blocked self-join +
+    native levenshtein verify (the fuzzy member of the dedup family)."""
+    from data_profiler_spark.operators.dedup import edit_distance_pairs
+
+    cust = load(spark, sf_dir, "customer")
+    return edit_distance_pairs(cust, "c_custkey", "c_name", max_distance=1)

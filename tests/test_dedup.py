@@ -179,3 +179,40 @@ def test_release_caches_empties_storage(spark, documents):
                 break
             time.sleep(0.2)
         assert spark.sparkContext._jsc.getPersistentRDDs().isEmpty()
+
+
+def test_edit_distance_pairs_typos(spark):
+    from data_profiler_spark.operators.dedup import edit_distance_pairs
+
+    df = spark.createDataFrame(
+        [
+            (1, "Jonathan Smith"),
+            (2, "Jonathan Smyth"),   # 1 substitution from #1
+            (3, "Jonathon Smith"),   # 1 substitution from #1, 2 from #2
+            (4, "Alice Jones"),      # different block entirely
+            (5, "Jonathan Smithe"),  # 1 insertion from #1
+        ],
+        "id long, name string",
+    )
+    pairs = {
+        (r["id_a"], r["id_b"]): r["dist"]
+        for r in edit_distance_pairs(df, "id", "name", max_distance=1).collect()
+    }
+    assert pairs == {(1, 2): 1, (1, 3): 1, (1, 5): 1}
+    # widening the budget admits the distance-2 pairs
+    pairs2 = {
+        (r["id_a"], r["id_b"]): r["dist"]
+        for r in edit_distance_pairs(df, "id", "name", max_distance=2).collect()
+    }
+    assert pairs2[(2, 3)] == 2 and pairs2[(2, 5)] == 2 and (4, 5) not in pairs2
+
+
+def test_edit_distance_prefix_block_documented_miss(spark):
+    from data_profiler_spark.operators.dedup import edit_distance_pairs
+
+    # the documented recall trade: a typo INSIDE the blocking prefix
+    # escapes the block — callers run a suffix-blocked second pass
+    df = spark.createDataFrame(
+        [(1, "Xonathan Smith"), (2, "Jonathan Smith")], "id long, name string"
+    )
+    assert edit_distance_pairs(df, "id", "name", max_distance=1).count() == 0

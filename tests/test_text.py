@@ -74,3 +74,43 @@ def test_text_profile_shape(documents):
         "doc_id", "lang_pred", "n_chars", "n_tokens", "n_bpe_tokens", "quality", "fingerprint",
     ]
     assert out.count() == documents.count()
+
+
+def test_tfidf_top_terms_semantics(spark):
+    from data_profiler_spark.operators.text import tfidf_top_terms
+
+    docs = spark.createDataFrame(
+        [
+            (1, "apple apple banana"),
+            (2, "banana cherry"),
+            (3, "cherry cherry cherry shared"),
+            (4, "shared shared banana"),
+        ],
+        "doc_id long, text string",
+    )
+    out = tfidf_top_terms(docs, "doc_id", "text", k=2).collect()
+    by_doc = {}
+    for r in out:
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    # rank-1 term of doc 1 is 'apple': tf=2 and it appears in 1 of 4 docs
+    assert by_doc[1][0]["term"] == "apple"
+    assert by_doc[1][0]["tf"] == 2 and by_doc[1][0]["doc_freq"] == 1
+    # rarer term outranks a commoner one at equal tf: doc 2 has banana(df 3)
+    # and cherry(df 2) both tf=1 -> cherry first
+    assert by_doc[2][0]["term"] == "cherry"
+    # k caps the per-doc rows
+    assert all(len(v) <= 2 for v in by_doc.values())
+    # idf formula check: ln((4+1)/(1+1)) + 1 times tf=2
+    import math
+
+    expect = round(2 * (math.log(5.0 / 2.0) + 1.0), 12)
+    assert abs(by_doc[1][0]["tfidf"] - expect) < 1e-12
+
+
+def test_tfidf_deterministic_tiebreak(spark):
+    from data_profiler_spark.operators.text import tfidf_top_terms
+
+    # two terms with identical tf and df in one doc: alphabetical order wins
+    docs = spark.createDataFrame([(1, "zebra alpha")], "doc_id long, text string")
+    out = tfidf_top_terms(docs, "doc_id", "text", k=1).collect()
+    assert out[0]["term"] == "alpha"

@@ -76,6 +76,22 @@ def build_parser() -> argparse.ArgumentParser:
     pt.add_argument("--id-col", required=True)
     pt.add_argument("--text-col", required=True)
     pt.add_argument("--limit", type=int, default=0, help="emit only first N rows (0 = all)")
+
+    pc = sub.add_parser(
+        "curate",
+        help="training-data curation: length -> lang -> quality -> dedup; "
+        "prints the per-stage funnel, optionally writes the curated corpus",
+    )
+    pc.add_argument("path")
+    pc.add_argument("--id-col", required=True)
+    pc.add_argument("--text-col", required=True)
+    pc.add_argument("--min-chars", type=int, default=20)
+    pc.add_argument("--max-chars", type=int, default=None)
+    pc.add_argument("--langs", help="comma-separated allowed languages (omit = keep all)")
+    pc.add_argument("--min-quality", type=float, default=0.0)
+    pc.add_argument("--dedup", choices=["exact", "minhash", "none"], default="exact")
+    pc.add_argument("--threshold", type=float, default=0.8, help="minhash Jaccard threshold")
+    pc.add_argument("--out", help="write the curated corpus as parquet here")
     return p
 
 
@@ -363,6 +379,41 @@ def main(argv: list[str] | None = None) -> int:
                      "n": len(rows), "rows": rows[:1000]},
                     indent=2, sort_keys=True, default=str,
                 ))
+            return EXIT_OK
+
+        if args.command == "curate":
+            from data_profiler_spark.operators.curation import (
+                CurationConfig,
+                curate,
+                curation_funnel,
+            )
+
+            spark = _spark(args)
+            if not os.path.exists(args.path):
+                return EXIT_FILE_NOT_FOUND
+            df = sources.read(spark, args.path)
+            ccfg = CurationConfig(
+                id_col=args.id_col,
+                text_col=args.text_col,
+                min_chars=args.min_chars,
+                max_chars=args.max_chars,
+                allowed_langs=tuple(args.langs.split(",")) if args.langs else None,
+                min_quality=args.min_quality,
+                dedup=args.dedup,
+                minhash_threshold=args.threshold,
+            )
+            funnel = curation_funnel(df, ccfg).collect()[0].asDict()
+            written = None
+            if args.out:
+                curated = curate(df, ccfg)
+                curated.write.mode("overwrite").parquet(args.out)
+                written = spark.read.parquet(args.out).count()
+            _emit(args, json.dumps(
+                {"report_type": "curation_funnel", "source": args.path,
+                 "funnel": funnel, "dedup": args.dedup,
+                 "curated_rows_written": written, "out": args.out},
+                indent=2, sort_keys=True, default=str,
+            ))
             return EXIT_OK
 
     except ValueError as e:

@@ -1,0 +1,107 @@
+"""End-to-end training-data curation: length -> language -> quality ->
+dedup, with a single-scan observability funnel.
+
+This composes the engine's text-analysis and dedup operators into the
+pipeline a 100 TB pretraining-data run actually executes. Design points:
+
+* The three FILTER stages are pure row predicates — they fuse into the
+  parquet scan (one pass, predicates in codegen, nothing materialized
+  between stages).
+* The FUNNEL (how many rows each stage kept) is ONE aggregate over the same
+  scan: cumulative stage predicates become conditional sums, and the exact
+  dedup survivor count is a count_distinct over the md5 fingerprint of the
+  survivors' text — so observability costs one job, not one job per stage.
+* Dedup keeps a DETERMINISTIC canonical survivor (lowest id per fingerprint)
+  so two runs of the same input emit byte-identical corpora — the same
+  reproducibility contract as the validation suite.
+* ``dedup="minhash"`` swaps exact fingerprints for the LSH near-dup
+  clustering path (operators/dedup.py) — same funnel shape, the dedup count
+  then comes from the clustering result instead of the single-pass agg.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from data_profiler_spark.operators.text import lang_id, quality_score
+
+
+@dataclass(frozen=True)
+class CurationConfig:
+    id_col: str = "doc_id"
+    text_col: str = "text"
+    min_chars: int = 20
+    max_chars: int | None = None
+    allowed_langs: tuple[str, ...] | None = None  # None = keep every language
+    min_quality: float = 0.0
+    dedup: str = "exact"  # "exact" | "minhash" | "none"
+    minhash_threshold: float = 0.8
+
+
+def _stage_predicates(cfg: CurationConfig) -> list:
+    """Cumulative predicates for the filter stages, in pipeline order."""
+    t = F.col(cfg.text_col)
+    length_ok = t.isNotNull() & (F.length(t) >= cfg.min_chars)
+    if cfg.max_chars is not None:
+        length_ok = length_ok & (F.length(t) <= cfg.max_chars)
+    preds = [("length", length_ok)]
+    if cfg.allowed_langs is not None:
+        preds.append(("lang", lang_id(t).isin(*cfg.allowed_langs)))
+    if cfg.min_quality > 0.0:
+        preds.append(("quality", quality_score(t) >= F.lit(cfg.min_quality)))
+    return preds
+
+
+def curate(df: DataFrame, cfg: CurationConfig) -> DataFrame:
+    """The curated corpus: filters fused into the scan, then dedup with a
+    deterministic canonical survivor (min id per duplicate group)."""
+    out = df
+    for _, pred in _stage_predicates(cfg):
+        out = out.where(pred)
+    if cfg.dedup == "exact":
+        from pyspark.sql import Window as W
+
+        fp = F.md5(F.col(cfg.text_col).cast("binary"))
+        w = W.partitionBy("__fp").orderBy(cfg.id_col)
+        out = (
+            out.withColumn("__fp", fp)
+            .withColumn("__rn", F.row_number().over(w))
+            .where(F.col("__rn") == 1)
+            .drop("__fp", "__rn")
+        )
+    elif cfg.dedup == "minhash":
+        from data_profiler_spark.operators.dedup import (
+            dedup_keep_canonical,
+            minhash_near_duplicates,
+        )
+
+        pairs = minhash_near_duplicates(
+            out, cfg.id_col, cfg.text_col, threshold=cfg.minhash_threshold
+        ).select("id_a", "id_b")
+        out = dedup_keep_canonical(out, cfg.id_col, pairs)
+    elif cfg.dedup != "none":
+        raise ValueError(f"unknown dedup mode: {cfg.dedup}")
+    return out
+
+
+def curation_funnel(df: DataFrame, cfg: CurationConfig) -> DataFrame:
+    """One-row, ONE-SCAN funnel: input rows and survivors of each cumulative
+    stage, plus the exact-dedup survivor count (distinct text fingerprints
+    among full-filter survivors). For ``dedup="minhash"`` the last number is
+    a lower bound on near-dup survivors — run the clustering path for the
+    true figure (it needs a shuffle the funnel deliberately avoids)."""
+    preds = _stage_predicates(cfg)
+    aggs = [F.count(F.lit(1)).alias("n_input")]
+    cum = None
+    for name, pred in preds:
+        cum = pred if cum is None else (cum & pred)
+        aggs.append(F.sum(cum.cast("long")).alias(f"n_after_{name}"))
+    aggs.append(
+        F.count_distinct(
+            F.when(cum, F.md5(F.col(cfg.text_col).cast("binary")))
+        ).alias("n_after_exact_dedup")
+    )
+    return df.agg(*aggs)

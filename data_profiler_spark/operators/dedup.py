@@ -652,7 +652,9 @@ def edit_distance_pairs(
         )
         .select(
             "id_a", "id_b",
-            F.levenshtein(F.col("ta"), F.col("tb")).alias("dist"),
+            # long, not Spark's int32: DuckDB's levenshtein is BIGINT and
+            # the driver hash is dtype-sensitive (tests/test_oracle_dtypes)
+            F.levenshtein(F.col("ta"), F.col("tb")).cast("long").alias("dist"),
         )
         .where(F.col("dist") <= max_distance)
     )

@@ -1658,3 +1658,37 @@ def fuzzy_name_pairs_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     cust = load(spark, sf_dir, "customer")
     return edit_distance_pairs(cust, "c_custkey", "c_name", max_distance=1)
+
+
+# ---------------------------------------------------------------------------
+# curation funnel: length -> lang -> quality -> exact-dedup survivor counts,
+# ONE scan (operators/curation.py)
+# ---------------------------------------------------------------------------
+def _curation_funnel_sql() -> str:
+    from data_profiler_spark.operators.text import lang_id_sql, quality_score_sql
+
+    len_ok = "(text IS NOT NULL AND length(text) >= 20)"
+    lang_ok = f"{len_ok} AND ({lang_id_sql('text')}) = 'en'"
+    qual_ok = f"{lang_ok} AND ({quality_score_sql('text')}) >= 0.3"
+    return (
+        "SELECT COUNT(*) AS n_input, "
+        f"CAST(SUM(CASE WHEN {len_ok} THEN 1 ELSE 0 END) AS BIGINT) AS n_after_length, "
+        f"CAST(SUM(CASE WHEN {lang_ok} THEN 1 ELSE 0 END) AS BIGINT) AS n_after_lang, "
+        f"CAST(SUM(CASE WHEN {qual_ok} THEN 1 ELSE 0 END) AS BIGINT) AS n_after_quality, "
+        f"COUNT(DISTINCT CASE WHEN {qual_ok} THEN md5(text) END) AS n_after_exact_dedup "
+        "FROM documents"
+    )
+
+
+@register("curation_funnel_documents", _curation_funnel_sql())
+def curation_funnel_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-data curation observability: survivors of each cumulative
+    pipeline stage in one aggregate pass."""
+    from data_profiler_spark.operators.curation import CurationConfig, curation_funnel
+
+    docs = load(spark, sf_dir, "documents")
+    cfg = CurationConfig(
+        id_col="doc_id", text_col="text", min_chars=20,
+        allowed_langs=("en",), min_quality=0.3, dedup="exact",
+    )
+    return curation_funnel(docs, cfg)

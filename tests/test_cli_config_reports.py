@@ -318,3 +318,21 @@ def test_cli_profile_html_ydata_no_corr_flag_unchanged(spark, capsys):
     )
     assert rc == EXIT_OK
     assert "Correlations" not in capsys.readouterr().out
+
+
+def test_cli_curate_funnel_and_write(spark, capsys, tmp_path):
+    import json as _json
+
+    out_dir = str(tmp_path / "curated")
+    rc = main([
+        "curate", "/root/testdata/sf0.001/documents.parquet",
+        "--id-col", "doc_id", "--text-col", "text",
+        "--min-chars", "20", "--langs", "en", "--min-quality", "0.3",
+        "--dedup", "exact", "--out", out_dir,
+    ])
+    assert rc == EXIT_OK
+    rep = _json.loads(capsys.readouterr().out)
+    f = rep["funnel"]
+    assert f["n_input"] >= f["n_after_length"] >= f["n_after_lang"] >= f["n_after_quality"] >= f["n_after_exact_dedup"]
+    assert rep["curated_rows_written"] == f["n_after_exact_dedup"]
+    assert spark.read.parquet(out_dir).count() == f["n_after_exact_dedup"]

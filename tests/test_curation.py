@@ -1,0 +1,76 @@
+"""Curation pipeline: filter fusion, funnel counts, deterministic dedup."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from data_profiler_spark.operators.curation import CurationConfig, curate, curation_funnel
+
+GOOD_EN = (
+    "The quick brown fox jumps over the lazy dog and then the dog sleeps "
+    "by the fire with a bone that it found near the old barn yesterday."
+)
+
+
+def _corpus(spark):
+    rows = [
+        (1, GOOD_EN),                      # survives everything
+        (2, GOOD_EN),                      # exact duplicate of 1 -> deduped
+        (3, "short"),                      # killed by length
+        (4, None),                         # killed by length (null)
+        (5, "el perro y el gato en la casa con una mesa y una silla para el que no " * 3),  # killed by lang (es)
+        (6, "the of and ;;;;!!!! the of ???? and " * 6),  # en, but punct soup -> killed by quality
+        (7, GOOD_EN + " A second English paragraph keeps this one distinct."),
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+CFG = CurationConfig(
+    id_col="doc_id", text_col="text", min_chars=20,
+    allowed_langs=("en",), min_quality=0.6, dedup="exact",
+)
+
+
+def test_funnel_counts(spark):
+    f = curation_funnel(_corpus(spark), CFG).collect()[0]
+    assert f["n_input"] == 7
+    assert f["n_after_length"] == 5           # 3 and 4 gone
+    assert f["n_after_lang"] == 4             # 5 gone
+    assert f["n_after_quality"] == 3          # 6 gone
+    assert f["n_after_exact_dedup"] == 2      # 1==2 collapse
+
+
+def test_curate_matches_funnel_and_keeps_min_id(spark):
+    out = curate(_corpus(spark), CFG)
+    rows = out.collect()
+    f = curation_funnel(_corpus(spark), CFG).collect()[0]
+    assert len(rows) == f["n_after_exact_dedup"]
+    ids = sorted(r["doc_id"] for r in rows)
+    assert ids == [1, 7]  # canonical survivor of the dup group is min id
+
+
+def test_curate_deterministic_across_partitionings(spark):
+    df = _corpus(spark)
+    a = sorted(r["doc_id"] for r in curate(df, CFG).collect())
+    b = sorted(r["doc_id"] for r in curate(df.repartition(13), CFG).collect())
+    assert a == b
+
+
+def test_curate_no_dedup_and_unknown_mode(spark):
+    import pytest
+
+    cfg = CurationConfig(min_chars=20, allowed_langs=("en",), min_quality=0.6, dedup="none")
+    assert curate(_corpus(spark), cfg).count() == 3
+    with pytest.raises(ValueError):
+        curate(_corpus(spark), CurationConfig(dedup="wat")).count()
+
+
+def test_funnel_is_single_scan(spark):
+    """Observability must not multiply jobs: the funnel is ONE aggregate —
+    no joins, no extra exchanges beyond the final reduce, no Python."""
+    plan = (
+        curation_funnel(_corpus(spark), CFG)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "Join" not in plan
+    assert "EvalPython" not in plan

@@ -89,6 +89,10 @@ def build_parser() -> argparse.ArgumentParser:
     pc.add_argument("--max-chars", type=int, default=None)
     pc.add_argument("--langs", help="comma-separated allowed languages (omit = keep all)")
     pc.add_argument("--min-quality", type=float, default=0.0)
+    pc.add_argument(
+        "--max-dup-line-frac", type=float, default=None,
+        help="drop docs whose duplicate-line fraction exceeds this (Gopher rule)",
+    )
     pc.add_argument("--dedup", choices=["exact", "minhash", "none"], default="exact")
     pc.add_argument("--threshold", type=float, default=0.8, help="minhash Jaccard threshold")
     pc.add_argument("--out", help="write the curated corpus as parquet here")
@@ -399,6 +403,7 @@ def main(argv: list[str] | None = None) -> int:
                 max_chars=args.max_chars,
                 allowed_langs=tuple(args.langs.split(",")) if args.langs else None,
                 min_quality=args.min_quality,
+                max_dup_line_frac=args.max_dup_line_frac,
                 dedup=args.dedup,
                 minhash_threshold=args.threshold,
             )

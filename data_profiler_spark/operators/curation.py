@@ -37,6 +37,9 @@ class CurationConfig:
     max_chars: int | None = None
     allowed_langs: tuple[str, ...] | None = None  # None = keep every language
     min_quality: float = 0.0
+    # Gopher-style repetition gate: drop docs whose duplicate-line fraction
+    # exceeds this (None = stage off). In-row array math, no extra scan.
+    max_dup_line_frac: float | None = None
     dedup: str = "exact"  # "exact" | "minhash" | "none"
     minhash_threshold: float = 0.8
 
@@ -52,6 +55,15 @@ def _stage_predicates(cfg: CurationConfig) -> list:
         preds.append(("lang", lang_id(t).isin(*cfg.allowed_langs)))
     if cfg.min_quality > 0.0:
         preds.append(("quality", quality_score(t) >= F.lit(cfg.min_quality)))
+    if cfg.max_dup_line_frac is not None:
+        from data_profiler_spark.operators.text import repetition_features
+
+        preds.append(
+            (
+                "repetition",
+                repetition_features(t)["dup_line_frac"] <= F.lit(cfg.max_dup_line_frac),
+            )
+        )
     return preds
 
 

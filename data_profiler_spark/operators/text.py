@@ -301,3 +301,73 @@ def tfidf_top_terms(
         .where(F.col("__rk") <= k)
         .select(F.col("__doc").alias(id_col), "term", "tf", "doc_freq", "tfidf")
     )
+
+
+# ---------------------------------------------------------------------------
+# repetition filters (Gopher-style) + PII redaction
+# ---------------------------------------------------------------------------
+def repetition_features(c: str | Column) -> dict[str, Column]:
+    """Gopher-rule repetition signals, entirely IN-ROW (split +
+    array_distinct + size are codegen array ops — no explode, no shuffle,
+    no Python):
+
+      dup_line_frac  = 1 - |distinct lines| / |lines|
+      dup_word_frac  = 1 - |distinct words| / |words|
+
+    Boilerplate-heavy docs (license headers pasted 40x, scraped nav bars)
+    score high and get filtered before they poison a training mix. Empty
+    segments produced by splitting count like any other segment — the
+    DuckDB twin (repetition_sql) splits identically, so parity holds."""
+    col = F.col(c) if isinstance(c, str) else c
+    lines = F.split(col, "\n")
+    words = F.split(col, "\\s+")
+    return {
+        "dup_line_frac": F.lit(1.0)
+        - F.try_divide(F.size(F.array_distinct(lines)).cast("double"), F.size(lines)),
+        "dup_word_frac": F.lit(1.0)
+        - F.try_divide(F.size(F.array_distinct(words)).cast("double"), F.size(words)),
+    }
+
+
+def repetition_sql(c: str) -> dict[str, str]:
+    """DuckDB twins of :func:`repetition_features`."""
+    lines = f"string_split({c}, chr(10))"
+    words = f"string_split_regex({c}, '\\s+')"
+    return {
+        "dup_line_frac": f"1.0 - CAST(len(list_distinct({lines})) AS DOUBLE) / len({lines})",
+        "dup_word_frac": f"1.0 - CAST(len(list_distinct({words})) AS DOUBLE) / len({words})",
+    }
+
+
+# Unanchored in-text PII patterns — conservative regex subset meaning the
+# same thing in Java regex (Spark codegen) and DuckDB's RE2. Applied in THIS
+# order: URLs first so an email inside a URL is consumed as URL, not counted
+# twice.
+REDACTION_PATTERNS: dict[str, str] = {
+    "url": r"https?://[^\s]+",
+    "email": r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}",
+    "uuid": r"[0-9a-fA-F]{8}-[0-9a-fA-F]{4}-[0-9a-fA-F]{4}-[0-9a-fA-F]{4}-[0-9a-fA-F]{12}",
+    "ipv4": r"\b(?:[0-9]{1,3}\.){3}[0-9]{1,3}\b",
+}
+
+
+def redact_pii(
+    df: DataFrame, text_col: str, kinds: tuple[str, ...] | None = None
+) -> DataFrame:
+    """PII scrubbing for training corpora: every match of each pattern is
+    replaced with its placeholder token (``[URL]``, ``[EMAIL]``, ...), and a
+    per-kind match count is emitted for audit. Counts are taken on the
+    PROGRESSIVELY redacted text (an email already consumed by a URL is not
+    double-counted). All regexp_count/regexp_replace — codegen, no Python.
+
+    Output: every input column plus ``{text_col}_redacted`` and one
+    ``n_redacted_{kind}`` per kind."""
+    ks = list(kinds) if kinds is not None else list(REDACTION_PATTERNS)
+    cur: Column = F.col(text_col)
+    out_cols = [df[c] for c in df.columns]
+    counts = []
+    for k in ks:
+        pat = REDACTION_PATTERNS[k]
+        counts.append(F.regexp_count(cur, F.lit(pat)).cast("long").alias(f"n_redacted_{k}"))
+        cur = F.regexp_replace(cur, pat, f"[{k.upper()}]")
+    return df.select(*out_cols, *counts, cur.alias(f"{text_col}_redacted"))

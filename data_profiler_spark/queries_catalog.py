@@ -1692,3 +1692,56 @@ def curation_funnel_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
         allowed_langs=("en",), min_quality=0.3, dedup="exact",
     )
     return curation_funnel(docs, cfg)
+
+
+# ---------------------------------------------------------------------------
+# repetition profile + PII redaction (training-data hygiene)
+# ---------------------------------------------------------------------------
+def _repetition_sql() -> str:
+    from data_profiler_spark.operators.text import repetition_sql
+
+    r = repetition_sql("text")
+    return (
+        f"SELECT doc_id, {r['dup_line_frac']} AS dup_line_frac, "
+        f"{r['dup_word_frac']} AS dup_word_frac FROM documents WHERE text IS NOT NULL"
+    )
+
+
+@register("repetition_profile_documents", _repetition_sql())
+def repetition_profile_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style duplicate-line / duplicate-word fractions per document —
+    in-row array ops, zero shuffle."""
+    from data_profiler_spark.operators.text import repetition_features
+
+    docs = load(spark, sf_dir, "documents").where(F.col("text").isNotNull())
+    f = repetition_features("text")
+    return docs.select(
+        "doc_id",
+        f["dup_line_frac"].alias("dup_line_frac"),
+        f["dup_word_frac"].alias("dup_word_frac"),
+    )
+
+
+def _pii_sql() -> str:
+    from data_profiler_spark.operators.text import REDACTION_PATTERNS
+
+    cur = "text"
+    counts = []
+    for k, pat in REDACTION_PATTERNS.items():
+        p = pat.replace("'", "''")
+        counts.append(f"CAST(len(regexp_extract_all({cur}, '{p}')) AS BIGINT) AS n_redacted_{k}")
+        cur = f"regexp_replace({cur}, '{p}', '[{k.upper()}]', 'g')"
+    return (
+        "SELECT doc_id, " + ", ".join(counts) + f", {cur} AS text_redacted "
+        "FROM documents WHERE text IS NOT NULL"
+    )
+
+
+@register("pii_redaction_documents", _pii_sql())
+def pii_redaction_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrubbing audit: per-kind redaction counts + the redacted text
+    (progressive order: url, email, uuid, ipv4)."""
+    from data_profiler_spark.operators.text import redact_pii
+
+    docs = load(spark, sf_dir, "documents").where(F.col("text").isNotNull())
+    return redact_pii(docs.select("doc_id", "text"), "text").drop("text")

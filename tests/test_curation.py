@@ -74,3 +74,19 @@ def test_funnel_is_single_scan(spark):
     )
     assert "Join" not in plan
     assert "EvalPython" not in plan
+
+
+def test_curation_repetition_stage(spark):
+    # boilerplate doc (same line 10x) dies at the repetition gate; the
+    # varied doc survives
+    docs = spark.createDataFrame(
+        [
+            (1, GOOD_EN),
+            (2, ("the license header line repeated here\n" * 10).strip()),
+        ],
+        "doc_id long, text string",
+    )
+    cfg = CurationConfig(min_chars=20, max_dup_line_frac=0.5, dedup="none")
+    f = curation_funnel(docs, cfg).collect()[0]
+    assert f["n_after_length"] == 2 and f["n_after_repetition"] == 1
+    assert sorted(r["doc_id"] for r in curate(docs, cfg).collect()) == [1]

@@ -114,3 +114,50 @@ def test_tfidf_deterministic_tiebreak(spark):
     docs = spark.createDataFrame([(1, "zebra alpha")], "doc_id long, text string")
     out = tfidf_top_terms(docs, "doc_id", "text", k=1).collect()
     assert out[0]["term"] == "alpha"
+
+
+def test_repetition_features_known_values(spark):
+    from data_profiler_spark.operators.text import repetition_features
+
+    docs = spark.createDataFrame(
+        [
+            (1, "a\nb\nc\nd"),          # 4 distinct lines -> 0.0
+            (2, "x\nx\nx\nx"),          # 1 distinct of 4 -> 0.75
+            (3, "one two one two"),     # words: 2 distinct of 4 -> 0.5
+        ],
+        "doc_id long, text string",
+    )
+    f = repetition_features("text")
+    out = {
+        r["doc_id"]: r
+        for r in docs.select(
+            "doc_id",
+            f["dup_line_frac"].alias("dl"),
+            f["dup_word_frac"].alias("dw"),
+        ).collect()
+    }
+    assert out[1]["dl"] == 0.0
+    assert abs(out[2]["dl"] - 0.75) < 1e-12
+    assert abs(out[3]["dw"] - 0.5) < 1e-12
+    assert out[3]["dl"] == 0.0  # one line, distinct
+
+
+def test_redact_pii_progressive(spark):
+    from data_profiler_spark.operators.text import redact_pii
+
+    docs = spark.createDataFrame(
+        [
+            (1, "contact bob@example.com or visit https://x.io/a?u=eve@x.io now"),
+            (2, "server 10.0.0.1 job 123e4567-e89b-12d3-a456-426614174000 done"),
+            (3, "no pii here at all"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in redact_pii(docs, "text").collect()}
+    # the email inside the URL is consumed by the URL pass, not double-counted
+    assert out[1]["n_redacted_url"] == 1 and out[1]["n_redacted_email"] == 1
+    assert out[1]["text_redacted"] == "contact [EMAIL] or visit [URL] now"
+    assert out[2]["n_redacted_ipv4"] == 1 and out[2]["n_redacted_uuid"] == 1
+    assert "[IPV4]" in out[2]["text_redacted"] and "[UUID]" in out[2]["text_redacted"]
+    assert out[3]["text_redacted"] == "no pii here at all"
+    assert all(out[3][f"n_redacted_{k}"] == 0 for k in ("url", "email", "uuid", "ipv4"))

@@ -189,3 +189,18 @@ def test_spearman_binned_monotonic_is_one(spark):
     r = spearman_matrix_binned(df, ["x", "y"], n_bins=500).collect()[0]
     # a strictly monotone map sends equal-depth bins to the same bins
     assert abs(r["corr"] - 1.0) < 1e-9
+
+
+def test_pearson_bounds_and_symmetry_property(spark):
+    """Property sweep on hash-generated data: r in [-1, 1], corr(x, y) ==
+    corr(y, x) bit-for-bit (the masked sums are symmetric in x/y up to
+    relabeling), and n_pair == listwise-complete row count when no NULLs."""
+    df = spark.range(2000).select(
+        (F.pmod(F.xxhash64("id"), F.lit(997)) / 997.0).alias("x"),
+        (F.pmod(F.xxhash64("id", F.lit(7)), F.lit(991)) / 991.0).alias("y"),
+    )
+    xy = correlation_matrix(df, ["x", "y"]).collect()[0]
+    yx = correlation_matrix(df, ["y", "x"]).collect()[0]
+    assert -1.0 <= xy["corr"] <= 1.0
+    assert xy["corr"] == yx["corr"]
+    assert xy["n_pair"] == 2000

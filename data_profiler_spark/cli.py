@@ -167,6 +167,15 @@ def main(argv: list[str] | None = None) -> int:
                             f.name for f in df.schema.fields
                             if isinstance(f.dataType, NumericType)
                         ]
+                        # plan-width guard: p*(p+1)/2*6 agg expressions —
+                        # the operator's documented comfort zone is p<=50
+                        if len(num_cols) > 50:
+                            print(
+                                f"correlations: {len(num_cols)} numeric columns, "
+                                "using the first 50 (pass --columns to choose)",
+                                file=sys.stderr,
+                            )
+                            num_cols = num_cols[:50]
                         if len(num_cols) >= 2:
                             corr = correlation_matrix(df, num_cols)
                     _emit(args, profile_report_html_ydata(prof, source=path, corr_df=corr))

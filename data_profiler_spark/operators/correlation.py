@@ -44,8 +44,16 @@ _DEC = "decimal(28,8)"
 
 def _pair_sum_exprs(a: str, b: str, tag: str) -> list[Column]:
     """Masked exact sums for one (a, b) pair: n, Sx, Sy, Sxy, Sxx, Syy.
-    Masking keeps only rows where BOTH sides are present (pairwise-complete)."""
-    x, y = F.col(a), F.col(b)
+    Masking keeps only rows where BOTH sides are present (pairwise-complete).
+
+    Cross-products are formed on DOUBLE, never the native type: integer
+    x*y would wrap silently (non-ANSI) or abort (ANSI) at ~2^31/2^63 —
+    one IEEE multiply is deterministic and identical in DuckDB. Magnitude
+    contract: |x*y| must fit DECIMAL(28,8)'s 1e20 integer range, i.e.
+    values up to ~1e9 are safe; pre-scale larger units (epoch-millis →
+    seconds) before correlating — under ANSI an overflow aborts loudly,
+    it is never silent."""
+    x, y = F.col(a).cast("double"), F.col(b).cast("double")
     both = x.isNotNull() & y.isNotNull()
     mx = F.when(both, x)
     my = F.when(both, y)
@@ -104,13 +112,14 @@ def correlation_matrix(df: DataFrame, cols: list[str]) -> DataFrame:
 def pearson_sql(a: str, b: str) -> str:
     """DuckDB twin of one :func:`correlation_matrix` pair — identical masked
     decimal sums and identical scalar IEEE expression."""
+    da, db = f"CAST({a} AS DOUBLE)", f"CAST({b} AS DOUBLE)"
     both = f"({a} IS NOT NULL AND {b} IS NOT NULL)"
     n = f"SUM(CASE WHEN {both} THEN 1 ELSE 0 END)"
-    sx = f"CAST(SUM(CAST(CASE WHEN {both} THEN {a} END AS DECIMAL(28,8))) AS DOUBLE)"
-    sy = f"CAST(SUM(CAST(CASE WHEN {both} THEN {b} END AS DECIMAL(28,8))) AS DOUBLE)"
-    sxy = f"CAST(SUM(CAST(CASE WHEN {both} THEN {a}*{b} END AS DECIMAL(28,8))) AS DOUBLE)"
-    sxx = f"CAST(SUM(CAST(CASE WHEN {both} THEN {a}*{a} END AS DECIMAL(28,8))) AS DOUBLE)"
-    syy = f"CAST(SUM(CAST(CASE WHEN {both} THEN {b}*{b} END AS DECIMAL(28,8))) AS DOUBLE)"
+    sx = f"CAST(SUM(CAST(CASE WHEN {both} THEN {da} END AS DECIMAL(28,8))) AS DOUBLE)"
+    sy = f"CAST(SUM(CAST(CASE WHEN {both} THEN {db} END AS DECIMAL(28,8))) AS DOUBLE)"
+    sxy = f"CAST(SUM(CAST(CASE WHEN {both} THEN {da}*{db} END AS DECIMAL(28,8))) AS DOUBLE)"
+    sxx = f"CAST(SUM(CAST(CASE WHEN {both} THEN {da}*{da} END AS DECIMAL(28,8))) AS DOUBLE)"
+    syy = f"CAST(SUM(CAST(CASE WHEN {both} THEN {db}*{db} END AS DECIMAL(28,8))) AS DOUBLE)"
     nd = f"CAST({n} AS DOUBLE)"
     vx = f"({sxx} - {sx}*{sx}/{nd})"
     vy = f"({syy} - {sy}*{sy}/{nd})"
@@ -188,9 +197,11 @@ def spearman_matrix_binned(
     """
     base = df.select(*cols).na.drop("any")
     qs = [i / n_bins for i in range(1, n_bins)]
+    # accuracy must DOMINATE the bin count (accuracy = 1/rank-error of the
+    # sketch): min() here would cap resolution at a full bin width
     edge_row = base.agg(
         *[
-            F.percentile_approx(F.col(c), F.lit(qs), F.lit(min(n_bins, 10_000))).alias(c)
+            F.percentile_approx(F.col(c), F.lit(qs), F.lit(max(n_bins, 10_000))).alias(c)
             for c in cols
         ]
     ).collect()[0]

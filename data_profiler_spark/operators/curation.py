@@ -74,15 +74,19 @@ def curate(df: DataFrame, cfg: CurationConfig) -> DataFrame:
     for _, pred in _stage_predicates(cfg):
         out = out.where(pred)
     if cfg.dedup == "exact":
-        from pyspark.sql import Window as W
-
+        # min-id survivor WITHOUT a per-fingerprint window: a window sort
+        # sends every copy of a mega-duplicated doc (the exact input dedup
+        # exists for) to ONE task. groupBy+min is map-side combinable —
+        # 10^8 copies of one page partial-aggregate down to one row per
+        # partition before the shuffle — and the keep-list join is tiny
+        # (one row per distinct fingerprint; AQE broadcasts it).
         fp = F.md5(F.col(cfg.text_col).cast("binary"))
-        w = W.partitionBy("__fp").orderBy(cfg.id_col)
+        tagged = out.withColumn("__fp", fp)
+        keep = tagged.groupBy("__fp").agg(F.min(F.col(cfg.id_col)).alias("__keep_id"))
         out = (
-            out.withColumn("__fp", fp)
-            .withColumn("__rn", F.row_number().over(w))
-            .where(F.col("__rn") == 1)
-            .drop("__fp", "__rn")
+            tagged.join(keep, "__fp")
+            .where(F.col(cfg.id_col) == F.col("__keep_id"))
+            .drop("__fp", "__keep_id")
         )
     elif cfg.dedup == "minhash":
         from data_profiler_spark.operators.dedup import (
@@ -103,8 +107,9 @@ def curation_funnel(df: DataFrame, cfg: CurationConfig) -> DataFrame:
     """One-row, ONE-SCAN funnel: input rows and survivors of each cumulative
     stage, plus the exact-dedup survivor count (distinct text fingerprints
     among full-filter survivors). For ``dedup="minhash"`` the last number is
-    a lower bound on near-dup survivors — run the clustering path for the
-    true figure (it needs a shuffle the funnel deliberately avoids)."""
+    an UPPER bound on near-dup survivors (near-dup removes at least every
+    exact dup) — run the clustering path for the true figure (it needs a
+    shuffle the funnel deliberately avoids)."""
     preds = _stage_predicates(cfg)
     aggs = [F.count(F.lit(1)).alias("n_input")]
     cum = None

@@ -79,22 +79,6 @@ def iqr_outliers(
     return wide.select(F.inline(F.array(*rows)))
 
 
-def iqr_outlier_sql(c: str, table: str, k: float = 1.5) -> str:
-    """DuckDB twin of one :func:`iqr_outliers` column as a scalar row
-    subquery body: ``SELECT <this> ...`` yields the same 8 fields."""
-    q1 = f"quantile_cont({c}, 0.25)"
-    q3 = f"quantile_cont({c}, 0.75)"
-    return (
-        f"WITH q AS (SELECT {q1} AS q1, {q3} AS q3 FROM {table}), "
-        f"f AS (SELECT q1, q3, q1 - {k} * (q3 - q1) AS lo, q3 + {k} * (q3 - q1) AS hi FROM q) "
-        f"SELECT '{c}' AS \"column\", f.q1, f.q3, f.lo, f.hi, "
-        f"COUNT({c}) AS n, "
-        f"SUM(CASE WHEN {c} < f.lo OR {c} > f.hi THEN 1 ELSE 0 END) AS outlier_count, "
-        f"CAST(SUM(CASE WHEN {c} < f.lo OR {c} > f.hi THEN 1 ELSE 0 END) AS DOUBLE) / COUNT({c}) AS outlier_frac "
-        f"FROM {table}, f GROUP BY f.q1, f.q3, f.lo, f.hi"
-    )
-
-
 def zscore_outliers(
     df: DataFrame, cols: list[str], threshold: float = 3.0
 ) -> DataFrame:

@@ -289,11 +289,22 @@ def tfidf_top_terms(
         .where(F.length("term") >= min_term_len)
     )
     tf = toks.groupBy("__doc", "term").agg(F.count(F.lit(1)).alias("tf"))
-    n_docs = df.where(F.col(text_col).isNotNull()).select(id_col).distinct().count()
+    # the corpus size stays IN-PLAN (broadcast 1-row agg) — an eager
+    # .count() here would launch a separate job at construction time and
+    # break the module's lazy-builder contract
+    nd = (
+        df.where(F.col(text_col).isNotNull())
+        .agg(F.count_distinct(F.col(id_col)).alias("__nd"))
+    )
     doc_freq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("doc_freq"))
-    idf = F.log((F.lit(float(n_docs)) + 1.0) / (F.col("doc_freq") + 1.0)) + 1.0
-    scored = tf.join(doc_freq, "term").withColumn(
-        "tfidf", F.round(F.col("tf") * idf, 12)
+    idf = (
+        F.log((F.col("__nd").cast("double") + 1.0) / (F.col("doc_freq") + 1.0)) + 1.0
+    )
+    scored = (
+        tf.join(doc_freq, "term")
+        .crossJoin(F.broadcast(nd))
+        .withColumn("tfidf", F.round(F.col("tf") * idf, 12))
+        .drop("__nd")
     )
     w = W.partitionBy("__doc").orderBy(F.col("tfidf").desc(), F.col("term").asc())
     return (

@@ -1513,7 +1513,9 @@ def _z_col_sql(c: str) -> str:
 
 
 def _z_select_sql(c: str) -> str:
-    hit = f"ABS(({c} - m.mu) / m.sd) > 3.0"
+    # CASE keeps the division from running when sd = 0 (constant column) —
+    # parity with the Spark side's try_divide (NULL z -> not counted)
+    hit = f"(CASE WHEN m.sd = 0 THEN false ELSE ABS(({c} - m.mu) / m.sd) > 3.0 END)"
     return (
         f"SELECT '{c}' AS \"column\", MIN(m.mu) AS mean, MIN(m.sd) AS std, "
         f"COUNT({c}) AS n, "

@@ -204,3 +204,27 @@ def test_pearson_bounds_and_symmetry_property(spark):
     assert -1.0 <= xy["corr"] <= 1.0
     assert xy["corr"] == yx["corr"]
     assert xy["n_pair"] == 2000
+
+
+def test_pearson_integer_columns_no_overflow(spark):
+    """Cross-products must form on DOUBLE: int columns with ~1e5 values
+    would wrap a 32-bit x*y (or abort under ANSI) if multiplied natively."""
+    df = spark.createDataFrame(
+        [(100_000 + i, 2 * (100_000 + i) + 7) for i in range(100)], "x int, y int"
+    )
+    r = correlation_matrix(df, ["x", "y"]).collect()[0]
+    assert abs(r["corr"] - 1.0) < 1e-9
+
+
+def test_tfidf_is_lazy(spark):
+    """Constructing the tfidf plan must not launch Spark jobs (the corpus
+    size stays in-plan as a broadcast 1-row aggregate)."""
+    from data_profiler_spark.operators.text import tfidf_top_terms
+
+    tracker = spark.sparkContext.statusTracker()
+    before = len(tracker.getJobIdsForGroup(None) or [])
+    docs = spark.createDataFrame([(1, "alpha beta"), (2, "beta gamma")], "doc_id long, text string")
+    _plan = tfidf_top_terms(docs, "doc_id", "text")  # no action
+    after = len(tracker.getJobIdsForGroup(None) or [])
+    assert after == before
+    assert _plan.count() > 0  # and it still computes when asked

@@ -281,7 +281,7 @@ def main(argv: list[str] | None = None) -> int:
             }
             # drift spec: {"type": "drift", "column", "group_by", "bucket_width",
             #              "baseline": <parquet path of a histogram_snapshot>,
-            #              "max_psi", "max_ks"}
+            #              "max_psi", "max_ks", "max_jsd", "max_w1"}
             drift_specs = [s for s in spec.get("checks", []) if s["type"] == "drift"]
             drift_checks, baselines = [], {}
             for i, s in enumerate(drift_specs):
@@ -293,6 +293,8 @@ def main(argv: list[str] | None = None) -> int:
                         baseline_name=name,
                         max_psi=float(s.get("max_psi", 0.25)),
                         max_ks=s.get("max_ks"),
+                        max_jsd=s.get("max_jsd"),
+                        max_w1=s.get("max_w1"),
                     )
                 )
                 baselines[name] = None  # loaded after the session exists

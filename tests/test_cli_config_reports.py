@@ -336,3 +336,31 @@ def test_cli_curate_funnel_and_write(spark, capsys, tmp_path):
     assert f["n_input"] >= f["n_after_length"] >= f["n_after_lang"] >= f["n_after_quality"] >= f["n_after_exact_dedup"]
     assert rep["curated_rows_written"] == f["n_after_exact_dedup"]
     assert spark.read.parquet(out_dir).count() == f["n_after_exact_dedup"]
+
+
+def test_cli_validate_drift_jsd_w1_thresholds(spark, tmp_path, capsys):
+    """The validate job parses the optional JSD / Wasserstein-1 thresholds
+    from the suite spec and evaluates them against the stored baseline."""
+    from data_profiler_spark.operators.drift import histogram_snapshot
+
+    orders = spark.read.parquet("/root/testdata/sf0.001/orders.parquet")
+    baseline_path = str(tmp_path / "price_hist_jw")
+    histogram_snapshot(orders, "o_totalprice", "o_orderstatus", 10000.0)\
+        .write.parquet(baseline_path)
+
+    suite = tmp_path / "suite_drift_jw.json"
+    suite.write_text(json.dumps({
+        "checks": [
+            {"type": "drift", "column": "o_totalprice",
+             "group_by": "o_orderstatus", "bucket_width": 10000.0,
+             "baseline": baseline_path,
+             "max_psi": 0.25, "max_ks": 0.2, "max_jsd": 0.05, "max_w1": 1000.0},
+        ],
+        "partition_col": "o_orderstatus",
+        "key_cols": ["o_orderkey"],
+    }))
+    rc = main(["validate", "/root/testdata/sf0.001/orders.parquet",
+               "--suite", str(suite)])
+    out = json.loads(capsys.readouterr().out)
+    assert rc == EXIT_OK
+    assert out["n_drift"] > 0 and out["n_drift_failed"] == 0

@@ -216,3 +216,28 @@ def test_edit_distance_prefix_block_documented_miss(spark):
         [(1, "Xonathan Smith"), (2, "Jonathan Smith")], "id long, name string"
     )
     assert edit_distance_pairs(df, "id", "name", max_distance=1).count() == 0
+
+
+def test_fuzzy_pairs_compose_with_clustering(spark):
+    """The fuzzy pair list feeds the generic clustering / keep-canonical
+    machinery unchanged — typo variants collapse to the min-id survivor."""
+    from data_profiler_spark.operators.dedup import (
+        dedup_keep_canonical,
+        duplicate_clusters,
+        edit_distance_pairs,
+    )
+
+    df = spark.createDataFrame(
+        [
+            (1, "Jonathan Smith"),
+            (2, "Jonathan Smyth"),
+            (3, "Jonathan Smithe"),
+            (4, "Alice Jones"),
+        ],
+        "id long, name string",
+    )
+    pairs = edit_distance_pairs(df, "id", "name", max_distance=2)
+    clusters = {r["doc_id"]: r["cluster_id"] for r in duplicate_clusters(pairs).collect()}
+    assert clusters == {1: 1, 2: 1, 3: 1}  # one typo cluster, min-id label
+    kept = sorted(r["id"] for r in dedup_keep_canonical(df, "id", pairs).collect())
+    assert kept == [1, 4]

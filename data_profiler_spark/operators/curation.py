@@ -122,3 +122,36 @@ def curation_funnel(df: DataFrame, cfg: CurationConfig) -> DataFrame:
         ).alias("n_after_exact_dedup")
     )
     return df.agg(*aggs)
+
+
+def deterministic_split(
+    df: DataFrame,
+    id_col: str,
+    fractions: dict[str, float],
+    seed: int = 42,
+) -> dict[str, DataFrame]:
+    """Reproducible, leak-free train/val/test splits: each row's bucket is
+    ``xxhash64(id, seed) mod 10^6`` mapped onto cumulative fraction bands.
+
+    Properties a training pipeline needs that ``df.randomSplit`` does NOT
+    give: (1) membership is a pure function of the row id — re-running on
+    the same corpus (any partitioning, any cluster size) yields the same
+    split; (2) adding new rows later never moves an existing row across
+    splits (no train/test leakage as the corpus grows); (3) splits are
+    exactly disjoint and exhaustive by construction — band edges, not
+    per-row RNG draws. Fractions must sum to 1 (the last band absorbs the
+    remainder to kill float-edge gaps).
+    """
+    total = sum(fractions.values())
+    if abs(total - 1.0) > 1e-9:
+        raise ValueError(f"fractions must sum to 1 (got {total})")
+    m = 1_000_000
+    bucket = F.pmod(F.xxhash64(F.col(id_col), F.lit(seed)), F.lit(m))
+    out: dict[str, DataFrame] = {}
+    lo = 0
+    names = list(fractions)
+    for i, name in enumerate(names):
+        hi = m if i == len(names) - 1 else lo + int(fractions[name] * m)
+        out[name] = df.where((bucket >= lo) & (bucket < hi))
+        lo = hi
+    return out

@@ -102,3 +102,40 @@ def test_curate_idempotent(spark):
     a = sorted(tuple(r) for r in once.collect())
     b = sorted(tuple(r) for r in twice.collect())
     assert a == b
+
+
+def test_deterministic_split_properties(spark):
+    from data_profiler_spark.operators.curation import deterministic_split
+
+    df = spark.range(20_000).select(F.col("id").alias("doc_id"))
+    splits = deterministic_split(df, "doc_id", {"train": 0.8, "val": 0.1, "test": 0.1})
+    n = {k: v.count() for k, v in splits.items()}
+    # exhaustive + disjoint
+    assert sum(n.values()) == 20_000
+    ids_train = set(r["doc_id"] for r in splits["train"].collect())
+    ids_val = set(r["doc_id"] for r in splits["val"].collect())
+    assert not (ids_train & ids_val)
+    # approximate fractions (hash-uniform)
+    assert abs(n["train"] / 20_000 - 0.8) < 0.02
+    # deterministic across partitionings
+    again = deterministic_split(df.repartition(17), "doc_id", {"train": 0.8, "val": 0.1, "test": 0.1})
+    assert set(r["doc_id"] for r in again["val"].collect()) == ids_val
+    # growth stability: membership of old rows is unchanged when rows are added
+    grown = deterministic_split(
+        spark.range(40_000).select(F.col("id").alias("doc_id")),
+        "doc_id", {"train": 0.8, "val": 0.1, "test": 0.1},
+    )
+    grown_val_old = set(
+        r["doc_id"] for r in grown["val"].where(F.col("doc_id") < 20_000).collect()
+    )
+    assert grown_val_old == ids_val
+
+
+def test_deterministic_split_rejects_bad_fractions(spark):
+    import pytest
+
+    from data_profiler_spark.operators.curation import deterministic_split
+
+    df = spark.range(10).select(F.col("id").alias("doc_id"))
+    with pytest.raises(ValueError):
+        deterministic_split(df, "doc_id", {"train": 0.5, "val": 0.2})

@@ -155,3 +155,93 @@ def deterministic_split(
         out[name] = df.where((bucket >= lo) & (bucket < hi))
         lo = hi
     return out
+
+
+def ngram_contamination(
+    train: DataFrame,
+    eval_df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 13,
+    broadcast_eval: bool = True,
+) -> DataFrame:
+    """Benchmark decontamination: per-train-document n-gram overlap with an
+    evaluation set → (id, ngrams_total, ngrams_matched, contamination_ratio).
+
+    The standard pretraining hygiene step (n-gram collision against held-out
+    benchmarks, n=13 in the GPT-3/PaLM writeups): any train document sharing
+    a word n-gram with the eval set is flagged so it can be dropped or
+    audited before training.
+
+    Scale shape (the 100 TB path): shingles are 64-bit hashes via
+    :func:`~data_profiler_spark.operators.dedup.word_shingle_hashes` — fully
+    codegen, no shingle strings materialized. The train side needs exactly
+    ONE shuffle (the per-doc window inside the shingler; the distinct and
+    groupBy reuse its id-partitioning). Eval benchmarks are MBs against a
+    corpus of TBs, so the eval hash set is broadcast and the probe is
+    map-side; pass ``broadcast_eval=False`` to fall back to a shuffle join
+    when the eval set is itself huge. Collisions: 64-bit hashes over ~1e9
+    distinct eval n-grams give ~3e-2 expected false matches corpus-wide —
+    negligible for a drop-list.
+
+    Oracle twin: :func:`ngram_contamination_exact` (string shingles, DuckDB-
+    expressible); pytest asserts the two agree on the test corpus.
+    """
+    from data_profiler_spark.operators.dedup import word_shingle_hashes
+
+    tr = word_shingle_hashes(train, id_col, text_col, k=n).distinct()
+    ev = (
+        word_shingle_hashes(eval_df, id_col, text_col, k=n)
+        .select(F.col("sh").alias("ev_sh"))
+        .distinct()
+    )
+    if broadcast_eval:
+        ev = F.broadcast(ev)
+    return (
+        tr.join(ev, tr["sh"] == ev["ev_sh"], "left")
+        .groupBy("id")
+        .agg(
+            F.count(F.lit(1)).alias("ngrams_total"),
+            F.count("ev_sh").alias("ngrams_matched"),
+        )
+        .select(
+            "id",
+            "ngrams_total",
+            "ngrams_matched",
+            F.try_divide(
+                F.col("ngrams_matched").cast("double"), F.col("ngrams_total")
+            ).alias("contamination_ratio"),
+        )
+    )
+
+
+def ngram_contamination_exact(
+    train: DataFrame, eval_df: DataFrame, id_col: str, text_col: str, n: int = 13
+) -> DataFrame:
+    """String-shingle twin of :func:`ngram_contamination` — same output, but
+    shingles are materialized strings (interpreted HOF transform), so DuckDB
+    can reproduce it exactly. Small-scale oracle / audit form only."""
+    from data_profiler_spark.operators.dedup import word_shingles
+
+    tr = word_shingles(train, id_col, text_col, k=n)
+    ev = (
+        word_shingles(eval_df, id_col, text_col, k=n)
+        .select(F.col("shingle").alias("ev_shingle"))
+        .distinct()
+    )
+    return (
+        tr.join(F.broadcast(ev), tr["shingle"] == ev["ev_shingle"], "left")
+        .groupBy("id")
+        .agg(
+            F.count(F.lit(1)).alias("ngrams_total"),
+            F.count("ev_shingle").alias("ngrams_matched"),
+        )
+        .select(
+            "id",
+            "ngrams_total",
+            "ngrams_matched",
+            F.try_divide(
+                F.col("ngrams_matched").cast("double"), F.col("ngrams_total")
+            ).alias("contamination_ratio"),
+        )
+    )

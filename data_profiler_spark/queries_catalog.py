@@ -1747,3 +1747,41 @@ def pii_redaction_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load(spark, sf_dir, "documents").where(F.col("text").isNotNull())
     return redact_pii(docs.select("doc_id", "text"), "text").drop("text")
+
+
+# ---------------------------------------------------------------------------
+# training: benchmark decontamination (n-gram collision vs a held-out eval
+# slice). The CATALOG runs the hashed scale path (codegen xxhash64 shingles,
+# broadcast eval probe); the oracle is the string-shingle formulation — they
+# agree exactly unless a 64-bit shingle-hash collision exists in the corpus,
+# and pytest additionally pins hashed == exact (test_curation.py).
+# ---------------------------------------------------------------------------
+_DECON_SHINGLE = " || ' ' || ".join(f"w[i+{j}]" for j in range(8)).replace("w[i+0]", "w[i]")
+
+
+@register(
+    "ngram_contamination_documents",
+    f"""WITH toks AS (SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS w FROM documents),
+        sh AS (SELECT DISTINCT doc_id, {_DECON_SHINGLE} AS s
+               FROM toks, UNNEST(generate_series(1, greatest(len(w)-7, 0))) AS t(i)),
+        tr AS (SELECT * FROM sh WHERE doc_id % 20 <> 0),
+        ev AS (SELECT DISTINCT s FROM sh WHERE doc_id % 20 = 0),
+        agg AS (SELECT tr.doc_id AS id, COUNT(*) AS ngrams_total, COUNT(ev.s) AS ngrams_matched
+                FROM tr LEFT JOIN ev ON tr.s = ev.s GROUP BY 1)
+        SELECT id, CAST(ngrams_total AS BIGINT) AS ngrams_total,
+               CAST(ngrams_matched AS BIGINT) AS ngrams_matched,
+               CAST(ngrams_matched AS DOUBLE) / ngrams_total AS contamination_ratio
+        FROM agg WHERE ngrams_matched > 0""",
+)
+def ngram_contamination_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decontamination sweep: eval set = every 20th doc, train = the rest;
+    8-gram collisions flag contaminated train docs (near-dup clusters in the
+    synthetic corpus straddle the split, so the overlap is non-trivial)."""
+    from data_profiler_spark.operators.curation import ngram_contamination
+
+    docs = load(spark, sf_dir, "documents")
+    train = docs.where(F.col("doc_id") % 20 != 0)
+    ev = docs.where(F.col("doc_id") % 20 == 0)
+    return ngram_contamination(train, ev, "doc_id", "text", n=8).where(
+        F.col("ngrams_matched") > 0
+    )

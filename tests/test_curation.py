@@ -139,3 +139,33 @@ def test_deterministic_split_rejects_bad_fractions(spark):
     df = spark.range(10).select(F.col("id").alias("doc_id"))
     with pytest.raises(ValueError):
         deterministic_split(df, "doc_id", {"train": 0.5, "val": 0.2})
+
+
+def test_ngram_contamination_hashed_matches_exact(spark, documents):
+    from data_profiler_spark.operators.curation import (
+        ngram_contamination,
+        ngram_contamination_exact,
+    )
+
+    train = documents.where(F.col("doc_id") % 20 != 0)
+    ev = documents.where(F.col("doc_id") % 20 == 0)
+    hashed = ngram_contamination(train, ev, "doc_id", "text", n=8)
+    exact = ngram_contamination_exact(train, ev, "doc_id", "text", n=8)
+    h = {r["id"]: (r["ngrams_total"], r["ngrams_matched"]) for r in hashed.collect()}
+    e = {r["id"]: (r["ngrams_total"], r["ngrams_matched"]) for r in exact.collect()}
+    assert h == e
+    assert any(m > 0 for _, m in h.values())  # the corpus straddles the split
+
+
+def test_ngram_contamination_broadcasts_eval(spark, documents):
+    from data_profiler_spark.operators.curation import ngram_contamination
+
+    train = documents.where(F.col("doc_id") % 20 != 0)
+    ev = documents.where(F.col("doc_id") % 20 == 0)
+    plan = ngram_contamination(train, ev, "doc_id", "text", n=8)._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan or "BroadcastExchange" in plan
+    # flag never flips when the probe runs as a shuffle join instead
+    shuffled = ngram_contamination(train, ev, "doc_id", "text", n=8, broadcast_eval=False)
+    a = sorted(tuple(r) for r in shuffled.collect())
+    b = sorted(tuple(r) for r in ngram_contamination(train, ev, "doc_id", "text", n=8).collect())
+    assert a == b

@@ -245,3 +245,76 @@ def ngram_contamination_exact(
             ).alias("contamination_ratio"),
         )
     )
+
+
+def mixture_weights(
+    df: DataFrame,
+    domain_col: str,
+    token_col: str | Column,
+    target: dict[str, float],
+) -> DataFrame:
+    """Domain-mixture planning: per-domain token share vs a target mixture →
+    (domain, n_docs, tokens, current_share, target_share, sample_factor).
+
+    ``sample_factor`` = target_share / current_share is the per-domain
+    resampling multiplier (<1 downsample, >1 repeat/epoch) that makes the
+    corpus hit the target mixture — the knob every pretraining data recipe
+    tunes. One groupBy over the corpus (domain cardinality is tiny); shares
+    are computed with a window over the few-row aggregate, so nothing but
+    the per-domain rollup ever shuffles. Domains absent from ``target`` get
+    target_share 0 (drop); target domains absent from the corpus simply
+    don't appear (they have no rows to resample).
+    """
+    from pyspark.sql import Window as W
+
+    tok = F.col(token_col) if isinstance(token_col, str) else token_col
+    agg = df.groupBy(F.col(domain_col).alias("domain")).agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(tok.cast("long")).alias("tokens"),
+    )
+    tmap = F.create_map(*[F.lit(x) for kv in target.items() for x in kv])
+    tot = F.sum("tokens").over(W.partitionBy())
+    cur = F.col("tokens").cast("double") / tot
+    tgt = F.coalesce(tmap[F.col("domain")], F.lit(0.0))
+    return agg.select(
+        "domain",
+        "n_docs",
+        "tokens",
+        cur.alias("current_share"),
+        tgt.alias("target_share"),
+        F.try_divide(tgt, cur).alias("sample_factor"),
+    )
+
+
+def apply_mixture(
+    df: DataFrame,
+    domain_col: str,
+    id_col: str,
+    factors: dict[str, float],
+    seed: int = 42,
+) -> DataFrame:
+    """Deterministically resample each domain by its ``sample_factor``:
+    factor < 1 keeps a hash band of rows (same leak-free membership rule as
+    :func:`deterministic_split`); factor >= 1 emits ``floor(factor)`` copies
+    of every row plus one more for rows in the fractional hash band (domain
+    epochs, the standard up-weighting move). Adds ``copy_idx`` (0-based) so
+    downstream exact-dedup can distinguish intentional repetition. Domains
+    missing from ``factors`` default to 1.0 (pass-through). Pure map-side —
+    no shuffle; membership is a function of (id, seed) alone, so re-runs and
+    repartitionings reproduce the same corpus.
+    """
+    if any(v < 0 for v in factors.values()):
+        raise ValueError("sample factors must be >= 0")
+    m = 1_000_000
+    fmap = F.create_map(*[F.lit(x) for kv in factors.items() for x in kv])
+    factor = F.coalesce(fmap[F.col(domain_col)], F.lit(1.0))
+    band = F.pmod(F.xxhash64(F.col(id_col), F.lit(seed)), F.lit(m))
+    base = F.floor(factor).cast("int")
+    frac = factor - F.floor(factor)
+    n_copies = base + (band < (frac * m).cast("long")).cast("int")
+    return (
+        df.withColumn("__n", n_copies)
+        .where(F.col("__n") > 0)
+        .withColumn("copy_idx", F.explode(F.sequence(F.lit(0), F.col("__n") - 1)))
+        .drop("__n")
+    )

@@ -1785,3 +1785,36 @@ def ngram_contamination_documents(spark: SparkSession, sf_dir: str) -> DataFrame
     return ngram_contamination(train, ev, "doc_id", "text", n=8).where(
         F.col("ngrams_matched") > 0
     )
+
+
+# ---------------------------------------------------------------------------
+# training: domain-mixture planning — per-language token shares vs a target
+# recipe, and the per-domain resampling factor that would hit it.
+# ---------------------------------------------------------------------------
+@register(
+    "mixture_weights_documents",
+    """WITH agg AS (
+         SELECT lang AS domain, CAST(COUNT(*) AS BIGINT) AS n_docs,
+                CAST(SUM(CASE WHEN len(trim(text)) = 0 THEN 0
+                         ELSE len(regexp_split_to_array(trim(text), '\\s+')) END) AS BIGINT) AS tokens
+         FROM documents GROUP BY 1),
+       shares AS (
+         SELECT domain, n_docs, tokens,
+                CAST(tokens AS DOUBLE) / SUM(tokens) OVER () AS current_share,
+                CASE domain WHEN 'en' THEN 0.5 WHEN 'zh' THEN 0.2
+                            WHEN 'de' THEN 0.1 WHEN 'es' THEN 0.1
+                            WHEN 'fr' THEN 0.1 ELSE 0.0 END AS target_share
+         FROM agg)
+       SELECT domain, n_docs, tokens, current_share, target_share,
+              target_share / current_share AS sample_factor
+       FROM shares""",
+)
+def mixture_weights_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mixture recipe audit: how far each language's token share is from the
+    target pretraining mixture, and the resampling factor to close it."""
+    from data_profiler_spark.operators.curation import mixture_weights
+    from data_profiler_spark.operators.text import whitespace_token_count
+
+    docs = load(spark, sf_dir, "documents")
+    target = {"en": 0.5, "zh": 0.2, "de": 0.1, "es": 0.1, "fr": 0.1}
+    return mixture_weights(docs, "lang", whitespace_token_count("text"), target)

@@ -169,3 +169,49 @@ def test_ngram_contamination_broadcasts_eval(spark, documents):
     a = sorted(tuple(r) for r in shuffled.collect())
     b = sorted(tuple(r) for r in ngram_contamination(train, ev, "doc_id", "text", n=8).collect())
     assert a == b
+
+
+def test_mixture_weights_math(spark):
+    from data_profiler_spark.operators.curation import mixture_weights
+
+    rows = [("web", 10), ("web", 30), ("code", 60)]
+    df = spark.createDataFrame(rows, "domain string, toks long")
+    out = {r["domain"]: r for r in mixture_weights(df, "domain", F.col("toks"), {"web": 0.8}).collect()}
+    assert out["web"]["tokens"] == 40 and out["web"]["n_docs"] == 2
+    assert abs(out["web"]["current_share"] - 0.4) < 1e-12
+    assert abs(out["web"]["sample_factor"] - 2.0) < 1e-12
+    # domain absent from the target: share 0, factor 0 (drop signal)
+    assert out["code"]["target_share"] == 0.0 and out["code"]["sample_factor"] == 0.0
+
+
+def test_apply_mixture_properties(spark):
+    from data_profiler_spark.operators.curation import apply_mixture
+
+    df = spark.range(10_000).select(
+        F.col("id").alias("doc_id"),
+        F.when(F.col("id") % 2 == 0, "a").otherwise("b").alias("domain"),
+    )
+    out = apply_mixture(df, "domain", "doc_id", {"a": 2.5, "b": 0.25})
+    n = {r["domain"]: r["n"] for r in out.groupBy("domain").agg(F.count(F.lit(1)).alias("n")).collect()}
+    assert abs(n["a"] / 5000 - 2.5) < 0.1       # ~2.5 epochs of domain a
+    assert abs(n["b"] / 5000 - 0.25) < 0.05     # ~quarter of domain b kept
+    # every surviving a-row appears at least twice, copy_idx distinguishes copies
+    per = out.where(F.col("domain") == "a").groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("c"), F.count_distinct("copy_idx").alias("d"))
+    bad = per.where((F.col("c") < 2) | (F.col("c") != F.col("d"))).count()
+    assert bad == 0
+    # deterministic across partitionings; unknown domains pass through once
+    again = apply_mixture(df.repartition(13), "domain", "doc_id", {"a": 2.5, "b": 0.25})
+    assert sorted(map(tuple, again.collect())) == sorted(map(tuple, out.collect()))
+    thru = apply_mixture(df, "domain", "doc_id", {"zzz": 9.0})
+    assert thru.count() == 10_000 and thru.where(F.col("copy_idx") != 0).count() == 0
+
+
+def test_apply_mixture_rejects_negative(spark):
+    import pytest
+
+    from data_profiler_spark.operators.curation import apply_mixture
+
+    df = spark.range(5).select(F.col("id").alias("doc_id"), F.lit("a").alias("domain"))
+    with pytest.raises(ValueError):
+        apply_mixture(df, "domain", "doc_id", {"a": -1.0})

@@ -318,3 +318,74 @@ def apply_mixture(
         .withColumn("copy_idx", F.explode(F.sequence(F.lit(0), F.col("__n") - 1)))
         .drop("__n")
     )
+
+
+def pack_sequences(
+    df: DataFrame,
+    id_col: str,
+    token_col: str | Column,
+    budget: int,
+    num_bins: int = 256,
+    seed: int = 42,
+) -> DataFrame:
+    """Greedy sequence packing: assign documents to fixed-token-budget
+    training sequences → (seq_id, doc_id, n_tokens, pos_in_seq, truncated).
+
+    Packing is the step between a curated corpus and a training run: concat
+    documents until the context window (``budget`` tokens) would overflow,
+    then start the next sequence. Exact bin packing is NP-hard and inherently
+    sequential, so the distributed shape is: shuffle ONLY (id, n_tokens)
+    pairs — never content — into ``num_bins`` hash bands, then greedy
+    first-fit in doc-id order inside each band via ``applyInPandas``. The
+    result is a pure function of (ids, token counts, budget, num_bins, seed):
+    re-runs and input repartitionings reproduce identical sequences, so the
+    actual content concat can run later as a content-side join against this
+    tiny assignment table. Docs longer than the budget become singleton
+    sequences flagged ``truncated`` (the trainer's chunker handles them).
+    Greedy-in-id-order wastes more padding than sorted first-fit-decreasing,
+    but keeps every sequence reproducible under corpus growth within a band
+    prefix; callers wanting tighter fill can pre-sort ids by length bucket.
+    """
+    if budget <= 0:
+        raise ValueError("budget must be positive")
+    tok = F.col(token_col) if isinstance(token_col, str) else token_col
+    slim = df.select(
+        F.col(id_col).alias("doc_id"),
+        tok.cast("long").alias("n_tokens"),
+        F.pmod(F.xxhash64(F.col(id_col), F.lit(seed)), F.lit(num_bins)).alias("band"),
+    )
+
+    import pandas as pd  # noqa: F401  (module-level import feeds the UDF type hints)
+
+    def pack(key: tuple, pdf: "pd.DataFrame") -> "pd.DataFrame":
+        band = int(key[0])
+        pdf = pdf.sort_values("doc_id").reset_index(drop=True)
+        seq_ids, positions, truncs = [], [], []
+        k, used, pos, ov = 0, 0, 0, 0
+        for n in pdf["n_tokens"]:
+            n = int(n)
+            if n > budget:
+                # singleton overflow sequence; the open bin keeps filling
+                seq_ids.append(f"{band}-ov{ov}")
+                positions.append(0)
+                truncs.append(True)
+                ov += 1
+                continue
+            if used + n > budget:
+                k += 1
+                used, pos = 0, 0
+            seq_ids.append(f"{band}-{k}")
+            positions.append(pos)
+            truncs.append(False)
+            used += n
+            pos += 1
+        out = pdf[["doc_id", "n_tokens"]].copy()
+        out["seq_id"] = seq_ids
+        out["pos_in_seq"] = positions
+        out["truncated"] = truncs
+        return out[["seq_id", "doc_id", "n_tokens", "pos_in_seq", "truncated"]]
+
+    return slim.groupBy("band").applyInPandas(
+        pack,
+        schema="seq_id string, doc_id long, n_tokens long, pos_in_seq int, truncated boolean",
+    )

@@ -1818,3 +1818,18 @@ def mixture_weights_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load(spark, sf_dir, "documents")
     target = {"en": 0.5, "zh": 0.2, "de": 0.1, "es": 0.1, "fr": 0.1}
     return mixture_weights(docs, "lang", whitespace_token_count("text"), target)
+
+
+# ---------------------------------------------------------------------------
+# training: sequence packing (greedy per-band first-fit — recursive state, no
+# SQL twin → rows-only driver check; properties pinned in test_curation.py)
+# ---------------------------------------------------------------------------
+@register("sequence_packing_documents", None)
+def sequence_packing_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pack the document corpus into 512-token training sequences by BPE-ish
+    token count; deterministic (id-order greedy inside hash bands)."""
+    from data_profiler_spark.operators.curation import pack_sequences
+    from data_profiler_spark.operators.text import bpe_token_count
+
+    docs = load(spark, sf_dir, "documents")
+    return pack_sequences(docs, "doc_id", bpe_token_count("text"), budget=512, num_bins=8)

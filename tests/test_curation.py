@@ -215,3 +215,59 @@ def test_apply_mixture_rejects_negative(spark):
     df = spark.range(5).select(F.col("id").alias("doc_id"), F.lit("a").alias("domain"))
     with pytest.raises(ValueError):
         apply_mixture(df, "domain", "doc_id", {"a": -1.0})
+
+
+def test_pack_sequences_properties(spark):
+    from data_profiler_spark.operators.curation import pack_sequences
+
+    df = spark.range(5_000).select(
+        F.col("id").alias("doc_id"),
+        (F.pmod(F.xxhash64("id"), F.lit(900)) + 100).alias("toks"),  # 100..999
+    )
+    out = pack_sequences(df, "doc_id", "toks", budget=2048, num_bins=32).cache()
+    try:
+        # every doc placed exactly once
+        assert out.count() == 5_000
+        assert out.select("doc_id").distinct().count() == 5_000
+        # no sequence exceeds the budget; none flagged truncated (all toks < budget)
+        per = out.groupBy("seq_id").agg(F.sum("n_tokens").alias("t")).collect()
+        assert max(r["t"] for r in per) <= 2048
+        assert out.where("truncated").count() == 0
+        # greedy fill: mean utilisation is well above half the window
+        fill = sum(r["t"] for r in per) / (2048 * len(per))
+        assert fill > 0.6
+        # positions are dense 0..n-1 within a sequence
+        bad = (
+            out.groupBy("seq_id")
+            .agg(F.count(F.lit(1)).alias("c"), F.max("pos_in_seq").alias("m"))
+            .where(F.col("m") != F.col("c") - 1)
+            .count()
+        )
+        assert bad == 0
+        # deterministic under input repartitioning
+        again = pack_sequences(df.repartition(7), "doc_id", "toks", budget=2048, num_bins=32)
+        assert sorted(map(tuple, again.collect())) == sorted(map(tuple, out.collect()))
+    finally:
+        out.unpersist()
+
+
+def test_pack_sequences_overflow_and_validation(spark):
+    import pytest
+
+    from data_profiler_spark.operators.curation import pack_sequences
+
+    df = spark.createDataFrame(
+        [(1, 10), (2, 5000), (3, 20)], "doc_id long, toks long"
+    )
+    out = pack_sequences(df, "doc_id", "toks", budget=100, num_bins=1).collect()
+    rows = {r["doc_id"]: r for r in out}
+    assert rows[2]["truncated"] and rows[2]["pos_in_seq"] == 0
+    # the oversize doc sits alone in its sequence
+    seqs = {}
+    for r in out:
+        seqs.setdefault(r["seq_id"], []).append(r["doc_id"])
+    assert seqs[rows[2]["seq_id"]] == [2]
+    # small docs share a bin and never mix with the overflow sequence
+    assert rows[1]["seq_id"] == rows[3]["seq_id"]
+    with pytest.raises(ValueError):
+        pack_sequences(df, "doc_id", "toks", budget=0)

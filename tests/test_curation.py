@@ -149,12 +149,13 @@ def test_ngram_contamination_hashed_matches_exact(spark, documents):
 
     train = documents.where(F.col("doc_id") % 20 != 0)
     ev = documents.where(F.col("doc_id") % 20 == 0)
-    hashed = ngram_contamination(train, ev, "doc_id", "text", n=8)
     exact = ngram_contamination_exact(train, ev, "doc_id", "text", n=8)
-    h = {r["id"]: (r["ngrams_total"], r["ngrams_matched"]) for r in hashed.collect()}
     e = {r["id"]: (r["ngrams_total"], r["ngrams_matched"]) for r in exact.collect()}
-    assert h == e
-    assert any(m > 0 for _, m in h.values())  # the corpus straddles the split
+    for method in ("map", "join"):
+        got = ngram_contamination(train, ev, "doc_id", "text", n=8, method=method)
+        h = {r["id"]: (r["ngrams_total"], r["ngrams_matched"]) for r in got.collect()}
+        assert h == e, method
+    assert any(m > 0 for _, m in e.values())  # the corpus straddles the split
 
 
 def test_ngram_contamination_broadcasts_eval(spark, documents):
@@ -162,10 +163,13 @@ def test_ngram_contamination_broadcasts_eval(spark, documents):
 
     train = documents.where(F.col("doc_id") % 20 != 0)
     ev = documents.where(F.col("doc_id") % 20 == 0)
-    plan = ngram_contamination(train, ev, "doc_id", "text", n=8)._jdf.queryExecution().executedPlan().toString()
+    plan = ngram_contamination(train, ev, "doc_id", "text", n=8, method="join")._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in plan or "BroadcastExchange" in plan
-    # flag never flips when the probe runs as a shuffle join instead
-    shuffled = ngram_contamination(train, ev, "doc_id", "text", n=8, broadcast_eval=False)
+    # the map path's plan has no exchange at all on the train side
+    mplan = ngram_contamination(train, ev, "doc_id", "text", n=8)._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in mplan.replace("BroadcastExchange", "")
+    # results never flip when the probe runs as a shuffle join instead
+    shuffled = ngram_contamination(train, ev, "doc_id", "text", n=8, method="join", broadcast_eval=False)
     a = sorted(tuple(r) for r in shuffled.collect())
     b = sorted(tuple(r) for r in ngram_contamination(train, ev, "doc_id", "text", n=8).collect())
     assert a == b

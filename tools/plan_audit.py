@@ -82,6 +82,44 @@ def build_audits(spark, sf):
             edit_distance_pairs(docs.limit(200), "doc_id", "text", max_distance=2), 2, False,
         ),
     }
+
+    # training plane (late r3): split/mixture are pure map-side; packing pays
+    # exactly one tiny (id, n_tokens) exchange; the contamination map path is
+    # a single Arrow pass (its one ArrowEvalPython-ish node is mapInPandas —
+    # the design); mixture_weights is a tiny rollup + few-row share window.
+    from data_profiler_spark.operators.curation import (
+        apply_mixture,
+        deterministic_split,
+        mixture_weights,
+        ngram_contamination,
+        pack_sequences,
+    )
+    from data_profiler_spark.operators.text import whitespace_token_count
+
+    ev = docs.where(F.col("doc_id") % 20 == 0)
+    tr = docs.where(F.col("doc_id") % 20 != 0)
+    audits.update(
+        {
+            "deterministic_split": (
+                deterministic_split(docs, "doc_id", {"train": 0.9, "val": 0.1})["train"],
+                0, False,
+            ),
+            "apply_mixture": (
+                apply_mixture(docs, "lang", "doc_id", {"en": 2.0, "zh": 0.5}), 0, False,
+            ),
+            "mixture_weights": (
+                mixture_weights(docs, "lang", whitespace_token_count("text"), {"en": 1.0}),
+                2, False,
+            ),
+            "pack_sequences": (
+                pack_sequences(docs, "doc_id", whitespace_token_count("text"), budget=512),
+                1, True,
+            ),
+            "ngram_contamination_map": (
+                ngram_contamination(tr, ev, "doc_id", "text", n=8), 0, True,
+            ),
+        }
+    )
     return audits
 
 

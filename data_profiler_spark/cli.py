@@ -96,6 +96,41 @@ def build_parser() -> argparse.ArgumentParser:
     pc.add_argument("--dedup", choices=["exact", "minhash", "none"], default="exact")
     pc.add_argument("--threshold", type=float, default=0.8, help="minhash Jaccard threshold")
     pc.add_argument("--out", help="write the curated corpus as parquet here")
+
+    pdc = sub.add_parser(
+        "decontaminate",
+        help="flag train docs sharing word n-grams with an eval benchmark",
+    )
+    pdc.add_argument("path", help="train corpus")
+    pdc.add_argument("--eval", required=True, dest="eval_path", help="eval/benchmark corpus")
+    pdc.add_argument("--id-col", required=True)
+    pdc.add_argument("--text-col", required=True)
+    pdc.add_argument("--n", type=int, default=13, help="n-gram size (GPT-3/PaLM use 13)")
+    pdc.add_argument("--method", choices=["map", "join"], default="map")
+    pdc.add_argument("--out", help="write per-doc contamination stats as parquet here")
+
+    ps = sub.add_parser(
+        "split", help="deterministic hash-band train/val/test split"
+    )
+    ps.add_argument("path")
+    ps.add_argument("--id-col", required=True)
+    ps.add_argument(
+        "--fractions", default="train=0.9,val=0.05,test=0.05",
+        help="name=frac comma list summing to 1",
+    )
+    ps.add_argument("--seed", type=int, default=42)
+    ps.add_argument("--out-dir", help="write each split as parquet under this dir")
+
+    pk = sub.add_parser(
+        "pack", help="greedy sequence packing into fixed token budgets"
+    )
+    pk.add_argument("path")
+    pk.add_argument("--id-col", required=True)
+    pk.add_argument("--text-col", help="count BPE-ish tokens of this column")
+    pk.add_argument("--token-col", help="use a precomputed token-count column instead")
+    pk.add_argument("--budget", type=int, default=2048)
+    pk.add_argument("--num-bins", type=int, default=256)
+    pk.add_argument("--out", help="write the assignment table as parquet here")
     return p
 
 
@@ -428,6 +463,110 @@ def main(argv: list[str] | None = None) -> int:
                 {"report_type": "curation_funnel", "source": args.path,
                  "funnel": funnel, "dedup": args.dedup,
                  "curated_rows_written": written, "out": args.out},
+                indent=2, sort_keys=True, default=str,
+            ))
+            return EXIT_OK
+
+        if args.command == "decontaminate":
+            from pyspark.sql import functions as F
+
+            from data_profiler_spark.operators.curation import ngram_contamination
+
+            spark = _spark(args)
+            for pth in (args.path, args.eval_path):
+                if not os.path.exists(pth):
+                    print(f"not found: {pth}", file=sys.stderr)
+                    return EXIT_FILE_NOT_FOUND
+            train = sources.read(spark, args.path)
+            ev = sources.read(spark, args.eval_path)
+            res = ngram_contamination(
+                train, ev, args.id_col, args.text_col, n=args.n, method=args.method
+            )
+            if args.out:
+                res.write.mode("overwrite").parquet(args.out)
+                res = spark.read.parquet(args.out)
+            agg = res.agg(
+                F.count(F.lit(1)).alias("docs_with_grams"),
+                F.sum((F.col("ngrams_matched") > 0).cast("long")).alias("contaminated"),
+                F.max("contamination_ratio").alias("max_ratio"),
+            ).collect()[0]
+            worst = [
+                r.asDict()
+                for r in res.where(F.col("ngrams_matched") > 0)
+                .orderBy(F.desc("contamination_ratio"), "id")
+                .limit(20)
+                .collect()
+            ]
+            _emit(args, json.dumps(
+                {"report_type": "decontamination", "source": args.path,
+                 "eval": args.eval_path, "n": args.n, "method": args.method,
+                 "docs_with_grams": agg["docs_with_grams"],
+                 "contaminated": agg["contaminated"],
+                 "max_ratio": agg["max_ratio"], "worst": worst, "out": args.out},
+                indent=2, sort_keys=True, default=str,
+            ))
+            return EXIT_OK
+
+        if args.command == "split":
+            from data_profiler_spark.operators.curation import deterministic_split
+
+            spark = _spark(args)
+            if not os.path.exists(args.path):
+                return EXIT_FILE_NOT_FOUND
+            try:
+                fractions = {
+                    kv.split("=")[0]: float(kv.split("=")[1])
+                    for kv in args.fractions.split(",")
+                }
+            except (IndexError, ValueError):
+                print(f"bad --fractions: {args.fractions}", file=sys.stderr)
+                return EXIT_USAGE
+            df = sources.read(spark, args.path)
+            splits = deterministic_split(df, args.id_col, fractions, seed=args.seed)
+            counts = {}
+            for name, part in splits.items():
+                if args.out_dir:
+                    part.write.mode("overwrite").parquet(f"{args.out_dir}/{name}.parquet")
+                counts[name] = part.count()
+            _emit(args, json.dumps(
+                {"report_type": "split", "source": args.path, "seed": args.seed,
+                 "fractions": fractions, "counts": counts, "out_dir": args.out_dir},
+                indent=2, sort_keys=True, default=str,
+            ))
+            return EXIT_OK
+
+        if args.command == "pack":
+            from pyspark.sql import functions as F
+
+            from data_profiler_spark.operators.curation import pack_sequences
+            from data_profiler_spark.operators.text import bpe_token_count
+
+            spark = _spark(args)
+            if not os.path.exists(args.path):
+                return EXIT_FILE_NOT_FOUND
+            if bool(args.text_col) == bool(args.token_col):
+                print("pass exactly one of --text-col / --token-col", file=sys.stderr)
+                return EXIT_USAGE
+            df = sources.read(spark, args.path)
+            tok = bpe_token_count(args.text_col) if args.text_col else F.col(args.token_col)
+            asg = pack_sequences(
+                df, args.id_col, tok, budget=args.budget, num_bins=args.num_bins
+            )
+            if args.out:
+                asg.write.mode("overwrite").parquet(args.out)
+                asg = spark.read.parquet(args.out)
+            per = asg.groupBy("seq_id").agg(F.sum("n_tokens").alias("t"))
+            summary = per.agg(
+                F.count(F.lit(1)).alias("n_seqs"),
+                F.avg(F.col("t") / args.budget).alias("mean_fill"),
+            ).collect()[0]
+            n_docs = asg.count()
+            n_trunc = asg.where("truncated").count()
+            _emit(args, json.dumps(
+                {"report_type": "pack", "source": args.path, "budget": args.budget,
+                 "n_docs": n_docs, "n_seqs": summary["n_seqs"],
+                 "mean_fill": summary["mean_fill"], "truncated_docs": n_trunc,
+                 "out": args.out},
                 indent=2, sort_keys=True, default=str,
             ))
             return EXIT_OK

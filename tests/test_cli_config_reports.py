@@ -364,3 +364,59 @@ def test_cli_validate_drift_jsd_w1_thresholds(spark, tmp_path, capsys):
     out = json.loads(capsys.readouterr().out)
     assert rc == EXIT_OK
     assert out["n_drift"] > 0 and out["n_drift_failed"] == 0
+
+
+def test_cli_decontaminate(spark, capsys):
+    docs = "/root/testdata/sf0.001/documents.parquet"
+    rc = main([
+        "decontaminate", docs, "--eval", docs,
+        "--id-col", "doc_id", "--text-col", "text", "--n", "8",
+    ])
+    assert rc == EXIT_OK
+    out = json.loads(capsys.readouterr().out)
+    assert out["report_type"] == "decontamination"
+    # eval == train: every doc with grams is fully contaminated
+    assert out["contaminated"] == out["docs_with_grams"] > 0
+    assert out["max_ratio"] == 1.0
+
+
+def test_cli_split(spark, capsys, tmp_path):
+    rc = main([
+        "split", "/root/testdata/sf0.001/documents.parquet",
+        "--id-col", "doc_id", "--fractions", "train=0.8,val=0.2",
+        "--out-dir", str(tmp_path),
+    ])
+    assert rc == EXIT_OK
+    out = json.loads(capsys.readouterr().out)
+    total = spark.read.parquet("/root/testdata/sf0.001/documents.parquet").count()
+    assert out["counts"]["train"] + out["counts"]["val"] == total
+    assert spark.read.parquet(str(tmp_path / "val.parquet")).count() == out["counts"]["val"]
+
+
+def test_cli_split_bad_fractions(spark, capsys):
+    rc = main([
+        "split", "/root/testdata/sf0.001/documents.parquet",
+        "--id-col", "doc_id", "--fractions", "nonsense",
+    ])
+    assert rc == EXIT_USAGE
+
+
+def test_cli_pack(spark, capsys):
+    rc = main([
+        "pack", "/root/testdata/sf0.001/documents.parquet",
+        "--id-col", "doc_id", "--text-col", "text", "--budget", "512",
+        "--num-bins", "4",
+    ])
+    assert rc == EXIT_OK
+    out = json.loads(capsys.readouterr().out)
+    assert out["report_type"] == "pack"
+    assert out["n_docs"] > 0 and out["n_seqs"] > 0
+    assert 0 < out["mean_fill"] <= 1.0
+
+
+def test_cli_pack_requires_one_token_source(spark, capsys):
+    rc = main([
+        "pack", "/root/testdata/sf0.001/documents.parquet",
+        "--id-col", "doc_id",
+    ])
+    assert rc == EXIT_USAGE

@@ -1,0 +1,182 @@
+"""Model-based quality scoring: a hashed-feature linear classifier — the
+fasttext-shaped filter modern pretraining pipelines run AFTER the heuristic
+gates (``text.quality_score``) to learn corpus-specific quality.
+
+Spark-first shape at 100 TB:
+
+* **Features** are the hashing trick: unigram + bigram token hashes modulo a
+  fixed ``dim`` (no vocabulary to build, no vocab shuffle, bounded model
+  size). Hashing is the same batch-vectorized numpy kernel family as
+  ``curation._gram_stats_batch``: ONE fixed-key siphash call per Arrow batch
+  over the concatenated tokens, bigrams from a boundary-masked sliding
+  window.
+* **Training** is full-batch logistic regression by gradient descent: each
+  iteration is one scan; every partition reduces its Arrow batches to a
+  single dense ``dim``-sized partial gradient (numpy ``np.add.at``), and the
+  driver sums the per-partition pieces — the treeAggregate shape (the model
+  is MBs; the data never leaves its partition). Partials are summed in
+  partition-id order so refits are bit-identical.
+* **Scoring** is a zero-shuffle ``mapInPandas`` pass with the weights in a
+  broadcast variable — the same plan shape as the decontamination map path
+  (plan-audited: no Exchange).
+
+Ref parity note: the reference has no learned scorer (its quality column is
+heuristic — profilers/string.py); this operator is part of the
+training-data extension mandated alongside SURVEY §2.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+_BIGRAM_P = 1099511628211  # FNV-64 prime (same positional family as curation)
+
+
+@dataclass(frozen=True)
+class QualityModel:
+    dim: int
+    weights: "np.ndarray"  # float64[dim]
+    bias: float
+
+    def to_bytes(self) -> bytes:
+        import pickle
+
+        return pickle.dumps({"dim": self.dim, "weights": self.weights, "bias": self.bias})
+
+    @staticmethod
+    def from_bytes(b: bytes) -> "QualityModel":
+        import pickle
+
+        d = pickle.loads(b)
+        return QualityModel(d["dim"], d["weights"], d["bias"])
+
+
+def _featurize_batch(texts, dim: int):
+    """(doc_ix, feat_idx, feat_val, n_docs) for one batch.
+
+    Feature value is 1/n_tokens per occurrence (duplicates accumulate), so
+    long spam doesn't dominate by length. Null/empty docs keep a row with no
+    features (they score sigmoid(bias))."""
+    tok_lists = []
+    for t in texts:
+        tok_lists.append(t.split() if t is not None else [])
+    lens = np.array([len(tl) for tl in tok_lists], dtype=np.int64)
+    n_docs = len(tok_lists)
+    flat = [tok for tl in tok_lists for tok in tl]
+    if not flat:
+        e = np.array([], dtype=np.int64)
+        return e, e, np.array([], dtype=np.float64), n_docs
+    th = pd.util.hash_array(np.asarray(flat, dtype=object))
+    doc_ix = np.repeat(np.arange(n_docs), lens)
+    # unigrams
+    uni_idx = (th % np.uint64(dim)).astype(np.int64)
+    uni_doc = doc_ix
+    # bigrams: positional polynomial of adjacent token hashes, boundary-masked
+    if len(th) >= 2:
+        big = th[:-1] * np.uint64(_BIGRAM_P) + th[1:]
+        valid = doc_ix[:-1] == doc_ix[1:]
+        big_idx = (big[valid] % np.uint64(dim)).astype(np.int64)
+        big_doc = doc_ix[:-1][valid]
+    else:
+        big_idx = np.array([], dtype=np.int64)
+        big_doc = np.array([], dtype=np.int64)
+    idx = np.concatenate([uni_idx, big_idx])
+    docs = np.concatenate([uni_doc, big_doc])
+    vals = 1.0 / lens[docs]
+    return docs, idx, vals, n_docs
+
+
+def _sigmoid(z):
+    out = np.empty_like(z)
+    pos = z >= 0
+    out[pos] = 1.0 / (1.0 + np.exp(-z[pos]))
+    ez = np.exp(z[~pos])
+    out[~pos] = ez / (1.0 + ez)
+    return out
+
+
+def fit_quality_model(
+    df: DataFrame,
+    text_col: str,
+    label_col: str,
+    dim: int = 2**18,
+    iters: int = 20,
+    lr: float = 2.0,
+    l2: float = 1e-6,
+) -> QualityModel:
+    """Fit the classifier on (text, label∈{0,1}) rows: ``iters`` scans, one
+    dense partial gradient per partition per scan, driver-side sum in
+    partition order (bit-reproducible). lr is per full-batch step on
+    mean-gradient scale."""
+    spark = df.sparkSession
+    slim = df.select(
+        F.col(text_col).alias("t"), F.col(label_col).cast("double").alias("y")
+    )
+    n_total = slim.count()
+    if n_total == 0:
+        raise ValueError("cannot fit on an empty DataFrame")
+    w = np.zeros(dim, dtype=np.float64)
+    b = 0.0
+    for _ in range(iters):
+        bc = spark.sparkContext.broadcast((w, b))
+
+        def partial(batches):
+            from pyspark import TaskContext
+
+            wv, bv = bc.value
+            g = np.zeros(len(wv), dtype=np.float64)
+            gb = 0.0
+            for pdf in batches:
+                docs, idx, vals, n_docs = _featurize_batch(pdf["t"], len(wv))
+                z = np.full(n_docs, bv, dtype=np.float64)
+                np.add.at(z, docs, wv[idx] * vals)
+                r = _sigmoid(z) - pdf["y"].to_numpy(dtype=np.float64)
+                np.add.at(g, idx, vals * r[docs])
+                gb += float(r.sum())
+            pid = TaskContext.get().partitionId()
+            yield pd.DataFrame(
+                {"pid": [pid], "g": [g.tobytes()], "gb": [gb]}
+            )
+
+        parts = slim.mapInPandas(partial, schema="pid int, g binary, gb double").collect()
+        g = np.zeros(dim, dtype=np.float64)
+        gb = 0.0
+        for row in sorted(parts, key=lambda r: r["pid"]):
+            g += np.frombuffer(row["g"], dtype=np.float64)
+            gb += row["gb"]
+        w -= lr * (g / n_total + l2 * w)
+        b -= lr * (gb / n_total)
+        bc.destroy()
+    return QualityModel(dim=dim, weights=w, bias=b)
+
+
+def score_quality(
+    df: DataFrame, id_col: str, text_col: str, model: QualityModel
+) -> DataFrame:
+    """(id, model_quality) — sigmoid score in (0,1), one zero-shuffle Arrow
+    pass with the weights broadcast. Null text scores sigmoid(bias)."""
+    spark = df.sparkSession
+    bc = spark.sparkContext.broadcast((model.weights, model.bias))
+
+    def probe(batches):
+        wv, bv = bc.value
+        for pdf in batches:
+            docs, idx, vals, n_docs = _featurize_batch(pdf.iloc[:, 1], len(wv))
+            z = np.full(n_docs, bv, dtype=np.float64)
+            np.add.at(z, docs, wv[idx] * vals)
+            yield pd.DataFrame(
+                {
+                    "id": pdf.iloc[:, 0].to_numpy(),
+                    "model_quality": _sigmoid(z),
+                }
+            )
+
+    id_type = dict(df.dtypes)[id_col]
+    return df.select(F.col(id_col), F.col(text_col)).mapInPandas(
+        probe, schema=f"id {id_type}, model_quality double"
+    )

@@ -1833,3 +1833,23 @@ def sequence_packing_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load(spark, sf_dir, "documents")
     return pack_sequences(docs, "doc_id", bpe_token_count("text"), budget=512, num_bins=8)
+
+
+# ---------------------------------------------------------------------------
+# training: model-based quality scoring (hashed-feature logistic classifier;
+# siphash features -> no SQL twin -> rows-only; separation/reproducibility
+# pinned in test_quality_model.py)
+# ---------------------------------------------------------------------------
+@register("quality_model_scores_documents", None)
+def quality_model_scores_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fit the hashed linear scorer with the heuristic quality gate as weak
+    supervision (label = heuristic quality >= 0.5), then score every doc —
+    the bootstrap a real pipeline runs before hand-labeled data exists."""
+    from data_profiler_spark.operators.quality import fit_quality_model, score_quality
+    from data_profiler_spark.operators.text import quality_score
+
+    docs = load(spark, sf_dir, "documents").select(
+        "doc_id", "text", (quality_score(F.col("text")) >= 0.5).cast("double").alias("label")
+    )
+    model = fit_quality_model(docs, "text", "label", dim=2**14, iters=8)
+    return score_quality(docs, "doc_id", "text", model)

@@ -1,0 +1,79 @@
+"""Hashed-feature quality classifier: separation, reproducibility, plan."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from data_profiler_spark.operators.quality import (
+    QualityModel,
+    fit_quality_model,
+    score_quality,
+)
+
+GOOD_WORDS = (
+    "the quick brown fox jumps over a lazy dog while morning light settles "
+    "across quiet fields and people walk slowly toward the old stone bridge"
+).split()
+BAD_WORDS = "click here buy now free winner casino jackpot prize claim".split()
+
+
+def _corpus(spark, n=300):
+    rows = []
+    for i in range(n):
+        g = " ".join(GOOD_WORDS[(i + j) % len(GOOD_WORDS)] for j in range(30))
+        rows.append((2 * i, g, 1.0))
+        b = " ".join(BAD_WORDS[(i + j) % len(BAD_WORDS)] for j in range(30))
+        rows.append((2 * i + 1, b, 0.0))
+    return spark.createDataFrame(rows, "doc_id long, text string, label double")
+
+
+def test_fit_and_score_separates(spark):
+    df = _corpus(spark)
+    model = fit_quality_model(df, "text", "label", dim=2**14, iters=15)
+    scored = score_quality(df, "doc_id", "text", model).withColumnRenamed("id", "doc_id")
+    joined = scored.join(df.select("doc_id", "label"), "doc_id")
+    acc = joined.where(
+        ((F.col("model_quality") >= 0.5) & (F.col("label") == 1.0))
+        | ((F.col("model_quality") < 0.5) & (F.col("label") == 0.0))
+    ).count() / df.count()
+    assert acc > 0.95
+    means = {r["label"]: r["m"] for r in joined.groupBy("label").agg(F.avg("model_quality").alias("m")).collect()}
+    assert means[1.0] > means[0.0] + 0.3  # clear margin, not a coin flip
+
+
+def test_fit_is_reproducible(spark):
+    df = _corpus(spark, n=100)
+    m1 = fit_quality_model(df, "text", "label", dim=2**12, iters=5)
+    m2 = fit_quality_model(df.repartition(9), "text", "label", dim=2**12, iters=5)
+    import numpy as np
+
+    # same data, same hyperparams -> identical model regardless of partitioning
+    # (partials are summed in partition-id order; with different partition
+    # COUNTS the float sum order differs, so compare within tight tolerance)
+    assert abs(m1.bias - m2.bias) < 1e-9
+    assert float(np.abs(m1.weights - m2.weights).max()) < 1e-9
+    m3 = fit_quality_model(df, "text", "label", dim=2**12, iters=5)
+    assert m3.bias == m1.bias and np.array_equal(m3.weights, m1.weights)
+
+
+def test_score_handles_null_and_plan(spark):
+    df = _corpus(spark, n=50)
+    model = fit_quality_model(df, "text", "label", dim=2**12, iters=3)
+    with_null = df.union(
+        spark.createDataFrame([(999999, None, 0.0)], "doc_id long, text string, label double")
+    )
+    scored = score_quality(with_null, "doc_id", "text", model)
+    plan = scored._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan.replace("BroadcastExchange", "")
+    row = {r["id"]: r["model_quality"] for r in scored.collect()}
+    assert 0.0 < row[999999] < 1.0  # sigmoid(bias), defined
+
+
+def test_model_roundtrip_bytes(spark):
+    df = _corpus(spark, n=30)
+    m = fit_quality_model(df, "text", "label", dim=2**10, iters=2)
+    import numpy as np
+
+    m2 = QualityModel.from_bytes(m.to_bytes())
+    assert m2.dim == m.dim and m2.bias == m.bias
+    assert np.array_equal(m2.weights, m.weights)

@@ -120,6 +120,16 @@ def build_audits(spark, sf):
             ),
         }
     )
+
+    # model-based quality scoring: broadcast weights, one Arrow pass
+    from data_profiler_spark.operators.quality import QualityModel, score_quality
+
+    import numpy as np
+
+    toy = QualityModel(dim=64, weights=np.zeros(64), bias=0.0)
+    audits["quality_model_score"] = (
+        score_quality(docs, "doc_id", "text", toy), 0, True,
+    )
     return audits
 
 

@@ -491,3 +491,110 @@ def ivf_topk(
             yield _pairs_frame(out)
 
     return _global_topk(spark, proj.mapInPandas(score, TOPK_SCHEMA), k)
+
+
+def semantic_dedup_pairs(
+    emb: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.97,
+    n_cells: int = 16,
+    seed: int = 42,
+    dim: int | None = None,
+    lloyd_rounds: int = 2,
+    block: int = 1024,
+) -> DataFrame:
+    """SemDeDup-style embedding near-dup candidates: (id_a, id_b, cos) with
+    id_a < id_b and cosine ≥ threshold, compared only WITHIN IVF cells.
+
+    The scale shape (Abbas et al., SemDeDup): k-means-ish cells bound the
+    quadratic term to sum(cell²) instead of N² — pick ``n_cells`` so cells
+    average ~10⁴-10⁵ rows. One zero-shuffle assignment pass
+    (:func:`ivf_index`), ONE exchange on cid, then per-cell blocked
+    normalized matmuls (``block``×cell at a time, so memory is bounded
+    regardless of cell size). With ``n_cells=1`` this degrades to exact
+    all-pairs — the oracle-twin property the tests pin against
+    ``dedup.embedding_near_dups``. True duplicate pairs split across cells
+    are missed (the SemDeDup trade); duplicates have cosine ≈ 1 so they
+    share an argmax cell except on centroid boundaries.
+    """
+    dim = dim or _infer_dim(emb, vec_col)
+    # fused assignment: one scan emits (cid, id, v) — joining ivf_index's
+    # (id, cid) back to the corpus would shuffle the embedding table twice
+    cids, C = _centroids_np(
+        emb, id_col, vec_col, n_cells, seed, dim, lloyd_rounds, 100_000
+    )
+    cn = _seq_norms(C)
+    proj = emb.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
+
+    def assign(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            M = _to_matrix(pdf["v"], dim)
+            vn = _seq_norms(M)
+            best_sim = np.full(M.shape[0], -np.inf)
+            best = np.zeros(M.shape[0], dtype=np.int64)
+            for c in range(C.shape[0]):
+                sim = _safe_cos(_seq_dot(M, C[c]), vn * cn[c])
+                upd = sim > best_sim
+                best_sim[upd] = sim[upd]
+                best[upd] = c
+            out = pdf[["id", "v"]].copy()
+            out["cid"] = cids[best]
+            yield out
+
+    joined = proj.mapInPandas(assign, "id long, v array<float>, cid long")
+
+    def _cell_frame(out: list) -> pd.DataFrame:
+        return pd.DataFrame(
+            out, columns=["id_a", "id_b", "cos"]
+        ).astype({"id_a": "int64", "id_b": "int64", "cos": "float64"})
+
+    def cell_pairs(key: tuple, pdf: pd.DataFrame) -> pd.DataFrame:
+        M = _to_matrix(pdf["v"], dim)
+        ids = pdf["id"].to_numpy(dtype=np.int64)
+        n = M.shape[0]
+        if n < 2:
+            return _cell_frame([])
+        norms = _seq_norms(M)
+        Mn = M / norms[:, None]
+        out: list[tuple[int, int, float]] = []
+        for lo in range(0, n, block):
+            hi = min(lo + block, n)
+            S = Mn[lo:hi] @ Mn.T  # (hi-lo, n)
+            for r in range(hi - lo):
+                i = lo + r
+                cand = np.nonzero(S[r, i + 1 :] >= threshold)[0] + i + 1
+                for j in cand:
+                    a, b = int(ids[i]), int(ids[j])
+                    if a > b:
+                        a, b = b, a
+                    elif a == b:
+                        continue
+                    out.append((a, b, float(S[r, j])))
+        return _cell_frame(out)
+
+    return joined.groupBy("cid").applyInPandas(
+        cell_pairs, schema="id_a long, id_b long, cos double"
+    )
+
+
+def semantic_dedup(
+    emb: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.97,
+    n_cells: int = 16,
+    seed: int = 42,
+    dim: int | None = None,
+    lloyd_rounds: int = 2,
+) -> DataFrame:
+    """Corpus minus semantic near-duplicates: keep the deterministic
+    min-id representative of every within-cell cosine-≥-threshold cluster
+    (``dedup.dedup_keep_canonical`` — union-find over the pair graph)."""
+    from data_profiler_spark.operators.dedup import dedup_keep_canonical
+
+    pairs = semantic_dedup_pairs(
+        emb, id_col, vec_col, threshold=threshold, n_cells=n_cells,
+        seed=seed, dim=dim, lloyd_rounds=lloyd_rounds,
+    )
+    return dedup_keep_canonical(emb, id_col, pairs.select("id_a", "id_b"))

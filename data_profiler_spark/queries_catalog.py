@@ -1853,3 +1853,17 @@ def quality_model_scores_documents(spark: SparkSession, sf_dir: str) -> DataFram
     )
     model = fit_quality_model(docs, "text", "label", dim=2**14, iters=8)
     return score_quality(docs, "doc_id", "text", model)
+
+
+# ---------------------------------------------------------------------------
+# training: SemDeDup-style semantic dedup (IVF-cell-bucketed embedding
+# near-dup pairs; numpy blocked matmul inside cells -> no SQL twin ->
+# rows-only; exactness/recall/survivor properties pinned in
+# test_similarity.py, incl. n_cells=1 == all-pairs oracle twin)
+# ---------------------------------------------------------------------------
+@register("semantic_dedup_pairs_embeddings", None)
+def semantic_dedup_pairs_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from data_profiler_spark.operators.similarity import semantic_dedup_pairs
+
+    emb = load(spark, sf_dir, "embeddings")
+    return semantic_dedup_pairs(emb, threshold=0.4, n_cells=4, lloyd_rounds=2)

@@ -189,3 +189,92 @@ def test_zero_norm_vectors_excluded_not_rank_one(spark):
     # a zero-norm PROBE yields no rows rather than NaN garbage
     zero_probe = emb.where("vec_id = 3")
     assert brute_force_topk(emb, zero_probe, k=3).count() == 0
+
+
+def test_semantic_dedup_pairs_single_cell_is_exact(embeddings):
+    """n_cells=1 degrades to all-pairs — must equal the exact oracle twin
+    (pair sets identical; cosines equal within float32→float64 noise)."""
+    from data_profiler_spark.operators.dedup import embedding_near_duplicates
+    from data_profiler_spark.operators.similarity import semantic_dedup_pairs
+
+    got = {
+        (r["id_a"], r["id_b"]): r["cos"]
+        for r in semantic_dedup_pairs(
+            embeddings, threshold=0.4, n_cells=1, lloyd_rounds=0
+        ).collect()
+    }
+    want = {
+        (r["id_a"], r["id_b"]): r["cos_sim"]
+        for r in embedding_near_duplicates(
+            embeddings, "vec_id", "embedding", threshold=0.4
+        ).collect()
+    }
+    # float noise can flip membership exactly at the threshold; compare on
+    # the union with a tolerance band instead of strict set equality
+    for k in set(got) | set(want):
+        a, b = got.get(k), want.get(k)
+        if a is None or b is None:
+            present = a if a is not None else b
+            assert abs(present - 0.4) < 1e-5, (k, present)
+        else:
+            assert abs(a - b) < 1e-5
+
+
+def test_semantic_dedup_multicell_recall_and_survivors(embeddings):
+    from data_profiler_spark.operators.dedup import embedding_near_duplicates
+    from data_profiler_spark.operators.similarity import (
+        semantic_dedup,
+        semantic_dedup_pairs,
+    )
+
+    spark = embeddings.sparkSession
+    # clustered corpus with PLANTED near-duplicates: 6 separated blobs,
+    # every 5th vector is a tiny perturbation of the previous one
+    # (cosine ≈ 0.999) — the regime SemDeDup targets
+    rng = np.random.default_rng(7)
+    centers = rng.normal(0, 10, size=(6, 16))
+    rows, vecs = [], []
+    for i in range(600):
+        if i % 5 == 4:
+            v = vecs[-1] + rng.normal(0, 0.01, 16)
+        else:
+            v = centers[i % 6] + rng.normal(0, 1.0, 16)
+        vecs.append(v)
+        rows.append((i, [float(x) for x in v]))
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+
+    exact = {
+        (r["id_a"], r["id_b"])
+        for r in embedding_near_duplicates(
+            emb, "vec_id", "embedding", threshold=0.995
+        ).collect()
+    }
+    assert len(exact) >= 100  # the planted dups are really there
+    got = {
+        (r["id_a"], r["id_b"])
+        for r in semantic_dedup_pairs(
+            emb, threshold=0.995, n_cells=6, dim=16, lloyd_rounds=2
+        ).collect()
+    }
+    # within-cell cosine is exact → no false positives; planted dups share
+    # an argmax cell (cosine ≈ 1) → near-total recall
+    assert got <= exact
+    assert len(got) >= 0.95 * len(exact)
+    # survivors: exactly one min-id representative per connected component
+    surv = semantic_dedup(emb, threshold=0.995, n_cells=6, dim=16, lloyd_rounds=2)
+    kept = {r["vec_id"] for r in surv.select("vec_id").collect()}
+    parent = {i: i for i in range(600)}
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in got:
+        parent[find(a)] = find(b)
+    comps: dict[int, set] = {}
+    for i in range(600):
+        comps.setdefault(find(i), set()).add(i)
+    want_kept = {min(members) for members in comps.values()}
+    assert kept == want_kept

@@ -293,10 +293,14 @@ def main(argv: list[str] | None = None) -> int:
             from data_profiler_spark.operators.constraints import (
                 CheckSuite,
                 DriftCheck,
+                ExpressionCheck,
+                FreshnessCheck,
                 MembershipCheck,
                 NullRateCheck,
                 RangeCheck,
+                ReconciliationCheck,
                 RegexCheck,
+                SchemaCheck,
                 UniquenessCheck,
                 run_suite,
             )
@@ -313,6 +317,7 @@ def main(argv: list[str] | None = None) -> int:
                 "range": lambda s: RangeCheck(s["column"], s.get("min"), s.get("max")),
                 "regex": lambda s: RegexCheck(s["column"], s["pattern"]),
                 "membership": lambda s: MembershipCheck(s["column"], tuple(s["allowed"])),
+                "expression": lambda s: ExpressionCheck(s["predicate"], s.get("name", "")),
             }
             # drift spec: {"type": "drift", "column", "group_by", "bucket_width",
             #              "baseline": <parquet path of a histogram_snapshot>,
@@ -333,12 +338,44 @@ def main(argv: list[str] | None = None) -> int:
                     )
                 )
                 baselines[name] = None  # loaded after the session exists
+            # freshness: {"type": "freshness", "column", "max_age_seconds",
+            #             "as_of" (ISO instant — stamp it at submit time)}
+            # schema:    {"type": "schema", "expected": [["col","type"],...],
+            #             "allow_extra": bool}
+            # reconcile: {"type": "reconcile", "agg", "column",
+            #             "other_path" (parquet/csv/json to compare with),
+            #             "other_agg", "other_column", "rel_tol"}
+            checks = spec.get("checks", [])
+            rec_specs = [s for s in checks if s["type"] == "reconcile"]
             suite = CheckSuite(
-                row_checks=[mk[s["type"]](s) for s in spec.get("checks", []) if s["type"] in mk],
+                row_checks=[mk[s["type"]](s) for s in checks if s["type"] in mk],
                 uniqueness=[
                     UniquenessCheck(tuple(u)) for u in spec.get("uniqueness", [])
                 ],
                 drift=drift_checks,
+                freshness=[
+                    FreshnessCheck(
+                        s["column"], float(s["max_age_seconds"]), s["as_of"],
+                        s.get("name", ""),
+                    )
+                    for s in checks if s["type"] == "freshness"
+                ],
+                schema_checks=[
+                    SchemaCheck(
+                        tuple((c[0], c[1]) for c in s["expected"]),
+                        s.get("allow_extra", True), s.get("name", ""),
+                    )
+                    for s in checks if s["type"] == "schema"
+                ],
+                reconciliation=[
+                    ReconciliationCheck(
+                        agg=s["agg"], other_name=s["other_path"],
+                        column=s.get("column"), other_agg=s.get("other_agg"),
+                        other_column=s.get("other_column"),
+                        rel_tol=float(s.get("rel_tol", 0.0)), name=s.get("name", ""),
+                    )
+                    for s in rec_specs
+                ],
             )
             for i, s in enumerate(drift_specs):
                 baselines[f"drift_{i}"] = spark.read.parquet(s["baseline"])
@@ -349,11 +386,16 @@ def main(argv: list[str] | None = None) -> int:
                 content_col=spec.get("content_col"),
                 key_cols=spec.get("key_cols", []),
                 baselines=baselines,
+                datasets={s["other_path"]: sources.read(spark, s["other_path"]) for s in rec_specs},
             )
             verdicts = out["verdicts"].collect() if "verdicts" in out else []
             drift_rows = out["drift"].collect() if "drift" in out else []
             failed = [r for r in verdicts if not r["pass"]]
             drift_failed = [r for r in drift_rows if not r["pass"]]
+            extra_failed = []
+            for fam in ("freshness", "schema", "reconciliation"):
+                if fam in out:
+                    extra_failed += [r for r in out[fam].collect() if not r["pass"]]
             payload = {
                 "report_type": "validation",
                 "source": args.path,
@@ -363,9 +405,11 @@ def main(argv: list[str] | None = None) -> int:
                 "n_drift": len(drift_rows),
                 "n_drift_failed": len(drift_failed),
                 "drift_failed": [r.asDict() for r in drift_failed[:100]],
+                "n_other_failed": len(extra_failed),
+                "other_failed": [r.asDict() for r in extra_failed[:100]],
             }
             _emit(args, json.dumps(payload, indent=2, sort_keys=True, default=str))
-            return EXIT_OK if not (failed or drift_failed) else EXIT_ERROR
+            return EXIT_OK if not (failed or drift_failed or extra_failed) else EXIT_ERROR
 
         if args.command == "dedup":
             from data_profiler_spark.operators import dedup as dd

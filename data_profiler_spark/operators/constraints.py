@@ -85,6 +85,24 @@ class MembershipCheck:
 
 
 @dataclass(frozen=True)
+class ExpressionCheck:
+    """Arbitrary SQL boolean predicate that must hold for EVERY row — the
+    Deequ ``satisfies`` / dbt singular-test staple (e.g.
+    ``"l_discount BETWEEN 0 AND 0.1 AND l_extendedprice > 0"``).
+
+    A NULL predicate result counts as a violation: a rule the engine
+    cannot evaluate for a row is a failed rule, never a silent pass. The
+    expression compiles to a native Column (``F.expr``) so it runs inside
+    whole-stage codegen with every other row check in the same scan."""
+
+    predicate: str
+    name: str = ""
+
+    def check_name(self) -> str:
+        return self.name or f"expr:{self.predicate}"
+
+
+@dataclass(frozen=True)
 class UniquenessCheck:
     keys: tuple
     name: str = ""
@@ -139,7 +157,66 @@ class DriftCheck:
         return self.name or f"drift:{self.column}{g}"
 
 
-RowCheck = NullRateCheck | RangeCheck | RegexCheck | MembershipCheck
+@dataclass(frozen=True)
+class FreshnessCheck:
+    """max(column) must be within ``max_age_seconds`` of ``as_of``.
+
+    ``as_of`` is an explicit ISO-8601 instant rather than wall-clock time:
+    the submitting job stamps it once (launch time), so a resumed or
+    re-run suite reproduces the identical verdict — same determinism
+    contract as the violation rows."""
+
+    column: str
+    max_age_seconds: float
+    as_of: str
+    name: str = ""
+
+    def check_name(self) -> str:
+        return self.name or f"freshness:{self.column}"
+
+
+@dataclass(frozen=True)
+class SchemaCheck:
+    """Assert column presence + Spark type (``simpleString`` form, e.g.
+    ``("commit", "string")``). ``allow_extra=False`` additionally fails
+    any column not in ``expected``. Evaluated driver-side from
+    ``df.schema`` — zero scan cost."""
+
+    expected: tuple  # of (column, type) pairs
+    allow_extra: bool = True
+    name: str = ""
+
+    def check_name(self) -> str:
+        return self.name or "schema"
+
+
+@dataclass(frozen=True)
+class ReconciliationCheck:
+    """Cross-table aggregate reconciliation: ``agg(column)`` on the
+    checked table must match ``agg(other_column)`` on the ``other_name``
+    dataset within ``rel_tol`` relative difference (e.g. every order key
+    seen in lineitem exists in orders: count_distinct vs count).
+
+    agg ∈ {count, count_distinct, sum}; sums run through DECIMAL(28,8)
+    so the comparison is exact-arithmetic, not float-accumulation-order.
+    ``other_agg``/``other_column`` default to the left side's — set them
+    when the two sides aggregate differently (count_distinct child key vs
+    plain count of the parent)."""
+
+    agg: str
+    other_name: str
+    column: str | None = None
+    other_agg: str | None = None
+    other_column: str | None = None
+    rel_tol: float = 0.0
+    name: str = ""
+
+    def check_name(self) -> str:
+        col = f"({self.column})" if self.column else ""
+        return self.name or f"reconcile:{self.agg}{col}->{self.other_name}"
+
+
+RowCheck = NullRateCheck | RangeCheck | RegexCheck | MembershipCheck | ExpressionCheck
 
 
 @dataclass
@@ -148,12 +225,18 @@ class CheckSuite:
     uniqueness: list = field(default_factory=list)
     referential: list = field(default_factory=list)
     drift: list = field(default_factory=list)
+    freshness: list = field(default_factory=list)
+    schema_checks: list = field(default_factory=list)
+    reconciliation: list = field(default_factory=list)
 
 
 # ---------------------------------------------------------------------------
 # row-level predicate → violation expression (native, codegen'd)
 # ---------------------------------------------------------------------------
 def _violation_expr(check: RowCheck):
+    if isinstance(check, ExpressionCheck):
+        # not-TRUE (false or NULL) is a violation — see ExpressionCheck
+        return ~F.coalesce(F.expr(check.predicate).cast("boolean"), F.lit(False))
     c = F.col(check.column)
     if isinstance(check, NullRateCheck):
         return c.isNull()
@@ -320,11 +403,15 @@ def run_suite(
     key_cols: list[str] | None = None,
     salt_buckets: int = DEFAULT_SALT_BUCKETS,
     baselines: dict[str, DataFrame] | None = None,
+    datasets: dict[str, DataFrame] | None = None,
 ) -> dict[str, DataFrame]:
     """Run the full suite. Returns dict with 'verdicts', 'violations',
     'uniqueness' (violating key rows), 'referential' (one verdict row per
     referential check), 'drift' (one verdict row per drift check × group,
-    computed against the stored baseline snapshots in ``baselines``)."""
+    computed against the stored baseline snapshots in ``baselines``),
+    'freshness' / 'schema' / 'reconciliation' (one verdict row per check;
+    reconciliation right-hand sides resolve from ``datasets`` first, then
+    from ``parents``)."""
     from data_profiler_spark.operators.referential import match_rate
 
     out: dict[str, DataFrame] = {}
@@ -407,7 +494,89 @@ def run_suite(
         drift = v if drift is None else drift.unionByName(v, allowMissingColumns=True)
     if drift is not None:
         out["drift"] = drift.orderBy("check", "group")
+
+    fresh = None
+    for ch in suite.freshness:
+        as_of_us = F.unix_micros(F.to_timestamp(F.lit(ch.as_of)))
+        max_age_us = F.lit(int(ch.max_age_seconds * 1_000_000))
+        mx_us = F.unix_micros(F.col("__mx"))
+        v = (
+            df.agg(F.max(F.col(ch.column).cast("timestamp")).alias("__mx"))
+            .select(
+                F.lit(ch.check_name()).alias("check"),
+                mx_us.alias("max_ts_us"),
+                (as_of_us - mx_us).alias("lag_us"),
+                # empty table → max NULL → not-TRUE → failed, never silent
+                F.coalesce((as_of_us - mx_us) <= max_age_us, F.lit(False)).alias("pass"),
+            )
+        )
+        fresh = v if fresh is None else fresh.unionByName(v)
+    if fresh is not None:
+        out["freshness"] = fresh
+
+    schema_rows = []
+    actual = {f.name: f.dataType.simpleString() for f in df.schema.fields}
+    for ch in suite.schema_checks:
+        for colname, typ in ch.expected:
+            got = actual.get(colname)
+            schema_rows.append((ch.check_name(), colname, typ, got, got == typ))
+        if not ch.allow_extra:
+            expected_names = {c for c, _ in ch.expected}
+            for colname in df.schema.fieldNames():
+                if colname not in expected_names:
+                    schema_rows.append(
+                        (ch.check_name(), colname, None, actual[colname], False)
+                    )
+    if schema_rows:
+        out["schema"] = df.sparkSession.createDataFrame(
+            schema_rows,
+            "check string, column string, expected string, actual string, pass boolean",
+        )
+
+    rec = None
+    for ch in suite.reconciliation:
+        other = (datasets or {}).get(ch.other_name)
+        if other is None:
+            other = (parents or {})[ch.other_name][0]
+        left = df.agg(_reconcile_agg(ch.agg, ch.column).alias("left_value"))
+        right = other.agg(
+            _reconcile_agg(
+                ch.other_agg or ch.agg, ch.other_column or ch.column
+            ).alias("right_value")
+        )
+        rel = F.try_divide(
+            F.abs(F.col("left_value") - F.col("right_value")), F.abs(F.col("right_value"))
+        )
+        v = left.crossJoin(right).select(
+            F.lit(ch.check_name()).alias("check"),
+            "left_value",
+            "right_value",
+            rel.alias("rel_diff"),
+            # rel NULL means right==0: equal-zero passes, anything else fails
+            F.coalesce(
+                rel <= F.lit(ch.rel_tol),
+                F.col("left_value") == F.col("right_value"),
+                F.lit(False),
+            ).alias("pass"),
+        )
+        rec = v if rec is None else rec.unionByName(v)
+    if rec is not None:
+        out["reconciliation"] = rec
     return out
+
+
+def _reconcile_agg(agg: str, column: str | None):
+    """Aggregate expression for ReconciliationCheck, as exact-arithmetic
+    DOUBLE on both sides (DECIMAL-summed so accumulation order is moot)."""
+    if agg == "count":
+        return F.count(F.lit(1)).cast("double")
+    if column is None:
+        raise ValueError(f"reconciliation agg {agg!r} needs a column")
+    if agg == "count_distinct":
+        return F.countDistinct(column).cast("double")
+    if agg == "sum":
+        return F.sum(F.col(column).cast("decimal(28,8)")).cast("double")
+    raise ValueError(f"unknown reconciliation agg: {agg!r}")
 
 
 def collect_suite(out: dict, max_workers: int = 4) -> dict:

@@ -1,0 +1,111 @@
+"""Functional-dependency checking and discovery (intra-table).
+
+Complements relationships.py (cross-table FK discovery — ref:
+/root/reference/src/data_profiler/relationships/detector.py) with the
+intra-table analogue a profiler needs: does ``determinant → dependent``
+hold, how badly is it violated, and which dependencies look real?
+
+Scale design:
+  - :func:`fd_check` / :func:`fd_violations` are ONE shuffle on the
+    determinant: ``groupBy(det).agg(countDistinct(dep))`` plans as a
+    two-phase aggregate (partial distinct per mapper, merge per reducer —
+    a single distinct column never triggers Expand), then a tiny scalar
+    reduce. Hot determinants cost one reducer each, bounded by their
+    distinct-dependent count, not their row count.
+  - :func:`discover_fds` screens ALL candidate ordered pairs in ONE scan
+    using approx_count_distinct (HLL++, mergeable map-side): FD A→B holds
+    iff |distinct(A)| == |distinct(A,B)|, so the HLL ratio is a cheap
+    filter. Survivors are confirmed exactly with per-pair fd_check — the
+    expensive exact pass runs only on pairs the sketch couldn't rule out.
+    This is the profiler-friendly cut of TANE: level-1 (single-column
+    determinant) dependencies, which is what drives key/hierarchy hints.
+"""
+
+from __future__ import annotations
+
+from itertools import permutations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def fd_violations(df: DataFrame, determinant: list[str], dependent: str) -> DataFrame:
+    """Determinant groups that map to more than one distinct dependent
+    value → (determinant..., n_dependent). Empty result == FD holds."""
+    return (
+        df.groupBy(*determinant)
+        .agg(F.countDistinct(dependent).alias("n_dependent"))
+        .where(F.col("n_dependent") > 1)
+    )
+
+
+def fd_check(df: DataFrame, determinant: list[str], dependent: str) -> DataFrame:
+    """One verdict row for ``determinant → dependent``:
+
+    (n_determinant, n_violating, max_dependents, holds, confidence) where
+    confidence = |distinct det| / |distinct (det, dep)| — 1.0 iff the FD
+    holds exactly, and degrades smoothly with violation mass (the standard
+    g3-style FD confidence used by approximate-FD miners).
+    """
+    g = df.groupBy(*determinant).agg(F.countDistinct(dependent).alias("n_vals"))
+    return g.agg(
+        F.count(F.lit(1)).alias("n_determinant"),
+        F.sum((F.col("n_vals") > 1).cast("long")).alias("n_violating"),
+        F.max("n_vals").alias("max_dependents"),
+        (F.sum((F.col("n_vals") > 1).cast("long")) == 0).alias("holds"),
+        (
+            F.count(F.lit(1)).cast("double") / F.sum("n_vals").cast("double")
+        ).alias("confidence"),
+    )
+
+
+def discover_fds(
+    df: DataFrame,
+    columns: list[str] | None = None,
+    rsd: float = 0.02,
+    confirm: bool = True,
+    max_confirm: int = 20,
+) -> list[dict]:
+    """Screen every ordered column pair (A → B) for functional dependency.
+
+    One scan computes approx_count_distinct for each column and each pair
+    struct; pairs whose HLL confidence exceeds the sketch's error envelope
+    (1 - 3·rsd) survive to exact confirmation (up to ``max_confirm``
+    pairs, each a single fd_check job). Returns a list of dicts sorted by
+    descending approx confidence:
+      {determinant, dependent, approx_confidence, holds (exact, or None
+       if unconfirmed), confidence (exact, or None)}
+    """
+    cols = columns or [f.name for f in df.schema.fields]
+    aggs = [F.approx_count_distinct(c, rsd).alias(f"d_{i}") for i, c in enumerate(cols)]
+    idx = {c: i for i, c in enumerate(cols)}
+    pairs = list(permutations(cols, 2))
+    aggs += [
+        F.approx_count_distinct(F.struct(a, b), rsd).alias(f"p_{i}")
+        for i, (a, b) in enumerate(pairs)
+    ]
+    row = df.agg(*aggs).collect()[0]
+
+    out = []
+    for i, (a, b) in enumerate(pairs):
+        d_a, d_ab = row[f"d_{idx[a]}"], row[f"p_{i}"]
+        approx_conf = d_a / d_ab if d_ab else 1.0
+        out.append(
+            {
+                "determinant": a,
+                "dependent": b,
+                "approx_confidence": approx_conf,
+                "holds": None,
+                "confidence": None,
+            }
+        )
+    out.sort(key=lambda r: (-r["approx_confidence"], r["determinant"], r["dependent"]))
+
+    if confirm:
+        gate = 1.0 - 3.0 * rsd
+        todo = [r for r in out if r["approx_confidence"] >= gate][:max_confirm]
+        for r in todo:
+            exact = fd_check(df, [r["determinant"]], r["dependent"]).collect()[0]
+            r["holds"] = bool(exact["holds"])
+            r["confidence"] = float(exact["confidence"])
+    return out

@@ -1,0 +1,102 @@
+"""Sessionization: gap-based session assignment over an event table.
+
+The classic web-scale event-log operator the reference's gap detector
+(ref: /root/reference/src/data_profiler/analyzers/timeseries.py — lag-gap
+semantics) stops just short of: instead of *reporting* gaps, split each
+entity's event stream INTO sessions at every gap larger than
+``gap_seconds``, then aggregate per-session stats.
+
+Spark-first design (one shuffle total):
+  - both window expressions (the lag flag and the running session index)
+    share the same ``partitionBy(entity).orderBy(ts, tiebreak)`` spec, so
+    Catalyst plans ONE Exchange + ONE Sort and evaluates the two window
+    functions in a single Window operator over it;
+  - the follow-up ``groupBy(entity, session_seq)`` in
+    :func:`session_stats` needs ``ClusteredDistribution({entity,
+    session_seq})``, which the existing hash partitioning on ``entity``
+    (a subset of the grouping keys) already satisfies — no second
+    Exchange (plan-asserted in tests/test_plans.py);
+  - per-entity streams are assumed to fit a single task's sort spill
+    budget (true for user/event data: the hottest user is MBs, not TBs).
+    A pathological single-entity firehose should be sessionized with the
+    streaming path (streaming.py) instead, which bounds state by
+    watermark.
+
+Determinism: equal timestamps within an entity are tie-broken by
+``tiebreak_col`` so two runs (or two cluster sizes) assign identical
+session ids — same contract as the constraint engine's violation rows.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def sessionize(
+    df: DataFrame,
+    entity_col: str,
+    ts_col: str,
+    gap_seconds: int = 1800,
+    tiebreak_col: str | None = None,
+) -> DataFrame:
+    """Assign ``session_seq`` (1-based per entity) and ``session_id`` to
+    every event. A new session starts at the entity's first event and at
+    every event more than ``gap_seconds`` after its predecessor."""
+    order = [F.col(ts_col)] + ([F.col(tiebreak_col)] if tiebreak_col else [])
+    w = Window.partitionBy(entity_col).orderBy(*order)
+    ts_us = F.unix_micros(F.col(ts_col).cast("timestamp"))
+    prev_us = F.lag(ts_us).over(w)
+    new_session = (
+        prev_us.isNull() | ((ts_us - prev_us) > F.lit(int(gap_seconds) * 1_000_000))
+    ).cast("long")
+    seq = F.sum(new_session).over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    return df.withColumn("session_seq", seq).withColumn(
+        "session_id", F.concat_ws("#", F.col(entity_col).cast("string"), F.col("session_seq"))
+    )
+
+
+def session_stats(
+    df: DataFrame,
+    entity_col: str,
+    ts_col: str,
+    gap_seconds: int = 1800,
+    tiebreak_col: str | None = None,
+) -> DataFrame:
+    """Per-session rollup: event count, start/end (µs epoch), duration.
+
+    Output: (entity, session_seq, n_events, start_us, end_us, duration_us).
+    """
+    s = sessionize(df, entity_col, ts_col, gap_seconds, tiebreak_col)
+    ts_us = F.unix_micros(F.col(ts_col).cast("timestamp"))
+    return (
+        s.select(entity_col, "session_seq", ts_us.alias("__us"))
+        .groupBy(entity_col, "session_seq")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.min("__us").alias("start_us"),
+            F.max("__us").alias("end_us"),
+        )
+        .withColumn("duration_us", F.col("end_us") - F.col("start_us"))
+    )
+
+
+def session_summary(
+    df: DataFrame,
+    entity_col: str,
+    ts_col: str,
+    gap_seconds: int = 1800,
+    tiebreak_col: str | None = None,
+) -> DataFrame:
+    """One row per entity: session count + mean session length/size.
+
+    Reuses the single-shuffle stats frame; the per-entity reduce is again
+    satisfied by the same hash partitioning (entity ⊆ {entity}), so the
+    whole three-level rollup is still ONE Exchange.
+    """
+    st = session_stats(df, entity_col, ts_col, gap_seconds, tiebreak_col)
+    return st.groupBy(entity_col).agg(
+        F.count(F.lit(1)).alias("n_sessions"),
+        F.sum("n_events").alias("n_events"),
+        F.sum("duration_us").alias("total_session_us"),
+    )

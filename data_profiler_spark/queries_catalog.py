@@ -1867,3 +1867,164 @@ def semantic_dedup_pairs_embeddings(spark: SparkSession, sf_dir: str) -> DataFra
 
     emb = load(spark, sf_dir, "embeddings")
     return semantic_dedup_pairs(emb, threshold=0.4, n_cells=4, lloyd_rounds=2)
+
+
+# ---------------------------------------------------------------------------
+# sessionization: gap-based session assignment + per-session rollup
+# (operators/sessions.py — the event-log operator one step past the
+# reference's lag-gap detector, analyzers/timeseries.py)
+# ---------------------------------------------------------------------------
+@register(
+    "sessionize_events",
+    """WITH s AS (
+         SELECT user_id, ts, event_id,
+                CASE WHEN LAG(ts) OVER w IS NULL
+                       OR epoch_us(ts) - epoch_us(LAG(ts) OVER w) > 1800000000
+                     THEN 1 ELSE 0 END AS new_s
+         FROM events
+         WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+       ), s2 AS (
+         SELECT user_id, ts,
+                SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                 ROWS UNBOUNDED PRECEDING) AS session_seq
+         FROM s
+       )
+       SELECT user_id, CAST(session_seq AS BIGINT) AS session_seq,
+              CAST(COUNT(*) AS BIGINT) AS n_events,
+              MIN(epoch_us(ts)) AS start_us,
+              MAX(epoch_us(ts)) AS end_us,
+              MAX(epoch_us(ts)) - MIN(epoch_us(ts)) AS duration_us
+       FROM s2 GROUP BY user_id, session_seq""",
+)
+def sessionize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from data_profiler_spark.operators.sessions import session_stats
+
+    ev = load(spark, sf_dir, "events")
+    return session_stats(ev, "user_id", "ts", gap_seconds=1800, tiebreak_col="event_id")
+
+
+# ---------------------------------------------------------------------------
+# functional dependencies (operators/dependencies.py)
+# ---------------------------------------------------------------------------
+@register(
+    "fd_check_lineitem",
+    """WITH g AS (SELECT l_orderkey, COUNT(DISTINCT l_suppkey) AS n_vals
+                  FROM lineitem GROUP BY 1)
+       SELECT CAST(COUNT(*) AS BIGINT) AS n_determinant,
+              CAST(SUM(CASE WHEN n_vals > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_violating,
+              CAST(MAX(n_vals) AS BIGINT) AS max_dependents,
+              SUM(CASE WHEN n_vals > 1 THEN 1 ELSE 0 END) = 0 AS holds,
+              CAST(COUNT(*) AS DOUBLE) / CAST(SUM(n_vals) AS DOUBLE) AS confidence
+       FROM g""",
+)
+def fd_check_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Does l_orderkey functionally determine l_suppkey? (It doesn't —
+    multi-supplier orders — so the verdict carries violation mass.)"""
+    from data_profiler_spark.operators.dependencies import fd_check
+
+    li = load(spark, sf_dir, "lineitem")
+    return fd_check(li, ["l_orderkey"], "l_suppkey")
+
+
+@register(
+    "fd_violations_orders",
+    """SELECT o_custkey, CAST(COUNT(DISTINCT o_orderpriority) AS BIGINT) AS n_dependent
+       FROM orders GROUP BY 1 HAVING COUNT(DISTINCT o_orderpriority) > 1""",
+)
+def fd_violations_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from data_profiler_spark.operators.dependencies import fd_violations
+
+    o = load(spark, sf_dir, "orders")
+    return fd_violations(o, ["o_custkey"], "o_orderpriority")
+
+
+# ---------------------------------------------------------------------------
+# suite extensions: expression / freshness / reconciliation checks
+# (operators/constraints.py — Deequ-satisfies / freshness / cross-table
+# reconciliation staples of a validation engine)
+# ---------------------------------------------------------------------------
+@register(
+    "expression_check_lineitem",
+    """SELECT CAST(l_orderkey % 8 AS BIGINT) AS "partition",
+              'discount_le_tax' AS "check",
+              CAST(SUM(CASE WHEN NOT COALESCE(l_discount <= l_tax, FALSE)
+                            THEN 1 ELSE 0 END) AS BIGINT) AS violation_count,
+              CAST(COUNT(*) AS BIGINT) AS row_count,
+              SUM(CASE WHEN NOT COALESCE(l_discount <= l_tax, FALSE)
+                       THEN 1 ELSE 0 END) = 0 AS pass
+       FROM lineitem GROUP BY 1""",
+)
+def expression_check_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-column SQL predicate through the single-scan row-check engine;
+    verdicts per partition (pmod 8 of the order key on both sides)."""
+    from data_profiler_spark.operators.constraints import ExpressionCheck, run_row_checks
+
+    li = load(spark, sf_dir, "lineitem")
+    verdicts, _ = run_row_checks(
+        li,
+        [ExpressionCheck("l_discount <= l_tax", name="discount_le_tax")],
+        partition_col=F.pmod(F.col("l_orderkey"), F.lit(8)),
+    )
+    return verdicts
+
+
+@register(
+    "freshness_events",
+    """SELECT 'freshness:ts' AS "check",
+              MAX(epoch_us(ts)) AS max_ts_us,
+              epoch_us(TIMESTAMP '2026-01-01 00:00:00') - MAX(epoch_us(ts)) AS lag_us,
+              COALESCE(epoch_us(TIMESTAMP '2026-01-01 00:00:00') - MAX(epoch_us(ts))
+                       <= 157680000000000, FALSE) AS pass
+       FROM events""",
+)
+def freshness_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Freshness verdict with a pinned as_of (determinism contract):
+    max(ts) must be within 5 years of 2026-01-01."""
+    from data_profiler_spark.operators.constraints import (
+        CheckSuite,
+        FreshnessCheck,
+        run_suite,
+    )
+
+    ev = load(spark, sf_dir, "events")
+    suite = CheckSuite(
+        freshness=[
+            FreshnessCheck("ts", max_age_seconds=5 * 365 * 86400, as_of="2026-01-01 00:00:00")
+        ]
+    )
+    return run_suite(ev, suite, partition_col=F.lit(0))["freshness"]
+
+
+@register(
+    "reconciliation_lineitem_orders",
+    """WITH l AS (SELECT CAST(COUNT(DISTINCT l_orderkey) AS DOUBLE) AS left_value
+                  FROM lineitem),
+            r AS (SELECT CAST(COUNT(*) AS DOUBLE) AS right_value FROM orders)
+       SELECT 'reconcile:count_distinct(l_orderkey)->orders' AS "check",
+              left_value, right_value,
+              ABS(left_value - right_value) / ABS(right_value) AS rel_diff,
+              ABS(left_value - right_value) / ABS(right_value) <= 0.05 AS pass
+       FROM l, r""",
+)
+def reconciliation_lineitem_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-table reconciliation: distinct order keys referenced by
+    lineitem vs order-table row count, within 5% relative tolerance."""
+    from data_profiler_spark.operators.constraints import (
+        CheckSuite,
+        ReconciliationCheck,
+        run_suite,
+    )
+
+    li = load(spark, sf_dir, "lineitem")
+    orders = load(spark, sf_dir, "orders")
+    suite = CheckSuite(
+        reconciliation=[
+            ReconciliationCheck(
+                agg="count_distinct", other_name="orders", column="l_orderkey",
+                other_agg="count", rel_tol=0.05,
+            )
+        ]
+    )
+    return run_suite(li, suite, partition_col=F.lit(0), datasets={"orders": orders})[
+        "reconciliation"
+    ]

@@ -55,6 +55,7 @@ def main() -> int:
     from data_profiler_spark.checkpoint import CheckpointedValidation
     from data_profiler_spark.operators.constraints import (
         CheckSuite,
+        ExpressionCheck,
         MembershipCheck,
         NullRateCheck,
         RangeCheck,
@@ -70,6 +71,7 @@ def main() -> int:
         "range": lambda s: RangeCheck(s["column"], s.get("min"), s.get("max")),
         "regex": lambda s: RegexCheck(s["column"], s["pattern"]),
         "membership": lambda s: MembershipCheck(s["column"], tuple(s["allowed"])),
+        "expression": lambda s: ExpressionCheck(s["predicate"], s.get("name", "")),
     }
     suite = CheckSuite(
         row_checks=[mk[s["type"]](s) for s in spec.get("checks", []) if s["type"] in mk]

@@ -1,0 +1,187 @@
+"""Sessionization + functional-dependency operators, and the round-3
+suite extensions (expression / freshness / schema / reconciliation)."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+import pytest
+from pyspark.sql import functions as F
+
+from data_profiler_spark.operators.constraints import (
+    CheckSuite,
+    ExpressionCheck,
+    FreshnessCheck,
+    ReconciliationCheck,
+    SchemaCheck,
+    run_row_checks,
+    run_suite,
+)
+from data_profiler_spark.operators.dependencies import discover_fds, fd_check, fd_violations
+from data_profiler_spark.operators.sessions import session_stats, session_summary, sessionize
+
+
+def _events(spark):
+    t0 = dt.datetime(2024, 1, 1, 12, 0, 0)
+    rows = []
+    # user a: 3 events in one burst, then one 2h later → 2 sessions
+    for i, off in enumerate([0, 60, 120, 7800]):
+        rows.append(("a", i, t0 + dt.timedelta(seconds=off)))
+    # user b: single event → 1 session
+    rows.append(("b", 10, t0))
+    # user c: two events exactly gap+1s apart → 2 sessions
+    rows.append(("c", 20, t0))
+    rows.append(("c", 21, t0 + dt.timedelta(seconds=1801)))
+    return spark.createDataFrame(rows, "user string, event_id long, ts timestamp")
+
+
+def test_sessionize_splits_at_gap(spark):
+    s = sessionize(_events(spark), "user", "ts", gap_seconds=1800, tiebreak_col="event_id")
+    got = {(r["user"], r["event_id"]): r["session_seq"] for r in s.collect()}
+    assert got[("a", 0)] == got[("a", 1)] == got[("a", 2)] == 1
+    assert got[("a", 3)] == 2
+    assert got[("b", 10)] == 1
+    assert got[("c", 20)] == 1 and got[("c", 21)] == 2
+
+
+def test_session_stats_and_summary(spark):
+    st = session_stats(_events(spark), "user", "ts", gap_seconds=1800, tiebreak_col="event_id")
+    rows = {(r["user"], r["session_seq"]): r for r in st.collect()}
+    assert rows[("a", 1)]["n_events"] == 3
+    assert rows[("a", 1)]["duration_us"] == 120_000_000
+    assert rows[("a", 2)]["n_events"] == 1 and rows[("a", 2)]["duration_us"] == 0
+    summ = {r["user"]: r for r in session_summary(_events(spark), "user", "ts", 1800, "event_id").collect()}
+    assert summ["a"]["n_sessions"] == 2 and summ["a"]["n_events"] == 4
+    assert summ["b"]["n_sessions"] == 1
+    assert summ["c"]["n_sessions"] == 2
+
+
+def test_sessionize_boundary_exact_gap_same_session(spark):
+    t0 = dt.datetime(2024, 1, 1)
+    df = spark.createDataFrame(
+        [("u", 0, t0), ("u", 1, t0 + dt.timedelta(seconds=1800))],
+        "user string, event_id long, ts timestamp",
+    )
+    s = sessionize(df, "user", "ts", gap_seconds=1800)
+    assert {r["session_seq"] for r in s.collect()} == {1}
+
+
+def test_session_single_shuffle_plan(spark):
+    """Window partitionBy(user) + groupBy(user, session_seq) + groupBy(user)
+    must all ride ONE exchange (subset-key clustering satisfaction)."""
+    ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    plan = session_summary(ev, "user_id", "ts", 1800, "event_id")._jdf.queryExecution().executedPlan().toString()
+    n_shuffles = plan.count("Exchange") - plan.count("BroadcastExchange")
+    assert n_shuffles == 1, plan
+
+
+def test_fd_check_holds_and_violations(spark):
+    df = spark.createDataFrame(
+        [(1, "x", 10), (1, "x", 11), (2, "y", 12), (3, "x", 13), (3, "z", 14)],
+        "a long, b string, c long",
+    )
+    # a → b violated only by a=3
+    v = fd_violations(df, ["a"], "b").collect()
+    assert [(r["a"], r["n_dependent"]) for r in v] == [(3, 2)]
+    row = fd_check(df, ["a"], "b").collect()[0]
+    assert row["n_determinant"] == 3 and row["n_violating"] == 1
+    assert not row["holds"] and row["max_dependents"] == 2
+    assert row["confidence"] == pytest.approx(3 / 4)
+    # c → a holds (c is unique)
+    assert fd_check(df, ["c"], "a").collect()[0]["holds"]
+
+
+def test_discover_fds_screens_and_confirms(spark):
+    df = spark.createDataFrame(
+        [(i, i % 10, (i % 10) * 2, i % 3) for i in range(1000)],
+        "id long, grp long, grp2 long, noise long",
+    )
+    res = discover_fds(df, columns=["grp", "grp2", "noise"], confirm=True)
+    byp = {(r["determinant"], r["dependent"]): r for r in res}
+    assert byp[("grp", "grp2")]["holds"] is True
+    assert byp[("grp2", "grp")]["holds"] is True
+    # grp ↛ noise: each grp value spans all 3 noise residues, so the HLL
+    # screen (conf ≈ 10/30) rules it out without an exact pass
+    assert byp[("grp", "noise")]["holds"] is None
+    assert byp[("grp", "noise")]["approx_confidence"] < 0.5
+    # id determines everything; everything ↛ id
+    res2 = discover_fds(df, columns=["id", "grp"], confirm=True)
+    byp2 = {(r["determinant"], r["dependent"]): r for r in res2}
+    assert byp2[("id", "grp")]["holds"] is True
+    assert byp2[("grp", "id")]["approx_confidence"] < 0.5
+
+
+def test_expression_check_null_is_violation(spark):
+    df = spark.createDataFrame(
+        [(1, 5), (2, None), (3, 1)], "id long, v long"
+    )
+    verdicts, violations = run_row_checks(
+        df, [ExpressionCheck("v >= 2", name="v_ge_2")], partition_col=F.lit(0),
+        key_cols=["id"],
+    )
+    vd = verdicts.collect()[0]
+    assert vd["violation_count"] == 2 and not vd["pass"]  # NULL counts as violation
+    assert sorted(r["id"] for r in violations.collect()) == [2, 3]
+
+
+def test_freshness_check_pass_and_fail(spark):
+    df = spark.createDataFrame(
+        [(dt.datetime(2024, 1, 1),), (dt.datetime(2024, 6, 1),)], "ts timestamp"
+    )
+    suite = CheckSuite(freshness=[
+        FreshnessCheck("ts", max_age_seconds=400 * 86400, as_of="2025-01-01 00:00:00"),
+        FreshnessCheck("ts", max_age_seconds=30 * 86400, as_of="2025-01-01 00:00:00", name="tight"),
+    ])
+    rows = {r["check"]: r for r in run_suite(df, suite, partition_col=F.lit(0))["freshness"].collect()}
+    assert rows["freshness:ts"]["pass"] is True
+    assert rows["tight"]["pass"] is False
+    assert rows["tight"]["lag_us"] == (dt.datetime(2025, 1, 1) - dt.datetime(2024, 6, 1)).days * 86_400_000_000
+
+
+def test_freshness_empty_table_fails_not_passes(spark):
+    df = spark.createDataFrame([], "ts timestamp")
+    suite = CheckSuite(freshness=[FreshnessCheck("ts", 1e12, as_of="2025-01-01 00:00:00")])
+    r = run_suite(df, suite, partition_col=F.lit(0))["freshness"].collect()[0]
+    assert r["pass"] is False and r["max_ts_us"] is None
+
+
+def test_schema_check(spark):
+    df = spark.createDataFrame([(1, "x")], "id long, name string")
+    suite = CheckSuite(schema_checks=[
+        SchemaCheck(expected=(("id", "bigint"), ("name", "string"), ("missing", "double")))
+    ])
+    rows = {r["column"]: r for r in run_suite(df, suite, partition_col=F.lit(0))["schema"].collect()}
+    assert rows["id"]["pass"] and rows["name"]["pass"]
+    assert not rows["missing"]["pass"] and rows["missing"]["actual"] is None
+    # strict mode flags extras
+    strict = CheckSuite(schema_checks=[SchemaCheck(expected=(("id", "bigint"),), allow_extra=False)])
+    rows2 = {r["column"]: r for r in run_suite(df, strict, partition_col=F.lit(0))["schema"].collect()}
+    assert not rows2["name"]["pass"] and rows2["name"]["expected"] is None
+
+
+def test_reconciliation_check(spark):
+    left = spark.createDataFrame([(1,), (1,), (2,), (3,)], "k long")
+    right = spark.createDataFrame([(1,), (2,), (3,), (4,)], "k long")
+    suite = CheckSuite(reconciliation=[
+        ReconciliationCheck(agg="count_distinct", column="k", other_name="right",
+                            other_agg="count", rel_tol=0.3),
+        ReconciliationCheck(agg="sum", column="k", other_name="right", rel_tol=0.0, name="sums"),
+    ])
+    out = run_suite(left, suite, partition_col=F.lit(0), datasets={"right": right})
+    rows = {r["check"]: r for r in out["reconciliation"].collect()}
+    assert rows["reconcile:count_distinct(k)->right"]["pass"] is True  # 3 vs 4, tol 30%
+    assert rows["sums"]["pass"] is False  # 7 vs 10 at zero tolerance
+    assert rows["sums"]["rel_diff"] == pytest.approx(0.3)
+
+
+def test_reconciliation_zero_right_side(spark):
+    left = spark.createDataFrame([(0,)], "k long")
+    empty = spark.createDataFrame([], "k long")
+    suite = CheckSuite(reconciliation=[
+        ReconciliationCheck(agg="count", other_name="e", rel_tol=0.5),
+    ])
+    r = run_suite(left, suite, partition_col=F.lit(0), datasets={"e": empty})[
+        "reconciliation"
+    ].collect()[0]
+    # 1 vs 0 rows: rel_diff undefined (NULL), values unequal → fail, no crash
+    assert r["pass"] is False and r["rel_diff"] is None

@@ -2028,3 +2028,97 @@ def reconciliation_lineitem_orders(spark: SparkSession, sf_dir: str) -> DataFram
     return run_suite(li, suite, partition_col=F.lit(0), datasets={"orders": orders})[
         "reconciliation"
     ]
+
+
+# ---------------------------------------------------------------------------
+# streaming sessionization (streaming.py: native session_window + watermark;
+# oracle uses >= for the half-open session_window boundary — see docstring)
+# ---------------------------------------------------------------------------
+@register(
+    "streaming_sessions_events",
+    """WITH s AS (
+         SELECT user_id, ts, event_id,
+                CASE WHEN LAG(ts) OVER w IS NULL
+                       OR epoch_us(ts) - epoch_us(LAG(ts) OVER w) >= 1800000000
+                     THEN 1 ELSE 0 END AS new_s
+         FROM events
+         WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+       ), s2 AS (
+         SELECT user_id, ts,
+                SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                 ROWS UNBOUNDED PRECEDING) AS session_seq
+         FROM s
+       )
+       SELECT user_id,
+              CAST(COUNT(*) AS BIGINT) AS n_events,
+              MIN(epoch_us(ts)) AS start_us,
+              MAX(epoch_us(ts)) AS end_us
+       FROM s2 GROUP BY user_id, session_seq""",
+)
+def streaming_sessions_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """File-source stream → watermarked session_window aggregation →
+    APPEND-mode availableNow drain (session windows support only append on
+    streams); must equal the batch gap-split sessionization (>= boundary)
+    computed by the DuckDB window oracle.
+
+    Append mode only emits sessions the watermark has CLOSED, which would
+    withhold every session still open at end-of-stream. A sentinel barrier
+    event (user_id = -1) far past the real data pushes the watermark over
+    every real session's end; the sentinel's own still-open session is the
+    only one withheld, and it is filtered out below — the standard bounded
+    -backfill idiom for append-mode session aggregation."""
+    import hashlib
+    import os
+    import tempfile
+    import uuid
+
+    from data_profiler_spark import streaming
+
+    path = f"{sf_dir}/events.parquet"
+    # do NOT share the profile query's staging dir: the sentinel row must
+    # never leak into other streaming oracles reading the same table
+    src_dir = f"/tmp/stream_sess_src_{hashlib.md5(path.encode()).hexdigest()[:10]}"
+    os.makedirs(src_dir, exist_ok=True)
+    link = os.path.join(src_dir, "events.parquet")
+    if not os.path.exists(link):
+        os.symlink(path, link)
+    batch = spark.read.parquet(path)
+    sentinel = os.path.join(src_dir, "zz_sentinel.parquet")
+    if not os.path.exists(sentinel):
+        max_ts = batch.agg(F.max(F.col("ts").cast("timestamp")).alias("m")).collect()[0]["m"]
+        tmp_dir = tempfile.mkdtemp(prefix="sess_sentinel_")
+        (
+            batch.limit(1)
+            .select(
+                F.lit(-1).cast("long").alias("event_id"),
+                (F.lit(max_ts).cast("timestamp") + F.expr("INTERVAL 2 HOURS")).alias("ts"),
+                F.lit(-1).cast("long").alias("user_id"),
+                F.lit("sentinel").alias("event_type"),
+                F.lit(0.0).alias("value"),
+                F.lit("{}").alias("props"),
+            )
+            # exact physical schema parity with the real files (ts may be
+            # NTZ in the source parquet; a mixed tz/NTZ dir breaks the scan)
+            .select(*[F.col(f.name).cast(f.dataType) for f in batch.schema.fields])
+            .write.mode("overwrite").parquet(tmp_dir)
+        )
+        part = next(f for f in os.listdir(tmp_dir) if f.endswith(".parquet"))
+        os.rename(os.path.join(tmp_dir, part), sentinel)
+    schema = batch.schema
+    s = (
+        spark.readStream.schema(schema).parquet(src_dir)
+        .withColumn("ts", F.col("ts").cast("timestamp"))
+    )
+    sess = streaming.streaming_sessions(s, "user_id", "ts", gap="30 minutes", watermark="1 minute")
+    name = f"stream_sess_{uuid.uuid4().hex[:8]}"
+    streaming.run_available_now(sess, name, tempfile.mkdtemp(prefix="ckpt_sess_"), "append")
+    return (
+        spark.table(name)
+        .where(F.col("user_id") >= 0)
+        .select(
+            "user_id",
+            "n_events",
+            F.unix_micros("first_ts").alias("start_us"),
+            F.unix_micros("last_ts").alias("end_us"),
+        )
+    )

@@ -249,6 +249,42 @@ def streaming_dedup(
     return stream.withWatermark(ts_col, watermark).dropDuplicatesWithinWatermark(keys)
 
 
+def streaming_sessions(
+    stream: DataFrame,
+    entity_col: str,
+    ts_col: str,
+    gap: str = "30 minutes",
+    watermark: str = "1 day",
+) -> DataFrame:
+    """Streaming sessionization with BOUNDED state: Spark's native
+    ``session_window`` merges events into gap-separated sessions per
+    entity, and the watermark evicts a session's state once no event can
+    extend it — state tracks open sessions, not stream length.
+
+    Boundary semantics differ from the batch operator
+    (operators/sessions.py) by one instant: ``session_window`` is
+    half-open (an event exactly ``gap`` after its predecessor starts a NEW
+    session), while the batch gap test is strict (``delta > gap`` splits).
+    Oracles/tests must use ``>=`` for this path.
+
+    Output per CLOSED session: entity, n_events, first_ts, last_ts.
+    Streaming session aggregation supports only APPEND output mode
+    (complete and update both raise), and append emits a session only
+    once the watermark passes its end — a bounded backfill must push the
+    watermark over the tail with a sentinel barrier event (see the
+    ``streaming_sessions_events`` catalog query for the idiom)."""
+    s = stream.withWatermark(ts_col, watermark)
+    return (
+        s.groupBy(
+            F.session_window(F.col(ts_col), gap).alias("w"), F.col(entity_col)
+        ).agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.min(ts_col).alias("first_ts"),
+            F.max(ts_col).alias("last_ts"),
+        )
+    )
+
+
 def drain_to_list(result: DataFrame, checkpoint_dir: str) -> list:
     """availableNow drain through foreachBatch into a local list of Rows —
     the test/backfill harness for UPDATE-mode stateful operators (the

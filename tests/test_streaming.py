@@ -227,3 +227,60 @@ def test_drift_by_window_flags_shifted_window(spark, stream_dir, tmp_path):
     flags = {r["window_start"]: r["pass"] for r in rows2}
     assert flags["9999-01-01 00:00:00"] is False
     assert sum(1 for p in flags.values() if p) == len(flags) - 1
+
+
+def test_streaming_sessions_match_batch(spark, tmp_path):
+    """session_window streaming sessions == batch gap-split sessionization
+    (data has no exact-boundary deltas, where the two legitimately differ),
+    with a sentinel barrier event closing the tail sessions for append mode."""
+    from data_profiler_spark.operators.sessions import session_stats
+
+    base = 1_700_000_000
+    rows = []
+    # user A: bursts at 0-120s, then 2h later two events
+    for off in (0, 60, 120, 7200, 7260):
+        rows.append(("A", off))
+    # user B: one lone event
+    rows.append(("B", 50))
+    # sentinel: far future, filtered from assertions
+    rows.append(("__sentinel__", 10 * 86400))
+    df = spark.createDataFrame(
+        [(u, o) for u, o in rows], "user string, off long"
+    ).select("user", F.timestamp_seconds(F.lit(base) + F.col("off")).alias("ts"))
+    src = str(tmp_path / "sess_src")
+    df.coalesce(1).write.parquet(src)
+
+    stream = spark.readStream.schema(spark.read.parquet(src).schema).parquet(src)
+    sess = streaming.streaming_sessions(stream, "user", "ts", gap="30 minutes", watermark="1 minute")
+    streaming.run_available_now(sess, "sess_tbl", str(tmp_path / "ckpt"), "append")
+    got = {
+        (r["user"], r["first_ts"]): r["n_events"]
+        for r in spark.table("sess_tbl").collect()
+        if r["user"] != "__sentinel__"
+    }
+
+    batch = {
+        (r["user"], r["start_us"]): r["n_events"]
+        for r in session_stats(
+            df.where(F.col("user") != "__sentinel__"), "user", "ts", 1800
+        ).collect()
+    }
+    got_us = {(u, int(ts.timestamp() * 1_000_000)): n for (u, ts), n in got.items()}
+    assert got_us == batch
+    assert sum(n for (u, _), n in batch.items() if u == "A") == 5
+    assert len([1 for (u, _) in batch if u == "A"]) == 2  # two sessions
+
+
+def test_streaming_sessions_append_withholds_open_tail(spark, tmp_path):
+    """Without a barrier, the watermark never passes the last session's end
+    — append mode must withhold it (the documented contract that motivates
+    the sentinel idiom in the catalog query)."""
+    df = spark.createDataFrame([("A", 0), ("A", 60)], "user string, off long").select(
+        "user", F.timestamp_seconds(F.lit(1_700_000_000) + F.col("off")).alias("ts")
+    )
+    src = str(tmp_path / "tail_src")
+    df.coalesce(1).write.parquet(src)
+    stream = spark.readStream.schema(spark.read.parquet(src).schema).parquet(src)
+    sess = streaming.streaming_sessions(stream, "user", "ts", gap="30 minutes", watermark="1 minute")
+    streaming.run_available_now(sess, "tail_tbl", str(tmp_path / "ckpt2"), "append")
+    assert spark.table("tail_tbl").count() == 0

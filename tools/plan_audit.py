@@ -130,6 +130,26 @@ def build_audits(spark, sf):
     audits["quality_model_score"] = (
         score_quality(docs, "doc_id", "text", toy), 0, True,
     )
+
+    # sessionization + FD plane (round-3 tail): the 3-level session rollup
+    # rides ONE entity exchange (window partitioning satisfies both
+    # follow-up groupBys via subset-key clustering); fd_check is one
+    # determinant exchange + the SinglePartition scalar reduce.
+    from data_profiler_spark.operators.dependencies import fd_check
+    from data_profiler_spark.operators.sessions import session_summary
+
+    ev_tbl = spark.read.parquet(f"{sf}/events.parquet")
+    audits.update(
+        {
+            "session_summary": (
+                session_summary(ev_tbl, "user_id", "ts", 1800, "event_id"), 1, False,
+            ),
+            # distinct-in-group is the textbook 3-exchange plan: hash(det,
+            # dep) with map-side partial dedup, hash(det), SinglePartition
+            # scalar — each stage's rows are narrow and strictly shrinking
+            "fd_check": (fd_check(li, ["l_orderkey"], "l_suppkey"), 3, False),
+        }
+    )
     return audits
 
 

@@ -87,7 +87,10 @@ def main() -> int:
     timings: dict[str, float] = {}
     runs: dict[str, list[float]] = {}
     loads: dict[str, list[float]] = {}
+    only = {q for q in os.environ.get("SPARK_GRAFT_BENCH_ONLY", "").split(",") if q}
     for name, fn in BENCH_QUERIES.items():
+        if only and name not in only:
+            continue
         reps = max(1, min(reps_default, getattr(fn, "bench_reps", reps_default)))
         runs[name], loads[name] = [], []
         for _ in range(reps):
@@ -102,7 +105,7 @@ def main() -> int:
         timings[name] = min(runs[name])
 
     total = round(sum(timings.values()), 4)
-    suite_sec = timings.get("constraint_suite", float("nan"))
+    suite_sec = timings.get("constraint_suite")  # None under SPARK_GRAFT_BENCH_ONLY subsets
     result = {
         "metric": "headline_suite_total",
         "value": total,

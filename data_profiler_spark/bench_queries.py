@@ -293,6 +293,20 @@ def q_decontamination(spark: SparkSession, sf_dir: str, code_files: str):
     _force(ngram_contamination(train, ev, "doc_id", "text", n=13))
 
 
+def q_sessions_fd(spark: SparkSession, sf_dir: str, code_files: str):
+    """Round-3 tail operators: 3-level session rollup over the events
+    table (single entity exchange) + functional-dependency verdict
+    path→lang over the full code_files corpus (the distinct-agg shuffle
+    does real work: one group per distinct path)."""
+    from data_profiler_spark.operators.dependencies import fd_check
+    from data_profiler_spark.operators.sessions import session_summary
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    _force(session_summary(ev, "user_id", "ts", 1800, "event_id"))
+    cf = spark.read.parquet(code_files)
+    fd_check(cf, ["path"], "lang").collect()
+
+
 BENCH_QUERIES = {
     "profile_lineitem": q_profile_lineitem,
     "group_stats": q_group_stats,
@@ -310,4 +324,5 @@ BENCH_QUERIES = {
     "ann_lsh_topk_1m": q_ann_lsh_topk,
     "curation_e2e": q_curation_e2e,
     "decontamination": q_decontamination,
+    "sessions_fd": q_sessions_fd,
 }

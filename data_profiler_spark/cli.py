@@ -54,6 +54,14 @@ def build_parser() -> argparse.ArgumentParser:
     pr.add_argument("--validate", action="store_true")
     pr.add_argument("--mermaid", action="store_true")
 
+    ps = sub.add_parser(
+        "suggest", help="profile a table and emit a constraint-suite JSON spec it passes"
+    )
+    ps.add_argument("path")
+    ps.add_argument("--margin", type=float, default=0.10, help="outward range/length margin")
+    ps.add_argument("--membership-max", type=int, default=20,
+                    help="max distinct values to promote to a membership check")
+
     pv = sub.add_parser("validate", help="run a constraint suite from JSON spec")
     pv.add_argument("path")
     pv.add_argument("--suite", required=True, help="JSON suite spec file")
@@ -285,6 +293,21 @@ def main(argv: list[str] | None = None) -> int:
                 _emit(args, graph_report_html(g))
             else:
                 _emit(args, graph_report_json(g))
+            return EXIT_OK
+
+        if args.command == "suggest":
+            from data_profiler_spark.suggest import suggest_spec_json
+
+            spark = _spark(args)
+            if not os.path.exists(args.path):
+                return EXIT_FILE_NOT_FOUND
+            df = sources.read(spark, args.path)
+            _emit(
+                args,
+                suggest_spec_json(
+                    df, margin=args.margin, membership_max=args.membership_max
+                ),
+            )
             return EXIT_OK
 
         if args.command == "validate":

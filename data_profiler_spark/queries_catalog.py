@@ -2122,3 +2122,20 @@ def streaming_sessions_events(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.unix_micros("last_ts").alias("end_us"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# constraint suggestion (suggest.py): profile -> tightest passing suite.
+# The suggested checks are a function of profiled values (two-job driver
+# logic), so no SQL twin exists -> rows-only; the pass-on-own-data
+# invariant + corruption detection are pinned in tests/test_suggest.py
+# ---------------------------------------------------------------------------
+@register("suggested_suite_verdicts_customer", None)
+def suggested_suite_verdicts_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from data_profiler_spark.operators.constraints import run_suite
+    from data_profiler_spark.suggest import suggest_suite
+
+    cust = load(spark, sf_dir, "customer")
+    suite, _ = suggest_suite(cust)
+    out = run_suite(cust, suite, partition_col=F.pmod(F.col("c_custkey"), F.lit(8)))
+    return out["verdicts"]

@@ -1,0 +1,154 @@
+"""Constraint suggestion: profile a table, emit a CheckSuite it passes.
+
+The profile→validation closure (Deequ's ConstraintSuggestion surface,
+re-expressed over this engine's profile/constraint IR): read the one-pass
+profile (operators/profile.py), derive the tightest checks the observed
+data satisfies, and emit both the live CheckSuite and the JSON spec that
+``cli.py validate`` / ``jobs/validate_job.py`` already consume — so the
+suggested suite can gate tomorrow's partition load unchanged.
+
+Invariant (pytest-pinned): a suite suggested from a table always PASSES on
+that table — suggestions use observed bounds plus an outward margin, and
+rules that cannot be made safe (e.g. a regex matched by only 99% of rows)
+are not suggested.
+
+Scale: suggestion cost is two aggregation jobs regardless of table size —
+the profile's single-pass agg, plus one combined agg computing pattern
+match ratios and the bounded membership value sets (collect_set only on
+columns the profile already proved ≤ ``membership_max`` distinct).
+"""
+
+from __future__ import annotations
+
+import json
+import math
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from data_profiler_spark.functions.patterns import PATTERNS
+from data_profiler_spark.operators.constraints import (
+    CheckSuite,
+    ExpressionCheck,
+    MembershipCheck,
+    NullRateCheck,
+    RangeCheck,
+    RegexCheck,
+    UniquenessCheck,
+)
+
+# patterns precise enough to promote to a RegexCheck (the generic numeric/
+# integer shapes would fire on ids and misread drift as violation)
+_SUGGESTABLE_PATTERNS = ("email", "url", "uuid", "date_iso", "datetime_iso")
+
+
+def suggest_suite(
+    df: DataFrame,
+    margin: float = 0.10,
+    membership_max: int = 20,
+    null_headroom: float = 0.25,
+) -> tuple[CheckSuite, dict]:
+    """Returns (suite, spec) where ``spec`` is the validate-CLI JSON shape.
+
+    - non-null column            → NullRateCheck(0.0); nullable → observed
+      ratio × (1+headroom) ceiling
+    - numeric                    → RangeCheck(observed span ± margin)
+    - string, ≤ membership_max distinct → MembershipCheck(observed values)
+    - string matching a precise pattern on EVERY non-null row → RegexCheck
+    - string length bounds       → ExpressionCheck (null-tolerant)
+    - profile PK candidate       → UniquenessCheck
+    """
+    from data_profiler_spark.operators.profile import profile_table
+
+    prof = {r["column"]: r for r in profile_table(df).collect()}
+
+    # second (combined) agg: pattern ratios + membership sets, one job
+    string_cols = [c for c, r in prof.items() if r["dtype"] == "string"]
+    member_cols = [
+        c
+        for c in string_cols
+        if prof[c]["distinct_count"] is not None
+        and 0 < prof[c]["distinct_count"] <= membership_max
+    ]
+    aggs = []
+    for c in string_cols:
+        col = F.col(c)
+        for name in _SUGGESTABLE_PATTERNS:
+            pat = PATTERNS[name]
+            aggs.append(
+                F.coalesce(
+                    F.try_divide(
+                        F.sum(F.when(col.rlike(pat), 1).otherwise(0)), F.count(col)
+                    ),
+                    F.lit(0.0),
+                ).alias(f"{c}__{name}")
+            )
+    for c in member_cols:
+        aggs.append(F.collect_set(F.col(c)).alias(f"{c}__members"))
+    extra = df.agg(*aggs).collect()[0] if aggs else {}
+
+    suite = CheckSuite()
+    spec_checks: list[dict] = []
+    spec_unique: list[list[str]] = []
+
+    for c, r in prof.items():
+        # nulls
+        if r["null_count"] == 0:
+            suite.row_checks.append(NullRateCheck(c, 0.0))
+            spec_checks.append({"type": "null_rate", "column": c, "max_null_ratio": 0.0})
+        elif r["null_ratio"] is not None and r["null_ratio"] < 0.5:
+            cap = min(1.0, r["null_ratio"] * (1.0 + null_headroom) + 1e-9)
+            suite.row_checks.append(NullRateCheck(c, cap))
+            spec_checks.append({"type": "null_rate", "column": c, "max_null_ratio": cap})
+
+        # numeric range
+        kind = r["semantic_type"]
+        if kind == "NUMERIC" and r["min_value"] is not None and r["max_value"] is not None:
+            lo, hi = float(r["min_value"]), float(r["max_value"])
+            span = (hi - lo) or max(abs(hi), 1.0)
+            lo2, hi2 = lo - margin * span, hi + margin * span
+            suite.row_checks.append(RangeCheck(c, lo2, hi2))
+            spec_checks.append({"type": "range", "column": c, "min": lo2, "max": hi2})
+
+        # membership (string, bounded distinct)
+        if c in member_cols:
+            allowed = tuple(sorted(v for v in extra[f"{c}__members"] if v is not None))
+            if allowed:
+                suite.row_checks.append(MembershipCheck(c, allowed))
+                spec_checks.append(
+                    {"type": "membership", "column": c, "allowed": list(allowed)}
+                )
+        elif c in string_cols:
+            # precise pattern held by every non-null row → regex
+            for name in _SUGGESTABLE_PATTERNS:
+                if extra[f"{c}__{name}"] == 1.0 and r["count"] > 0:
+                    suite.row_checks.append(RegexCheck(c, PATTERNS[name]))
+                    spec_checks.append(
+                        {"type": "regex", "column": c, "pattern": PATTERNS[name]}
+                    )
+                    break
+            # length envelope (null-tolerant expression)
+            if r["max_len"] is not None:
+                lo_len = max(0, math.floor(r["min_len"] * (1.0 - margin)))
+                hi_len = math.ceil(r["max_len"] * (1.0 + margin))
+                pred = (
+                    f"`{c}` IS NULL OR "
+                    f"(length(`{c}`) >= {lo_len} AND length(`{c}`) <= {hi_len})"
+                )
+                suite.row_checks.append(ExpressionCheck(pred, name=f"len:{c}"))
+                spec_checks.append(
+                    {"type": "expression", "predicate": pred, "name": f"len:{c}"}
+                )
+
+        # uniqueness
+        if r["is_pk_candidate"]:
+            suite.uniqueness.append(UniquenessCheck((c,)))
+            spec_unique.append([c])
+
+    spec = {"checks": spec_checks, "uniqueness": spec_unique}
+    return suite, spec
+
+
+def suggest_spec_json(df: DataFrame, **kwargs) -> str:
+    _, spec = suggest_suite(df, **kwargs)
+    return json.dumps(spec, indent=2, sort_keys=True)

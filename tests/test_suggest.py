@@ -1,0 +1,118 @@
+"""Constraint suggestion: the suggested suite must PASS on the profiled
+data, catch injected corruption, and round-trip through the validate CLI
+spec format."""
+
+from __future__ import annotations
+
+import json
+
+import pytest
+from pyspark.sql import functions as F
+
+from data_profiler_spark.operators.constraints import run_suite
+from data_profiler_spark.suggest import suggest_spec_json, suggest_suite
+
+
+@pytest.fixture(scope="module")
+def code_files(spark):
+    from data_profiler_spark.datagen import synth_code_files
+
+    return synth_code_files(spark, n_rows=4000, n_repos=30, seed=11).drop("row_id")
+
+
+def _all_pass(out: dict) -> bool:
+    ok = True
+    if "verdicts" in out:
+        ok &= all(r["pass"] for r in out["verdicts"].collect())
+    if "uniqueness" in out:
+        ok &= out["uniqueness"].count() == 0
+    return ok
+
+
+def test_suggested_suite_passes_on_its_own_data(spark, code_files):
+    suite, spec = suggest_suite(code_files)
+    assert suite.row_checks, "no checks suggested"
+    out = run_suite(
+        code_files, suite, partition_col=F.pmod(F.xxhash64("repo"), F.lit(16))
+    )
+    assert _all_pass(out)
+    # spec mirrors the suite
+    assert len(spec["checks"]) == len(suite.row_checks)
+
+
+def test_suggested_suite_catches_corruption(spark, code_files):
+    suite, _ = suggest_suite(code_files)
+    # corrupt: negative lengths are impossible, so blank out content on a
+    # slice (violates the non-null content rule) and break the lang domain
+    bad = code_files.withColumn(
+        "content",
+        F.when(F.xxhash64("path") % 17 == 0, F.lit(None)).otherwise(F.col("content")),
+    ).withColumn(
+        "lang",
+        F.when(F.xxhash64("repo", "path") % 13 == 0, F.lit("zz-bogus")).otherwise(
+            F.col("lang")
+        ),
+    )
+    out = run_suite(bad, suite, partition_col=F.pmod(F.xxhash64("repo"), F.lit(16)))
+    failed = {r["check"] for r in out["verdicts"].collect() if not r["pass"]}
+    assert any(c.startswith("null_rate:content") for c in failed), failed
+    assert any(c.startswith("membership:lang") for c in failed), failed
+
+
+def test_suggest_membership_and_range_shapes(spark):
+    df = spark.createDataFrame(
+        [(i, float(i % 7), ["a", "b", "c"][i % 3]) for i in range(500)],
+        "id long, v double, cat string",
+    )
+    suite, spec = suggest_suite(df, margin=0.1)
+    by_type = {}
+    for s in spec["checks"]:
+        by_type.setdefault(s["type"], []).append(s)
+    rng = [s for s in by_type["range"] if s["column"] == "v"][0]
+    assert rng["min"] <= 0.0 and rng["max"] >= 6.0
+    mem = [s for s in by_type["membership"] if s["column"] == "cat"][0]
+    assert sorted(mem["allowed"]) == ["a", "b", "c"]
+    # id is unique + non-null → PK suggestion
+    assert ["id"] in spec["uniqueness"]
+
+
+def test_suggest_regex_for_uniform_pattern(spark):
+    df = spark.createDataFrame(
+        [(f"user{i}@example.com",) for i in range(200)], "email string"
+    )
+    # >20 distinct (no membership), every row matches the email pattern
+    suite, spec = suggest_suite(df, membership_max=20)
+    kinds = {(s["type"], s.get("column")) for s in spec["checks"]}
+    assert ("regex", "email") in kinds
+    out = run_suite(df, suite, partition_col=F.lit(0))
+    assert _all_pass(out)
+
+
+def test_suggest_null_tolerant_length_expression(spark):
+    # >20 distinct (no membership branch), with NULLs present
+    df = spark.createDataFrame(
+        [(f"text value {i}",) for i in range(80)] + [(None,)] * 10, "t string"
+    )
+    suite, spec = suggest_suite(df)
+    # nullable column: the length ExpressionCheck must not count NULLs as
+    # violations (they are governed by the null_rate cap)
+    out = run_suite(df, suite, partition_col=F.lit(0))
+    assert _all_pass(out)
+    preds = [s for s in spec["checks"] if s["type"] == "expression"]
+    assert any("IS NULL OR" in s["predicate"] for s in preds)
+
+
+def test_suggest_cli_roundtrip(spark, code_files, tmp_path):
+    """suggest → JSON spec → validate CLI consumes it and exits 0."""
+    from data_profiler_spark import cli
+
+    data = str(tmp_path / "cf.parquet")
+    code_files.write.parquet(data)
+    spec = suggest_spec_json(spark.read.parquet(data))
+    suite_path = tmp_path / "suite.json"
+    suite_path.write_text(spec)
+    json.loads(spec)  # valid JSON
+    rc = cli.main(
+        ["validate", data, "--suite", str(suite_path), "--partition-col", "repo"]
+    )
+    assert rc == 0

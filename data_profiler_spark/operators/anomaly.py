@@ -1,0 +1,152 @@
+"""Metric-series anomaly detection (the Deequ anomaly-check surface).
+
+A validation engine watches its own metrics over time: daily row counts,
+per-partition null ratios, drift scores. These operators take any metric
+series frame — one row per observation, optional key columns for parallel
+series — and flag anomalous observations. They pair with the checkpoint
+log (checkpoint.py records per-bucket metrics per run), turning run
+history into alerts without rescanning data.
+
+Three detectors, all shuffle-light:
+  - :func:`zscore_anomalies` — |v − mean| > k·stddev, with mean/std from
+    decimal-exact sums (functions/stats.py) so the z value is
+    bit-reproducible (and DuckDB-oracle-comparable);
+  - :func:`mad_anomalies` — median/MAD version, robust to the anomalies
+    themselves polluting the baseline (a 10× spike barely moves MAD but
+    drags a mean);
+  - :func:`rel_change_anomalies` — step detector: |v/prev − 1| over the
+    ts-ordered series exceeds a threshold.
+
+Scale notes: series stats aggregate per key group (map-side partials; the
+stats frame is one row per series) and broadcast-join back onto the
+observations; metric histories are tiny next to the data they describe,
+so even the per-key sort inside mad/rel_change is bounded by run count,
+not table size.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from data_profiler_spark.functions import stats as S
+
+
+def checkpoint_metrics(spark, checkpoint_dirs: list[str]) -> DataFrame:
+    """Per-bucket manifest logs from successive validation runs → one
+    metric-series frame: (run, run_dir, bucket, row_count, check,
+    violations, violation_ratio). ``checkpoint_dirs`` is ordered oldest →
+    newest; ``run`` is its index, so the ts-ordered detectors
+    (:func:`rel_change_anomalies` with ``ts_col='run'``) read straight off
+    it. Manifest reads are driver-side — the log is n_buckets small JSON
+    records per run, not data."""
+    import json
+
+    from data_profiler_spark.checkpoint import _manifest_fs
+
+    rows = []
+    for i, d in enumerate(checkpoint_dirs):
+        fs = _manifest_fs(spark, d)
+        mdir = d.rstrip("/") + "/manifest"
+        for name in fs.listdir(mdir):
+            if not (name.startswith("bucket_") and name.endswith(".json")):
+                continue
+            m = json.loads(fs.read_text(f"{mdir}/{name}"))
+            if m.get("status") != "committed":
+                continue
+            n = int(m.get("row_count", 0))
+            for check, cm in sorted(m.get("checks", {}).items()):
+                v = int(cm.get("violations", 0))
+                rows.append((i, d, int(m["bucket"]), n, check, v, (v / n) if n else None))
+    return spark.createDataFrame(
+        rows,
+        "run long, run_dir string, bucket long, row_count long, "
+        "check string, violations long, violation_ratio double",
+    )
+
+
+def _grouped(df: DataFrame, keys: list[str] | None, aggs: list) -> DataFrame:
+    return df.groupBy(*keys).agg(*aggs) if keys else df.agg(*aggs)
+
+
+def _join_back(df: DataFrame, stats: DataFrame, keys: list[str] | None) -> DataFrame:
+    if keys:
+        return df.join(F.broadcast(stats), keys)
+    return df.crossJoin(F.broadcast(stats))
+
+
+def zscore_anomalies(
+    series: DataFrame,
+    value_col: str,
+    keys: list[str] | None = None,
+    z_thresh: float = 3.0,
+) -> DataFrame:
+    """Observations where |z| > ``z_thresh`` against the (per-key) series
+    mean/sample-stddev. Output: input columns + mean, std, z. Zero-variance
+    series produce no anomalies (z is NULL there, never ±inf)."""
+    stats = _grouped(
+        series,
+        keys,
+        [
+            (S.decimal_sum(value_col) / F.count(F.col(value_col))).alias("mean"),
+            S.decimal_stddev(value_col).alias("std"),
+        ],
+    )
+    z = F.try_divide(F.col(value_col).cast("double") - F.col("mean"), F.col("std"))
+    return (
+        _join_back(series, stats, keys)
+        .withColumn("z", z)
+        .where(F.abs(F.col("z")) > F.lit(z_thresh))
+    )
+
+
+def mad_anomalies(
+    series: DataFrame,
+    value_col: str,
+    keys: list[str] | None = None,
+    k: float = 3.0,
+    scale: float = 1.4826,
+) -> DataFrame:
+    """Robust detector: |v − median| > k · scale · MAD, where MAD is the
+    median absolute deviation (scale 1.4826 makes it a consistent stddev
+    estimator under normality). Output: input + med, mad, score."""
+    med = _grouped(
+        series, keys, [F.expr(f"percentile({value_col}, 0.5)").alias("med")]
+    )
+    dev = _join_back(series, med, keys).withColumn(
+        "__adev", F.abs(F.col(value_col).cast("double") - F.col("med"))
+    )
+    mad = _grouped(dev, keys, [F.expr("percentile(__adev, 0.5)").alias("mad")]).select(
+        *(keys or []), "mad"
+    )
+    scored = _join_back(dev, mad, keys).withColumn(
+        "score", F.try_divide(F.col("__adev"), F.lit(scale) * F.col("mad"))
+    )
+    return scored.where(F.col("score") > F.lit(k)).drop("__adev")
+
+
+def rel_change_anomalies(
+    series: DataFrame,
+    ts_col: str,
+    value_col: str,
+    keys: list[str] | None = None,
+    max_rel_change: float = 0.5,
+) -> DataFrame:
+    """Step detector over the ts-ordered series: flag observations whose
+    relative change vs the previous observation exceeds ``max_rel_change``.
+    A previous value of exactly 0 flags any non-zero successor (change
+    from nothing is always a step). Output: input + prev_value, rel_change."""
+    w = (
+        Window.partitionBy(*keys).orderBy(ts_col)
+        if keys
+        else Window.partitionBy(F.lit(0)).orderBy(ts_col)
+    )
+    prev = F.lag(F.col(value_col).cast("double")).over(w)
+    rel = F.try_divide(F.abs(F.col(value_col).cast("double") - prev), F.abs(prev))
+    out = (
+        series.withColumn("prev_value", prev)
+        .withColumn("rel_change", rel)
+        .where(F.col("prev_value").isNotNull())
+    )
+    step_from_zero = (F.col("prev_value") == 0.0) & (F.col(value_col).cast("double") != 0.0)
+    return out.where((F.col("rel_change") > F.lit(max_rel_change)) | step_from_zero)

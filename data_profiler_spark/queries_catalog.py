@@ -2139,3 +2139,30 @@ def suggested_suite_verdicts_customer(spark: SparkSession, sf_dir: str) -> DataF
     suite, _ = suggest_suite(cust)
     out = run_suite(cust, suite, partition_col=F.pmod(F.col("c_custkey"), F.lit(8)))
     return out["verdicts"]
+
+
+# ---------------------------------------------------------------------------
+# metric-series anomaly detection (operators/anomaly.py): daily event
+# volume z-scores from decimal-exact mean/std — the self-monitoring loop a
+# validation engine runs over its own checkpoint metrics
+# ---------------------------------------------------------------------------
+_ANOMALY_SQL = f"""
+    WITH d AS (SELECT CAST(CAST(ts AS DATE) AS VARCHAR) AS day,
+                      CAST(COUNT(*) AS BIGINT) AS n
+               FROM events GROUP BY 1),
+    s AS (SELECT CAST(SUM(CAST(n AS DECIMAL(28,8))) AS DOUBLE)/COUNT(n) AS mean,
+                 {S.decimal_stddev_sql('n')} AS std
+          FROM d)
+    SELECT day, n, mean, std, (n - mean)/std AS z
+    FROM d, s WHERE ABS((n - mean)/std) > 1.5"""
+
+
+@register("daily_count_anomalies_events", _ANOMALY_SQL)
+def daily_count_anomalies_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from data_profiler_spark.operators.anomaly import zscore_anomalies
+
+    ev = load(spark, sf_dir, "events")
+    series = ev.groupBy(
+        F.to_date(F.col("ts").cast("timestamp")).cast("string").alias("day")
+    ).agg(F.count(F.lit(1)).alias("n"))
+    return zscore_anomalies(series, "n", z_thresh=1.5)

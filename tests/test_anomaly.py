@@ -1,0 +1,109 @@
+"""Metric-series anomaly detectors: z-score, MAD, relative-change."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from data_profiler_spark.operators.anomaly import (
+    mad_anomalies,
+    rel_change_anomalies,
+    zscore_anomalies,
+)
+
+
+def _series(spark, values, key=None):
+    rows = [(i, float(v)) + ((key,) if key else ()) for i, v in enumerate(values)]
+    schema = "t long, v double" + (", k string" if key else "")
+    return spark.createDataFrame(rows, schema)
+
+
+def test_zscore_flags_spike(spark):
+    df = _series(spark, [100, 102, 98, 101, 99, 500, 100, 103])
+    got = zscore_anomalies(df, "v", z_thresh=2.0).collect()
+    assert [r["t"] for r in got] == [5]
+    assert got[0]["z"] > 2.0
+
+
+def test_zscore_zero_variance_no_anomalies_no_crash(spark):
+    df = _series(spark, [5, 5, 5, 5])
+    assert zscore_anomalies(df, "v", z_thresh=0.1).count() == 0
+
+
+def test_zscore_per_key_series_are_independent(spark):
+    a = _series(spark, [10, 11, 9, 10, 50], key="a")
+    b = _series(spark, [1000, 1010, 990, 1005, 995], key="b")
+    got = zscore_anomalies(a.unionByName(b), "v", keys=["k"], z_thresh=1.5).collect()
+    assert [(r["k"], r["t"]) for r in got] == [("a", 4)]
+
+
+def test_mad_robust_to_the_spike_itself(spark):
+    # two 10x spikes: mean/std get dragged (z-score may miss the second),
+    # MAD baseline barely moves — both flagged
+    vals = [100, 101, 99, 1000, 100, 102, 98, 1010, 100, 99]
+    df = _series(spark, vals)
+    got = sorted(r["t"] for r in mad_anomalies(df, "v", k=3.0).collect())
+    assert got == [3, 7]
+
+
+def test_rel_change_step_detector(spark):
+    df = _series(spark, [100, 104, 210, 205, 100])
+    got = rel_change_anomalies(df, "t", "v", max_rel_change=0.5).collect()
+    assert sorted(r["t"] for r in got) == [2, 4]
+    by_t = {r["t"]: r for r in got}
+    assert by_t[2]["prev_value"] == 104.0
+    assert by_t[2]["rel_change"] == pytest.approx((210 - 104) / 104)
+
+
+def test_rel_change_from_zero_is_flagged(spark):
+    df = _series(spark, [0, 7])
+    got = rel_change_anomalies(df, "t", "v", max_rel_change=10.0).collect()
+    assert [r["t"] for r in got] == [1]  # rel undefined, but 0 → 7 is a step
+
+
+def test_rel_change_per_key_no_cross_leak(spark):
+    a = _series(spark, [10, 10], key="a")
+    b = _series(spark, [1000, 1000], key="b")
+    # interleaved keys: without partitioning, a→b transition would flag
+    got = rel_change_anomalies(
+        a.unionByName(b), "t", "v", keys=["k"], max_rel_change=0.5
+    ).collect()
+    assert got == []
+
+
+def test_zscore_broadcast_join_plan(spark):
+    df = _series(spark, range(100))
+    plan = zscore_anomalies(df, "v")._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
+
+
+def test_checkpoint_metrics_feed_rel_change(spark, tmp_path):
+    """Two checkpointed validation runs → metric series → the run-2
+    violation spike is flagged by the step detector."""
+    from data_profiler_spark.checkpoint import CheckpointedValidation
+    from data_profiler_spark.operators.anomaly import (
+        checkpoint_metrics,
+        rel_change_anomalies,
+    )
+    from data_profiler_spark.operators.constraints import CheckSuite, RangeCheck
+
+    suite = CheckSuite(row_checks=[RangeCheck("v", 0.0, 100.0)])
+    dirs = []
+    for run, bad in enumerate([0, 40]):
+        df = spark.range(200).select(
+            F.col("id").alias("k"),
+            F.when(F.col("id") < bad, F.lit(1e6)).otherwise(F.lit(50.0)).alias("v"),
+        )
+        d = str(tmp_path / f"run{run}")
+        cv = CheckpointedValidation(
+            spark, d, suite, bucket_col="k", n_buckets=4, wave_size=4
+        )
+        cv.run(df)
+        dirs.append(d)
+
+    series = checkpoint_metrics(spark, dirs)
+    assert series.count() == 8  # 2 runs × 4 buckets × 1 check
+    per_run = series.groupBy("run").agg(F.sum("violations").alias("violations"))
+    flagged = rel_change_anomalies(per_run, "run", "violations", max_rel_change=0.5)
+    got = flagged.collect()
+    assert len(got) == 1 and got[0]["run"] == 1 and got[0]["prev_value"] == 0.0

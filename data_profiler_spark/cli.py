@@ -68,6 +68,14 @@ def build_parser() -> argparse.ArgumentParser:
     pv.add_argument("--checkpoint-dir", help="enable resumable checkpointing")
     pv.add_argument("--partition-col", default=None)
 
+    pdiff = sub.add_parser("diff", help="row-level diff of two table versions by key")
+    pdiff.add_argument("left_path")
+    pdiff.add_argument("right_path")
+    pdiff.add_argument("--keys", required=True, help="comma-separated key columns")
+    pdiff.add_argument("--compare", help="comma-separated columns to compare (default: all common non-key)")
+    pdiff.add_argument("--summary-only", action="store_true")
+    pdiff.add_argument("--max-rows", type=int, default=1000)
+
     pd_ = sub.add_parser("dedup", help="near/exact duplicate detection")
     pd_.add_argument("path")
     pd_.add_argument(
@@ -433,6 +441,40 @@ def main(argv: list[str] | None = None) -> int:
             }
             _emit(args, json.dumps(payload, indent=2, sort_keys=True, default=str))
             return EXIT_OK if not (failed or drift_failed or extra_failed) else EXIT_ERROR
+
+        if args.command == "diff":
+            from data_profiler_spark.operators.diff import diff_summary, table_diff
+
+            spark = _spark(args)
+            for p in (args.left_path, args.right_path):
+                if not os.path.exists(p):
+                    return EXIT_FILE_NOT_FOUND
+            left = sources.read(spark, args.left_path)
+            right = sources.read(spark, args.right_path)
+            keys = args.keys.split(",")
+            cmp_cols = args.compare.split(",") if args.compare else None
+            summ = {
+                r["status"]: r["n"]
+                for r in diff_summary(left, right, keys, cmp_cols).collect()
+            }
+            payload: dict = {
+                "report_type": "diff",
+                "left": args.left_path,
+                "right": args.right_path,
+                "keys": keys,
+                "summary": summ,
+            }
+            if not args.summary_only:
+                rows = (
+                    table_diff(left, right, keys, cmp_cols)
+                    .orderBy("status", *keys)
+                    .limit(args.max_rows)
+                    .collect()
+                )
+                payload["rows"] = [r.asDict() for r in rows]
+            _emit(args, json.dumps(payload, indent=2, sort_keys=True, default=str))
+            n_diff = sum(v for k, v in summ.items() if k != "unchanged")
+            return EXIT_OK if n_diff == 0 else EXIT_ERROR
 
         if args.command == "dedup":
             from data_profiler_spark.operators import dedup as dd

@@ -1,0 +1,96 @@
+"""Table/snapshot diff: row-level added / removed / changed by key.
+
+The row-level companion to ReconciliationCheck (aggregate compare) and the
+natural operator over two versions of the same table — e.g. two Iceberg
+snapshots read via sources.read_input(snapshot_id=...): what exactly
+changed between the run the checkpoint committed and the table today?
+
+Spark-first shape: ONE full-outer shuffle join on the key columns, every
+comparison a native null-safe equality (``eqNullSafe`` — NULL == NULL is
+unchanged, NULL vs value is a change), AQE free to split skewed keys.
+Wide payload columns can be excluded via ``compare_cols``; for very wide
+rows pass a precomputed digest column instead and compare just that.
+
+Outputs:
+  - :func:`table_diff` — (keys..., status ∈ {added, removed, changed
+    [, unchanged]}, changed_cols CSV)
+  - :func:`diff_summary` — one row per status with counts (a second tiny
+    shuffle over the diff frame)
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def table_diff(
+    left: DataFrame,
+    right: DataFrame,
+    keys: list[str],
+    compare_cols: list[str] | None = None,
+    include_unchanged: bool = False,
+) -> DataFrame:
+    """Diff ``right`` (new) against ``left`` (old) on ``keys``.
+
+    status: 'removed' (key only in left), 'added' (key only in right),
+    'changed' (key in both, any compare column differs null-safely),
+    'unchanged' (emitted only when ``include_unchanged``).
+    changed_cols: comma-joined names of differing columns ('' otherwise).
+    """
+    if compare_cols is None:
+        common = [c for c in left.columns if c in set(right.columns)]
+        compare_cols = [c for c in common if c not in set(keys)]
+
+    l = left.select(
+        *[F.col(k) for k in keys],
+        F.lit(True).alias("__in_l"),
+        *[F.col(c).alias(f"__l_{c}") for c in compare_cols],
+    )
+    r = right.select(
+        *[F.col(k) for k in keys],
+        F.lit(True).alias("__in_r"),
+        *[F.col(c).alias(f"__r_{c}") for c in compare_cols],
+    )
+    j = l.join(r, keys, "full_outer")
+
+    diffs = F.array_compact(
+        F.array(
+            *[
+                F.when(
+                    ~F.col(f"__l_{c}").eqNullSafe(F.col(f"__r_{c}")), F.lit(c)
+                )
+                for c in compare_cols
+            ]
+        )
+    ) if compare_cols else F.array().cast("array<string>")
+
+    status = (
+        F.when(F.col("__in_r").isNull(), F.lit("removed"))
+        .when(F.col("__in_l").isNull(), F.lit("added"))
+        .when(F.size(diffs) > 0, F.lit("changed"))
+        .otherwise(F.lit("unchanged"))
+    )
+    out = j.select(
+        *[F.col(k) for k in keys],
+        status.alias("status"),
+        F.when(
+            F.col("__in_l").isNotNull() & F.col("__in_r").isNotNull(),
+            F.array_join(diffs, ","),
+        ).otherwise(F.lit("")).alias("changed_cols"),
+    )
+    if not include_unchanged:
+        out = out.where(F.col("status") != "unchanged")
+    return out
+
+
+def diff_summary(
+    left: DataFrame,
+    right: DataFrame,
+    keys: list[str],
+    compare_cols: list[str] | None = None,
+) -> DataFrame:
+    """(status, n) counts including 'unchanged' — the cheap health signal
+    to alert on (e.g. via operators.anomaly over successive diffs)."""
+    d = table_diff(left, right, keys, compare_cols, include_unchanged=True)
+    return d.groupBy("status").agg(F.count(F.lit(1)).alias("n"))

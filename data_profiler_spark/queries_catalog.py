@@ -2166,3 +2166,58 @@ def daily_count_anomalies_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.to_date(F.col("ts").cast("timestamp")).cast("string").alias("day")
     ).agg(F.count(F.lit(1)).alias("n"))
     return zscore_anomalies(series, "n", z_thresh=1.5)
+
+
+# ---------------------------------------------------------------------------
+# table/snapshot diff (operators/diff.py): row-level added/removed/changed
+# between two deterministically-derived versions of lineitem
+# ---------------------------------------------------------------------------
+_DIFF_SQL = """
+    WITH l AS (SELECT l_orderkey, l_linenumber, l_quantity, l_shipdate
+               FROM lineitem WHERE l_orderkey % 43 <> 0),
+    r AS (SELECT l_orderkey, l_linenumber,
+                 CASE WHEN l_orderkey % 41 = 0 THEN l_quantity + 1
+                      ELSE l_quantity END AS l_quantity,
+                 l_shipdate
+          FROM lineitem WHERE l_orderkey % 37 <> 0),
+    j AS (SELECT COALESCE(l.l_orderkey, r.l_orderkey) AS l_orderkey,
+                 COALESCE(l.l_linenumber, r.l_linenumber) AS l_linenumber,
+                 (l.l_orderkey IS NOT NULL) AS in_l,
+                 (r.l_orderkey IS NOT NULL) AS in_r,
+                 NOT (l.l_quantity IS NOT DISTINCT FROM r.l_quantity) AS d_qty,
+                 NOT (l.l_shipdate IS NOT DISTINCT FROM r.l_shipdate) AS d_ship
+          FROM l FULL OUTER JOIN r
+            ON l.l_orderkey = r.l_orderkey AND l.l_linenumber = r.l_linenumber)
+    SELECT l_orderkey, l_linenumber,
+           CASE WHEN NOT in_r THEN 'removed'
+                WHEN NOT in_l THEN 'added'
+                WHEN d_qty OR d_ship THEN 'changed'
+                ELSE 'unchanged' END AS status,
+           CASE WHEN in_l AND in_r THEN
+                array_to_string(list_filter(
+                    [CASE WHEN d_qty THEN 'l_quantity' END,
+                     CASE WHEN d_ship THEN 'l_shipdate' END],
+                    x -> x IS NOT NULL), ',')
+                ELSE '' END AS changed_cols
+    FROM j
+    WHERE NOT (in_l AND in_r AND NOT d_qty AND NOT d_ship)"""
+
+
+@register("table_diff_lineitem", _DIFF_SQL)
+def table_diff_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Old = lineitem minus orderkey%43 rows; new = lineitem minus
+    orderkey%37 rows with quantity bumped on %41 — removed/added/changed
+    all exercised, both sides derived identically in both engines."""
+    from data_profiler_spark.operators.diff import table_diff
+
+    li = load(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_linenumber", "l_quantity", "l_shipdate"
+    )
+    left = li.where(F.col("l_orderkey") % 43 != 0)
+    right = li.where(F.col("l_orderkey") % 37 != 0).withColumn(
+        "l_quantity",
+        F.when(F.col("l_orderkey") % 41 == 0, F.col("l_quantity") + 1).otherwise(
+            F.col("l_quantity")
+        ),
+    )
+    return table_diff(left, right, ["l_orderkey", "l_linenumber"])

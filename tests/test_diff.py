@@ -1,0 +1,77 @@
+"""Table/snapshot diff: status classification, null-safe compares."""
+
+from __future__ import annotations
+
+from data_profiler_spark.operators.diff import diff_summary, table_diff
+
+
+def _pair(spark):
+    left = spark.createDataFrame(
+        [(1, "a", 10), (2, "b", 20), (3, None, 30), (4, "d", 40)],
+        "k long, s string, v long",
+    )
+    right = spark.createDataFrame(
+        [(1, "a", 10), (2, "B", 20), (3, None, 30), (5, "e", 50)],
+        "k long, s string, v long",
+    )
+    return left, right
+
+
+def test_table_diff_statuses(spark):
+    left, right = _pair(spark)
+    got = {r["k"]: r for r in table_diff(left, right, ["k"]).collect()}
+    assert got[2]["status"] == "changed" and got[2]["changed_cols"] == "s"
+    assert got[4]["status"] == "removed" and got[4]["changed_cols"] == ""
+    assert got[5]["status"] == "added"
+    assert 1 not in got and 3 not in got  # unchanged (incl. NULL==NULL) dropped
+
+
+def test_table_diff_null_transitions_are_changes(spark):
+    left, right = _pair(spark)
+    r2 = right.replace(to_replace=["a"], value=[None], subset=["s"])
+    got = {r["k"]: r for r in table_diff(left, r2, ["k"]).collect()}
+    assert got[1]["status"] == "changed" and got[1]["changed_cols"] == "s"
+
+
+def test_table_diff_include_unchanged_and_summary(spark):
+    left, right = _pair(spark)
+    all_rows = table_diff(left, right, ["k"], include_unchanged=True).collect()
+    assert len(all_rows) == 5
+    summ = {r["status"]: r["n"] for r in diff_summary(left, right, ["k"]).collect()}
+    assert summ == {"unchanged": 2, "changed": 1, "removed": 1, "added": 1}
+
+
+def test_table_diff_compare_cols_subset(spark):
+    left, right = _pair(spark)
+    # ignoring the string column, k=2 is unchanged
+    got = {r["k"]: r for r in table_diff(left, right, ["k"], compare_cols=["v"]).collect()}
+    assert 2 not in got
+    assert set(got) == {4, 5}
+
+
+def test_table_diff_multi_changed_cols_joined(spark):
+    left = spark.createDataFrame([(1, "x", 1)], "k long, s string, v long")
+    right = spark.createDataFrame([(1, "y", 2)], "k long, s string, v long")
+    row = table_diff(left, right, ["k"]).collect()[0]
+    assert row["status"] == "changed"
+    assert row["changed_cols"] == "s,v"
+
+
+def test_diff_cli(spark, tmp_path, capsys):
+    import json as _json
+
+    from data_profiler_spark import cli
+
+    left, right = _pair(spark)
+    lp, rp = str(tmp_path / "l.parquet"), str(tmp_path / "r.parquet")
+    left.write.parquet(lp)
+    right.write.parquet(rp)
+    rc = cli.main(["diff", lp, rp, "--keys", "k"])
+    out = _json.loads(capsys.readouterr().out)
+    assert rc != 0  # differences found
+    assert out["summary"]["changed"] == 1 and out["summary"]["added"] == 1
+    assert any(r["status"] == "removed" for r in out["rows"])
+    # identical inputs → exit 0
+    rc2 = cli.main(["diff", lp, lp, "--keys", "k", "--summary-only"])
+    capsys.readouterr()
+    assert rc2 == 0

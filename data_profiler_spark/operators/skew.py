@@ -1,0 +1,128 @@
+"""Skew diagnostics: who are the hot keys, and how much salt do they need?
+
+The north-rule engine defuses hot-repo skew with salted aggregation
+(operators/constraints.py) — this module is the diagnostic that SIZES that
+decision instead of guessing: exact top-key shares per candidate key
+column and a salt-bucket recommendation derived from them.
+
+Two scans, ZERO data shuffles, regardless of table size:
+  1. candidate discovery — one Arrow-batched ``mapInPandas`` pass emits a
+     bounded Misra–Gries summary per (batch, column); partials merge on a
+     tiny (cols × batches) frame. MG guarantees any value with true share
+     > 1/(sketch_k+1) survives; with sketch_k=256 that is every key that
+     could matter for skew.
+  2. exact confirmation — ONE aggregate with a conditional count per
+     surviving candidate (≤ cols × k codegen'd sum(when(..)) exprs), so
+     the reported counts/shares are exact, not estimates.
+
+``recommend_salt`` turns the max share into the salt-bucket count the
+salted two-stage aggregation needs so the hottest key's partial states
+spread over roughly ``target_parallelism`` reducers.
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+DEFAULT_SKETCH_K = 256
+
+
+def _candidate_top_values(
+    df: DataFrame, cols: list[str], k: int, sketch_k: int
+) -> dict[str, list[str]]:
+    """Scan 1: per-column MG top-k candidates (stringified values)."""
+    import pandas as pd
+
+    from data_profiler_spark.sketches import HeavyHittersSketch
+
+    proj = df.select(*[F.col(c).cast("string").alias(c) for c in cols])
+
+    def partials(batches):
+        for pdf in batches:
+            names, sk = [], []
+            for c in cols:
+                vals = pdf[c].dropna()
+                if len(vals):
+                    names.append(c)
+                    sk.append(
+                        HeavyHittersSketch.from_values(vals.tolist(), sketch_k).to_json()
+                    )
+            yield pd.DataFrame({"column": names, "sketch": sk})
+
+    def merge(pdf: "pd.DataFrame") -> "pd.DataFrame":
+        s = HeavyHittersSketch({}, 0, sketch_k)
+        for j in pdf["sketch"]:
+            s = s.merge(HeavyHittersSketch.from_json(j))
+        top = [v for v, _ in s.top(k)]
+        return pd.DataFrame({"column": [pdf["column"].iloc[0]] * len(top), "value": top})
+
+    merged = (
+        proj.mapInPandas(partials, "column string, sketch string")
+        .groupBy("column")
+        .applyInPandas(merge, "column string, value string")
+        .collect()
+    )
+    out: dict[str, list[str]] = {c: [] for c in cols}
+    for r in merged:
+        out[r["column"]].append(r["value"])
+    return out
+
+
+def skew_report(
+    df: DataFrame,
+    cols: list[str],
+    k: int = 10,
+    sketch_k: int = DEFAULT_SKETCH_K,
+) -> DataFrame:
+    """Exact top-key report: (column, value, cnt, share, rank), rank by
+    (cnt desc, value) per column. Values are compared as strings (the MG
+    pass stringifies); NULLs are excluded (they are a null-rate question,
+    not a skew question)."""
+    cands = _candidate_top_values(df, cols, k, sketch_k)
+    aggs = [F.count(F.lit(1)).alias("__total")]
+    for c in cols:
+        for i, v in enumerate(cands[c]):
+            aggs.append(
+                F.sum(
+                    F.when(F.col(c).cast("string") == F.lit(v), 1).otherwise(0)
+                ).alias(f"__{c}__{i}")
+            )
+    row = df.agg(*aggs).collect()[0]
+    total = row["__total"]
+
+    spark = df.sparkSession
+    recs = []
+    for c in cols:
+        counted = sorted(
+            ((v, int(row[f"__{c}__{i}"])) for i, v in enumerate(cands[c])),
+            key=lambda t: (-t[1], t[0]),
+        )[:k]
+        for rank, (v, n) in enumerate(counted, start=1):
+            recs.append((c, v, n, (n / total) if total else None, rank))
+    return spark.createDataFrame(
+        recs, "column string, value string, cnt long, share double, rank int"
+    )
+
+
+def recommend_salt(
+    report: DataFrame,
+    target_parallelism: int,
+    safety: float = 2.0,
+    columns: list[str] | None = None,
+) -> dict[str, int]:
+    """Salt buckets per column: enough that the hottest key's rows spread
+    over ~all reducers (share × parallelism × safety), clamped to
+    [1, target_parallelism]. A column whose max share ≈ 1/parallelism or
+    less needs no salt (returns 1) — including columns ABSENT from the
+    report entirely: a uniform high-cardinality column has no Misra–Gries
+    survivor above share 1/(sketch_k+1), which IS the no-hot-key verdict.
+    Pass ``columns`` to get an explicit 1 for such columns."""
+    out: dict[str, int] = {c: 1 for c in (columns or [])}
+    for r in report.where(F.col("rank") == 1).collect():
+        share = r["share"] or 0.0
+        buckets = math.ceil(share * target_parallelism * safety)
+        out[r["column"]] = max(1, min(int(buckets), target_parallelism))
+    return out

@@ -2221,3 +2221,27 @@ def table_diff_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
     )
     return table_diff(left, right, ["l_orderkey", "l_linenumber"])
+
+
+# ---------------------------------------------------------------------------
+# skew diagnostics (operators/skew.py): exact top-key shares via MG
+# candidates + one conditional-count agg. o_orderpriority has 5 distinct
+# values (< sketch_k), so the MG pass is decrement-free and the report is
+# provably the exact top-k — which is what the SQL twin computes.
+# ---------------------------------------------------------------------------
+@register(
+    "skew_report_orderpriority",
+    """WITH c AS (SELECT CAST(o_orderpriority AS VARCHAR) AS value,
+                         CAST(COUNT(*) AS BIGINT) AS cnt
+                  FROM orders WHERE o_orderpriority IS NOT NULL GROUP BY 1),
+       t AS (SELECT CAST(COUNT(*) AS BIGINT) AS total FROM orders)
+       SELECT 'o_orderpriority' AS "column", value, cnt,
+              CAST(cnt AS DOUBLE) / total AS share,
+              CAST(ROW_NUMBER() OVER (ORDER BY cnt DESC, value) AS INT) AS rank
+       FROM c, t""",
+)
+def skew_report_orderpriority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from data_profiler_spark.operators.skew import skew_report
+
+    o = load(spark, sf_dir, "orders")
+    return skew_report(o, ["o_orderpriority"], k=10)

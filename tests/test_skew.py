@@ -1,0 +1,68 @@
+"""Skew diagnostics: exact top-key report + salt recommendation."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from data_profiler_spark.operators.skew import recommend_salt, skew_report
+
+
+@pytest.fixture(scope="module")
+def skewed(spark):
+    # key 'hot' holds 50% of rows; the rest spread over 100 cold keys
+    return spark.range(10_000).select(
+        F.when(F.col("id") % 2 == 0, F.lit("hot"))
+        .otherwise(F.concat(F.lit("cold-"), (F.col("id") % 100).cast("string")))
+        .alias("k"),
+        (F.col("id") % 7).alias("v"),
+    )
+
+
+def test_skew_report_exact_counts_and_ranks(spark, skewed):
+    rep = skew_report(skewed, ["k"], k=3).collect()
+    assert [r["rank"] for r in rep] == [1, 2, 3]
+    top = rep[0]
+    assert top["value"] == "hot" and top["cnt"] == 5000
+    assert top["share"] == pytest.approx(0.5)
+    # cold keys: odd ids over 50 odd residues → 100 rows each
+    assert rep[1]["cnt"] == 100
+
+
+def test_skew_report_survives_high_cardinality(spark):
+    # hot key buried in 50k distinct values — MG must keep it
+    df = spark.range(100_000).select(
+        F.when(F.col("id") % 4 == 0, F.lit(-1)).otherwise(F.col("id")).alias("k")
+    )
+    rep = skew_report(df, ["k"], k=1).collect()
+    assert rep[0]["value"] == "-1" and rep[0]["cnt"] == 25000
+
+
+def test_skew_report_excludes_nulls_but_keeps_total(spark):
+    df = spark.createDataFrame(
+        [("a",)] * 6 + [(None,)] * 4, "k string"
+    )
+    rep = skew_report(df, ["k"], k=5).collect()
+    assert len(rep) == 1
+    assert rep[0]["cnt"] == 6 and rep[0]["share"] == pytest.approx(0.6)
+
+
+def test_recommend_salt(spark, skewed):
+    rep = skew_report(skewed, ["k"], k=3)
+    # 50% share × 64 reducers × 2 safety = 64 → clamped to parallelism
+    assert recommend_salt(rep, target_parallelism=64) == {"k": 64}
+    # uniform high-cardinality column: no MG survivor above the
+    # 1/(sketch_k+1) share bar → empty report IS the no-hot-key verdict
+    uni = spark.range(10_000).select((F.col("id") % 1000).alias("u"))
+    rep2 = skew_report(uni, ["u"], k=1)
+    assert recommend_salt(rep2, target_parallelism=64, columns=["u"]) == {"u": 1}
+
+
+def test_skew_report_multi_column_single_confirm_pass(spark, skewed):
+    df = skewed.withColumn("v2", (F.col("v") % 2).cast("string"))
+    rep = skew_report(df, ["k", "v2"], k=2)
+    by_col = {}
+    for r in rep.collect():
+        by_col.setdefault(r["column"], []).append(r)
+    assert set(by_col) == {"k", "v2"}
+    assert by_col["v2"][0]["cnt"] == 5714  # ids with id%7 in {0,2,4,6} → v2='0'

@@ -1,0 +1,42 @@
+"""Shared registry for small intermediate frames that feed multiple branches
+of one returned (lazy) plan — shingle/signature tables (operators/dedup.py),
+contingency cells (operators/correlation.py).
+
+Why cache at all: a frame reused by k branches is otherwise re-derived from
+the base scan k times — Spark's static planner does not reliably dedupe the
+common subtree (ReuseExchange requires canonically identical exchanges and
+AQE stage reuse is a runtime best-effort), so a 100 TB input would be
+scanned per branch. Every registered frame is small BY CONSTRUCTION
+(post-aggregation: distinct shingles, contingency cells), never raw data.
+
+Why a registry instead of unpersisting inline: the operator returns a lazy
+DataFrame, so it cannot unpersist before the caller's action. Per-query
+processes (the round driver, bench.py's ``spark.catalog.clearCache()``)
+need nothing; long-lived sessions call :func:`release_caches` after
+consuming a result, and the pytest suite asserts the storage layer empties.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+
+_CACHED_FRAMES: list[DataFrame] = []
+
+
+def cache_frame(df: DataFrame) -> DataFrame:
+    """``df.cache()`` + registration for :func:`release_caches`."""
+    _CACHED_FRAMES.append(df)
+    return df.cache()
+
+
+def release_caches(spark=None) -> int:
+    """Unpersist every registered frame (idempotent). Returns the number of
+    frames released. Blocking=False: eviction proceeds async so callers
+    don't stall on block cleanup."""
+    n = len(_CACHED_FRAMES)
+    while _CACHED_FRAMES:
+        try:
+            _CACHED_FRAMES.pop().unpersist(blocking=False)
+        except Exception:
+            pass  # session already stopped — nothing to release
+    return n

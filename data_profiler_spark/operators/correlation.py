@@ -1,7 +1,10 @@
-"""Column-association analysis: Pearson correlation matrix and Spearman rank
-correlation (reference surface: output/html_ydata.py:40 advertises
-"correlation matrices" in the ydata-style report; this module is the engine
-behind that panel, computed Spark-side instead of in a report library).
+"""Column-association analysis: Pearson correlation matrix, Spearman rank
+correlation, categorical association (Cramér's V, Theil's U) and
+missingness correlation (reference surface: output/html_ydata.py:40
+advertises "correlation matrices" in the ydata-style report; this module is
+the engine behind that panel, computed Spark-side instead of in a report
+library — the categorical/missingness measures are the ydata panel's
+non-numeric half).
 
 Design (scale-first):
 
@@ -228,3 +231,322 @@ def spearman_matrix_binned(
         "n_pair",
         "corr",
     )
+
+
+# ---------------------------------------------------------------------------
+# Categorical association (Cramér's V, Theil's U) and missingness correlation
+# — the non-numeric half of the ydata associations panel.
+# ---------------------------------------------------------------------------
+
+
+def _pair_cells(df: DataFrame, pairs: list[tuple[str, str]]) -> DataFrame:
+    """Contingency cells for EVERY pair in ONE scan: each row explodes into
+    one struct per pair, then a single ``groupBy(pid, va, vb)`` counts cells.
+    Map-side partial aggregation means the shuffle carries distinct cells per
+    partition (bounded by the cardinality product), never rows — the explode
+    multiplies in-memory scan width by |pairs|, not the shuffle. Rows where
+    either side is NULL are dropped per pair (pairwise-complete, matching
+    the numeric matrix's NULL policy)."""
+    from data_profiler_spark.cache_registry import cache_frame
+
+    structs = [
+        F.struct(
+            F.lit(i).alias("pid"),
+            F.col(a).cast("string").alias("va"),
+            F.col(b).cast("string").alias("vb"),
+        )
+        for i, (a, b) in enumerate(pairs)
+    ]
+    cells = (
+        df.select(F.explode(F.array(*structs)).alias("p"))
+        .select("p.pid", "p.va", "p.vb")
+        .where(F.col("va").isNotNull() & F.col("vb").isNotNull())
+        .groupBy("pid", "va", "vb")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    # cells feed 4 branches (margins ×3 + the chi/entropy join); cached so
+    # the base table is scanned ONCE — static ReuseExchange does not dedupe
+    # these branches (verified: 10 scans uncached). Cells are
+    # cardinality-product small by definition of "categorical".
+    return cache_frame(cells)
+
+
+def _pair_margins(cells: DataFrame):
+    """(row totals, column totals, per-pair totals+cardinalities) — three
+    tiny aggregates over the cells frame; AQE broadcasts them back."""
+    rt = cells.groupBy("pid", "va").agg(F.sum("c").alias("r_cnt"))
+    ct = cells.groupBy("pid", "vb").agg(F.sum("c").alias("k_cnt"))
+    tot = cells.groupBy("pid").agg(
+        F.sum("c").alias("n"),
+        F.countDistinct("va").alias("r_card"),
+        F.countDistinct("vb").alias("k_card"),
+    )
+    return rt, ct, tot
+
+
+def cramers_v_matrix(
+    df: DataFrame, cols: list[str], corrected: bool = True
+) -> DataFrame:
+    """Cramér's V for every unordered categorical pair (i < j), long format:
+    (col_a, col_b, n_pair, r_card, k_card, chi_square, cramers_v).
+
+    chi² = Σ_cells (o − e)²/e with e = row_tot·col_tot/n; V derives from chi²
+    and the exact integer cardinalities. ``corrected=True`` (default —
+    ydata's choice) applies the Bergsma bias correction:
+    φ²c = max(0, χ²/n − (r−1)(k−1)/(n−1)), rc = r − (r−1)²/(n−1),
+    kc = k − (k−1)²/(n−1), V = √(φ²c / min(rc−1, kc−1)).
+
+    Determinism / oracle parity: per-cell terms are single IEEE expressions
+    over exact integer counts, summed as DECIMAL(38,18) (order-independent)
+    and rounded at 10 — the same contract as
+    drift.chi_square_from_histograms; :func:`cramers_v_sql` is the verbatim
+    DuckDB twin. NULL when n < 2 or either side is constant (a 1×k table
+    has no association to measure); degenerate corrected denominators
+    (min(rc,kc) ≤ 1) also yield NULL via try_divide.
+    """
+    if len(cols) < 2:
+        raise ValueError("cramers_v_matrix needs at least 2 columns")
+    pairs = [(cols[i], cols[j]) for i in range(len(cols)) for j in range(i + 1, len(cols))]
+    cells = _pair_cells(df, pairs)
+    rt, ct, tot = _pair_margins(cells)
+    m = (
+        cells.join(rt, ["pid", "va"])
+        .join(ct, ["pid", "vb"])
+        .join(tot.select("pid", "n"), "pid")
+    )
+    # e > 0 always: the cell exists, so r_cnt, k_cnt >= c >= 1
+    e = F.col("r_cnt").cast("double") * F.col("k_cnt").cast("double") / F.col("n").cast(
+        "double"
+    )
+    o = F.col("c").cast("double")
+    # chi² sums over ALL r×k cells, but groupBy only materializes OBSERVED
+    # ones. A zero cell's term is (0−e)²/e = e, and Σ over all cells of
+    # r_cnt·k_cnt is exactly n², so the missing mass has the closed form
+    # (n² − Σ_observed r_cnt·k_cnt)/n — computed in DECIMAL(38,0) because
+    # n² at 10^12 rows is 10^24, far past double's 2^53 integer range.
+    chi = (
+        m.select(
+            "pid",
+            (((o - e) * (o - e)) / e).cast("decimal(38,18)").alias("t"),
+            (F.col("r_cnt").cast("decimal(38,0)") * F.col("k_cnt")).alias("rk"),
+        )
+        .groupBy("pid")
+        .agg(
+            F.sum("t").cast("double").alias("s_t"),
+            F.sum("rk").alias("s_rk"),
+        )
+    )
+    s = chi.join(tot, "pid").withColumn(
+        "chi_square",
+        F.round(
+            F.col("s_t")
+            + (
+                (F.col("n").cast("decimal(38,0)") * F.col("n") - F.col("s_rk")).cast(
+                    "double"
+                )
+                / F.col("n").cast("double")
+            ),
+            10,
+        ),
+    )
+    nd = F.col("n").cast("double")
+    r = F.col("r_card").cast("double")
+    k = F.col("k_card").cast("double")
+    if corrected:
+        phi2c = F.greatest(
+            F.lit(0.0), F.col("chi_square") / nd - (r - 1.0) * (k - 1.0) / (nd - 1.0)
+        )
+        rc = r - (r - 1.0) * (r - 1.0) / (nd - 1.0)
+        kc = k - (k - 1.0) * (k - 1.0) / (nd - 1.0)
+        denom = F.least(rc, kc) - 1.0
+        # explicit <= 0 guard (NOT try_divide): a negative denominator must
+        # yield NULL, never sqrt(negative) = NaN — mirrors the SQL twin's CASE
+        v = F.when(denom <= 0, F.lit(None).cast("double")).otherwise(
+            F.sqrt(phi2c / denom)
+        )
+    else:
+        denom = F.least(r, k) - 1.0
+        v = F.when(denom <= 0, F.lit(None).cast("double")).otherwise(
+            F.sqrt(F.col("chi_square") / nd / denom)
+        )
+    v = F.when(
+        (F.col("n") < 2) | (F.col("r_card") < 2) | (F.col("k_card") < 2),
+        F.lit(None).cast("double"),
+    ).otherwise(F.round(v, 10))
+    out = s.select("pid", F.col("n").alias("n_pair"), "r_card", "k_card", "chi_square", v.alias("cramers_v"))
+    pair_lk = F.array(
+        *[
+            F.struct(F.lit(a).alias("col_a"), F.lit(b).alias("col_b"))
+            for a, b in pairs
+        ]
+    )
+    return out.select(
+        F.element_at(pair_lk, F.col("pid").cast("int") + 1).alias("__p"),
+        "n_pair",
+        "r_card",
+        "k_card",
+        "chi_square",
+        "cramers_v",
+    ).select("__p.col_a", "__p.col_b", "n_pair", "r_card", "k_card", "chi_square", "cramers_v")
+
+
+def cramers_v_sql(table: str, a: str, b: str, corrected: bool = True) -> str:
+    """DuckDB twin of one :func:`cramers_v_matrix` pair — identical cell
+    terms, identical DECIMAL(38,18) sums, identical scalar IEEE expression
+    and rounding. ``table`` may be a table name or a parenthesized subquery.
+    Returns a SELECT yielding one row
+    (col_a, col_b, n_pair, r_card, k_card, chi_square, cramers_v)."""
+    cells = (
+        f"SELECT CAST({a} AS VARCHAR) va, CAST({b} AS VARCHAR) vb, "
+        f"CAST(COUNT(*) AS BIGINT) c FROM {table} "
+        f"WHERE {a} IS NOT NULL AND {b} IS NOT NULL GROUP BY 1, 2"
+    )
+    chi_term = (
+        "(CAST(c AS DOUBLE) - CAST(r_cnt AS DOUBLE) * CAST(k_cnt AS DOUBLE) / CAST(n AS DOUBLE))"
+    )
+    e = "(CAST(r_cnt AS DOUBLE) * CAST(k_cnt AS DOUBLE) / CAST(n AS DOUBLE))"
+    # zero-cell mass: (n² − Σ_obs r_cnt·k_cnt)/n, exact in DECIMAL(38,0)
+    zero_mass = (
+        "CAST(CAST(n AS DECIMAL(38,0)) * n - s_rk AS DOUBLE) / CAST(n AS DOUBLE)"
+    )
+    nd, r, k = "CAST(n AS DOUBLE)", "CAST(r_card AS DOUBLE)", "CAST(k_card AS DOUBLE)"
+    if corrected:
+        phi2c = f"GREATEST(0.0, chi_square / {nd} - ({r} - 1.0) * ({k} - 1.0) / ({nd} - 1.0))"
+        rc = f"({r} - ({r} - 1.0) * ({r} - 1.0) / ({nd} - 1.0))"
+        kc = f"({k} - ({k} - 1.0) * ({k} - 1.0) / ({nd} - 1.0))"
+        v = (
+            f"CASE WHEN LEAST({rc}, {kc}) - 1.0 <= 0 THEN NULL "
+            f"ELSE SQRT({phi2c} / (LEAST({rc}, {kc}) - 1.0)) END"
+        )
+    else:
+        v = (
+            f"CASE WHEN LEAST({r}, {k}) - 1.0 <= 0 THEN NULL "
+            f"ELSE SQRT(chi_square / {nd} / (LEAST({r}, {k}) - 1.0)) END"
+        )
+    return (
+        f"WITH cells AS ({cells}), "
+        f"rt AS (SELECT va, CAST(SUM(c) AS BIGINT) r_cnt FROM cells GROUP BY va), "
+        f"ct AS (SELECT vb, CAST(SUM(c) AS BIGINT) k_cnt FROM cells GROUP BY vb), "
+        f"tot AS (SELECT CAST(SUM(c) AS BIGINT) n, "
+        f"CAST(COUNT(DISTINCT va) AS BIGINT) r_card, "
+        f"CAST(COUNT(DISTINCT vb) AS BIGINT) k_card FROM cells), "
+        f"chisums AS (SELECT CAST(SUM(CAST({chi_term} * {chi_term} / {e} "
+        f"AS DECIMAL(38,18))) AS DOUBLE) s_t, "
+        f"SUM(CAST(r_cnt AS DECIMAL(38,0)) * k_cnt) s_rk "
+        f"FROM cells JOIN rt USING (va) JOIN ct USING (vb) CROSS JOIN tot), "
+        f"chi AS (SELECT ROUND(s_t + {zero_mass}, 10) chi_square "
+        f"FROM chisums CROSS JOIN tot) "
+        f"SELECT '{a}' AS col_a, '{b}' AS col_b, n AS n_pair, r_card, k_card, "
+        f"chi_square, "
+        f"CASE WHEN n < 2 OR r_card < 2 OR k_card < 2 THEN NULL "
+        f"ELSE ROUND({v}, 10) END AS cramers_v "
+        f"FROM chi CROSS JOIN tot"
+    )
+
+
+def theils_u_matrix(df: DataFrame, cols: list[str]) -> DataFrame:
+    """Theil's U (uncertainty coefficient) for every ORDERED pair x ≠ y:
+    (col_x, col_y, n_pair, u) where u = U(x|y) = (H(x) − H(x|y)) / H(x) —
+    how much knowing y reduces uncertainty about x. Asymmetric by design
+    (ydata renders the full ordered matrix); 0 = independent, 1 = y
+    determines x, NULL when x is constant (H(x) = 0).
+
+    Same one-scan cells as :func:`cramers_v_matrix`; the three entropy sums
+    (Σ c·ln c over row totals / column totals / cells) are decimal-summed
+    for order independence, then H(x) = ln n − Sx/n, H(x|y) = (Sy − Sxy)/n,
+    mirrored verbatim in :func:`theils_u_sql` (ln parity at round-10 is the
+    same contract PSI's oracle already relies on)."""
+    if len(cols) < 2:
+        raise ValueError("theils_u_matrix needs at least 2 columns")
+    pairs = [(cols[i], cols[j]) for i in range(len(cols)) for j in range(i + 1, len(cols))]
+    cells = _pair_cells(df, pairs)
+    rt, ct, tot = _pair_margins(cells)
+
+    def _ent(frame: DataFrame, cnt: str, out: str) -> DataFrame:
+        c = F.col(cnt).cast("double")
+        return (
+            frame.select("pid", (c * F.log(c)).cast("decimal(38,18)").alias("t"))
+            .groupBy("pid")
+            .agg(F.sum("t").cast("double").alias(out))
+        )
+
+    s = (
+        tot.join(_ent(rt, "r_cnt", "s_x"), "pid")
+        .join(_ent(ct, "k_cnt", "s_y"), "pid")
+        .join(_ent(cells, "c", "s_xy"), "pid")
+    )
+    nd = F.col("n").cast("double")
+    h_x = F.log(nd) - F.col("s_x") / nd
+    h_y = F.log(nd) - F.col("s_y") / nd
+    h_x_given_y = (F.col("s_y") - F.col("s_xy")) / nd
+    h_y_given_x = (F.col("s_x") - F.col("s_xy")) / nd
+    u_xy = F.round(F.try_divide(h_x - h_x_given_y, h_x), 10)  # U(x|y)
+    u_yx = F.round(F.try_divide(h_y - h_y_given_x, h_y), 10)  # U(y|x)
+    pair_lk = F.array(
+        *[
+            F.struct(F.lit(a).alias("col_a"), F.lit(b).alias("col_b"))
+            for a, b in pairs
+        ]
+    )
+    both = s.select(
+        F.element_at(pair_lk, F.col("pid").cast("int") + 1).alias("__p"),
+        F.col("n").alias("n_pair"),
+        u_xy.alias("__u_xy"),
+        u_yx.alias("__u_yx"),
+    )
+    fwd = both.select(
+        F.col("__p.col_a").alias("col_x"),
+        F.col("__p.col_b").alias("col_y"),
+        "n_pair",
+        F.col("__u_xy").alias("u"),
+    )
+    rev = both.select(
+        F.col("__p.col_b").alias("col_x"),
+        F.col("__p.col_a").alias("col_y"),
+        "n_pair",
+        F.col("__u_yx").alias("u"),
+    )
+    return fwd.unionByName(rev)
+
+
+def theils_u_sql(table: str, a: str, b: str) -> str:
+    """DuckDB twin of one :func:`theils_u_matrix` unordered pair — returns
+    BOTH ordered rows (U(a|b) and U(b|a)) with the identical decimal entropy
+    sums and scalar expression."""
+    cells = (
+        f"SELECT CAST({a} AS VARCHAR) va, CAST({b} AS VARCHAR) vb, "
+        f"CAST(COUNT(*) AS BIGINT) c FROM {table} "
+        f"WHERE {a} IS NOT NULL AND {b} IS NOT NULL GROUP BY 1, 2"
+    )
+    ent = "CAST(SUM(CAST(CAST({c} AS DOUBLE) * LN(CAST({c} AS DOUBLE)) AS DECIMAL(38,18))) AS DOUBLE)"
+    nd = "CAST(n AS DOUBLE)"
+    h_x = f"(LN({nd}) - s_x / {nd})"
+    h_y = f"(LN({nd}) - s_y / {nd})"
+    h_xgy = f"((s_y - s_xy) / {nd})"
+    h_ygx = f"((s_x - s_xy) / {nd})"
+    u_xy = f"CASE WHEN {h_x} = 0 THEN NULL ELSE ROUND(({h_x} - {h_xgy}) / {h_x}, 10) END"
+    u_yx = f"CASE WHEN {h_y} = 0 THEN NULL ELSE ROUND(({h_y} - {h_ygx}) / {h_y}, 10) END"
+    return (
+        f"WITH cells AS ({cells}), "
+        f"rt AS (SELECT va, CAST(SUM(c) AS BIGINT) c FROM cells GROUP BY va), "
+        f"ct AS (SELECT vb, CAST(SUM(c) AS BIGINT) c FROM cells GROUP BY vb), "
+        f"s AS (SELECT (SELECT CAST(SUM(c) AS BIGINT) FROM cells) n, "
+        f"(SELECT {ent.format(c='c')} FROM rt) s_x, "
+        f"(SELECT {ent.format(c='c')} FROM ct) s_y, "
+        f"(SELECT {ent.format(c='c')} FROM cells) s_xy) "
+        f"SELECT '{a}' AS col_x, '{b}' AS col_y, n AS n_pair, {u_xy} AS u FROM s "
+        f"UNION ALL "
+        f"SELECT '{b}' AS col_x, '{a}' AS col_y, n AS n_pair, {u_yx} AS u FROM s"
+    )
+
+
+def null_correlation_matrix(df: DataFrame, cols: list[str]) -> DataFrame:
+    """Missingness correlation (the ydata/pandas-profiling "missing heatmap"
+    statistic): Pearson over per-column NULL indicators, long format
+    (col_a, col_b, n_pair, corr). A column with no NULLs (or all NULLs) has
+    zero indicator variance → corr NULL, matching pandas NaN. Inherits
+    :func:`correlation_matrix`'s one-scan / zero-shuffle plan and its
+    decimal-exact oracle contract (indicators are 0/1, so the sums are exact
+    integers)."""
+    ind = df.select(*[F.col(c).isNull().cast("double").alias(c) for c in cols])
+    return correlation_matrix(ind, cols)

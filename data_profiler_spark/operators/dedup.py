@@ -32,26 +32,10 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-_CACHED_FRAMES: list[DataFrame] = []
-
-
-def _cache(df: DataFrame) -> DataFrame:
-    """``df.cache()`` + registration for :func:`release_caches`."""
-    _CACHED_FRAMES.append(df)
-    return df.cache()
-
-
-def release_caches(spark=None) -> int:
-    """Unpersist every frame a dedup operator cached (idempotent). Returns
-    the number of frames released. Blocking=False: eviction proceeds async
-    so callers don't stall on block cleanup."""
-    n = len(_CACHED_FRAMES)
-    while _CACHED_FRAMES:
-        try:
-            _CACHED_FRAMES.pop().unpersist(blocking=False)
-        except Exception:
-            pass  # session already stopped — nothing to release
-    return n
+# registry now shared with other multi-branch operators (correlation.py);
+# release_caches stays importable from here for existing call sites
+from data_profiler_spark.cache_registry import cache_frame as _cache
+from data_profiler_spark.cache_registry import release_caches  # noqa: F401
 
 
 # ---------------------------------------------------------------------------

@@ -2245,3 +2245,107 @@ def skew_report_orderpriority(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     o = load(spark, sf_dir, "orders")
     return skew_report(o, ["o_orderpriority"], k=10)
+
+
+# ---------------------------------------------------------------------------
+# categorical association + missingness correlation (operators/correlation.py
+# cramers_v_matrix / theils_u_matrix / null_correlation_matrix) — the
+# non-numeric half of the ydata associations panel (output/html_ydata.py:40)
+# ---------------------------------------------------------------------------
+def _cramers_oracle() -> str:
+    from data_profiler_spark.operators.correlation import cramers_v_sql
+
+    t = (
+        "(SELECT l_returnflag, l_linestatus, "
+        "CAST(month(l_shipdate) AS VARCHAR) AS ship_month FROM lineitem) t"
+    )
+    cols = ["l_returnflag", "l_linestatus", "ship_month"]
+    # each pair's twin carries its own WITH — legal as a set operand only
+    # when wrapped as a derived table
+    parts = [
+        f"SELECT * FROM ({cramers_v_sql(t, a, b)}) u{i}_{j}"
+        for i, a in enumerate(cols)
+        for j, b in enumerate(cols[i + 1 :])
+    ]
+    return " UNION ALL ".join(parts)
+
+
+@register("cramers_v_lineitem", _cramers_oracle())
+def cramers_v_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bias-corrected Cramér's V over all categorical pairs in ONE scan
+    (exploded pair-structs -> one cells groupBy; chi-square decimal-summed).
+    ship_month is derived identically in both engines (month -> string)."""
+    from data_profiler_spark.operators.correlation import cramers_v_matrix
+
+    li = load(spark, sf_dir, "lineitem").select(
+        "l_returnflag",
+        "l_linestatus",
+        F.month("l_shipdate").cast("string").alias("ship_month"),
+    )
+    return cramers_v_matrix(li, ["l_returnflag", "l_linestatus", "ship_month"])
+
+
+def _theils_oracle() -> str:
+    from data_profiler_spark.operators.correlation import theils_u_sql
+
+    return theils_u_sql("documents", "lang", "source")
+
+
+@register("theils_u_documents", _theils_oracle())
+def theils_u_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theil's U (uncertainty coefficient), both ordered directions for
+    (lang, source): entropy sums decimal-summed from the same one-scan
+    contingency cells as Cramér's V."""
+    from data_profiler_spark.operators.correlation import theils_u_matrix
+
+    docs = load(spark, sf_dir, "documents")
+    return theils_u_matrix(docs, ["lang", "source"])
+
+
+def _null_corr_oracle() -> str:
+    from data_profiler_spark.operators.correlation import pearson_sql
+
+    cols = ["value_m", "user_m", "type_m"]
+    pair = (
+        "SELECT '{a}' AS col_a, '{b}' AS col_b, "
+        "COUNT(CASE WHEN ({a} IS NOT NULL AND {b} IS NOT NULL) THEN 1 END) AS n_pair, "
+        "{p} AS corr FROM ind"
+    )
+    sel = " UNION ALL ".join(
+        pair.format(a=a, b=b, p=pearson_sql(a, b))
+        for i, a in enumerate(cols)
+        for b in cols[i + 1 :]
+    )
+    return (
+        "WITH ind AS (SELECT "
+        "CASE WHEN user_id % 7 = 0 THEN 1.0 ELSE 0.0 END AS value_m, "
+        "CASE WHEN user_id % 14 = 0 THEN 1.0 ELSE 0.0 END AS user_m, "
+        "CASE WHEN event_type = 'click' THEN 1.0 ELSE 0.0 END AS type_m "
+        f"FROM events) {sel}"
+    )
+
+
+@register("null_correlation_events", _null_corr_oracle())
+def null_correlation_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Missingness correlation (the 'missing heatmap' statistic): Pearson
+    over NULL indicators. The testdata has no NULLs, so the query injects a
+    deterministic missingness pattern both engines derive identically:
+    value NULL on user_id%7, user NULL on user_id%14 (a nested subset ->
+    strong positive corr), event_type NULL on 'click' (independent -> ~0).
+    The oracle builds the SAME indicators directly (1.0 iff the mask fired),
+    which is definitionally what isNull() sees on the masked columns."""
+    from data_profiler_spark.operators.correlation import null_correlation_matrix
+
+    e = load(spark, sf_dir, "events")
+    masked = e.select(
+        F.when(F.col("user_id") % 7 == 0, F.lit(None).cast("double"))
+        .otherwise(F.col("value"))
+        .alias("value_m"),
+        F.when(F.col("user_id") % 14 == 0, F.lit(None).cast("long"))
+        .otherwise(F.col("user_id"))
+        .alias("user_m"),
+        F.when(F.col("event_type") == "click", F.lit(None).cast("string"))
+        .otherwise(F.col("event_type"))
+        .alias("type_m"),
+    )
+    return null_correlation_matrix(masked, ["value_m", "user_m", "type_m"])

@@ -228,3 +228,126 @@ def test_tfidf_is_lazy(spark):
     after = len(tracker.getJobIdsForGroup(None) or [])
     assert after == before
     assert _plan.count() > 0  # and it still computes when asked
+
+
+# ---------------------------------------------------------------------------
+# categorical association: Cramér's V / Theil's U
+# ---------------------------------------------------------------------------
+def _cramers_np(rows):
+    """Reference Cramér's V (bias-corrected) via numpy, for fixtures."""
+    import numpy as np
+
+    a = sorted({r[0] for r in rows})
+    b = sorted({r[1] for r in rows})
+    t = np.zeros((len(a), len(b)))
+    for x, y in rows:
+        t[a.index(x), b.index(y)] += 1
+    n = t.sum()
+    e = np.outer(t.sum(1), t.sum(0)) / n
+    chi2 = ((t - e) ** 2 / e).sum()
+    r, k = len(a), len(b)
+    phi2c = max(0.0, chi2 / n - (r - 1) * (k - 1) / (n - 1))
+    rc = r - (r - 1) ** 2 / (n - 1)
+    kc = k - (k - 1) ** 2 / (n - 1)
+    return chi2, math.sqrt(phi2c / (min(rc, kc) - 1))
+
+
+def test_cramers_v_matches_numpy_and_detects_dependence(spark):
+    from data_profiler_spark.operators.correlation import cramers_v_matrix
+
+    # strong dependence: y follows x 80% of the time
+    rows = [("a", "p")] * 40 + [("a", "q")] * 10 + [("b", "q")] * 40 + [("b", "p")] * 10
+    chi2, v = _cramers_np(rows)
+    df = spark.createDataFrame(rows, "x string, y string")
+    r = cramers_v_matrix(df, ["x", "y"]).collect()[0]
+    assert r["n_pair"] == 100 and r["r_card"] == 2 and r["k_card"] == 2
+    assert abs(r["chi_square"] - chi2) < 1e-9
+    assert abs(r["cramers_v"] - v) < 1e-9
+    assert r["cramers_v"] > 0.5  # dependence detected
+
+
+def test_cramers_v_independent_columns_near_zero(spark):
+    from data_profiler_spark.operators.correlation import cramers_v_matrix
+
+    # perfectly balanced independent 2x2 -> chi2 = 0 -> V = 0
+    rows = [(x, y) for x in "ab" for y in "pq" for _ in range(25)]
+    r = cramers_v_matrix(spark.createDataFrame(rows, "x string, y string"), ["x", "y"]).collect()[0]
+    assert r["chi_square"] == 0.0 and r["cramers_v"] == 0.0
+
+
+def test_cramers_v_constant_column_is_null_and_nulls_drop(spark):
+    from data_profiler_spark.operators.correlation import cramers_v_matrix
+
+    rows = [("a", "p"), ("a", "q"), ("a", None), (None, "p")]
+    r = cramers_v_matrix(
+        spark.createDataFrame(rows, "x string, y string"), ["x", "y"]
+    ).collect()[0]
+    assert r["n_pair"] == 2  # NULL rows dropped pairwise
+    assert r["r_card"] == 1 and r["cramers_v"] is None
+
+
+def test_cramers_v_uncorrected(spark):
+    from data_profiler_spark.operators.correlation import cramers_v_matrix
+
+    # perfect association, 2x2: uncorrected V = 1 exactly
+    rows = [("a", "p")] * 30 + [("b", "q")] * 30
+    r = cramers_v_matrix(
+        spark.createDataFrame(rows, "x string, y string"), ["x", "y"], corrected=False
+    ).collect()[0]
+    assert abs(r["cramers_v"] - 1.0) < 1e-9
+
+
+def test_theils_u_direction_and_bounds(spark):
+    from data_profiler_spark.operators.correlation import theils_u_matrix
+
+    # y determines x exactly (x = f(y)), but x does NOT determine y:
+    # U(x|y) = 1, U(y|x) < 1 — asymmetry is the point of Theil's U
+    rows = (
+        [("a", "p1")] * 20 + [("a", "p2")] * 20 + [("b", "q1")] * 20 + [("b", "q2")] * 20
+    )
+    out = {(r["col_x"], r["col_y"]): r["u"] for r in
+           theils_u_matrix(spark.createDataFrame(rows, "x string, y string"), ["x", "y"]).collect()}
+    assert abs(out[("x", "y")] - 1.0) < 1e-9      # knowing y pins x
+    assert 0.0 < out[("y", "x")] < 1.0            # knowing x halves y's entropy
+    assert abs(out[("y", "x")] - 0.5) < 1e-9      # H(y)=2 bits, H(y|x)=1 bit
+
+
+def test_theils_u_independent_and_constant(spark):
+    from data_profiler_spark.operators.correlation import theils_u_matrix
+
+    rows = [(x, y) for x in "ab" for y in "pq" for _ in range(25)]
+    out = {(r["col_x"], r["col_y"]): r["u"] for r in
+           theils_u_matrix(spark.createDataFrame(rows, "x string, y string"), ["x", "y"]).collect()}
+    assert abs(out[("x", "y")]) < 1e-9 and abs(out[("y", "x")]) < 1e-9
+    # constant x -> H(x) = 0 -> U(x|y) NULL
+    rows2 = [("a", "p"), ("a", "q")]
+    out2 = {(r["col_x"], r["col_y"]): r["u"] for r in
+            theils_u_matrix(spark.createDataFrame(rows2, "x string, y string"), ["x", "y"]).collect()}
+    assert out2[("x", "y")] is None
+    assert abs(out2[("y", "x")] - 0.0) < 1e-9  # knowing constant x tells nothing
+
+
+# ---------------------------------------------------------------------------
+# missingness correlation
+# ---------------------------------------------------------------------------
+def test_null_correlation_nested_and_constant(spark):
+    from data_profiler_spark.operators.correlation import null_correlation_matrix
+
+    # y NULL is a strict subset of x NULL -> positive corr; z never NULL ->
+    # zero indicator variance -> NULL corr (pandas NaN twin)
+    rows = []
+    for i in range(140):
+        rows.append(
+            (None if i % 7 == 0 else float(i), None if i % 14 == 0 else float(i), float(i))
+        )
+    df = spark.createDataFrame(rows, "x double, y double, z double")
+    out = {(r["col_a"], r["col_b"]): r for r in null_correlation_matrix(df, ["x", "y", "z"]).collect()}
+    import numpy as np
+
+    ix = np.array([1.0 if i % 7 == 0 else 0.0 for i in range(140)])
+    iy = np.array([1.0 if i % 14 == 0 else 0.0 for i in range(140)])
+    expect = np.corrcoef(ix, iy)[0, 1]
+    assert abs(out[("x", "y")]["corr"] - expect) < 1e-12
+    assert out[("x", "y")]["corr"] > 0.5
+    assert out[("x", "z")]["corr"] is None and out[("y", "z")]["corr"] is None
+    assert out[("x", "y")]["n_pair"] == 140  # indicators are never null

@@ -249,6 +249,34 @@ def q_corr_outliers(spark: SparkSession, sf_dir: str, code_files: str):
     return iqr_outliers(li, cols).collect()
 
 
+def q_cat_assoc(spark: SparkSession, sf_dir: str, code_files: str):
+    """Categorical association block over the north-rule code_files corpus
+    (600k rows): Cramér's V + Theil's U for (lang, path-extension,
+    size-band). One exploded scan feeds a single contingency-cells groupBy
+    per matrix; the shuffle carries distinct cells (cardinality-product
+    bounded), never rows — the measured quantity is the two scans plus
+    cell-table math."""
+    from data_profiler_spark.cache_registry import release_caches
+    from data_profiler_spark.operators.correlation import (
+        cramers_v_matrix,
+        theils_u_matrix,
+    )
+
+    df = spark.read.parquet(code_files).select(
+        "lang",
+        F.regexp_extract("path", r"\.([A-Za-z0-9]+)$", 1).alias("ext"),
+        (F.floor(F.log2(F.length("content") + F.lit(1)))).cast("string").alias(
+            "size_band"
+        ),
+    )
+    cols = ["lang", "ext", "size_band"]
+    try:
+        cramers_v_matrix(df, cols).collect()
+        return theils_u_matrix(df, cols).collect()
+    finally:
+        release_caches()
+
+
 def q_curation_e2e(spark: SparkSession, sf_dir: str, code_files: str):
     """End-to-end curation: length→lang→quality→repetition filters (fused
     into the scan), exact-dedup canonical survivors, then greedy sequence
@@ -315,6 +343,7 @@ BENCH_QUERIES = {
     "referential": q_referential,
     "grouped_histogram": q_histogram,
     "corr_outliers": q_corr_outliers,
+    "cat_assoc": q_cat_assoc,
     "text_profile": q_text_profile,
     "simhash_dedup": q_simhash_dedup,
     "minhash_dedup_10pct": q_minhash_dedup,

@@ -38,8 +38,9 @@ def build_parser() -> argparse.ArgumentParser:
     pp.add_argument("--sample-rate", type=float)
     pp.add_argument(
         "--correlations", action="store_true",
-        help="add a Pearson correlation matrix over the numeric columns "
-        "(html-ydata output renders it as the ydata correlation panel)",
+        help="add association panels to html-ydata output: Pearson over "
+        "numeric columns, Cramér's V + Theil's U over low-cardinality "
+        "string columns, missingness correlation over columns with NULLs",
     )
 
     pg = sub.add_parser("group", help="grouped stats")
@@ -206,12 +207,15 @@ def main(argv: list[str] | None = None) -> int:
                         profile_report_html_ydata,
                     )
 
-                    corr = None
+                    corr = cat = theil = nullc = None
                     if getattr(args, "correlations", False):
-                        from pyspark.sql.types import NumericType
+                        from pyspark.sql.types import NumericType, StringType
 
                         from data_profiler_spark.operators.correlation import (
                             correlation_matrix,
+                            cramers_v_matrix,
+                            null_correlation_matrix,
+                            theils_u_matrix,
                         )
 
                         num_cols = [
@@ -229,7 +233,39 @@ def main(argv: list[str] | None = None) -> int:
                             num_cols = num_cols[:50]
                         if len(num_cols) >= 2:
                             corr = correlation_matrix(df, num_cols)
-                    _emit(args, profile_report_html_ydata(prof, source=path, corr_df=corr))
+                        # categorical panels: low-cardinality strings only —
+                        # the profile already holds every distinct count, so
+                        # the gate costs one lookup, not a scan. The cells
+                        # shuffle is bounded by the cardinality product;
+                        # 1000 is ydata's own categorical threshold ballpark.
+                        card = {
+                            r["column"]: r["distinct_count"]
+                            for r in prof.select("column", "distinct_count").collect()
+                        }
+                        cat_cols = [
+                            f.name for f in df.schema.fields
+                            if isinstance(f.dataType, StringType)
+                            and (card.get(f.name) or 0) in range(2, 1001)
+                        ][:12]
+                        if len(cat_cols) >= 2:
+                            cat = cramers_v_matrix(df, cat_cols)
+                            theil = theils_u_matrix(df, cat_cols)
+                        # missingness: only columns that actually have NULLs
+                        # can correlate — same profile frame gates for free
+                        nullable = [
+                            r["column"]
+                            for r in prof.select("column", "null_count").collect()
+                            if (r["null_count"] or 0) > 0
+                        ][:50]
+                        if len(nullable) >= 2:
+                            nullc = null_correlation_matrix(df, nullable)
+                    _emit(
+                        args,
+                        profile_report_html_ydata(
+                            prof, source=path, corr_df=corr, cat_df=cat,
+                            theil_df=theil, null_df=nullc,
+                        ),
+                    )
                 else:
                     from data_profiler_spark.reports import df_to_table
 

@@ -139,23 +139,37 @@ def profile_report_html(
     return _page(f"Profile: {source}", "\n".join(body))
 
 
-def _correlation_section(corr_rows: list[dict]) -> str:
-    """Correlation-matrix panel (output/html_ydata.py:40 advertises this
-    section): renders the long-format (col_a, col_b, corr) rows from
-    operators/correlation.py as a symmetric matrix table, cells shaded by
-    |r| so strong associations pop without a plotting library."""
+def _correlation_section(
+    corr_rows: list[dict],
+    title: str = "Correlations (Pearson)",
+    value_key: str = "corr",
+    symmetric: bool = True,
+) -> str:
+    """Association-matrix panel (output/html_ydata.py:40 advertises these
+    sections): renders long-format pair rows from operators/correlation.py
+    as a matrix table, cells shaded by |value| so strong associations pop
+    without a plotting library. Handles Pearson/Spearman (col_a/col_b,
+    symmetric), Cramér's V (symmetric, value in cramers_v), Theil's U
+    (col_x/col_y, ordered — both directions present in the rows) and
+    missingness correlation (same shape as Pearson)."""
+    ka, kb = ("col_a", "col_b") if "col_a" in corr_rows[0] else ("col_x", "col_y")
     cols: list[str] = []
     for r in corr_rows:
-        for c in (r["col_a"], r["col_b"]):
+        for c in (r[ka], r[kb]):
             if c not in cols:
                 cols.append(c)
-    lut = {(r["col_a"], r["col_b"]): r["corr"] for r in corr_rows}
-    out = ["<h2>Correlations (Pearson)</h2><table><tr><th></th>"]
+    lut = {(r[ka], r[kb]): r[value_key] for r in corr_rows}
+    out = [f"<h2>{_esc(title)}</h2><table><tr><th></th>"]
     out.append("".join(f"<th>{_esc(c)}</th>" for c in cols) + "</tr>")
     for a in cols:
         cells = []
         for b in cols:
-            v = 1.0 if a == b else lut.get((a, b), lut.get((b, a)))
+            if a == b:
+                v = 1.0
+            elif symmetric:
+                v = lut.get((a, b), lut.get((b, a)))
+            else:
+                v = lut.get((a, b))
             if v is None:
                 cells.append("<td class='n'>–</td>")
             else:
@@ -172,12 +186,20 @@ def _correlation_section(corr_rows: list[dict]) -> str:
 
 
 def profile_report_html_ydata(
-    profile_df: DataFrame, source: str = "", corr_df: DataFrame | None = None
+    profile_df: DataFrame,
+    source: str = "",
+    corr_df: DataFrame | None = None,
+    cat_df: DataFrame | None = None,
+    theil_df: DataFrame | None = None,
+    null_df: DataFrame | None = None,
 ) -> str:
     """ydata-profiling-style layout: one detail card per column (variables
     section) instead of a single table — output/html_ydata.py:91-145 scope.
-    ``corr_df`` (long-format output of operators/correlation.py) adds the
-    correlation-matrix section the reference's ydata page advertises."""
+    The optional long-format frames (operators/correlation.py outputs) add
+    the association panels the reference's ydata page advertises:
+    ``corr_df`` Pearson, ``cat_df`` Cramér's V, ``theil_df`` Theil's U
+    (ordered: row x, column y shows U(x|y)), ``null_df`` missingness
+    correlation. Each is a tiny p×p result frame — collect is O(p²)."""
     rows = [r.asDict() for r in profile_df.collect()]
     total = rows[0]["total_count"] if rows else 0
     body = [
@@ -208,10 +230,16 @@ def profile_report_html_ydata(
             f"<span class='pill {_esc(r['semantic_type'])}'>{_esc(r['semantic_type'])}</span></h3>"
             f"<div class='kv'>{''.join(kvs)}</div></div>"
         )
-    if corr_df is not None:
-        corr_rows = [r.asDict() for r in corr_df.collect()]
-        if corr_rows:
-            body.append(_correlation_section(corr_rows))
+    for df_, title, key, sym in (
+        (corr_df, "Correlations (Pearson)", "corr", True),
+        (cat_df, "Categorical association (Cramér's V)", "cramers_v", True),
+        (theil_df, "Uncertainty coefficient (Theil's U, row given column)", "u", False),
+        (null_df, "Missingness correlation", "corr", True),
+    ):
+        if df_ is not None:
+            rows_ = [r.asDict() for r in df_.collect()]
+            if rows_:
+                body.append(_correlation_section(rows_, title, key, sym))
     return _page(f"Profile report: {source}", "\n".join(body))
 
 

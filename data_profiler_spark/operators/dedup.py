@@ -53,6 +53,38 @@ def exact_duplicate_groups(df: DataFrame, cols: list[str]) -> DataFrame:
     )
 
 
+def duplicate_row_stats(df: DataFrame, cols: list[str] | None = None) -> DataFrame:
+    """The ydata-overview "Duplicate rows" statistic as ONE row:
+    (n_rows, n_distinct_rows, n_duplicate_rows, n_duplicate_groups,
+    duplicate_ratio) over ``cols`` (default: all columns).
+
+    Plan: fingerprint each row (128-bit md5 over the canonical JSON struct
+    — NULL-safe, shuffles 16 bytes/row regardless of row width), one
+    groupBy for per-fingerprint counts, one scalar agg over the counts.
+    n_duplicate_rows counts every EXTRA copy (a group of 5 identical rows
+    contributes 4), matching pandas ``df.duplicated().sum()``."""
+    cols = cols or df.columns
+    fp = F.md5(F.to_json(F.struct(*[F.col(c) for c in cols])).cast("binary"))
+    g = (
+        df.select(fp.alias("fingerprint"))
+        .groupBy("fingerprint")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    return g.agg(
+        F.sum("c").alias("n_rows"),
+        F.count(F.lit(1)).alias("n_distinct_rows"),
+        (F.sum("c") - F.count(F.lit(1))).alias("n_duplicate_rows"),
+        F.sum(F.when(F.col("c") > 1, 1).otherwise(0)).alias("n_duplicate_groups"),
+        F.round(
+            F.try_divide(
+                (F.sum("c") - F.count(F.lit(1))).cast("double"),
+                F.sum("c").cast("double"),
+            ),
+            10,
+        ).alias("duplicate_ratio"),
+    )
+
+
 def distinct_by(df: DataFrame, cols: list[str]) -> DataFrame:
     """Keep one row per distinct ``cols`` value (first by a total order on
     all columns → deterministic survivor)."""

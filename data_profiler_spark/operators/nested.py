@@ -1,0 +1,109 @@
+"""Nested-column profiling: stats over array columns (the embedding /
+token-list / tag-list shapes a training-data lake carries alongside text).
+
+Reference scope: the reference profiler types nested values as JSON and
+stops at null/distinct counts (profilers/factory.py:97-222 routes list
+values to the generic column path). At 100 TB an `array<float>` embedding
+column deserves real numbers — length distribution and element-level
+stats — so this module extends the profile surface the same way the
+multimodal operators extend it for binary payloads.
+
+Plan shape (scale contract): ONE scan, ZERO shuffles. ``posexplode_outer``
+multiplies rows map-side only; every statistic is a partial-aggregatable
+expression over the exploded frame, so the plan is scan → project →
+partial agg → single-row final agg. Row-level stats (lengths, null/empty
+counts) are computed on the first exploded row per source row
+(``pos IS NULL OR pos = 0``) so nothing is double-counted; element-level
+stats use the decimal-exact sum contract from functions/stats.py, making
+the operator oracle-comparable bit-for-bit.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+_DEC = "decimal(28,8)"
+
+
+def array_column_profile(df: DataFrame, col: str) -> DataFrame:
+    """One-row profile of an array column:
+
+    n_rows, null_count (NULL arrays), empty_count, min_len, max_len,
+    avg_len, n_elements (all slots incl. NULL elements), elem_null_count,
+    elem_min, elem_max, elem_mean, elem_stddev.
+
+    Element stats require a numeric element type (cast to double — exact
+    for float32); pass a non-numeric array only if you want the length
+    block (element columns come back NULL after the failed cast).
+    """
+    e = df.select(
+        F.size(F.col(col)).cast("long").alias("__len"),
+        F.posexplode_outer(F.col(col)).alias("__pos", "__e"),
+    ).select("__len", "__pos", F.col("__e").cast("double").alias("__elem"))
+    # posexplode_outer emits exactly one (NULL pos) row for NULL and empty
+    # arrays, so "first row per source row" is: pos IS NULL OR pos = 0
+    first = F.col("__pos").isNull() | (F.col("__pos") == 0)
+    row_len = F.when(first, F.col("__len"))
+    x = F.col("__elem")
+    n = F.count(x)
+    s1 = F.sum(x.cast(_DEC)).cast("double")
+    s2 = F.sum((x * x).cast(_DEC)).cast("double")
+    var = F.try_divide(s2 - F.try_divide(s1 * s1, n), n - F.lit(1))
+    std = (
+        F.when(n == 1, F.lit(0.0))
+        .when(n == 0, F.lit(None).cast("double"))
+        .otherwise(F.sqrt(F.greatest(var, F.lit(0.0))))
+    )
+    sum_len = F.sum(row_len)
+    cnt_len = F.count(row_len)
+    return e.agg(
+        F.sum(F.when(first, 1).otherwise(0)).alias("n_rows"),
+        F.sum(F.when(first & F.col("__len").isNull(), 1).otherwise(0)).alias(
+            "null_count"
+        ),
+        F.sum(F.when(first & (F.col("__len") == 0), 1).otherwise(0)).alias(
+            "empty_count"
+        ),
+        F.min(row_len).alias("min_len"),
+        F.max(row_len).alias("max_len"),
+        F.round(F.try_divide(sum_len.cast("double"), cnt_len), 10).alias("avg_len"),
+        F.coalesce(sum_len, F.lit(0)).alias("n_elements"),
+        (F.coalesce(sum_len, F.lit(0)) - n).alias("elem_null_count"),
+        F.min(x).alias("elem_min"),
+        F.max(x).alias("elem_max"),
+        F.round(F.try_divide(s1, n), 10).alias("elem_mean"),
+        F.round(std, 10).alias("elem_stddev"),
+    )
+
+
+def array_column_profile_sql(table: str, col: str) -> str:
+    """DuckDB twin of :func:`array_column_profile` — identical decimal sums
+    and IEEE scalar expressions, lengths from ``len()``, elements from
+    scalar ``UNNEST``."""
+    x = "CAST(x AS DOUBLE)"
+    n = "COUNT(x)"
+    s1 = f"CAST(SUM(CAST({x} AS DECIMAL(28,8))) AS DOUBLE)"
+    s2 = f"CAST(SUM(CAST({x}*{x} AS DECIMAL(28,8))) AS DOUBLE)"
+    std = (
+        f"CASE WHEN {n} = 1 THEN 0.0 WHEN {n} = 0 THEN NULL "
+        f"ELSE SQRT(GREATEST(({s2} - {s1}*{s1}/{n}) / ({n} - 1), 0.0)) END"
+    )
+    return (
+        f"WITH l AS (SELECT CAST(len({col}) AS BIGINT) AS ln FROM {table}), "
+        f"u AS (SELECT UNNEST({col}) AS x FROM {table}), "
+        "rowstats AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_rows, "
+        "CAST(SUM(CASE WHEN ln IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS null_count, "
+        "CAST(SUM(CASE WHEN ln = 0 THEN 1 ELSE 0 END) AS BIGINT) AS empty_count, "
+        "MIN(ln) AS min_len, MAX(ln) AS max_len, "
+        "ROUND(CAST(CAST(SUM(ln) AS BIGINT) AS DOUBLE) / COUNT(ln), 10) AS avg_len, "
+        "CAST(COALESCE(SUM(ln), 0) AS BIGINT) AS n_elements FROM l), "
+        f"elemstats AS (SELECT CAST(COUNT(x) AS BIGINT) AS elem_nonnull, "
+        f"MIN({x}) AS elem_min, MAX({x}) AS elem_max, "
+        f"ROUND({s1} / {n}, 10) AS elem_mean, ROUND({std}, 10) AS elem_stddev "
+        "FROM u) "
+        "SELECT n_rows, null_count, empty_count, min_len, max_len, avg_len, "
+        "n_elements, n_elements - elem_nonnull AS elem_null_count, "
+        "elem_min, elem_max, elem_mean, elem_stddev "
+        "FROM rowstats CROSS JOIN elemstats"
+    )

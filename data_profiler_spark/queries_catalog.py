@@ -2349,3 +2349,52 @@ def null_correlation_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("type_m"),
     )
     return null_correlation_matrix(masked, ["value_m", "user_m", "type_m"])
+
+
+# ---------------------------------------------------------------------------
+# dataset-overview duplicate-rows statistic (operators/dedup.duplicate_row_stats)
+# — the ydata overview "Duplicate rows" cell, content-level over documents
+# ---------------------------------------------------------------------------
+_DUP_ROWS_SQL = (
+    "WITH g AS (SELECT COUNT(*) AS c FROM documents GROUP BY text, lang, source) "
+    "SELECT CAST(SUM(c) AS BIGINT) AS n_rows, "
+    "CAST(COUNT(*) AS BIGINT) AS n_distinct_rows, "
+    "CAST(SUM(c) - COUNT(*) AS BIGINT) AS n_duplicate_rows, "
+    "CAST(SUM(CASE WHEN c > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_duplicate_groups, "
+    "ROUND(CAST(SUM(c) - COUNT(*) AS DOUBLE) / CAST(SUM(c) AS DOUBLE), 10) "
+    "AS duplicate_ratio FROM g"
+)
+
+
+@register("duplicate_rows_documents", _DUP_ROWS_SQL)
+def duplicate_rows_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Table-level duplicate-row stats over (text, lang, source) — doc_id
+    excluded so re-ingested identical content counts as a duplicate. The
+    Spark side shuffles a 16-byte md5 fingerprint per row; the oracle
+    groups by the raw columns (the semantic definition the fingerprint
+    stands in for)."""
+    from data_profiler_spark.operators.dedup import duplicate_row_stats
+
+    docs = load(spark, sf_dir, "documents")
+    return duplicate_row_stats(docs, ["text", "lang", "source"])
+
+
+# ---------------------------------------------------------------------------
+# nested-column profiling (operators/nested.array_column_profile) — the
+# embedding column gets real length + element stats, one scan, no shuffle
+# ---------------------------------------------------------------------------
+def _array_profile_oracle() -> str:
+    from data_profiler_spark.operators.nested import array_column_profile_sql
+
+    return array_column_profile_sql("embeddings", "embedding")
+
+
+@register("array_profile_embeddings", _array_profile_oracle())
+def array_profile_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Array-column profile of embeddings.embedding: length distribution +
+    decimal-exact element stats via one posexplode_outer scan (map-side
+    partial agg -> single-row result; zero shuffles of row data)."""
+    from data_profiler_spark.operators.nested import array_column_profile
+
+    emb = load(spark, sf_dir, "embeddings")
+    return array_column_profile(emb, "embedding")

@@ -312,6 +312,53 @@ def test_cli_profile_html_ydata_correlations(spark, capsys):
         assert f"<th>{col}</th>" in out
 
 
+def test_cli_profile_html_ydata_categorical_and_missing_panels(spark, capsys):
+    # documents has low-cardinality strings (lang, source) -> Cramér's V +
+    # Theil's U panels; no NULL columns -> no missingness panel
+    rc = main([
+        "--output", "html-ydata", "profile",
+        "/root/testdata/sf0.001/documents.parquet",
+        "--columns", "lang,source,n_chars",
+        "--correlations",
+    ])
+    assert rc == EXIT_OK
+    out = capsys.readouterr().out
+    assert "Categorical association (Cramér&#x27;s V)" in out or "Cramér" in out
+    assert "Theil" in out
+    assert "Missingness correlation" not in out  # no NULLs in documents
+    for col in ("lang", "source"):
+        assert f"<th>{col}</th>" in out
+
+
+def test_html_ydata_missingness_panel(spark):
+    from data_profiler_spark.html_report import profile_report_html_ydata
+    from data_profiler_spark.operators.correlation import null_correlation_matrix
+    from data_profiler_spark.operators.profile import profile_table
+
+    rows = [
+        (None if i % 3 == 0 else float(i), None if i % 3 == 0 else f"v{i}")
+        for i in range(60)
+    ]
+    df = spark.createDataFrame(rows, "a double, b string")
+    html = profile_report_html_ydata(
+        profile_table(df), source="t", null_df=null_correlation_matrix(df, ["a", "b"])
+    )
+    assert "Missingness correlation" in html
+    # identical NULL masks -> corr exactly 1 on the off-diagonal
+    assert html.count("1.000") >= 4
+
+
+def test_html_ydata_theils_u_is_rendered_asymmetric(spark):
+    from data_profiler_spark.html_report import _correlation_section
+
+    rows = [
+        {"col_x": "x", "col_y": "y", "n_pair": 10, "u": 1.0},
+        {"col_x": "y", "col_y": "x", "n_pair": 10, "u": 0.5},
+    ]
+    html = _correlation_section(rows, "Theil's U", "u", symmetric=False)
+    assert ">1.000</td>" in html and ">0.500</td>" in html
+
+
 def test_cli_profile_html_ydata_no_corr_flag_unchanged(spark, capsys):
     rc = main(
         ["--output", "html-ydata", "profile", "/root/testdata/sf0.001/nation.parquet"]

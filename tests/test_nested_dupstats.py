@@ -1,0 +1,85 @@
+"""Array-column profiling (operators/nested.py) and table-level
+duplicate-row stats (operators/dedup.duplicate_row_stats)."""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+
+def test_array_profile_edges(spark):
+    from data_profiler_spark.operators.nested import array_column_profile
+
+    rows = [
+        ([1.0, 2.0, 3.0],),
+        ([4.0],),
+        ([],),
+        (None,),
+        ([5.0, None],),
+    ]
+    df = spark.createDataFrame(rows, "a array<double>")
+    r = array_column_profile(df, "a").collect()[0]
+    assert r["n_rows"] == 5
+    assert r["null_count"] == 1
+    assert r["empty_count"] == 1
+    assert r["min_len"] == 0 and r["max_len"] == 3
+    # lengths: 3,1,0,2 over the 4 non-null arrays
+    assert abs(r["avg_len"] - 6 / 4) < 1e-12
+    assert r["n_elements"] == 6
+    assert r["elem_null_count"] == 1
+    assert r["elem_min"] == 1.0 and r["elem_max"] == 5.0
+    vals = [1.0, 2.0, 3.0, 4.0, 5.0]
+    mean = sum(vals) / len(vals)
+    var = sum((v - mean) ** 2 for v in vals) / (len(vals) - 1)
+    assert abs(r["elem_mean"] - mean) < 1e-9
+    assert abs(r["elem_stddev"] - math.sqrt(var)) < 1e-9
+
+
+def test_array_profile_all_null_and_single(spark):
+    from data_profiler_spark.operators.nested import array_column_profile
+
+    df = spark.createDataFrame([(None,), (None,)], "a array<double>")
+    r = array_column_profile(df, "a").collect()[0]
+    assert r["n_rows"] == 2 and r["null_count"] == 2
+    assert r["n_elements"] == 0 and r["elem_mean"] is None
+    assert r["elem_stddev"] is None and r["avg_len"] is None
+
+    one = spark.createDataFrame([([7.0],)], "a array<double>")
+    r1 = array_column_profile(one, "a").collect()[0]
+    assert r1["elem_stddev"] == 0.0 and r1["elem_mean"] == 7.0
+
+
+def test_array_profile_plan_has_no_shuffle(spark):
+    from data_profiler_spark.operators.nested import array_column_profile
+
+    df = spark.range(100).select(F.array(F.col("id").cast("double")).alias("a"))
+    plan = array_column_profile(df, "a")._jdf.queryExecution().executedPlan().toString()
+    # single-row global agg uses SinglePartition exchange of ONE partial row
+    # per task — no data shuffle (no hash-partitioned Exchange)
+    assert "hashpartitioning" not in plan.lower()
+
+
+def test_duplicate_row_stats(spark):
+    from data_profiler_spark.operators.dedup import duplicate_row_stats
+
+    rows = [("a", 1), ("a", 1), ("a", 1), ("b", 2), ("c", None), ("c", None)]
+    df = spark.createDataFrame(rows, "s string, v int")
+    r = duplicate_row_stats(df).collect()[0]
+    assert r["n_rows"] == 6
+    assert r["n_distinct_rows"] == 3
+    assert r["n_duplicate_rows"] == 3  # 2 extra 'a' copies + 1 extra 'c'
+    assert r["n_duplicate_groups"] == 2
+    assert abs(r["duplicate_ratio"] - 0.5) < 1e-12
+
+
+def test_duplicate_row_stats_no_dups_and_subset(spark):
+    from data_profiler_spark.operators.dedup import duplicate_row_stats
+
+    df = spark.createDataFrame([(i, i % 2) for i in range(10)], "a int, b int")
+    r = duplicate_row_stats(df).collect()[0]
+    assert r["n_duplicate_rows"] == 0 and r["duplicate_ratio"] == 0.0
+    # subset columns: b has only 2 distinct values
+    r2 = duplicate_row_stats(df, ["b"]).collect()[0]
+    assert r2["n_distinct_rows"] == 2 and r2["n_duplicate_rows"] == 8

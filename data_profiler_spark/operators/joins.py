@@ -1,0 +1,152 @@
+"""Temporal joins Spark's optimizer has no native operator for: as-of join
+and point-in-interval range join.
+
+Why they live here: a naive SQL formulation of either is a non-equi join,
+which Catalyst can only execute as BroadcastNestedLoopJoin (O(n·m) and
+driver-OOM on two large sides). Both operators below re-express the
+semantics as ONE hash-partitioned exchange:
+
+- as-of join: union the two sides, ONE window pass per ``by`` key picks the
+  most recent right row for every left row (the classic "last non-null
+  carry-forward" trick). No join node at all — shuffle cost is
+  |left| + |right| rows of (by, ts, payload).
+- range join: quantize time into fixed buckets; intervals explode into the
+  buckets they overlap (ceil(span/bucket) + 1 rows each), points map to
+  exactly ONE bucket, so an equi-join on bucket followed by the exact range
+  predicate finds every pair without duplicates. Shuffle cost is
+  |points| + Σ interval spans / bucket.
+
+At 100 TB: both shuffles key on (by, bucket)-style small keys, never
+payload-wide rows; AQE handles skewed hot entities for the range join. The
+as-of window is per-``by``-key sequential by nature — a single mega-key is
+the pathological case (document, don't salt: order matters).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import Window as W
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    ts_col: str,
+    by_cols: list[str],
+    payload_cols: list[str] | None = None,
+    direction: str = "backward",
+    tolerance_seconds: float | None = None,
+    matched_ts_col: str = "matched_ts",
+) -> DataFrame:
+    """For every left row, attach the most recent right row at-or-before its
+    timestamp (``direction="backward"``; ``"forward"`` = earliest
+    at-or-after), matching pandas ``merge_asof`` / DuckDB ``ASOF JOIN``
+    semantics with inclusive equality. Left rows with no match keep NULLs
+    (left-join semantics).
+
+    ``ts_col`` must exist in both frames; ``by_cols`` are the equality keys;
+    ``payload_cols`` (default: every right column not in keys/ts) are
+    carried from the matched right row; the matched right timestamp is
+    emitted as ``matched_ts_col``. ``tolerance_seconds`` voids matches
+    further than that from the left timestamp (pandas ``tolerance``).
+
+    Plan: tag + union both sides, one window
+    (partitionBy ``by_cols``, orderBy (ts, side)) computes
+    ``last(right_payload, ignorenulls=True)``; right rows sort BEFORE left
+    rows at equal timestamps so inclusive equality holds. ONE exchange
+    total; no join operator is ever planned.
+    """
+    if direction not in ("backward", "forward"):
+        raise ValueError(f"direction must be backward|forward, got {direction!r}")
+    payload_cols = (
+        payload_cols
+        if payload_cols is not None
+        else [c for c in right.columns if c not in (*by_cols, ts_col)]
+    )
+    r_struct = F.struct(
+        F.col(ts_col).alias("__rts"), *[F.col(c) for c in payload_cols]
+    )
+    r2 = right.select(
+        *by_cols, F.col(ts_col).alias("__ts"), F.lit(0).alias("__side"),
+        r_struct.alias("__r"),
+        *[F.lit(None).cast(left.schema[c].dataType).alias(f"__l_{c}") for c in left.columns],
+    )
+    l2 = left.select(
+        *by_cols, F.col(ts_col).alias("__ts"), F.lit(1).alias("__side"),
+        F.lit(None).cast(r2.schema["__r"].dataType).alias("__r"),
+        *[F.col(c).alias(f"__l_{c}") for c in left.columns],
+    )
+    # backward: right row sorts before a left row at the same ts (inclusive
+    # match); forward mirrors by descending ts with the same tie rule
+    if direction == "backward":
+        order = [F.col("__ts").asc(), F.col("__side").asc()]
+    else:
+        order = [F.col("__ts").desc(), F.col("__side").asc()]
+    w = (
+        W.partitionBy(*by_cols)
+        .orderBy(*order)
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    u = r2.unionByName(l2).withColumn(
+        "__m", F.last("__r", ignorenulls=True).over(w)
+    )
+    out = u.where(F.col("__side") == 1)
+    if tolerance_seconds is not None:
+        gap = F.abs(
+            F.col("__ts").cast("double") - F.col("__m.__rts").cast("double")
+        )
+        out = out.withColumn(
+            "__m", F.when(gap <= F.lit(float(tolerance_seconds)), F.col("__m"))
+        )
+    return out.select(
+        *[F.col(f"__l_{c}").alias(c) for c in left.columns],
+        F.col("__m.__rts").alias(matched_ts_col),
+        *[F.col(f"__m.{c}").alias(c) for c in payload_cols],
+    )
+
+
+def range_join(
+    points: DataFrame,
+    ts_col: str,
+    intervals: DataFrame,
+    start_col: str,
+    end_col: str,
+    bucket_seconds: int = 3600,
+    by_cols: list[str] | None = None,
+) -> DataFrame:
+    """Every (point, interval) pair with ``start <= ts <= end`` (inclusive
+    both ends) — the point-in-interval join Catalyst would otherwise plan as
+    a BroadcastNestedLoopJoin.
+
+    Both time columns may be TIMESTAMP or DATE (cast to epoch seconds
+    internally). Optional ``by_cols`` adds equality keys to the bucket join
+    (co-partitioning points and intervals per entity). Output: all point
+    columns + all interval columns (names must not collide).
+
+    Bucketing: a point belongs to exactly ONE bucket, an interval explodes
+    into every bucket it overlaps — so the equi-join on
+    (``by_cols``…, bucket) emits each qualifying pair exactly once and the
+    exact range predicate only FILTERS (never dedups). Pick
+    ``bucket_seconds`` near the typical interval span: cost is
+    |points| + Σ ceil(span/bucket) interval replicas through one exchange.
+    """
+    by_cols = by_cols or []
+    overlap = set(points.columns) & set(intervals.columns) - set(by_cols)
+    if overlap:
+        raise ValueError(f"column name collision between sides: {sorted(overlap)}")
+    b = F.lit(int(bucket_seconds))
+    p_ep = F.col(ts_col).cast("timestamp").cast("double")
+    s_ep = F.col(start_col).cast("timestamp").cast("double")
+    e_ep = F.col(end_col).cast("timestamp").cast("double")
+    p = points.withColumn("__bucket", F.floor(p_ep / b))
+    i = intervals.withColumn(
+        "__bucket",
+        F.explode(F.sequence(F.floor(s_ep / b), F.floor(e_ep / b))),
+    )
+    keys = [*by_cols, "__bucket"]
+    joined = p.join(i, keys)
+    rng = (F.col(ts_col).cast("timestamp") >= F.col(start_col).cast("timestamp")) & (
+        F.col(ts_col).cast("timestamp") <= F.col(end_col).cast("timestamp")
+    )
+    return joined.where(rng).drop("__bucket")

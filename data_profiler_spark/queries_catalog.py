@@ -2398,3 +2398,80 @@ def array_profile_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = load(spark, sf_dir, "embeddings")
     return array_column_profile(emb, "embedding")
+
+
+# ---------------------------------------------------------------------------
+# temporal joins (operators/joins.py): as-of join and point-in-interval
+# range join — DuckDB's native ASOF JOIN / inequality join are the oracles
+# ---------------------------------------------------------------------------
+_ASOF_SQL = (
+    "WITH p AS (SELECT event_id, user_id, ts FROM events "
+    "WHERE event_type = 'purchase'), "
+    "c AS (SELECT user_id, ts, value AS click_value FROM events "
+    "WHERE event_type = 'click') "
+    "SELECT p.event_id, p.user_id, epoch_us(p.ts) AS ts_us, "
+    "epoch_us(c.ts) AS click_ts_us, c.click_value "
+    "FROM p ASOF LEFT JOIN c ON p.user_id = c.user_id AND p.ts >= c.ts"
+)
+
+
+@register("asof_join_events", _ASOF_SQL)
+def asof_join_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Each purchase gets the user's most recent prior (inclusive) click —
+    pandas merge_asof / DuckDB ASOF JOIN semantics via ONE union+window
+    exchange, no join node. Purchases with no prior click keep NULLs."""
+    from data_profiler_spark.operators.joins import asof_join
+
+    e = load(spark, sf_dir, "events")
+    purchases = e.where(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts"
+    )
+    clicks = e.where(F.col("event_type") == "click").select(
+        "user_id", "ts", F.col("value").alias("click_value")
+    )
+    res = asof_join(purchases, clicks, "ts", ["user_id"], ["click_value"])
+    return res.select(
+        "event_id",
+        "user_id",
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("ts_us"),
+        F.unix_micros(F.col("matched_ts").cast("timestamp")).alias("click_ts_us"),
+        "click_value",
+    )
+
+
+_RANGE_JOIN_SQL = (
+    "WITH er AS (SELECT event_id AS error_id, ts AS err_ts, "
+    "ts + INTERVAL 30 MINUTE AS err_end FROM events "
+    "WHERE event_type = 'error'), "
+    "c AS (SELECT event_id AS click_id, ts AS click_ts FROM events "
+    "WHERE event_type = 'click') "
+    "SELECT error_id, click_id, "
+    "epoch_us(click_ts) - epoch_us(err_ts) AS gap_us "
+    "FROM c JOIN er ON click_ts >= err_ts AND click_ts <= err_end"
+)
+
+
+@register("range_join_events", _RANGE_JOIN_SQL)
+def range_join_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Every click inside the 30-minute window after any error — the
+    point-in-interval join expressed as a bucketed equi-join (bucket =
+    interval span) instead of the BroadcastNestedLoopJoin a raw non-equi
+    predicate would plan."""
+    from data_profiler_spark.operators.joins import range_join
+
+    e = load(spark, sf_dir, "events")
+    err = e.where(F.col("event_type") == "error").select(
+        F.col("event_id").alias("error_id"),
+        F.col("ts").alias("err_ts"),
+        (F.col("ts") + F.expr("INTERVAL 30 MINUTES")).alias("err_end"),
+    )
+    clicks = e.where(F.col("event_type") == "click").select(
+        F.col("event_id").alias("click_id"), F.col("ts").alias("click_ts")
+    )
+    res = range_join(clicks, "click_ts", err, "err_ts", "err_end", 1800)
+    return res.select(
+        "error_id",
+        "click_id",
+        (F.unix_micros(F.col("click_ts").cast("timestamp"))
+         - F.unix_micros(F.col("err_ts").cast("timestamp"))).alias("gap_us"),
+    )

@@ -1,0 +1,139 @@
+"""As-of join and bucketed range join (operators/joins.py)."""
+
+from __future__ import annotations
+
+from datetime import datetime
+
+from pyspark.sql import functions as F
+
+
+def _ts(s):
+    return datetime.fromisoformat(s)
+
+
+def test_asof_backward_inclusive_and_no_match(spark):
+    from data_profiler_spark.operators.joins import asof_join
+
+    left = spark.createDataFrame(
+        [
+            (1, "u1", _ts("2024-01-01 10:00:00")),
+            (2, "u1", _ts("2024-01-01 12:00:00")),
+            (3, "u2", _ts("2024-01-01 09:00:00")),  # no right row before it
+        ],
+        "id long, u string, ts timestamp",
+    )
+    right = spark.createDataFrame(
+        [
+            ("u1", _ts("2024-01-01 10:00:00"), "exact"),   # inclusive match
+            ("u1", _ts("2024-01-01 11:00:00"), "later"),
+            ("u2", _ts("2024-01-01 09:30:00"), "after"),
+        ],
+        "u string, ts timestamp, tag string",
+    )
+    out = {r["id"]: r for r in asof_join(left, right, "ts", ["u"]).collect()}
+    assert out[1]["tag"] == "exact"  # equal timestamps match (inclusive)
+    assert out[2]["tag"] == "later"  # most recent <= 12:00
+    assert out[3]["tag"] is None and out[3]["matched_ts"] is None
+
+
+def test_asof_forward_and_tolerance(spark):
+    from data_profiler_spark.operators.joins import asof_join
+
+    left = spark.createDataFrame(
+        [(1, "u", _ts("2024-01-01 10:00:00"))], "id long, u string, ts timestamp"
+    )
+    right = spark.createDataFrame(
+        [("u", _ts("2024-01-01 10:45:00"), 9.0)], "u string, ts timestamp, v double"
+    )
+    fwd = asof_join(left, right, "ts", ["u"], direction="forward").collect()[0]
+    assert fwd["v"] == 9.0  # earliest at-or-after
+    tol = asof_join(
+        left, right, "ts", ["u"], direction="forward", tolerance_seconds=600
+    ).collect()[0]
+    assert tol["v"] is None  # 45 min > 10 min tolerance -> voided
+
+
+def test_asof_plan_has_no_join_node(spark):
+    from data_profiler_spark.operators.joins import asof_join
+
+    left = spark.range(100).select(
+        F.col("id"), (F.col("id") % 5).alias("u"),
+        F.timestamp_seconds(F.col("id") * 60).alias("ts"),
+    )
+    right = spark.range(50).select(
+        (F.col("id") % 5).alias("u"),
+        F.timestamp_seconds(F.col("id") * 97).alias("ts"),
+        F.col("id").alias("payload"),
+    )
+    res = asof_join(left, right, "ts", ["u"], ["payload"])
+    plan = res._jdf.queryExecution().executedPlan().toString()
+    assert "Join" not in plan  # union + window only
+    assert plan.count("Exchange") - plan.count("BroadcastExchange") <= 1
+    # semantics spot-check against a driver-side reference
+    rows = res.collect()
+    lref = [(r["id"], r["u"], r["ts"]) for r in left.collect()]
+    rref = [(r["u"], r["ts"], r["payload"]) for r in right.collect()]
+    got = {r["id"]: r["payload"] for r in rows}
+    for lid, lu, lts in lref:
+        cand = [(ts, p) for (u, ts, p) in rref if u == lu and ts <= lts]
+        want = max(cand)[1] if cand else None
+        assert got[lid] == want, f"id {lid}"
+
+
+def test_range_join_inclusive_bounds_and_bucket_straddle(spark):
+    from data_profiler_spark.operators.joins import range_join
+
+    # interval straddles several 60 s buckets; points sit exactly on the
+    # bounds and just outside them
+    intervals = spark.createDataFrame(
+        [(10, _ts("2024-01-01 00:01:30"), _ts("2024-01-01 00:04:30"))],
+        "iid long, s timestamp, e timestamp",
+    )
+    points = spark.createDataFrame(
+        [
+            (1, _ts("2024-01-01 00:01:29")),  # just before start
+            (2, _ts("2024-01-01 00:01:30")),  # == start (inclusive)
+            (3, _ts("2024-01-01 00:03:00")),  # inside, different bucket
+            (4, _ts("2024-01-01 00:04:30")),  # == end (inclusive)
+            (5, _ts("2024-01-01 00:04:31")),  # just after end
+        ],
+        "pid long, ts timestamp",
+    )
+    got = sorted(
+        r["pid"]
+        for r in range_join(points, "ts", intervals, "s", "e", 60).collect()
+    )
+    assert got == [2, 3, 4]
+
+
+def test_range_join_no_duplicate_pairs_and_by_keys(spark):
+    from data_profiler_spark.operators.joins import range_join
+
+    intervals = spark.createDataFrame(
+        [
+            ("a", 1, _ts("2024-01-01 00:00:00"), _ts("2024-01-01 02:00:00")),
+            ("b", 2, _ts("2024-01-01 00:00:00"), _ts("2024-01-01 02:00:00")),
+        ],
+        "k string, iid long, s timestamp, e timestamp",
+    )
+    points = spark.createDataFrame(
+        [("a", 7, _ts("2024-01-01 01:00:00"))], "k string, pid long, ts timestamp"
+    )
+    out = range_join(points, "ts", intervals, "s", "e", 600, by_cols=["k"]).collect()
+    # one pair only: by-key separates the 'b' interval, and the interval
+    # spanning 13 buckets must not duplicate the match
+    assert len(out) == 1 and out[0]["iid"] == 1
+
+
+def test_range_join_rejects_column_collision(spark):
+    from data_profiler_spark.operators.joins import range_join
+
+    a = spark.createDataFrame([(1, _ts("2024-01-01 00:00:00"))], "x long, ts timestamp")
+    b = spark.createDataFrame(
+        [(1, _ts("2024-01-01 00:00:00"), _ts("2024-01-01 01:00:00"))],
+        "x long, s timestamp, e timestamp",
+    )
+    import pytest
+
+    with pytest.raises(ValueError, match="collision"):
+        range_join(a, "ts", b, "s", "e", 60)

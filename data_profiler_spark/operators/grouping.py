@@ -348,3 +348,74 @@ def group_size_rollup(grouped: DataFrame) -> DataFrame:
         ).alias("avg_group_size"),
         F.sum(COUNT_COL).alias("total_rows"),
     )
+
+
+def hierarchical_rollup(
+    df: DataFrame,
+    by: list[str],
+    value_col: str,
+    mode: str = "rollup",
+) -> DataFrame:
+    """Multi-level aggregation in ONE pass: ``rollup`` (prefix hierarchies,
+    len(by)+1 levels) or ``cube`` (all 2^len(by) subsets). Spark plans ONE
+    Expand + ONE shuffle for every level together — the alternative (one
+    groupBy per level) re-scans and re-shuffles per level.
+
+    Output: by..., grouping_id (bitmask, 1-bit = column aggregated away —
+    identical to SQL GROUPING()), n_rows, sum/avg of ``value_col`` under
+    the decimal-exact order-independent contract (functions/stats.py)."""
+    from data_profiler_spark.functions.stats import decimal_avg, decimal_sum
+
+    if mode not in ("rollup", "cube"):
+        raise ValueError(f"mode must be rollup|cube, got {mode!r}")
+    g = df.rollup(*by) if mode == "rollup" else df.cube(*by)
+    return g.agg(
+        F.grouping_id().alias("grouping_id"),
+        F.count(F.lit(1)).alias("n_rows"),
+        # no rounding: the decimal sum casts to the SAME double in any
+        # engine, and the avg is one IEEE division on identical inputs —
+        # round-10 would differ in the last ulp at 1e8+ magnitudes
+        decimal_sum(value_col).alias("sum_value"),
+        decimal_avg(value_col).alias("avg_value"),
+    )
+
+
+def time_bucket_gapfill(
+    df: DataFrame,
+    ts_col: str,
+    bucket_seconds: int = 300,
+) -> DataFrame:
+    """Dense per-bucket event counts: fixed-width time buckets with EMPTY
+    buckets materialized as zero rows (the timeseries "gapfill" operator —
+    a plain groupBy silently omits them, which breaks rate charts and
+    anomaly windows downstream).
+
+    Plan: one groupBy for the sparse counts; the dense spine is generated
+    from the 1-row (min, max) aggregate — ``sequence`` + ``explode`` on the
+    broadcast-joined bounds, so no driver collect and no second scan of the
+    data. Spine rows = span/bucket, independent of |df|.
+
+    Output: (bucket_start string 'yyyy-MM-dd HH:mm:ss', n long)."""
+    b = F.lit(int(bucket_seconds))
+    ep = F.col(ts_col).cast("timestamp").cast("long")
+    bucket = (F.floor(ep / b) * b).alias("__bucket")
+    sparse = df.select(bucket).groupBy("__bucket").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    bounds = df.select(
+        F.min(F.floor(ep / b) * b).alias("__lo"), F.max(F.floor(ep / b) * b).alias("__hi")
+    )
+    spine = bounds.select(
+        F.explode(F.sequence(F.col("__lo"), F.col("__hi"), b.cast("long"))).alias(
+            "__bucket"
+        )
+    )
+    return (
+        spine.join(sparse, "__bucket", "left")
+        .select(
+            F.date_format(
+                F.timestamp_seconds(F.col("__bucket")), "yyyy-MM-dd HH:mm:ss"
+            ).alias("bucket_start"),
+            F.coalesce(F.col("n"), F.lit(0)).alias("n"),
+        )
+    )

@@ -2475,3 +2475,64 @@ def range_join_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.unix_micros(F.col("click_ts").cast("timestamp"))
          - F.unix_micros(F.col("err_ts").cast("timestamp"))).alias("gap_us"),
     )
+
+
+# ---------------------------------------------------------------------------
+# multi-level aggregation (rollup/cube, one Expand pass) and timeseries
+# gap-fill — operators/grouping.py tail additions
+# ---------------------------------------------------------------------------
+_ROLLUP_SQL = (
+    "SELECT o_orderpriority, o_orderstatus, "
+    "CAST(GROUPING(o_orderpriority, o_orderstatus) AS BIGINT) AS grouping_id, "
+    "CAST(COUNT(*) AS BIGINT) AS n_rows, "
+    "CAST(SUM(CAST(o_totalprice AS DECIMAL(28,8))) AS DOUBLE) AS sum_value, "
+    "CAST(SUM(CAST(o_totalprice AS DECIMAL(28,8))) AS DOUBLE) "
+    "/ COUNT(o_totalprice) AS avg_value "
+    "FROM orders GROUP BY ROLLUP (o_orderpriority, o_orderstatus)"
+)
+
+
+@register("rollup_orders", _ROLLUP_SQL)
+def rollup_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(priority, status) hierarchy totals — 3 levels in ONE Expand+shuffle
+    pass instead of one groupBy per level; grouping_id disambiguates
+    rolled-up NULLs from data NULLs."""
+    from data_profiler_spark.operators.grouping import hierarchical_rollup
+
+    o = load(spark, sf_dir, "orders")
+    return hierarchical_rollup(o, ["o_orderpriority", "o_orderstatus"], "o_totalprice")
+
+
+_CUBE_SQL = _ROLLUP_SQL.replace("ROLLUP (", "CUBE (")
+
+
+@register("cube_orders", _CUBE_SQL)
+def cube_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """All 4 subset aggregations of (priority, status) in one pass."""
+    from data_profiler_spark.operators.grouping import hierarchical_rollup
+
+    o = load(spark, sf_dir, "orders")
+    return hierarchical_rollup(
+        o, ["o_orderpriority", "o_orderstatus"], "o_totalprice", mode="cube"
+    )
+
+
+_GAPFILL_SQL = (
+    "WITH ep AS (SELECT CAST(FLOOR(epoch(ts) / 300) * 300 AS BIGINT) AS b "
+    "FROM events), "
+    "sparse AS (SELECT b, CAST(COUNT(*) AS BIGINT) AS n FROM ep GROUP BY b), "
+    "bounds AS (SELECT MIN(b) AS lo, MAX(b) AS hi FROM ep), "
+    "spine AS (SELECT UNNEST(generate_series(lo, hi, 300)) AS b FROM bounds) "
+    "SELECT strftime(to_timestamp(spine.b), '%Y-%m-%d %H:%M:%S') AS bucket_start, "
+    "COALESCE(n, 0) AS n FROM spine LEFT JOIN sparse ON spine.b = sparse.b"
+)
+
+
+@register("gapfill_events", _GAPFILL_SQL)
+def gapfill_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dense 5-minute event counts with zero-filled empty buckets; the
+    spine derives from the (min, max) aggregate — no driver collect."""
+    from data_profiler_spark.operators.grouping import time_bucket_gapfill
+
+    e = load(spark, sf_dir, "events")
+    return time_bucket_gapfill(e, "ts", 300)

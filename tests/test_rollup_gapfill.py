@@ -1,0 +1,75 @@
+"""hierarchical_rollup / time_bucket_gapfill (operators/grouping.py tail)."""
+
+from __future__ import annotations
+
+from datetime import datetime
+
+import pytest
+from pyspark.sql import functions as F
+
+
+def test_rollup_levels_and_null_disambiguation(spark):
+    from data_profiler_spark.operators.grouping import hierarchical_rollup
+
+    rows = [("a", "x", 1.0), ("a", "y", 2.0), (None, "x", 4.0)]
+    df = spark.createDataFrame(rows, "g1 string, g2 string, v double")
+    out = hierarchical_rollup(df, ["g1", "g2"], "v").collect()
+    # rollup(g1, g2): (g1,g2) leaves + per-g1 + grand total = 3 + 2 + 1
+    assert len(out) == 6
+    by_gid = {}
+    for r in out:
+        by_gid.setdefault(r["grouping_id"], []).append(r)
+    # grand total: gid=3, both keys NULL
+    (total,) = by_gid[3]
+    assert total["n_rows"] == 3 and abs(total["sum_value"] - 7.0) < 1e-12
+    # the DATA null g1 group (gid=1, g1 NULL) is distinct from the rollup
+    # level (gid=3): grouping_id is what separates them
+    g1_level = {r["g1"]: r for r in by_gid[1]}
+    assert g1_level[None]["n_rows"] == 1 and g1_level["a"]["n_rows"] == 2
+    # leaves: gid=0
+    assert len(by_gid[0]) == 3
+
+
+def test_cube_emits_all_subsets(spark):
+    from data_profiler_spark.operators.grouping import hierarchical_rollup
+
+    df = spark.createDataFrame([("a", "x", 1.0)], "g1 string, g2 string, v double")
+    out = hierarchical_rollup(df, ["g1", "g2"], "v", mode="cube").collect()
+    assert sorted(r["grouping_id"] for r in out) == [0, 1, 2, 3]
+    with pytest.raises(ValueError, match="rollup|cube"):
+        hierarchical_rollup(df, ["g1"], "v", mode="bogus")
+
+
+def test_rollup_single_expand_single_shuffle(spark):
+    from data_profiler_spark.operators.grouping import hierarchical_rollup
+
+    df = spark.range(1000).select(
+        (F.col("id") % 7).cast("string").alias("a"),
+        (F.col("id") % 3).cast("string").alias("b"),
+        F.col("id").cast("double").alias("v"),
+    )
+    plan = (
+        hierarchical_rollup(df, ["a", "b"], "v")
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert plan.count("Expand") == 1
+    assert plan.count("Exchange") - plan.count("BroadcastExchange") == 1
+
+
+def test_gapfill_zero_buckets(spark):
+    from data_profiler_spark.operators.grouping import time_bucket_gapfill
+
+    ts = [
+        datetime(2024, 1, 1, 0, 0, 30),
+        datetime(2024, 1, 1, 0, 0, 45),
+        # gap: 00:01 and 00:02 minutes empty
+        datetime(2024, 1, 1, 0, 3, 10),
+    ]
+    df = spark.createDataFrame([(t,) for t in ts], "ts timestamp")
+    out = {r["bucket_start"]: r["n"] for r in time_bucket_gapfill(df, "ts", 60).collect()}
+    assert out == {
+        "2024-01-01 00:00:00": 2,
+        "2024-01-01 00:01:00": 0,
+        "2024-01-01 00:02:00": 0,
+        "2024-01-01 00:03:00": 1,
+    }

@@ -2536,3 +2536,38 @@ def gapfill_events(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     e = load(spark, sf_dir, "events")
     return time_bucket_gapfill(e, "ts", 300)
+
+
+# ---------------------------------------------------------------------------
+# pivot (wide crosstab) — Spark-native groupBy().pivot() with the value
+# domain passed explicitly so the plan is ONE pass (no domain-discovery job)
+# ---------------------------------------------------------------------------
+_EVENT_TYPES = ["click", "error", "purchase", "signup", "view"]
+
+_PIVOT_SQL = (
+    "SELECT user_id, "
+    + ", ".join(
+        f"CAST(COUNT(CASE WHEN event_type = '{t}' THEN 1 END) AS BIGINT) AS {t}"
+        for t in _EVENT_TYPES
+    )
+    + " FROM events GROUP BY user_id"
+)
+
+
+@register("pivot_events_by_user", _PIVOT_SQL)
+def pivot_events_by_user(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user event-type counts as a wide table. The explicit value list
+    matters at scale: without it Spark runs a separate distinct-collect job
+    to discover the domain AND caps it at spark.sql.pivotMaxValues — with
+    it, the pivot compiles to one groupBy with k conditional counts."""
+    e = load(spark, sf_dir, "events")
+    out = (
+        e.groupBy("user_id")
+        .pivot("event_type", _EVENT_TYPES)
+        .agg(F.count(F.lit(1)))
+    )
+    # pivot leaves NULL where a (user, type) cell has no rows; the CASE
+    # twin counts 0 — coalesce to the COUNT semantics
+    return out.select(
+        "user_id", *[F.coalesce(F.col(t), F.lit(0)).alias(t) for t in _EVENT_TYPES]
+    )

@@ -150,6 +150,54 @@ def build_audits(spark, sf):
             "fd_check": (fd_check(li, ["l_orderkey"], "l_suppkey"), 3, False),
         }
     )
+
+    # temporal-join + nested/multi-level plane (round-3 third session):
+    # asof is the union+window trick — ONE entity exchange, NO join node;
+    # range_join is one bucketed equi-join (two side exchanges under SMJ —
+    # AQE may broadcast the exploded interval side, dropping to 0);
+    # rollup is one Expand + one hash exchange for all levels; the array
+    # profile and gapfill ride SinglePartition scalar reduces only.
+    from data_profiler_spark.operators.grouping import (
+        hierarchical_rollup,
+        time_bucket_gapfill,
+    )
+    from data_profiler_spark.operators.joins import asof_join, range_join
+    from data_profiler_spark.operators.nested import array_column_profile
+
+    purchases = ev_tbl.where(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts"
+    )
+    clicks = ev_tbl.where(F.col("event_type") == "click").select(
+        "user_id", "ts", F.col("value").alias("click_value")
+    )
+    err = ev_tbl.where(F.col("event_type") == "error").select(
+        F.col("event_id").alias("error_id"),
+        F.col("ts").alias("err_ts"),
+        (F.col("ts") + F.expr("INTERVAL 30 MINUTES")).alias("err_end"),
+    )
+    pts = ev_tbl.where(F.col("event_type") == "click").select(
+        F.col("event_id").alias("click_id"), F.col("ts").alias("click_ts")
+    )
+    emb = spark.read.parquet(f"{sf}/embeddings.parquet")
+    orders_tbl = spark.read.parquet(f"{sf}/orders.parquet")
+    asof_df = asof_join(purchases, clicks, "ts", ["user_id"], ["click_value"])
+    audits.update(
+        {
+            "asof_join": (asof_df, 1, False),
+            "range_join": (
+                range_join(pts, "click_ts", err, "err_ts", "err_end", 1800), 2, False,
+            ),
+            "rollup": (
+                hierarchical_rollup(
+                    orders_tbl, ["o_orderpriority", "o_orderstatus"], "o_totalprice"
+                ), 1, False,
+            ),
+            "array_profile": (array_column_profile(emb, "embedding"), 1, False),
+            "gapfill": (time_bucket_gapfill(ev_tbl, "ts", 300), 3, False),
+        }
+    )
+    if "Join" in _plan(asof_df):
+        raise AssertionError("asof_join plan grew a join node")
     return audits
 
 

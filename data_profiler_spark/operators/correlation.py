@@ -550,3 +550,78 @@ def null_correlation_matrix(df: DataFrame, cols: list[str]) -> DataFrame:
     integers)."""
     ind = df.select(*[F.col(c).isNull().cast("double").alias(c) for c in cols])
     return correlation_matrix(ind, cols)
+
+
+def mutual_information_matrix(df: DataFrame, cols: list[str]) -> DataFrame:
+    """Mutual information for every unordered categorical pair i < j
+    (deequ's MutualInformation analyzer), long format:
+    (col_a, col_b, n_pair, mi, nmi).
+
+    MI = H(x) + H(y) − H(x,y) = (Sxy − Sx − Sy)/n + ln n  with
+    S = Σ c·ln c over the respective marginal/cell counts — the SAME
+    decimal-summed entropy sums Theil's U uses, over the same one-scan
+    contingency cells. nmi normalizes by min(H(x), H(y)) into [0, 1]
+    (NULL when either side is constant). Natural log; round-10 parity
+    with :func:`mutual_information_sql`."""
+    if len(cols) < 2:
+        raise ValueError("mutual_information_matrix needs at least 2 columns")
+    pairs = [(cols[i], cols[j]) for i in range(len(cols)) for j in range(i + 1, len(cols))]
+    cells = _pair_cells(df, pairs)
+    rt, ct, tot = _pair_margins(cells)
+
+    def _ent(frame: DataFrame, cnt: str, out: str) -> DataFrame:
+        c = F.col(cnt).cast("double")
+        return (
+            frame.select("pid", (c * F.log(c)).cast("decimal(38,18)").alias("t"))
+            .groupBy("pid")
+            .agg(F.sum("t").cast("double").alias(out))
+        )
+
+    s = (
+        tot.join(_ent(rt, "r_cnt", "s_x"), "pid")
+        .join(_ent(ct, "k_cnt", "s_y"), "pid")
+        .join(_ent(cells, "c", "s_xy"), "pid")
+    )
+    nd = F.col("n").cast("double")
+    h_x = F.log(nd) - F.col("s_x") / nd
+    h_y = F.log(nd) - F.col("s_y") / nd
+    mi = (F.col("s_xy") - F.col("s_x") - F.col("s_y")) / nd + F.log(nd)
+    nmi = F.try_divide(mi, F.least(h_x, h_y))
+    pair_lk = F.array(
+        *[F.struct(F.lit(a).alias("col_a"), F.lit(b).alias("col_b")) for a, b in pairs]
+    )
+    return s.select(
+        F.element_at(pair_lk, F.col("pid").cast("int") + 1).alias("__p"),
+        F.col("n").alias("n_pair"),
+        F.round(mi, 10).alias("mi"),
+        F.round(nmi, 10).alias("nmi"),
+    ).select("__p.col_a", "__p.col_b", "n_pair", "mi", "nmi")
+
+
+def mutual_information_sql(table: str, a: str, b: str) -> str:
+    """DuckDB twin of one :func:`mutual_information_matrix` pair."""
+    cells = (
+        f"SELECT CAST({a} AS VARCHAR) va, CAST({b} AS VARCHAR) vb, "
+        f"CAST(COUNT(*) AS BIGINT) c FROM {table} "
+        f"WHERE {a} IS NOT NULL AND {b} IS NOT NULL GROUP BY 1, 2"
+    )
+    ent = "CAST(SUM(CAST(CAST({c} AS DOUBLE) * LN(CAST({c} AS DOUBLE)) AS DECIMAL(38,18))) AS DOUBLE)"
+    nd = "CAST(n AS DOUBLE)"
+    h_x = f"(LN({nd}) - s_x / {nd})"
+    h_y = f"(LN({nd}) - s_y / {nd})"
+    mi = f"((s_xy - s_x - s_y) / {nd} + LN({nd}))"
+    nmi = (
+        f"CASE WHEN LEAST({h_x}, {h_y}) = 0 THEN NULL "
+        f"ELSE ROUND({mi} / LEAST({h_x}, {h_y}), 10) END"
+    )
+    return (
+        f"WITH cells AS ({cells}), "
+        f"rt AS (SELECT va, CAST(SUM(c) AS BIGINT) c FROM cells GROUP BY va), "
+        f"ct AS (SELECT vb, CAST(SUM(c) AS BIGINT) c FROM cells GROUP BY vb), "
+        f"s AS (SELECT (SELECT CAST(SUM(c) AS BIGINT) FROM cells) n, "
+        f"(SELECT {ent.format(c='c')} FROM rt) s_x, "
+        f"(SELECT {ent.format(c='c')} FROM ct) s_y, "
+        f"(SELECT {ent.format(c='c')} FROM cells) s_xy) "
+        f"SELECT '{a}' AS col_a, '{b}' AS col_b, n AS n_pair, "
+        f"ROUND({mi}, 10) AS mi, {nmi} AS nmi FROM s"
+    )

@@ -2571,3 +2571,21 @@ def pivot_events_by_user(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(
         "user_id", *[F.coalesce(F.col(t), F.lit(0)).alias(t) for t in _EVENT_TYPES]
     )
+
+
+# ---------------------------------------------------------------------------
+# mutual information (deequ MutualInformation parity) — same one-scan
+# contingency cells + decimal entropy sums as Theil's U
+# ---------------------------------------------------------------------------
+def _mi_oracle() -> str:
+    from data_profiler_spark.operators.correlation import mutual_information_sql
+
+    return mutual_information_sql("documents", "lang", "source")
+
+
+@register("mutual_information_documents", _mi_oracle())
+def mutual_information_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from data_profiler_spark.operators.correlation import mutual_information_matrix
+
+    docs = load(spark, sf_dir, "documents")
+    return mutual_information_matrix(docs, ["lang", "source"])

@@ -327,6 +327,56 @@ def test_theils_u_independent_and_constant(spark):
     assert abs(out2[("y", "x")] - 0.0) < 1e-9  # knowing constant x tells nothing
 
 
+def test_mutual_information_values(spark):
+    import math
+
+    from data_profiler_spark.operators.correlation import mutual_information_matrix
+
+    # y = f(x) bijectively -> MI = H(x) = H(y), NMI = 1
+    rows = [("a", "p")] * 30 + [("b", "q")] * 10
+    r = mutual_information_matrix(
+        spark.createDataFrame(rows, "x string, y string"), ["x", "y"]
+    ).collect()[0]
+    h = -(0.75 * math.log(0.75) + 0.25 * math.log(0.25))
+    assert abs(r["mi"] - h) < 1e-9 and abs(r["nmi"] - 1.0) < 1e-9
+    # independent balanced -> MI 0
+    rows2 = [(x, y) for x in "ab" for y in "pq" for _ in range(25)]
+    r2 = mutual_information_matrix(
+        spark.createDataFrame(rows2, "x string, y string"), ["x", "y"]
+    ).collect()[0]
+    assert abs(r2["mi"]) < 1e-9 and abs(r2["nmi"]) < 1e-9
+    # constant column -> H = 0 -> nmi NULL, mi 0
+    rows3 = [("a", "p"), ("a", "q")]
+    r3 = mutual_information_matrix(
+        spark.createDataFrame(rows3, "x string, y string"), ["x", "y"]
+    ).collect()[0]
+    assert abs(r3["mi"]) < 1e-12 and r3["nmi"] is None
+
+
+def test_cat_assoc_caches_release(spark):
+    """The contingency-cells cache registers with the shared registry and
+    release_caches() empties the storage layer (same contract the dedup
+    operators test)."""
+    import time
+
+    from data_profiler_spark.cache_registry import release_caches
+    from data_profiler_spark.operators.correlation import (
+        cramers_v_matrix,
+        theils_u_matrix,
+    )
+
+    rows = [(a, b) for a in "abc" for b in "xy" for _ in range(5)]
+    df = spark.createDataFrame(rows, "p string, q string")
+    cramers_v_matrix(df, ["p", "q"]).collect()
+    theils_u_matrix(df, ["p", "q"]).collect()
+    assert release_caches(spark) >= 2
+    for _ in range(50):
+        if spark.sparkContext._jsc.getPersistentRDDs().isEmpty():
+            break
+        time.sleep(0.2)
+    assert spark.sparkContext._jsc.getPersistentRDDs().isEmpty()
+
+
 # ---------------------------------------------------------------------------
 # missingness correlation
 # ---------------------------------------------------------------------------

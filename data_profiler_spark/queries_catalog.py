@@ -2589,3 +2589,71 @@ def mutual_information_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load(spark, sf_dir, "documents")
     return mutual_information_matrix(docs, ["lang", "source"])
+
+
+# ---------------------------------------------------------------------------
+# grouped quantiles + cumulative window aggregates — per-group distribution
+# summaries and running totals (classic analytics surface; ONE shuffle each)
+# ---------------------------------------------------------------------------
+_GROUPED_Q_SQL = (
+    "SELECT l_returnflag, l_linestatus, "
+    "quantile_cont(l_extendedprice, 0.25) AS p25, "
+    "quantile_cont(l_extendedprice, 0.5) AS p50, "
+    "quantile_cont(l_extendedprice, 0.75) AS p75, "
+    "quantile_cont(l_extendedprice, 0.99) AS p99 "
+    "FROM lineitem GROUP BY l_returnflag, l_linestatus"
+)
+
+
+@register("grouped_quantiles_lineitem", _GROUPED_Q_SQL)
+def grouped_quantiles_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact per-group quantiles in ONE groupBy (Spark percentile ==
+    DuckDB quantile_cont, linear interpolation — the same parity contract
+    the whole-table A3 query relies on). The scale path swaps
+    percentile_approx in mechanically (profile_table exact=False)."""
+    li = load(spark, sf_dir, "lineitem")
+    qs = {"p25": 0.25, "p50": 0.5, "p75": 0.75, "p99": 0.99}
+    return li.groupBy("l_returnflag", "l_linestatus").agg(
+        *[
+            F.percentile("l_extendedprice", F.lit(p)).alias(name)
+            for name, p in qs.items()
+        ]
+    )
+
+
+_CUMSUM_SQL = (
+    "SELECT user_id, epoch_us(ts) AS ts_us, "
+    "CAST(SUM(CAST(value AS DECIMAL(28,8))) OVER "
+    "(PARTITION BY user_id ORDER BY ts, event_id "
+    "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) "
+    "AS running_value, "
+    "CAST(ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts, event_id) "
+    "AS BIGINT) AS event_seq "
+    "FROM events"
+)
+
+
+@register("cumulative_events_by_user", _CUMSUM_SQL)
+def cumulative_events_by_user(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-entity running totals + event sequence numbers — one window
+    exchange on the entity key; the decimal-summed running value keeps the
+    prefix sums order-independent across partitioning choices (ties broken
+    by event_id for a deterministic total order)."""
+    from pyspark.sql import Window as W
+
+    e = load(spark, sf_dir, "events")
+    w = (
+        W.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    return e.select(
+        "user_id",
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("ts_us"),
+        F.sum(F.col("value").cast("decimal(28,8)")).over(w).cast("double").alias(
+            "running_value"
+        ),
+        F.row_number().over(
+            W.partitionBy("user_id").orderBy("ts", "event_id")
+        ).cast("long").alias("event_seq"),
+    )

@@ -367,6 +367,7 @@ def main(argv: list[str] | None = None) -> int:
                 RangeCheck,
                 ReconciliationCheck,
                 RegexCheck,
+                RowCountCheck,
                 SchemaCheck,
                 UniquenessCheck,
                 run_suite,
@@ -409,6 +410,7 @@ def main(argv: list[str] | None = None) -> int:
             #             "as_of" (ISO instant — stamp it at submit time)}
             # schema:    {"type": "schema", "expected": [["col","type"],...],
             #             "allow_extra": bool}
+            # row_count: {"type": "row_count", "min_rows", "max_rows"}
             # reconcile: {"type": "reconcile", "agg", "column",
             #             "other_path" (parquet/csv/json to compare with),
             #             "other_agg", "other_column", "rel_tol"}
@@ -433,6 +435,14 @@ def main(argv: list[str] | None = None) -> int:
                         s.get("allow_extra", True), s.get("name", ""),
                     )
                     for s in checks if s["type"] == "schema"
+                ],
+                row_count=[
+                    RowCountCheck(
+                        int(s.get("min_rows", 1)),
+                        int(s["max_rows"]) if s.get("max_rows") is not None else None,
+                        s.get("name", ""),
+                    )
+                    for s in checks if s["type"] == "row_count"
                 ],
                 reconciliation=[
                     ReconciliationCheck(
@@ -460,7 +470,7 @@ def main(argv: list[str] | None = None) -> int:
             failed = [r for r in verdicts if not r["pass"]]
             drift_failed = [r for r in drift_rows if not r["pass"]]
             extra_failed = []
-            for fam in ("freshness", "schema", "reconciliation"):
+            for fam in ("freshness", "schema", "reconciliation", "row_count"):
                 if fam in out:
                     extra_failed += [r for r in out[fam].collect() if not r["pass"]]
             payload = {

@@ -176,6 +176,23 @@ class FreshnessCheck:
 
 
 @dataclass(frozen=True)
+class RowCountCheck:
+    """Table-level row-count bound: ``min_rows <= COUNT(*) <= max_rows``
+    (``max_rows=None`` = unbounded above). The cheapest possible check —
+    parquet answers COUNT(*) from footer metadata without scanning data —
+    and the first thing a pipeline gate should assert (an empty or
+    half-written input fails here before any per-row check spends a scan)."""
+
+    min_rows: int = 1
+    max_rows: int | None = None
+    name: str = ""
+
+    def check_name(self) -> str:
+        hi = self.max_rows if self.max_rows is not None else "inf"
+        return self.name or f"row_count[{self.min_rows},{hi}]"
+
+
+@dataclass(frozen=True)
 class SchemaCheck:
     """Assert column presence + Spark type (``simpleString`` form, e.g.
     ``("commit", "string")``). ``allow_extra=False`` additionally fails
@@ -228,6 +245,7 @@ class CheckSuite:
     freshness: list = field(default_factory=list)
     schema_checks: list = field(default_factory=list)
     reconciliation: list = field(default_factory=list)
+    row_count: list = field(default_factory=list)
 
 
 # ---------------------------------------------------------------------------
@@ -494,6 +512,33 @@ def run_suite(
         drift = v if drift is None else drift.unionByName(v, allowMissingColumns=True)
     if drift is not None:
         out["drift"] = drift.orderBy("check", "group")
+
+    if suite.row_count:
+        # one COUNT(*) job serves every bound: parquet answers it from
+        # footer metadata, and the literal bounds cross-join the 1-row count
+        cnt = df.agg(F.count(F.lit(1)).alias("n_rows"))
+        bounds = F.array(
+            *[
+                F.struct(
+                    F.lit(ch.check_name()).alias("check"),
+                    F.lit(int(ch.min_rows)).alias("lo"),
+                    F.lit(int(ch.max_rows) if ch.max_rows is not None else -1).alias(
+                        "hi"
+                    ),
+                )
+                for ch in suite.row_count
+            ]
+        )
+        out["row_count"] = cnt.select(
+            F.explode(bounds).alias("b"), "n_rows"
+        ).select(
+            F.col("b.check").alias("check"),
+            "n_rows",
+            (
+                (F.col("n_rows") >= F.col("b.lo"))
+                & ((F.col("b.hi") < 0) | (F.col("n_rows") <= F.col("b.hi")))
+            ).alias("pass"),
+        )
 
     fresh = None
     for ch in suite.freshness:

@@ -145,6 +145,16 @@ def suggest_suite(
             suite.uniqueness.append(UniquenessCheck((c,)))
             spec_unique.append([c])
 
+    # table-level row-count floor: half the observed count (re-running the
+    # suite on the same data trivially passes; a half-empty re-ingest fails)
+    total = next(iter(prof.values()))["total_count"] if prof else 0
+    if total > 0:
+        from data_profiler_spark.operators.constraints import RowCountCheck
+
+        min_rows = max(1, total // 2)
+        suite.row_count.append(RowCountCheck(min_rows))
+        spec_checks.append({"type": "row_count", "min_rows": min_rows})
+
     spec = {"checks": spec_checks, "uniqueness": spec_unique}
     return suite, spec
 

@@ -126,3 +126,41 @@ def test_violations_deterministic_across_parallelism(spark, code_files):
     _, v2 = run_row_checks(code_files.repartition(17), checks, part, content_col="content",
                            key_cols=["repo", "path", "commit"])
     assert [tuple(r) for r in v1.collect()] == [tuple(r) for r in v2.collect()]
+
+
+def test_row_count_check_bounds(spark):
+    from data_profiler_spark.operators.constraints import (
+        CheckSuite,
+        RowCountCheck,
+        run_suite,
+    )
+    from pyspark.sql import functions as F
+
+    df = spark.range(100).select(F.col("id"), (F.col("id") % 4).alias("p"))
+    suite = CheckSuite(
+        row_count=[
+            RowCountCheck(50, 200, name="ok_band"),
+            RowCountCheck(101, name="too_low"),
+            RowCountCheck(1, 99, name="too_high"),
+        ]
+    )
+    out = run_suite(df, suite, partition_col="p")
+    rows = {r["check"]: r for r in out["row_count"].collect()}
+    assert rows["ok_band"]["pass"] and rows["ok_band"]["n_rows"] == 100
+    assert not rows["too_low"]["pass"]
+    assert not rows["too_high"]["pass"]
+
+
+def test_row_count_check_empty_table_fails(spark):
+    from data_profiler_spark.operators.constraints import (
+        CheckSuite,
+        RowCountCheck,
+        run_suite,
+    )
+
+    df = spark.range(0)
+    out = run_suite(
+        df, CheckSuite(row_count=[RowCountCheck(1)]), partition_col="id"
+    )
+    r = out["row_count"].collect()[0]
+    assert r["n_rows"] == 0 and not r["pass"]

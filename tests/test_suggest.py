@@ -26,6 +26,8 @@ def _all_pass(out: dict) -> bool:
         ok &= all(r["pass"] for r in out["verdicts"].collect())
     if "uniqueness" in out:
         ok &= out["uniqueness"].count() == 0
+    if "row_count" in out:
+        ok &= all(r["pass"] for r in out["row_count"].collect())
     return ok
 
 
@@ -36,8 +38,9 @@ def test_suggested_suite_passes_on_its_own_data(spark, code_files):
         code_files, suite, partition_col=F.pmod(F.xxhash64("repo"), F.lit(16))
     )
     assert _all_pass(out)
-    # spec mirrors the suite
-    assert len(spec["checks"]) == len(suite.row_checks)
+    # spec mirrors the suite (row checks + the table-level row-count floor)
+    assert len(spec["checks"]) == len(suite.row_checks) + len(suite.row_count)
+    assert suite.row_count and suite.row_count[0].min_rows >= 1
 
 
 def test_suggested_suite_catches_corruption(spark, code_files):

@@ -39,8 +39,22 @@ def _ensure_input(n_rows: int) -> tuple[str, str]:
     return code_files, commits
 
 
+def _settle(max_load: float, timeout_s: int = 240) -> float:
+    """Wait for the 1-min loadavg to decay below ``max_load`` before starting
+    a leg. Without this, the N leg's own threads are still in the 1-min
+    average when the 4N leg starts, and the idle guard (below) rejects a
+    perfectly clean measurement as 'external load'. Bounded wait: if the box
+    never settles, return the current load and let the guard decide."""
+    deadline = time.monotonic() + timeout_s
+    load = os.getloadavg()[0]
+    while load > max_load and time.monotonic() < deadline:
+        time.sleep(5)
+        load = os.getloadavg()[0]
+    return load
+
+
 def run_at(cpus: int, code_files: str, commits: str) -> dict:
-    load_before = os.getloadavg()[0]
+    load_before = _settle(float(os.environ.get("SCALING_MAX_LOAD", "3.0")))
     out = subprocess.run(
         [sys.executable, os.path.join(REPO, "tools", "scaling_run.py"),
          str(cpus), code_files, commits],
@@ -181,18 +195,17 @@ Same constraint suite (6 row checks + salted uniqueness on
   after a shuffle-heavy pass, vs ~26 s pre-touched — and plain Xms
   pinning does not help). Real clusters with warm executors never see
   this; pre-touching restores the machine the north rule assumes.
-- External-load caveat: this sandbox also carries a fluctuating external
+- External-load caveat: this sandbox carries a fluctuating external
   tenant load of 0-21 busy cores. The scaling harness refuses to record a
-  measurement where 4N is not faster than N, or where either leg started
-  at loadavg > 3 (a slowed N leg would INFLATE apparent efficiency, so
-  load corrupts in both directions). `SCALING_N=8` runs the 8/32 pair;
-  because the box has exactly 32 vCPUs shared with the external tenant,
-  the 32-thread leg has never had an uncontended window. Best recorded
-  8/32 pair (2026-08-17, both legs partially contended): N=8 123.1 s,
-  4N=32 49.8 s, 2.47x speedup = 0.617 efficiency, with bit-identical
-  output fingerprints across the two sizes. The low-core N/4N pair in
-  the headline table fits inside the reliably-free cores and measures
-  the engine, not the neighbors.
+  measurement where 4N is not faster than N, where either leg started at
+  loadavg > 3, or where efficiency exceeds 1.05 (a slowed N leg INFLATES
+  apparent efficiency, so load corrupts in both directions), and it waits
+  for the 1-min loadavg to settle below the gate between legs so the N
+  leg's own thread decay is not mistaken for external load. Input size
+  matters: at 6M rows the 4N leg's 18 s wall is dominated by fixed per-job
+  costs (driver collects, planning) and efficiency reads ~0.6 from Amdahl
+  overhead alone; 24M rows is the smallest input whose legs measure
+  steady-state scan/shuffle throughput.
 
 Headline operator timings at sf0.1 live in the driver-recorded
 `BENCH_r{{N}}.json` (produced by `python bench.py`). Those wall times carry

@@ -335,8 +335,39 @@ def q_sessions_fd(spark: SparkSession, sf_dir: str, code_files: str):
     fd_check(cf, ["path"], "lang").collect()
 
 
+def q_preflight(spark: SparkSession, sf_dir: str, code_files: str):
+    """Sampled pre-flight over the SAME code_files table the full
+    constraint_suite entry validates — the measured cost ratio between the
+    two IS the preflight value proposition (compute shrinks with the rate;
+    the row checks here are the suite's own)."""
+    from data_profiler_spark.datagen import LANGS
+    from data_profiler_spark.operators.constraints import (
+        MembershipCheck,
+        NullRateCheck,
+        RangeCheck,
+        RegexCheck,
+    )
+    from data_profiler_spark.operators.preflight import preflight_estimate
+
+    df = spark.read.parquet(code_files).withColumn(
+        "content_len", F.length("content").cast("double")
+    )
+    checks = [
+        NullRateCheck("content", max_null_ratio=0.0),
+        NullRateCheck("repo"),
+        RegexCheck("commit", r"^[0-9a-f]{40}$"),
+        RegexCheck("path", r"^[A-Za-z0-9_./-]+$"),
+        MembershipCheck("lang", allowed=tuple(LANGS)),
+        RangeCheck("content_len", min_value=1.0, max_value=1e6),
+    ]
+    return preflight_estimate(
+        df, checks, ["repo", "path", "commit"], rate=0.05
+    ).collect()
+
+
 BENCH_QUERIES = {
     "profile_lineitem": q_profile_lineitem,
+    "preflight_5pct": q_preflight,
     "group_stats": q_group_stats,
     "uniqueness_salted": q_uniqueness_salted,
     "constraint_suite": q_constraint_suite,

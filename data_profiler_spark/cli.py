@@ -68,6 +68,12 @@ def build_parser() -> argparse.ArgumentParser:
     pv.add_argument("--suite", required=True, help="JSON suite spec file")
     pv.add_argument("--checkpoint-dir", help="enable resumable checkpointing")
     pv.add_argument("--partition-col", default=None)
+    pv.add_argument(
+        "--preflight", type=float, default=None, metavar="RATE",
+        help="estimate row-check violation rates from a deterministic hash "
+        "sample (Wilson 95%% CIs) instead of running the full suite — the "
+        "cheap first pass at 10^12-file scale; needs key_cols in the spec",
+    )
 
     pdiff = sub.add_parser("diff", help="row-level diff of two table versions by key")
     pdiff.add_argument("left_path")
@@ -369,6 +375,7 @@ def main(argv: list[str] | None = None) -> int:
                 RegexCheck,
                 RowCountCheck,
                 SchemaCheck,
+                SequenceCheck,
                 UniquenessCheck,
                 run_suite,
             )
@@ -436,6 +443,13 @@ def main(argv: list[str] | None = None) -> int:
                     )
                     for s in checks if s["type"] == "schema"
                 ],
+                sequence=[
+                    SequenceCheck(
+                        s["group"], s["column"], int(s.get("start", 1)),
+                        s.get("name", ""),
+                    )
+                    for s in checks if s["type"] == "sequence"
+                ],
                 row_count=[
                     RowCountCheck(
                         int(s.get("min_rows", 1)),
@@ -457,6 +471,24 @@ def main(argv: list[str] | None = None) -> int:
             for i, s in enumerate(drift_specs):
                 baselines[f"drift_{i}"] = spark.read.parquet(s["baseline"])
             df = sources.read(spark, args.path)
+            if args.preflight is not None:
+                from data_profiler_spark.operators.preflight import preflight_estimate
+
+                key_cols = spec.get("key_cols") or []
+                if not key_cols:
+                    print("preflight needs key_cols in the suite spec", file=sys.stderr)
+                    return EXIT_USAGE
+                est = preflight_estimate(
+                    df, suite.row_checks, key_cols, rate=args.preflight
+                ).collect()
+                payload = {
+                    "report_type": "validation_preflight",
+                    "source": args.path,
+                    "sample_rate": args.preflight,
+                    "estimates": [r.asDict() for r in est],
+                }
+                _emit(args, json.dumps(payload, indent=2, sort_keys=True, default=str))
+                return EXIT_OK
             part = args.partition_col or spec.get("partition_col") or df.columns[0]
             out = run_suite(
                 df, suite, partition_col=F.pmod(F.hash(part), F.lit(64)),
@@ -470,7 +502,7 @@ def main(argv: list[str] | None = None) -> int:
             failed = [r for r in verdicts if not r["pass"]]
             drift_failed = [r for r in drift_rows if not r["pass"]]
             extra_failed = []
-            for fam in ("freshness", "schema", "reconciliation", "row_count"):
+            for fam in ("freshness", "schema", "reconciliation", "row_count", "sequence"):
                 if fam in out:
                     extra_failed += [r for r in out[fam].collect() if not r["pass"]]
             payload = {

@@ -233,6 +233,29 @@ class ReconciliationCheck:
         return self.name or f"reconcile:{self.agg}{col}->{self.other_name}"
 
 
+@dataclass(frozen=True)
+class SequenceCheck:
+    """Per-group dense-sequence validation: within each ``group`` value, the
+    ``column`` values must be exactly ``start, start+1, …, start+n-1`` — no
+    gap, no duplicate, no offset (e.g. lineitem line numbers per order,
+    chunk indexes per shard, page numbers per crawl). Complements the
+    time-gap detector (which flags gaps in a GLOBAL stream); this asserts
+    completeness of a per-group integer sequence.
+
+    Scale shape: one salted-safe groupBy on the group key aggregating four
+    longs (count, distinct, min, max); a group passes iff
+    ``min == start AND max - start + 1 == n AND distinct == n`` — the
+    arithmetic characterization avoids materializing per-position rows."""
+
+    group: str
+    column: str
+    start: int = 1
+    name: str = ""
+
+    def check_name(self) -> str:
+        return self.name or f"sequence:{self.column}/{self.group}"
+
+
 RowCheck = NullRateCheck | RangeCheck | RegexCheck | MembershipCheck | ExpressionCheck
 
 
@@ -246,6 +269,7 @@ class CheckSuite:
     schema_checks: list = field(default_factory=list)
     reconciliation: list = field(default_factory=list)
     row_count: list = field(default_factory=list)
+    sequence: list = field(default_factory=list)
 
 
 # ---------------------------------------------------------------------------
@@ -303,6 +327,96 @@ def uniqueness_violations(
         stage1.groupBy(*keys)
         .agg(F.sum("__partial").alias("dup_cnt"))
         .where(F.col("dup_cnt") > 1)
+    )
+
+
+# ---------------------------------------------------------------------------
+# dense-sequence check (see SequenceCheck)
+# ---------------------------------------------------------------------------
+def sequence_check(df: DataFrame, group: str, column: str, start: int = 1) -> DataFrame:
+    """Per-group sequence audit → (group, n, n_distinct, seq_min, seq_max, ok).
+
+    One shuffle; four longs of aggregate state per group. NULL positions
+    count toward n but not min/max/distinct, so any NULL fails the
+    arithmetic identity — a sequence with an unknown position is incomplete.
+    """
+    g = (
+        df.select(F.col(group).alias("group_key"), F.col(column).cast("long").alias("__p"))
+        .groupBy("group_key")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.count_distinct(F.col("__p")).alias("n_distinct"),
+            F.min("__p").alias("seq_min"),
+            F.max("__p").alias("seq_max"),
+        )
+    )
+    s = F.lit(int(start)).cast("long")
+    ok = (
+        (F.col("seq_min") == s)
+        & ((F.col("seq_max") - s + F.lit(1)) == F.col("n"))
+        & (F.col("n_distinct") == F.col("n"))
+    )
+    return g.withColumn("ok", F.coalesce(ok, F.lit(False)))
+
+
+def sequence_violations(
+    df: DataFrame, group: str, column: str, start: int = 1
+) -> DataFrame:
+    """The violating groups only, deterministically ordered."""
+    return sequence_check(df, group, column, start).where(~F.col("ok")).orderBy("group_key")
+
+
+# ---------------------------------------------------------------------------
+# table quality scorecard
+# ---------------------------------------------------------------------------
+def quality_scorecard(
+    df: DataFrame,
+    key_expr,
+    null_cols: list[str],
+    validity_predicates: list[str],
+) -> DataFrame:
+    """One-row table health summary across the three classic DQ dimensions:
+
+      - completeness: 1 - mean null rate over ``null_cols``
+      - validity:     share of rows where EVERY predicate holds (not-TRUE
+                      counts as invalid — same semantics as ExpressionCheck)
+      - uniqueness:   distinct(key_expr) / rows
+      - overall:      0.4*completeness + 0.3*validity + 0.3*uniqueness
+                      (the reference's FK-scoring weight split,
+                      ref detector.py:232-275, reused as the blend)
+
+    ONE scan, one aggregate: null flags and the conjunction predicate are
+    codegen'd columns; the only non-trivial state is the exact distinct on
+    the key expression (swap in HLL via sketches.py when 2% error is fine
+    at 10^12 rows). Returned shares are doubles derived from exact longs,
+    so the row is bit-stable across partitionings.
+    """
+    valid = F.lit(True)
+    for p in validity_predicates:
+        valid = valid & F.coalesce(F.expr(p).cast("boolean"), F.lit(False))
+    aggs = [
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(valid.cast("long")).alias("n_valid"),
+        F.count_distinct(key_expr).alias("n_distinct_keys"),
+    ] + [
+        F.sum(F.col(c).isNull().cast("long")).alias(f"__null_{i}")
+        for i, c in enumerate(null_cols)
+    ]
+    a = df.agg(*aggs)
+    total_nulls = sum((F.col(f"__null_{i}") for i in range(len(null_cols))), F.lit(0))
+    completeness = F.lit(1.0) - total_nulls.cast("double") / (
+        F.col("n_rows") * F.lit(len(null_cols))
+    )
+    validity = F.col("n_valid").cast("double") / F.col("n_rows")
+    uniqueness = F.col("n_distinct_keys").cast("double") / F.col("n_rows")
+    return a.select(
+        "n_rows",
+        completeness.alias("completeness"),
+        validity.alias("validity"),
+        uniqueness.alias("uniqueness"),
+        (
+            F.lit(0.4) * completeness + F.lit(0.3) * validity + F.lit(0.3) * uniqueness
+        ).alias("overall"),
     )
 
 
@@ -577,6 +691,22 @@ def run_suite(
             schema_rows,
             "check string, column string, expected string, actual string, pass boolean",
         )
+
+    seq = None
+    for ch in suite.sequence:
+        chk = sequence_check(df, ch.group, ch.column, ch.start)
+        v = chk.agg(
+            F.count(F.lit(1)).alias("n_groups"),
+            F.sum((~F.col("ok")).cast("long")).alias("violating_groups"),
+        ).select(
+            F.lit(ch.check_name()).alias("check"),
+            "n_groups",
+            "violating_groups",
+            (F.col("violating_groups") == 0).alias("pass"),
+        )
+        seq = v if seq is None else seq.unionByName(v)
+    if seq is not None:
+        out["sequence"] = seq
 
     rec = None
     for ch in suite.reconciliation:

@@ -293,3 +293,55 @@ def drift_verdicts(
         F.col("psi"),
         (F.col("psi") <= F.lit(psi_threshold)).alias("pass"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Benford first-significant-digit conformance (fraud / synthetic-data smell
+# test — a distribution check against a FIXED law rather than a stored
+# baseline, so it needs no snapshot). Engine extension beyond the reference's
+# PSI/KS surface (core/drift.py), same verdict-producing shape.
+# ---------------------------------------------------------------------------
+
+#: log10(1 + 1/d) for d = 1..9, precomputed so both engines compare against
+#: the identical double literals (libm log10 may differ in the last ulp).
+BENFORD_EXPECTED = {d: float(__import__("math").log10(1.0 + 1.0 / d)) for d in range(1, 10)}
+
+
+def benford_first_digit(df: DataFrame, column: str) -> DataFrame:
+    """Observed vs Benford-expected first-significant-digit shares.
+
+    → (digit, cnt, obs_share, exp_share, abs_dev), 9 rows. The mean of
+    abs_dev is the MAD statistic (Nigrini's conformity bands: <0.006 close,
+    >0.015 nonconformity).
+
+    First digit extracted arithmetically as substr(bigint(floor(x*100)),1,1):
+    no log10/pow on data values (engine libm divergence) and no float→string
+    formatting (engine-specific). Valid for values >= 0.01; rows outside
+    (null, zero, negative, < 0.01) are excluded — Benford only speaks to
+    positive magnitudes. One groupBy over 9 keys; the share division happens
+    after aggregation on 9 rows.
+    """
+    c = F.col(column)
+    digit = F.substring(
+        F.floor(c * F.lit(100.0)).cast("bigint").cast("string"), 1, 1
+    ).cast("int")
+    counts = (
+        df.where(c.isNotNull() & (c >= F.lit(0.01)))
+        .select(digit.alias("digit"))
+        .groupBy("digit")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    total = counts.agg(F.sum("cnt").alias("__tot"))
+    exp_share = F.lit(None).cast("double")
+    for d, e in BENFORD_EXPECTED.items():
+        exp_share = F.when(F.col("digit") == d, F.lit(e)).otherwise(exp_share)
+    return (
+        counts.crossJoin(F.broadcast(total))
+        .select(
+            "digit",
+            "cnt",
+            (F.col("cnt").cast("double") / F.col("__tot")).alias("obs_share"),
+            exp_share.alias("exp_share"),
+        )
+        .withColumn("abs_dev", F.abs(F.col("obs_share") - F.col("exp_share")))
+    )

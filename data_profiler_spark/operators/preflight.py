@@ -1,0 +1,123 @@
+"""Sampled pre-flight validation: estimate per-check violation rates from a
+deterministic hash sample, with Wilson confidence intervals, BEFORE paying
+for the full-table pass.
+
+Why it exists at 10^12-file scale: a full constraint run is a complete scan
+plus a shuffle per check family. When a suite is new (or a table just
+landed), the first question is "is this table roughly clean?" — a question a
+0.1-5% sample answers with quantified uncertainty at a fraction of the
+compute. The row checks here evaluate on the sampled rows only, so the
+regex/expression CPU and everything downstream of the filter shrinks by the
+sample rate; with an Iceberg/parquet source the same predicate also prunes
+row groups whenever the hash key correlates with file layout, and the
+file-level variant (sample whole files driver-side via the FS listing in
+``sources.scan_directory``) cuts I/O proportionally when rows-within-file
+independence is acceptable.
+
+Determinism contract (vs both re-runs and the DuckDB oracle): membership is
+``substr(md5(concat_ws('|', key_cols...)), 1, 4) < hex_threshold`` — a pure
+function of the row's key columns. No rand(), no partition id: the sample is
+identical at any parallelism and any row order (the same property the
+curation split relies on, operators/curation.py). The Wilson interval is
+computed with ONE shared SQL expression string evaluated by both engines
+(`F.expr` on the Spark side), so the float math agrees bitwise.
+
+Reference parity: the reference profiler exposes sampling only as a
+profile-input reducer (/root/reference/src/data_profiler/core/sampler.py);
+estimating *validation* outcomes with a CI is an engine extension the
+north-rule scale demands.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from data_profiler_spark.operators.constraints import _violation_expr
+
+#: 16^4 hex buckets — rate granularity 1/65536, plenty for 0.01%-50% rates.
+_BUCKETS = 16**4
+
+
+def sample_predicate_sql(key_cols: list[str], rate: float) -> str:
+    """The shared Spark-SQL/DuckDB sample-membership predicate.
+
+    ``key_cols`` should be integer or string key columns (floats format
+    differently across engines and must not be hashed). Lowercase-hex
+    comparison is lexicographic and engine-independent.
+    """
+    if not 0.0 < rate <= 1.0:
+        raise ValueError(f"rate must be in (0, 1], got {rate}")
+    thr = format(max(1, int(rate * _BUCKETS)), "04x")
+    keys = ", ".join(f"CAST({c} AS STRING)" for c in key_cols)
+    return f"substr(md5(concat_ws('|', {keys})), 1, 4) < '{thr}'"
+
+
+def wilson_sql(v: str, n: str, z: float = 1.959963984540054) -> tuple[str, str, str]:
+    """(p_hat, ci_low, ci_high) Wilson-score SQL expressions over violation
+    count ``v`` and sample size ``n`` (column names). One string, two
+    engines: Spark's F.expr and DuckDB parse the identical arithmetic tree,
+    so the doubles match bitwise. z defaults to the two-sided 95% point.
+    """
+    # nullif: an EMPTY sample yields NULL estimates in both engines rather
+    # than an engine-specific divide-by-zero (Spark double div gives NaN,
+    # DuckDB errors) — NULL is the honest "no data, no estimate" answer
+    ns = f"nullif({n}, 0)"
+    p = f"(CAST({v} AS DOUBLE) / {ns})"
+    zz = repr(z * z)
+    denom = f"(1.0 + {zz} / {ns})"
+    center = f"({p} + {zz} / (2.0 * {ns}))"
+    half = f"({z!r} * sqrt(({p} * (1.0 - {p}) + {zz} / (4.0 * {ns})) / {ns}))"
+    return (
+        p,
+        f"greatest(0.0, ({center} - {half}) / {denom})",
+        f"least(1.0, ({center} + {half}) / {denom})",
+    )
+
+
+def preflight_estimate(
+    df: DataFrame,
+    checks: list,
+    key_cols: list[str],
+    rate: float = 0.05,
+    z: float = 1.959963984540054,
+) -> DataFrame:
+    """One narrow scan over the hash sample → one row per check:
+    (check, n_sampled, n_violations, p_hat, ci_low, ci_high).
+
+    Plan shape: filter(sample predicate) → project(violation flags) →
+    single global aggregate (map-side partial sums, a few longs of state) →
+    explode to per-check rows. No join, no wide shuffle; the only exchange
+    moves ``len(checks)+1`` longs per task.
+    """
+    sampled = df.where(F.expr(sample_predicate_sql(key_cols, rate)))
+    flags = [
+        _violation_expr(ch).cast("long").alias(f"__v_{i}") for i, ch in enumerate(checks)
+    ]
+    agg = sampled.select(*flags).agg(
+        F.count(F.lit(1)).alias("n_sampled"),
+        *[F.sum(f"__v_{i}").alias(f"__n_{i}") for i in range(len(checks))],
+    )
+    per_check = agg.select(
+        "n_sampled",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(ch.check_name()).alias("check"),
+                        F.col(f"__n_{i}").alias("n_violations"),
+                    )
+                    for i, ch in enumerate(checks)
+                ]
+            )
+        ).alias("v"),
+    ).select("v.check", "n_sampled", "v.n_violations")
+    p, lo, hi = wilson_sql("n_violations", "n_sampled", z)
+    return per_check.select(
+        "check",
+        "n_sampled",
+        "n_violations",
+        F.expr(p).alias("p_hat"),
+        F.expr(lo).alias("ci_low"),
+        F.expr(hi).alias("ci_high"),
+    )

@@ -100,3 +100,43 @@ def session_summary(
         F.sum("n_events").alias("n_events"),
         F.sum("duration_us").alias("total_session_us"),
     )
+
+
+def overlapping_intervals(
+    df: DataFrame,
+    entity_col: str,
+    start_us_col: str,
+    end_us_col: str,
+    tiebreak_col: str,
+) -> DataFrame:
+    """Interval-overlap validation: per entity, flag every interval that
+    starts before some EARLIER interval (by start order) has ended.
+
+    The temporal-consistency check for validity-interval tables (bookings,
+    leases, version ranges): overlap = ``start < running max(end) over all
+    preceding intervals`` — the running max (not plain lag) catches overlaps
+    with non-adjacent intervals, e.g. one long interval swallowing several
+    later ones. Inputs are µs-epoch BIGINTs so two engines (and two cluster
+    sizes) compare identical integers, never timestamp types.
+
+    One shuffle (hash by entity) + one sort — same single-window shape as
+    :func:`sessionize`, so it composes with it for free. Output: the
+    violating rows (entity, tiebreak, start_us, end_us, open_until_us) where
+    ``open_until_us`` is the preceding running max the row collides with.
+    """
+    w = (
+        Window.partitionBy(entity_col)
+        .orderBy(start_us_col, tiebreak_col)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    prev_max_end = F.max(F.col(end_us_col)).over(w)
+    return (
+        df.select(
+            entity_col,
+            tiebreak_col,
+            F.col(start_us_col),
+            F.col(end_us_col),
+            prev_max_end.alias("open_until_us"),
+        )
+        .where(F.col("open_until_us").isNotNull() & (F.col(start_us_col) < F.col("open_until_us")))
+    )

@@ -2657,3 +2657,185 @@ def cumulative_events_by_user(spark: SparkSession, sf_dir: str) -> DataFrame:
             W.partitionBy("user_id").orderBy("ts", "event_id")
         ).cast("long").alias("event_seq"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Pre-flight sampled validation with Wilson CIs (operators/preflight.py).
+# The oracle string is BUILT from the same helpers that build the Spark
+# expressions (sample_predicate_sql / wilson_sql), so the float math and the
+# sample membership are definitionally identical in both engines.
+# ---------------------------------------------------------------------------
+def _preflight_oracle() -> str:
+    from data_profiler_spark.operators.preflight import sample_predicate_sql, wilson_sql
+
+    pred = sample_predicate_sql(["l_orderkey", "l_linenumber"], 0.25)
+    rows = []
+    for check, v in (
+        ("discount_cap", "v0"),
+        ("range:l_quantity", "v1"),
+        ("regex:l_returnflag", "v2"),
+    ):
+        p, lo, hi = wilson_sql(v, "n_sampled")
+        rows.append(
+            f"SELECT '{check}' AS \"check\", n_sampled, {v} AS n_violations, "
+            f"{p} AS p_hat, {lo} AS ci_low, {hi} AS ci_high FROM a"
+        )
+    return (
+        f"""WITH s AS (SELECT * FROM lineitem WHERE {pred}),
+        a AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_sampled,
+          CAST(SUM(CASE WHEN NOT COALESCE(CAST((l_discount <= 0.09) AS BOOLEAN), FALSE)
+                        THEN 1 ELSE 0 END) AS BIGINT) AS v0,
+          CAST(SUM(CASE WHEN l_quantity IS NOT NULL
+                         AND (l_quantity < 1.0 OR l_quantity > 45.0)
+                        THEN 1 ELSE 0 END) AS BIGINT) AS v1,
+          CAST(SUM(CASE WHEN l_returnflag IS NOT NULL
+                         AND NOT regexp_matches(l_returnflag, '^[ANR]$')
+                        THEN 1 ELSE 0 END) AS BIGINT) AS v2
+          FROM s)
+        """
+        + " UNION ALL ".join(rows)
+    )
+
+
+@register("preflight_violation_estimate", _preflight_oracle())
+def preflight_violation_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from data_profiler_spark.operators.constraints import (
+        ExpressionCheck,
+        RangeCheck,
+        RegexCheck,
+    )
+    from data_profiler_spark.operators.preflight import preflight_estimate
+
+    li = load(spark, sf_dir, "lineitem")
+    checks = [
+        ExpressionCheck("l_discount <= 0.09", "discount_cap"),
+        RangeCheck("l_quantity", 1.0, 45.0),
+        RegexCheck("l_returnflag", "^[ANR]$"),
+    ]
+    return preflight_estimate(li, checks, ["l_orderkey", "l_linenumber"], rate=0.25)
+
+
+# ---------------------------------------------------------------------------
+# Dense-sequence check: l_linenumber must be exactly 1..n within each order
+# (operators/constraints.py SequenceCheck). The seeded duplicate keys in the
+# testdata violate it, so the result set is non-trivial.
+# ---------------------------------------------------------------------------
+@register(
+    "sequence_violations_lineitem",
+    """SELECT l_orderkey AS group_key, CAST(COUNT(*) AS BIGINT) AS n,
+              CAST(COUNT(DISTINCT l_linenumber) AS BIGINT) AS n_distinct,
+              CAST(MIN(l_linenumber) AS BIGINT) AS seq_min,
+              CAST(MAX(l_linenumber) AS BIGINT) AS seq_max
+       FROM lineitem GROUP BY 1
+       HAVING NOT COALESCE(MIN(l_linenumber) = 1
+                   AND MAX(l_linenumber) - 1 + 1 = COUNT(*)
+                   AND COUNT(DISTINCT l_linenumber) = COUNT(*), FALSE)""",
+)
+def sequence_violations_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from data_profiler_spark.operators.constraints import sequence_violations
+
+    li = load(spark, sf_dir, "lineitem")
+    return sequence_violations(li, "l_orderkey", "l_linenumber", start=1).drop("ok")
+
+
+# ---------------------------------------------------------------------------
+# Benford first-significant-digit conformance (operators/drift.py).
+# exp_share compares against injected double literals (see BENFORD_EXPECTED)
+# so neither engine's libm log10 is in the hash path.
+# ---------------------------------------------------------------------------
+def _benford_oracle() -> str:
+    from data_profiler_spark.operators.drift import BENFORD_EXPECTED
+
+    case = "CASE digit " + " ".join(
+        f"WHEN {d} THEN {e!r}" for d, e in BENFORD_EXPECTED.items()
+    ) + " END"
+    return f"""WITH d AS (
+         SELECT CAST(substr(CAST(CAST(FLOOR(l_extendedprice * 100.0) AS BIGINT) AS VARCHAR), 1, 1) AS INTEGER) AS digit
+         FROM lineitem
+         WHERE l_extendedprice IS NOT NULL AND l_extendedprice >= 0.01),
+       c AS (SELECT digit, CAST(COUNT(*) AS BIGINT) AS cnt FROM d GROUP BY 1),
+       t AS (SELECT CAST(SUM(cnt) AS BIGINT) AS tot FROM c)
+       SELECT digit, cnt,
+              CAST(cnt AS DOUBLE) / tot AS obs_share,
+              {case} AS exp_share,
+              abs(CAST(cnt AS DOUBLE) / tot - {case}) AS abs_dev
+       FROM c, t"""
+
+
+@register("benford_extendedprice", _benford_oracle())
+def benford_extendedprice(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from data_profiler_spark.operators.drift import benford_first_digit
+
+    li = load(spark, sf_dir, "lineitem")
+    return benford_first_digit(li, "l_extendedprice")
+
+
+# ---------------------------------------------------------------------------
+# Interval-overlap validation (operators/sessions.py): synthesize a validity
+# interval per event (value minutes long) and flag intervals that start
+# before an earlier one (by start order) has ended. All µs-epoch BIGINTs.
+# ---------------------------------------------------------------------------
+@register(
+    "overlapping_intervals_events",
+    """WITH iv AS (
+         SELECT user_id, event_id, epoch_us(ts) AS start_us,
+                epoch_us(ts) + CAST(FLOOR(value * 60000000.0) AS BIGINT) AS end_us
+         FROM events),
+       w AS (
+         SELECT user_id, event_id, start_us, end_us,
+                MAX(end_us) OVER (PARTITION BY user_id ORDER BY start_us, event_id
+                                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                  AS open_until_us
+         FROM iv)
+       SELECT user_id, event_id, start_us, end_us, open_until_us
+       FROM w WHERE open_until_us IS NOT NULL AND start_us < open_until_us""",
+)
+def overlapping_intervals_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from data_profiler_spark.operators.sessions import overlapping_intervals
+
+    e = load(spark, sf_dir, "events")
+    us = F.unix_micros(F.col("ts").cast("timestamp"))
+    iv = e.select(
+        "user_id",
+        "event_id",
+        us.alias("start_us"),
+        (us + F.floor(F.col("value") * F.lit(60_000_000.0)).cast("long")).alias("end_us"),
+    )
+    return overlapping_intervals(iv, "user_id", "start_us", "end_us", "event_id")
+
+
+# ---------------------------------------------------------------------------
+# Table quality scorecard (operators/constraints.py quality_scorecard):
+# completeness / validity / uniqueness shares blended into one health row.
+# ---------------------------------------------------------------------------
+@register(
+    "quality_scorecard_lineitem",
+    """WITH a AS (
+         SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(SUM(CASE WHEN COALESCE(CAST((l_discount BETWEEN 0.0 AND 0.1) AS BOOLEAN), FALSE)
+                          AND COALESCE(CAST((l_quantity >= 1.0) AS BOOLEAN), FALSE)
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_valid,
+           CAST(COUNT(DISTINCT l_orderkey * 10 + l_linenumber) AS BIGINT) AS n_distinct_keys,
+           CAST(SUM(CASE WHEN l_quantity IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS nu0,
+           CAST(SUM(CASE WHEN l_discount IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS nu1,
+           CAST(SUM(CASE WHEN l_returnflag IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS nu2
+         FROM lineitem)
+       SELECT n_rows,
+         1.0 - CAST(nu0 + nu1 + nu2 AS DOUBLE) / (n_rows * 3) AS completeness,
+         CAST(n_valid AS DOUBLE) / n_rows AS validity,
+         CAST(n_distinct_keys AS DOUBLE) / n_rows AS uniqueness,
+         0.4 * (1.0 - CAST(nu0 + nu1 + nu2 AS DOUBLE) / (n_rows * 3))
+           + 0.3 * (CAST(n_valid AS DOUBLE) / n_rows)
+           + 0.3 * (CAST(n_distinct_keys AS DOUBLE) / n_rows) AS overall
+       FROM a""",
+)
+def quality_scorecard_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from data_profiler_spark.operators.constraints import quality_scorecard
+
+    li = load(spark, sf_dir, "lineitem")
+    return quality_scorecard(
+        li,
+        key_expr=F.expr("l_orderkey * 10 + l_linenumber"),
+        null_cols=["l_quantity", "l_discount", "l_returnflag"],
+        validity_predicates=["l_discount BETWEEN 0.0 AND 0.1", "l_quantity >= 1.0"],
+    )

@@ -9,6 +9,7 @@ import pytest
 
 from data_profiler_spark.cli import (
     EXIT_CARDINALITY,
+    EXIT_ERROR,
     EXIT_FILE_NOT_FOUND,
     EXIT_OK,
     EXIT_USAGE,
@@ -467,3 +468,49 @@ def test_cli_pack_requires_one_token_source(spark, capsys):
         "--id-col", "doc_id",
     ])
     assert rc == EXIT_USAGE
+
+
+def test_cli_validate_preflight(spark, tmp_path, capsys):
+    import json as _json
+
+    suite = tmp_path / "suite_pf.json"
+    suite.write_text(_json.dumps({
+        "checks": [
+            {"type": "range", "column": "o_totalprice", "min": 0.0},
+            {"type": "expression", "predicate": "o_custkey >= 0",
+             "name": "custkey_nonneg"},
+        ],
+        "key_cols": ["o_orderkey"],
+    }))
+    rc = main([
+        "validate", "/root/testdata/sf0.001/orders.parquet",
+        "--suite", str(suite), "--preflight", "0.3",
+    ])
+    out = _json.loads(capsys.readouterr().out)
+    assert rc == EXIT_OK
+    assert out["report_type"] == "validation_preflight"
+    names = {e["check"] for e in out["estimates"]}
+    assert names == {"range:o_totalprice", "custkey_nonneg"}
+    for e in out["estimates"]:
+        assert 0.0 <= e["ci_low"] <= e["ci_high"] <= 1.0
+        assert e["n_sampled"] > 0
+
+
+def test_cli_validate_sequence_family(spark, tmp_path, capsys):
+    import json as _json
+
+    suite = tmp_path / "suite_seq.json"
+    suite.write_text(_json.dumps({
+        "checks": [
+            {"type": "sequence", "group": "l_orderkey", "column": "l_linenumber"},
+        ],
+        "key_cols": ["l_orderkey"],
+    }))
+    rc = main([
+        "validate", "/root/testdata/sf0.001/lineitem.parquet", "--suite", str(suite),
+    ])
+    out = _json.loads(capsys.readouterr().out)
+    # the seeded duplicate keys violate the dense-sequence invariant
+    assert rc == EXIT_ERROR
+    assert out["n_other_failed"] == 1
+    assert out["other_failed"][0]["check"] == "sequence:l_linenumber/l_orderkey"

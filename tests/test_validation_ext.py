@@ -1,0 +1,213 @@
+"""Tests for the round-3 validation extensions: sampled pre-flight
+estimation, dense-sequence checks, Benford conformance, interval-overlap
+validation, and the table quality scorecard."""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import functions as F
+
+from data_profiler_spark.operators.constraints import (
+    CheckSuite,
+    ExpressionCheck,
+    RangeCheck,
+    SequenceCheck,
+    quality_scorecard,
+    run_suite,
+    sequence_check,
+    sequence_violations,
+)
+from data_profiler_spark.operators.drift import BENFORD_EXPECTED, benford_first_digit
+from data_profiler_spark.operators.preflight import (
+    preflight_estimate,
+    sample_predicate_sql,
+    wilson_sql,
+)
+from data_profiler_spark.operators.sessions import overlapping_intervals
+
+
+# ---------------------------------------------------------------------------
+# preflight
+# ---------------------------------------------------------------------------
+def test_sample_predicate_rejects_bad_rate():
+    import pytest
+
+    with pytest.raises(ValueError):
+        sample_predicate_sql(["k"], 0.0)
+    with pytest.raises(ValueError):
+        sample_predicate_sql(["k"], 1.5)
+
+
+def test_preflight_interval_covers_truth(spark):
+    # 10k rows, 10% true violation rate, 30% sample: the Wilson 95% CI
+    # must bracket the true rate (failure probability ~5%, but the hash
+    # sample is FIXED by seed-free determinism, so this is a stable test,
+    # not a flaky one).
+    df = spark.range(10_000).select(
+        F.col("id"), (F.pmod(F.col("id"), F.lit(10)) == 0).cast("int").alias("bad")
+    )
+    out = preflight_estimate(
+        df, [ExpressionCheck("bad = 0", "no_bad")], ["id"], rate=0.30
+    ).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert r["check"] == "no_bad"
+    assert 0.2 < r["n_sampled"] / 10_000 < 0.4
+    assert r["ci_low"] <= 0.10 <= r["ci_high"]
+    assert abs(r["p_hat"] - 0.10) < 0.03
+
+
+def test_preflight_is_partitioning_invariant(spark):
+    df = spark.range(5_000).select(F.col("id"), (F.col("id") % 7).alias("v"))
+    checks = [RangeCheck("v", 0.0, 5.0)]
+    a = preflight_estimate(df, checks, ["id"], rate=0.2).collect()
+    b = preflight_estimate(df.repartition(13), checks, ["id"], rate=0.2).collect()
+    assert a == b
+
+
+def test_wilson_matches_python(spark):
+    # the shared SQL string evaluated by Spark must equal a straight
+    # Python evaluation of the Wilson formula
+    v, n, z = 37, 412, 1.959963984540054
+    p_sql, lo_sql, hi_sql = wilson_sql("v", "n", z)
+    row = spark.createDataFrame([(v, n)], "v long, n long").select(
+        F.expr(p_sql).alias("p"), F.expr(lo_sql).alias("lo"), F.expr(hi_sql).alias("hi")
+    ).collect()[0]
+    p = v / n
+    denom = 1.0 + z * z / n
+    center = p + z * z / (2.0 * n)
+    half = z * math.sqrt((p * (1.0 - p) + z * z / (4.0 * n)) / n)
+    assert abs(row["p"] - p) < 1e-12
+    assert abs(row["lo"] - (center - half) / denom) < 1e-12
+    assert abs(row["hi"] - (center + half) / denom) < 1e-12
+    assert row["lo"] <= p <= row["hi"]
+
+
+# ---------------------------------------------------------------------------
+# dense-sequence check
+# ---------------------------------------------------------------------------
+def test_sequence_check_classifies_groups(spark):
+    rows = (
+        [("complete", i) for i in range(1, 5)]
+        + [("gap", 1), ("gap", 2), ("gap", 4)]
+        + [("dup", 1), ("dup", 2), ("dup", 2)]
+        + [("offset", 2), ("offset", 3)]
+        + [("nullpos", 1), ("nullpos", None)]
+    )
+    df = spark.createDataFrame(rows, "g string, p int")
+    got = {r["group_key"]: r["ok"] for r in sequence_check(df, "g", "p").collect()}
+    assert got == {
+        "complete": True, "gap": False, "dup": False, "offset": False, "nullpos": False,
+    }
+    bad = [r["group_key"] for r in sequence_violations(df, "g", "p").collect()]
+    assert bad == ["dup", "gap", "nullpos", "offset"]  # deterministic order
+
+
+def test_sequence_check_in_suite(spark):
+    df = spark.createDataFrame(
+        [("a", 1), ("a", 2), ("b", 1), ("b", 3)], "g string, p int"
+    )
+    suite = CheckSuite(sequence=[SequenceCheck("g", "p")])
+    out = run_suite(df, suite, partition_col=F.lit(0))
+    rows = out["sequence"].collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert r["check"] == "sequence:p/g"
+    assert r["n_groups"] == 2 and r["violating_groups"] == 1 and not r["pass"]
+
+
+# ---------------------------------------------------------------------------
+# Benford
+# ---------------------------------------------------------------------------
+def test_benford_digit_extraction_and_shares(spark):
+    # values chosen so first digits are unambiguous; 0/neg/null excluded
+    vals = [1.23, 19.99, 2.5, 250.0, 3.21, 0.009, -5.0, None, 9999.99]
+    df = spark.createDataFrame([(v,) for v in vals], "x double")
+    rows = {r["digit"]: r for r in benford_first_digit(df, "x").collect()}
+    assert set(rows) == {1, 2, 3, 9}
+    assert rows[1]["cnt"] == 2 and rows[2]["cnt"] == 2
+    total = sum(r["cnt"] for r in rows.values())
+    assert total == 6  # 0.009, -5.0, None excluded
+    assert abs(sum(r["obs_share"] for r in rows.values()) - 1.0) < 1e-12
+    for d, r in rows.items():
+        assert abs(r["exp_share"] - BENFORD_EXPECTED[d]) < 1e-15
+        assert abs(r["abs_dev"] - abs(r["obs_share"] - r["exp_share"])) < 1e-15
+
+
+def test_benford_conforming_stream_has_low_mad(spark):
+    # synthesize an exactly-Benford multiset: counts proportional to the law
+    rows = []
+    for d in range(1, 10):
+        rows += [(float(d),)] * int(round(BENFORD_EXPECTED[d] * 10_000))
+    df = spark.createDataFrame(rows, "x double")
+    out = benford_first_digit(df, "x").collect()
+    mad = sum(r["abs_dev"] for r in out) / 9
+    assert mad < 0.001  # Nigrini "close conformity" is < 0.006
+
+
+# ---------------------------------------------------------------------------
+# interval overlap
+# ---------------------------------------------------------------------------
+def test_overlapping_intervals_running_max_not_lag(spark):
+    # u1: interval 1 swallows 2 AND 3 (3 does not overlap its immediate
+    # predecessor 2 — a lag-based check would miss it); u2: clean chain.
+    rows = [
+        (1, 10, 0, 100),
+        (1, 11, 10, 20),
+        (1, 12, 30, 40),
+        (1, 13, 100, 110),  # touches at the boundary: NOT an overlap (half-open)
+        (2, 20, 0, 10),
+        (2, 21, 10, 20),
+    ]
+    df = spark.createDataFrame(rows, "u long, i long, s long, e long")
+    got = sorted(
+        (r["u"], r["i"], r["open_until_us"])
+        for r in overlapping_intervals(df, "u", "s", "e", "i").collect()
+    )
+    assert got == [(1, 11, 100), (1, 12, 100)]
+
+
+def test_overlapping_intervals_null_end_ignored(spark):
+    df = spark.createDataFrame(
+        [(1, 1, 0, None), (1, 2, 5, 10)], "u long, i long, s long, e long"
+    )
+    assert overlapping_intervals(df, "u", "s", "e", "i").count() == 0
+
+
+# ---------------------------------------------------------------------------
+# quality scorecard
+# ---------------------------------------------------------------------------
+def test_quality_scorecard_known_values(spark):
+    # 10 rows: 2 null a's (completeness 1 - 2/20), 3 invalid (validity .7),
+    # 2 rows sharing a key (uniqueness .9)
+    rows = [
+        (1, None, 0), (2, None, 0), (3, 5.0, 1), (4, 5.0, 1), (5, 5.0, 1),
+        (6, 1.0, 0), (7, 1.0, 0), (8, 1.0, 0), (9, 1.0, 0), (9, 1.0, 0),
+    ]
+    df = spark.createDataFrame(rows, "k long, a double, bad int")
+    out = quality_scorecard(
+        df, key_expr=F.col("k"), null_cols=["a", "bad"],
+        validity_predicates=["bad = 0"],
+    ).collect()[0]
+    assert out["n_rows"] == 10
+    assert abs(out["completeness"] - 0.9) < 1e-12
+    assert abs(out["validity"] - 0.7) < 1e-12
+    assert abs(out["uniqueness"] - 0.9) < 1e-12
+    expected = 0.4 * 0.9 + 0.3 * 0.7 + 0.3 * 0.9
+    assert abs(out["overall"] - expected) < 1e-12
+
+
+def test_preflight_empty_sample_yields_null_not_error(spark):
+    # a rate so small no row is sampled: estimates must be NULL, not a
+    # divide-by-zero (ANSI) or NaN
+    df = spark.range(50).select(F.col("id"), F.lit(1).alias("v"))
+    out = preflight_estimate(
+        df, [RangeCheck("v", 0.0, 2.0)], ["id"], rate=0.0001
+    ).collect()
+    r = out[0]
+    if r["n_sampled"] == 0:
+        # greatest/least skip NULLs in both engines: the empty-sample CI
+        # degenerates to the no-information interval [0, 1], p_hat NULL
+        assert r["p_hat"] is None
+        assert r["ci_low"] == 0.0 and r["ci_high"] == 1.0

@@ -196,6 +196,50 @@ def build_audits(spark, sf):
             "gapfill": (time_bucket_gapfill(ev_tbl, "ts", 300), 3, False),
         }
     )
+    # validation extensions (round-3 fourth session): preflight is a
+    # filtered 1-row aggregate (one SinglePartition reduce); sequence rides
+    # one hash exchange; the interval-overlap window is one entity exchange;
+    # benford pays the digit groupBy + the 9-row total reduce (the broadcast
+    # of the total is design, not a shuffle); the scorecard's exact
+    # count_distinct costs the usual two-phase distinct aggregate.
+    from data_profiler_spark.operators.constraints import (
+        RangeCheck,
+        quality_scorecard,
+        sequence_check,
+    )
+    from data_profiler_spark.operators.drift import benford_first_digit
+    from data_profiler_spark.operators.preflight import preflight_estimate
+    from data_profiler_spark.operators.sessions import overlapping_intervals
+
+    iv = ev_tbl.select(
+        "user_id", "event_id",
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("s_us"),
+        (F.unix_micros(F.col("ts").cast("timestamp")) + F.lit(60_000_000)).alias("e_us"),
+    )
+    audits.update(
+        {
+            "preflight": (
+                preflight_estimate(
+                    li, [RangeCheck("l_quantity", 1.0, 45.0)],
+                    ["l_orderkey", "l_linenumber"], rate=0.1,
+                ), 1, False,
+            ),
+            # exact count_distinct inside the group agg plans the standard
+            # two-phase distinct: hash(g, pos) partial-dedup, then hash(g) —
+            # both exchanges move 2-long rows and strictly shrink
+            "sequence_check": (sequence_check(li, "l_orderkey", "l_linenumber"), 2, False),
+            "interval_overlap": (
+                overlapping_intervals(iv, "user_id", "s_us", "e_us", "event_id"), 1, False,
+            ),
+            "benford": (benford_first_digit(li, "l_extendedprice"), 3, False),
+            "quality_scorecard": (
+                quality_scorecard(
+                    li, F.expr("l_orderkey * 10 + l_linenumber"),
+                    ["l_quantity"], ["l_discount <= 0.1"],
+                ), 2, False,
+            ),
+        }
+    )
     if "Join" in _plan(asof_df):
         raise AssertionError("asof_join plan grew a join node")
     return audits

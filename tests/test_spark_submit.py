@@ -1,0 +1,78 @@
+"""End-to-end deployment-route test: the north rule ships via
+``spark-submit --py-files dist/data_profiler_spark.zip jobs/validate_job.py``.
+This test runs that EXACT route — package.sh builds the zip, the job file is
+copied to a scratch directory (so the package can only come from the
+--py-files artifact, never from the repo on sys.path), and a real
+spark-submit subprocess validates a table with checkpointing, then resumes.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import subprocess
+import sys
+
+import pytest
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+SPARK_SUBMIT = shutil.which("spark-submit") or "/opt/spark/bin/spark-submit"
+
+
+@pytest.mark.skipif(not os.path.exists(SPARK_SUBMIT), reason="no spark-submit")
+def test_spark_submit_py_files_validate_job(tmp_path):
+    subprocess.run(["bash", os.path.join(REPO, "tools", "package.sh")], check=True)
+    zip_path = os.path.join(REPO, "dist", "data_profiler_spark.zip")
+    assert os.path.exists(zip_path)
+
+    # scratch copy of the job: its sys.path.insert points at tmp_path, which
+    # holds no package — only the zip can satisfy the imports
+    job_dir = tmp_path / "jobs"
+    job_dir.mkdir()
+    shutil.copy(os.path.join(REPO, "jobs", "validate_job.py"), job_dir / "validate_job.py")
+
+    suite = tmp_path / "suite.json"
+    suite.write_text(json.dumps({
+        "checks": [
+            {"type": "null_rate", "column": "o_orderkey"},
+            {"type": "range", "column": "o_totalprice", "min": 0.0},
+        ],
+        "key_cols": ["o_orderkey"],
+    }))
+    ckpt = str(tmp_path / "ckpt")
+
+    def submit():
+        return subprocess.run(
+            [
+                SPARK_SUBMIT,
+                "--master", "local[2]",
+                "--conf", "spark.ui.enabled=false",
+                "--conf", "spark.ui.showConsoleProgress=false",
+                "--conf", "spark.sql.session.timeZone=UTC",
+                "--py-files", zip_path,
+                str(job_dir / "validate_job.py"),
+                "--input", "/root/testdata/sf0.001/orders.parquet",
+                "--suite", str(suite),
+                "--checkpoint-dir", ckpt,
+                "--bucket-col", "o_orderkey",
+                "--n-buckets", "8",
+                "--wave-size", "4",
+                "--key-cols", "o_orderkey",
+            ],
+            capture_output=True, text=True, timeout=600,
+            env={**os.environ, "PYSPARK_PYTHON": sys.executable},
+        )
+
+    first = submit()
+    assert first.returncode == 0, first.stderr[-3000:]
+    res = json.loads(first.stdout.strip().splitlines()[-1])
+    assert res["n_buckets"] == 8
+    assert res["buckets_run"] == 8 and res["buckets_skipped"] == 0
+    assert res["rows_validated"] > 0
+
+    # resume: every bucket is committed — the second submit must skip all 8
+    second = submit()
+    assert second.returncode == 0, second.stderr[-3000:]
+    res2 = json.loads(second.stdout.strip().splitlines()[-1])
+    assert res2["buckets_skipped"] == 8 and res2["buckets_run"] == 0

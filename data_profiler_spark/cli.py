@@ -63,11 +63,28 @@ def build_parser() -> argparse.ArgumentParser:
     ps.add_argument("--membership-max", type=int, default=20,
                     help="max distinct values to promote to a membership check")
 
+    psn = sub.add_parser(
+        "snapshot",
+        help="materialize a drift-baseline histogram as parquet (the stored "
+        "artifact DriftCheck compares against on later runs)",
+    )
+    psn.add_argument("path")
+    psn.add_argument("--column", required=True)
+    psn.add_argument("--group-by", default=None)
+    psn.add_argument("--bucket-width", type=float, default=100.0)
+    psn.add_argument("--out", required=True)
+
     pv = sub.add_parser("validate", help="run a constraint suite from JSON spec")
     pv.add_argument("path")
     pv.add_argument("--suite", required=True, help="JSON suite spec file")
     pv.add_argument("--checkpoint-dir", help="enable resumable checkpointing")
     pv.add_argument("--partition-col", default=None)
+    pv.add_argument(
+        "--violations-out", default=None, metavar="PATH",
+        help="quarantine sink: write ALL violation rows as parquet "
+        "partitioned by check (distributed write — the JSON report keeps "
+        "only a 100-row sample either way)",
+    )
     pv.add_argument(
         "--preflight", type=float, default=None, metavar="RATE",
         help="estimate row-check violation rates from a deterministic hash "
@@ -360,6 +377,27 @@ def main(argv: list[str] | None = None) -> int:
             )
             return EXIT_OK
 
+        if args.command == "snapshot":
+            from data_profiler_spark.operators.drift import histogram_snapshot
+
+            spark = _spark(args)
+            if not os.path.exists(args.path):
+                return EXIT_FILE_NOT_FOUND
+            df = sources.read(spark, args.path)
+            snap = histogram_snapshot(df, args.column, args.group_by, args.bucket_width)
+            snap.write.mode("overwrite").parquet(args.out)
+            n = spark.read.parquet(args.out).count()
+            _emit(args, json.dumps({
+                "report_type": "drift_baseline_snapshot",
+                "source": args.path,
+                "column": args.column,
+                "group_by": args.group_by,
+                "bucket_width": args.bucket_width,
+                "out": args.out,
+                "n_cells": n,
+            }, indent=2, sort_keys=True))
+            return EXIT_OK
+
         if args.command == "validate":
             from pyspark.sql import functions as F
 
@@ -497,6 +535,13 @@ def main(argv: list[str] | None = None) -> int:
                 baselines=baselines,
                 datasets={s["other_path"]: sources.read(spark, s["other_path"]) for s in rec_specs},
             )
+            if args.violations_out and "violations" in out:
+                # distributed quarantine write — violation volume at scale
+                # must never funnel through the driver; partitioning by
+                # check lets downstream triage prune to one rule's files
+                out["violations"].write.mode("overwrite").partitionBy(
+                    "check"
+                ).parquet(args.violations_out)
             verdicts = out["verdicts"].collect() if "verdicts" in out else []
             drift_rows = out["drift"].collect() if "drift" in out else []
             failed = [r for r in verdicts if not r["pass"]]
@@ -516,6 +561,7 @@ def main(argv: list[str] | None = None) -> int:
                 "drift_failed": [r.asDict() for r in drift_failed[:100]],
                 "n_other_failed": len(extra_failed),
                 "other_failed": [r.asDict() for r in extra_failed[:100]],
+                "violations_out": args.violations_out,
             }
             _emit(args, json.dumps(payload, indent=2, sort_keys=True, default=str))
             return EXIT_OK if not (failed or drift_failed or extra_failed) else EXIT_ERROR

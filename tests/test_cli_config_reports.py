@@ -514,3 +514,63 @@ def test_cli_validate_sequence_family(spark, tmp_path, capsys):
     assert rc == EXIT_ERROR
     assert out["n_other_failed"] == 1
     assert out["other_failed"][0]["check"] == "sequence:l_linenumber/l_orderkey"
+
+
+def test_cli_snapshot_then_validate_drift(spark, tmp_path, capsys):
+    """The baseline-management loop: `snapshot` materializes the stored
+    histogram, `validate` consumes it via a drift check — same data, so
+    PSI must be 0 and the check passes."""
+    import json as _json
+
+    base = str(tmp_path / "price_base")
+    rc = main([
+        "snapshot", "/root/testdata/sf0.001/orders.parquet",
+        "--column", "o_totalprice", "--group-by", "o_orderstatus",
+        "--bucket-width", "10000", "--out", base,
+    ])
+    snap_out = _json.loads(capsys.readouterr().out)
+    assert rc == EXIT_OK and snap_out["n_cells"] > 0
+
+    suite = tmp_path / "suite_snap.json"
+    suite.write_text(_json.dumps({
+        "checks": [
+            {"type": "drift", "column": "o_totalprice",
+             "group_by": "o_orderstatus", "bucket_width": 10000,
+             "baseline": base, "max_psi": 0.05},
+        ],
+        "key_cols": ["o_orderkey"],
+    }))
+    rc = main([
+        "validate", "/root/testdata/sf0.001/orders.parquet", "--suite", str(suite),
+    ])
+    out = _json.loads(capsys.readouterr().out)
+    assert rc == EXIT_OK and out["n_drift_failed"] == 0 and out["n_drift"] > 0
+
+
+def test_cli_validate_violations_out(spark, tmp_path, capsys):
+    import json as _json
+
+    suite = tmp_path / "suite_vout.json"
+    suite.write_text(_json.dumps({
+        "checks": [
+            # impossible bound -> every row violates, exercising the sink
+            {"type": "range", "column": "o_totalprice", "max": 0.0},
+        ],
+        "key_cols": ["o_orderkey"],
+    }))
+    vout = str(tmp_path / "quarantine")
+    rc = main([
+        "validate", "/root/testdata/sf0.001/orders.parquet",
+        "--suite", str(suite), "--violations-out", vout,
+    ])
+    out = _json.loads(capsys.readouterr().out)
+    assert rc == EXIT_ERROR  # the check fails, and that is the point
+    assert out["violations_out"] == vout
+    q = spark.read.parquet(vout)
+    assert q.count() == spark.read.parquet(
+        "/root/testdata/sf0.001/orders.parquet"
+    ).count()
+    # partitioned by check: the partition column survives the round-trip
+    assert set(q.select("check").distinct().toPandas()["check"]) == {
+        "range:o_totalprice"
+    }

@@ -426,11 +426,24 @@ def main(argv: list[str] | None = None) -> int:
             with open(args.suite) as fh:
                 spec = json.load(fh)
             mk = {
-                "null_rate": lambda s: NullRateCheck(s["column"], s.get("max_null_ratio", 0.0)),
-                "range": lambda s: RangeCheck(s["column"], s.get("min"), s.get("max")),
-                "regex": lambda s: RegexCheck(s["column"], s["pattern"]),
-                "membership": lambda s: MembershipCheck(s["column"], tuple(s["allowed"])),
-                "expression": lambda s: ExpressionCheck(s["predicate"], s.get("name", "")),
+                "null_rate": lambda s: NullRateCheck(
+                    s["column"], s.get("max_null_ratio", 0.0),
+                    s.get("name", ""), s.get("where", ""),
+                ),
+                "range": lambda s: RangeCheck(
+                    s["column"], s.get("min"), s.get("max"),
+                    s.get("name", ""), s.get("where", ""),
+                ),
+                "regex": lambda s: RegexCheck(
+                    s["column"], s["pattern"], s.get("name", ""), s.get("where", ""),
+                ),
+                "membership": lambda s: MembershipCheck(
+                    s["column"], tuple(s["allowed"]),
+                    s.get("name", ""), s.get("where", ""),
+                ),
+                "expression": lambda s: ExpressionCheck(
+                    s["predicate"], s.get("name", ""), s.get("where", ""),
+                ),
             }
             # drift spec: {"type": "drift", "column", "group_by", "bucket_width",
             #              "baseline": <parquet path of a histogram_snapshot>,

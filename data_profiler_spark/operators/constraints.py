@@ -36,6 +36,12 @@ from pyspark.sql import functions as F
 DEFAULT_SALT_BUCKETS = 64
 
 
+def _scoped(base: str, where: str) -> str:
+    """Auto-name for a where-scoped check — the scope is part of the
+    identity so two scopes of the same rule never collide in verdicts."""
+    return f"{base}[{where}]" if where else base
+
+
 # ---------------------------------------------------------------------------
 # check definitions (plain dataclasses — the engine's tiny IR)
 # ---------------------------------------------------------------------------
@@ -44,9 +50,10 @@ class NullRateCheck:
     column: str
     max_null_ratio: float = 0.0
     name: str = ""
+    where: str = ""
 
     def check_name(self) -> str:
-        return self.name or f"null_rate:{self.column}"
+        return self.name or _scoped(f"null_rate:{self.column}", self.where)
 
 
 @dataclass(frozen=True)
@@ -55,9 +62,10 @@ class RangeCheck:
     min_value: float | None = None
     max_value: float | None = None
     name: str = ""
+    where: str = ""
 
     def check_name(self) -> str:
-        return self.name or f"range:{self.column}"
+        return self.name or _scoped(f"range:{self.column}", self.where)
 
 
 @dataclass(frozen=True)
@@ -67,9 +75,10 @@ class RegexCheck:
     column: str
     pattern: str
     name: str = ""
+    where: str = ""
 
     def check_name(self) -> str:
-        return self.name or f"regex:{self.column}"
+        return self.name or _scoped(f"regex:{self.column}", self.where)
 
 
 @dataclass(frozen=True)
@@ -79,9 +88,10 @@ class MembershipCheck:
     column: str
     allowed: tuple = ()
     name: str = ""
+    where: str = ""
 
     def check_name(self) -> str:
-        return self.name or f"membership:{self.column}"
+        return self.name or _scoped(f"membership:{self.column}", self.where)
 
 
 @dataclass(frozen=True)
@@ -97,9 +107,10 @@ class ExpressionCheck:
 
     predicate: str
     name: str = ""
+    where: str = ""
 
     def check_name(self) -> str:
-        return self.name or f"expr:{self.predicate}"
+        return self.name or _scoped(f"expr:{self.predicate}", self.where)
 
 
 @dataclass(frozen=True)
@@ -275,25 +286,41 @@ class CheckSuite:
 # ---------------------------------------------------------------------------
 # row-level predicate → violation expression (native, codegen'd)
 # ---------------------------------------------------------------------------
+def _scope_expr(check):
+    """TRUE iff the row is in the check's scope. A NULL ``where`` result is
+    OUT of scope (can't assert a rule over a row the scope can't classify —
+    mirrors SQL WHERE semantics, where NULL filters the row out)."""
+    w = getattr(check, "where", "")
+    if not w:
+        return F.lit(True)
+    return F.coalesce(F.expr(w).cast("boolean"), F.lit(False))
+
+
 def _violation_expr(check: RowCheck):
     if isinstance(check, ExpressionCheck):
         # not-TRUE (false or NULL) is a violation — see ExpressionCheck
-        return ~F.coalesce(F.expr(check.predicate).cast("boolean"), F.lit(False))
-    c = F.col(check.column)
-    if isinstance(check, NullRateCheck):
-        return c.isNull()
-    if isinstance(check, RangeCheck):
+        v = ~F.coalesce(F.expr(check.predicate).cast("boolean"), F.lit(False))
+    elif isinstance(check, NullRateCheck):
+        v = F.col(check.column).isNull()
+    elif isinstance(check, RangeCheck):
+        c = F.col(check.column)
         cond = F.lit(False)
         if check.min_value is not None:
             cond = cond | (c < F.lit(check.min_value))
         if check.max_value is not None:
             cond = cond | (c > F.lit(check.max_value))
-        return c.isNotNull() & cond
-    if isinstance(check, RegexCheck):
-        return c.isNotNull() & ~c.rlike(check.pattern)
-    if isinstance(check, MembershipCheck):
-        return c.isNotNull() & ~c.isin(*check.allowed)
-    raise TypeError(f"unknown row check: {check!r}")
+        v = c.isNotNull() & cond
+    elif isinstance(check, RegexCheck):
+        c = F.col(check.column)
+        v = c.isNotNull() & ~c.rlike(check.pattern)
+    elif isinstance(check, MembershipCheck):
+        c = F.col(check.column)
+        v = c.isNotNull() & ~c.isin(*check.allowed)
+    else:
+        raise TypeError(f"unknown row check: {check!r}")
+    if getattr(check, "where", ""):
+        v = _scope_expr(check) & v
+    return v
 
 
 # ---------------------------------------------------------------------------
@@ -445,6 +472,14 @@ def run_row_checks(
     flags = [
         _violation_expr(ch).cast("long").alias(f"__v_{i}") for i, ch in enumerate(checks)
     ]
+    # where-scoped checks also count their in-scope rows: the pass ratio
+    # divides by the SCOPE size, not the table size (a rule on 1% of rows
+    # must not look 100x cleaner than it is). Unscoped checks skip the
+    # extra column — their denominator is row_count.
+    scoped = [i for i, ch in enumerate(checks) if getattr(ch, "where", "")]
+    flags += [
+        _scope_expr(checks[i]).cast("long").alias(f"__w_{i}") for i in scoped
+    ]
     keys0 = key_cols or []
     sha0 = (
         F.sha2(F.col(content_col).cast("binary"), 256)
@@ -471,12 +506,17 @@ def run_row_checks(
     agg = base.groupBy("__part").agg(
         F.count(F.lit(1)).alias("row_count"),
         *[F.sum(f"__v_{i}").alias(f"__n_{i}") for i in range(len(checks))],
+        *[F.sum(f"__w_{i}").alias(f"__d_{i}") for i in scoped],
     )
     verdict_structs = []
     for i, ch in enumerate(checks):
         max_ratio = ch.max_null_ratio if isinstance(ch, NullRateCheck) else 0.0
         n = F.col(f"__n_{i}")
-        ok = (n.cast("double") / F.col("row_count")) <= F.lit(max_ratio)
+        denom = F.col(f"__d_{i}") if i in scoped else F.col("row_count")
+        # empty scope in a partition → vacuously true (n is necessarily 0)
+        ok = F.when(denom == 0, n == F.lit(0)).otherwise(
+            (n.cast("double") / denom) <= F.lit(max_ratio)
+        )
         verdict_structs.append(
             F.struct(
                 F.lit(ch.check_name()).alias("check"),

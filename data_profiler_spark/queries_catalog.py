@@ -2839,3 +2839,50 @@ def quality_scorecard_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
         null_cols=["l_quantity", "l_discount", "l_returnflag"],
         validity_predicates=["l_discount BETWEEN 0.0 AND 0.1", "l_quantity >= 1.0"],
     )
+
+
+# ---------------------------------------------------------------------------
+# Where-scoped (conditional) row checks: the pass ratio divides by the SCOPE
+# size, and a partition with an empty scope passes vacuously. Oracle mirrors
+# the exact violation/scope CASE arithmetic per partition.
+# ---------------------------------------------------------------------------
+@register(
+    "scoped_check_verdicts_lineitem",
+    """WITH a AS (
+         SELECT l_returnflag AS "partition", CAST(COUNT(*) AS BIGINT) AS row_count,
+           CAST(SUM(CASE WHEN COALESCE(CAST((l_returnflag = 'R') AS BOOLEAN), FALSE)
+                          AND l_discount IS NOT NULL AND l_discount > 0.05
+                         THEN 1 ELSE 0 END) AS BIGINT) AS v0,
+           CAST(SUM(CASE WHEN COALESCE(CAST((l_returnflag = 'R') AS BOOLEAN), FALSE)
+                         THEN 1 ELSE 0 END) AS BIGINT) AS d0,
+           CAST(SUM(CASE WHEN l_quantity IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS v1
+         FROM lineitem GROUP BY 1)
+       SELECT "partition", 'range:l_discount[l_returnflag = ''R'']' AS "check",
+              v0 AS violation_count, row_count,
+              CASE WHEN d0 = 0 THEN v0 = 0
+                   ELSE CAST(v0 AS DOUBLE) / d0 <= 0.0 END AS pass
+       FROM a
+       UNION ALL
+       SELECT "partition", 'null_rate:l_quantity' AS "check",
+              v1 AS violation_count, row_count,
+              CASE WHEN row_count = 0 THEN v1 = 0
+                   ELSE CAST(v1 AS DOUBLE) / row_count <= 0.0 END AS pass
+       FROM a""",
+)
+def scoped_check_verdicts_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from data_profiler_spark.operators.constraints import (
+        NullRateCheck,
+        RangeCheck,
+        run_row_checks,
+    )
+
+    li = load(spark, sf_dir, "lineitem")
+    verdicts, _ = run_row_checks(
+        li,
+        [
+            RangeCheck("l_discount", max_value=0.05, where="l_returnflag = 'R'"),
+            NullRateCheck("l_quantity"),
+        ],
+        partition_col="l_returnflag",
+    )
+    return verdicts

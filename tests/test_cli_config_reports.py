@@ -574,3 +574,23 @@ def test_cli_validate_violations_out(spark, tmp_path, capsys):
     assert set(q.select("check").distinct().toPandas()["check"]) == {
         "range:o_totalprice"
     }
+
+
+def test_cli_validate_where_scoped_check(spark, tmp_path, capsys):
+    import json as _json
+
+    suite = tmp_path / "suite_where.json"
+    suite.write_text(_json.dumps({
+        "checks": [
+            # scoped to 'F' orders only; max 0 violations within the scope
+            {"type": "range", "column": "o_totalprice", "min": 0.0,
+             "where": "o_orderstatus = 'F'", "name": "f_price_pos"},
+        ],
+        "key_cols": ["o_orderkey"],
+    }))
+    rc = main([
+        "validate", "/root/testdata/sf0.001/orders.parquet", "--suite", str(suite),
+    ])
+    out = _json.loads(capsys.readouterr().out)
+    assert rc == EXIT_OK and out["n_failed"] == 0
+    assert out["n_verdicts"] > 0

@@ -211,3 +211,58 @@ def test_preflight_empty_sample_yields_null_not_error(spark):
         # degenerates to the no-information interval [0, 1], p_hat NULL
         assert r["p_hat"] is None
         assert r["ci_low"] == 0.0 and r["ci_high"] == 1.0
+
+
+# ---------------------------------------------------------------------------
+# where-scoped row checks
+# ---------------------------------------------------------------------------
+def test_scoped_check_denominator_and_vacuous_pass(spark):
+    from data_profiler_spark.operators.constraints import run_row_checks
+
+    # partition A: 4 rows in scope (flag=1), 1 violation -> 25% > 0 -> fail
+    # partition B: scope empty -> vacuous pass even though B has rows
+    rows = [
+        ("A", 1, 10.0), ("A", 1, 10.0), ("A", 1, 10.0), ("A", 1, 99.0),
+        ("A", 0, 99.0),  # out of scope: its would-be violation must not count
+        ("B", 0, 99.0), ("B", 0, 99.0),
+    ]
+    df = spark.createDataFrame(rows, "p string, flag int, x double")
+    from data_profiler_spark.operators.constraints import NullRateCheck, RangeCheck
+
+    verdicts, violations = run_row_checks(
+        df,
+        [NullRateCheck("x", max_null_ratio=0.3, where="flag = 1"),
+         RangeCheck("x", max_value=50.0, where="flag = 1")],
+        partition_col="p",
+        key_cols=["p"],
+    )
+    v = {(r["partition"], r["check"]): r for r in verdicts.collect()}
+    rng = v[("A", "range:x[flag = 1]")]
+    assert rng["violation_count"] == 1 and not rng["pass"]
+    assert v[("B", "range:x[flag = 1]")]["pass"]  # empty scope: vacuous
+    assert v[("B", "range:x[flag = 1]")]["violation_count"] == 0
+    # violation rows only contain the in-scope violator
+    bad = violations.where(F.col("check").startswith("range")).collect()
+    assert len(bad) == 1 and bad[0]["partition"] == "A"
+
+
+def test_scoped_null_rate_uses_scope_denominator(spark):
+    from data_profiler_spark.operators.constraints import NullRateCheck, run_row_checks
+
+    # 2 nulls out of 4 in-scope rows = 50%; out-of-scope nulls don't count.
+    # Threshold 0.5 passes ONLY if the denominator is the scope (4), not
+    # the table (8, which would give 25% and also pass) — so also check a
+    # 0.4 threshold fails (50% > 40%) where a table denominator would pass.
+    rows = [("s", None), ("s", None), ("s", 1.0), ("s", 1.0),
+            ("o", None), ("o", None), ("o", None), ("o", None)]
+    df = spark.createDataFrame(rows, "grp string, x double")
+    verdicts, _ = run_row_checks(
+        df,
+        [NullRateCheck("x", max_null_ratio=0.5, where="grp = 's'"),
+         NullRateCheck("x", max_null_ratio=0.4, where="grp = 's'", name="tight")],
+        partition_col=F.lit(0),
+    )
+    v = {r["check"]: r for r in verdicts.collect()}
+    assert v["null_rate:x[grp = 's']"]["pass"]
+    assert v["null_rate:x[grp = 's']"]["violation_count"] == 2
+    assert not v["tight"]["pass"]

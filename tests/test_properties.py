@@ -1,0 +1,110 @@
+"""Property-based tests (hypothesis) for core engine invariants.
+
+Spark-backed properties keep example counts small (each example is a
+distributed job); pure-Python properties (the Wilson interval) run at full
+default example counts.
+"""
+
+from __future__ import annotations
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+from pyspark.sql import functions as F
+
+SPARK_SETTINGS = settings(max_examples=12, deadline=None)
+
+
+# ---------------------------------------------------------------------------
+# salted uniqueness == plain group-by, for ANY salt bucket count
+# ---------------------------------------------------------------------------
+@SPARK_SETTINGS
+@given(
+    keys=st.lists(
+        st.tuples(st.sampled_from("abcd"), st.integers(0, 3)), min_size=1, max_size=60
+    ),
+    buckets=st.sampled_from([1, 2, 7, 64]),
+)
+def test_salted_uniqueness_matches_plain_groupby(spark, keys, buckets):
+    from data_profiler_spark.operators.constraints import uniqueness_violations
+
+    df = spark.createDataFrame([(a, b) for a, b in keys], "k1 string, k2 int")
+    got = {
+        (r["k1"], r["k2"]): r["dup_cnt"]
+        for r in uniqueness_violations(df, ["k1", "k2"], salt_buckets=buckets).collect()
+    }
+    from collections import Counter
+
+    want = {k: c for k, c in Counter(keys).items() if c > 1}
+    assert got == want
+
+
+# ---------------------------------------------------------------------------
+# dense-sequence check == brute force
+# ---------------------------------------------------------------------------
+@SPARK_SETTINGS
+@given(
+    groups=st.dictionaries(
+        st.sampled_from("pqrs"),
+        st.lists(st.integers(1, 8), min_size=1, max_size=8),
+        min_size=1,
+        max_size=4,
+    )
+)
+def test_sequence_check_matches_bruteforce(spark, groups):
+    from data_profiler_spark.operators.constraints import sequence_check
+
+    rows = [(g, p) for g, ps in groups.items() for p in ps]
+    df = spark.createDataFrame(rows, "g string, p int")
+    got = {r["group_key"]: r["ok"] for r in sequence_check(df, "g", "p").collect()}
+    want = {g: sorted(ps) == list(range(1, len(ps) + 1)) for g, ps in groups.items()}
+    assert got == want
+
+
+# ---------------------------------------------------------------------------
+# Wilson interval: pure-Python invariants at full example count
+# ---------------------------------------------------------------------------
+@given(
+    n=st.integers(1, 10**9),
+    v_frac=st.floats(0.0, 1.0, allow_nan=False),
+)
+def test_wilson_brackets_and_bounds(n, v_frac):
+    import duckdb
+
+    from data_profiler_spark.operators.preflight import wilson_sql
+
+    v = min(n, int(v_frac * n))
+    p_sql, lo_sql, hi_sql = wilson_sql("v", "n")
+    p, lo, hi = duckdb.sql(
+        f"SELECT {p_sql}, {lo_sql}, {hi_sql} FROM (SELECT {v} AS v, {n} AS n)"
+    ).fetchone()
+    assert 0.0 <= lo <= hi <= 1.0
+    # 1e-12 absorbs float noise: at v=0 the exact lower bound is 0 but the
+    # expression evaluates center-half ~ +5e-17
+    assert lo <= p + 1e-12 and p - 1e-12 <= hi
+    # width: max Wilson width is ~ z/sqrt(n) at p=0.5 (z=1.96), so 2.2/sqrt(n)
+    # is a safe envelope; cap at 1 for tiny n where the interval is [0,1]
+    assert (hi - lo) <= min(1.0, 2.2 / (n ** 0.5)) + 1e-9
+
+
+# ---------------------------------------------------------------------------
+# quality scorecard: scores always in [0,1], overall is the exact blend
+# ---------------------------------------------------------------------------
+@SPARK_SETTINGS
+@given(
+    rows=st.lists(
+        st.tuples(st.integers(0, 5), st.one_of(st.none(), st.floats(0, 100, allow_nan=False))),
+        min_size=1,
+        max_size=40,
+    )
+)
+def test_quality_scorecard_bounds_and_blend(spark, rows):
+    from data_profiler_spark.operators.constraints import quality_scorecard
+
+    df = spark.createDataFrame(rows, "k int, x double")
+    out = quality_scorecard(
+        df, key_expr=F.col("k"), null_cols=["x"], validity_predicates=["x >= 0.0"]
+    ).collect()[0]
+    for dim in ("completeness", "validity", "uniqueness", "overall"):
+        assert 0.0 <= out[dim] <= 1.0 + 1e-12
+    blend = 0.4 * out["completeness"] + 0.3 * out["validity"] + 0.3 * out["uniqueness"]
+    assert abs(out["overall"] - blend) < 1e-9

@@ -72,6 +72,11 @@ def build_parser() -> argparse.ArgumentParser:
     psn.add_argument("--column", required=True)
     psn.add_argument("--group-by", default=None)
     psn.add_argument("--bucket-width", type=float, default=100.0)
+    psn.add_argument(
+        "--categorical", action="store_true",
+        help="value-frequency snapshot (categorical drift) instead of a "
+        "numeric histogram",
+    )
     psn.add_argument("--out", required=True)
 
     pv = sub.add_parser("validate", help="run a constraint suite from JSON spec")
@@ -378,13 +383,19 @@ def main(argv: list[str] | None = None) -> int:
             return EXIT_OK
 
         if args.command == "snapshot":
-            from data_profiler_spark.operators.drift import histogram_snapshot
+            from data_profiler_spark.operators.drift import (
+                frequency_snapshot,
+                histogram_snapshot,
+            )
 
             spark = _spark(args)
             if not os.path.exists(args.path):
                 return EXIT_FILE_NOT_FOUND
             df = sources.read(spark, args.path)
-            snap = histogram_snapshot(df, args.column, args.group_by, args.bucket_width)
+            if args.categorical:
+                snap = frequency_snapshot(df, args.column, args.group_by)
+            else:
+                snap = histogram_snapshot(df, args.column, args.group_by, args.bucket_width)
             snap.write.mode("overwrite").parquet(args.out)
             n = spark.read.parquet(args.out).count()
             _emit(args, json.dumps({
@@ -393,6 +404,7 @@ def main(argv: list[str] | None = None) -> int:
                 "column": args.column,
                 "group_by": args.group_by,
                 "bucket_width": args.bucket_width,
+                "categorical": args.categorical,
                 "out": args.out,
                 "n_cells": n,
             }, indent=2, sort_keys=True))
@@ -461,6 +473,7 @@ def main(argv: list[str] | None = None) -> int:
                         max_ks=s.get("max_ks"),
                         max_jsd=s.get("max_jsd"),
                         max_w1=s.get("max_w1"),
+                        categorical=bool(s.get("categorical", False)),
                     )
                 )
                 baselines[name] = None  # loaded after the session exists

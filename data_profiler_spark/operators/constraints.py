@@ -161,6 +161,11 @@ class DriftCheck:
     # (earth-mover, in units of the binned variable).
     max_jsd: float | None = None
     max_w1: float | None = None
+    # categorical=True compares VALUE-FREQUENCY snapshots
+    # (drift.frequency_snapshot) instead of numeric histograms: PSI and JSD
+    # apply unchanged over category shares; KS/Wasserstein need ordered
+    # buckets and are rejected for categorical checks.
+    categorical: bool = False
     name: str = ""
 
     def check_name(self) -> str:
@@ -625,6 +630,7 @@ def run_suite(
     drift = None
     for ch in suite.drift:
         from data_profiler_spark.operators.drift import (
+            frequency_snapshot,
             histogram_snapshot,
             js_divergence_from_histograms,
             ks_from_histograms,
@@ -633,10 +639,21 @@ def run_suite(
         )
 
         base = (baselines or {})[ch.baseline_name or ch.check_name()]
-        cur = histogram_snapshot(df, ch.column, ch.group_by, ch.bucket_width)
+        if ch.categorical:
+            # category shares have no bucket order: KS/W1 are meaningless
+            if ch.max_ks is not None or ch.max_w1 is not None:
+                raise ValueError(
+                    f"{ch.check_name()}: max_ks/max_w1 need ordered numeric "
+                    "buckets — not applicable to categorical drift"
+                )
+            cur = frequency_snapshot(df, ch.column, ch.group_by)
+        else:
+            cur = histogram_snapshot(df, ch.column, ch.group_by, ch.bucket_width)
         psi = psi_from_histograms(base, cur, ["group"])
-        ks = ks_from_histograms(base, cur, ["group"])
-        v = psi.join(ks, "group")
+        if ch.categorical:
+            v = psi.withColumn("ks", F.lit(None).cast("double"))
+        else:
+            v = psi.join(ks_from_histograms(base, cur, ["group"]), "group")
         ok = F.col("psi") <= F.lit(ch.max_psi)
         if ch.max_ks is not None:
             ok = ok & (F.col("ks") <= F.lit(ch.max_ks))

@@ -149,6 +149,38 @@ def histogram_snapshot(
     )
 
 
+#: frequency_snapshot's stand-in for NULL category values — a real category
+#: string can't start with NUL, so null-share drift is just another bucket
+NULL_CATEGORY = "\x00null"
+
+
+def frequency_snapshot(
+    df: DataFrame, column: str, group_by: str | None = None, max_categories: int = 10_000
+) -> DataFrame:
+    """(group, bucket, cnt) value-frequency table of a CATEGORICAL column —
+    the categorical twin of :func:`histogram_snapshot`. ``bucket`` is the
+    category value as a string (PSI/chi-square/JSD compare per-category
+    shares and never order buckets, so string buckets slot straight into
+    the same comparators; KS and Wasserstein need ordered buckets and do
+    NOT apply). NULLs map to the :data:`NULL_CATEGORY` sentinel so a
+    null-share shift counts as drift too.
+
+    ``max_categories`` bounds the snapshot artifact: a high-cardinality
+    column (an id, free text) makes every share ~0 and PSI meaningless —
+    failing fast beats silently storing a million-row 'baseline'."""
+    g = (F.col(group_by) if group_by else F.lit("")).cast("string").alias("group")
+    v = F.coalesce(F.col(column).cast("string"), F.lit(NULL_CATEGORY)).alias("bucket")
+    out = df.select(g, v).groupBy("group", "bucket").agg(F.count(F.lit(1)).alias("cnt"))
+    n = out.select("bucket").distinct().limit(max_categories + 1).count()
+    if n > max_categories:
+        raise ValueError(
+            f"frequency_snapshot({column!r}): > {max_categories} distinct "
+            "categories — not a categorical column (use histogram_snapshot "
+            "for numerics, or raise max_categories deliberately)"
+        )
+    return out
+
+
 def ks_from_histograms(
     base: DataFrame, cur: DataFrame, keys: list[str],
     bucket_col: str = "bucket", cnt_col: str = "cnt",

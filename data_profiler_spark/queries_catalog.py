@@ -2886,3 +2886,41 @@ def scoped_check_verdicts_lineitem(spark: SparkSession, sf_dir: str) -> DataFram
         partition_col="l_returnflag",
     )
     return verdicts
+
+
+# ---------------------------------------------------------------------------
+# Categorical drift: PSI over VALUE-FREQUENCY snapshots (per-lang document
+# shares, doc_id-parity split) — string buckets through the same comparator
+# the numeric histograms use (operators/drift.py frequency_snapshot).
+# ---------------------------------------------------------------------------
+@register(
+    "psi_categorical_lang_share",
+    """WITH h AS (SELECT doc_id % 2 AS side, lang AS bucket, COUNT(*) AS cnt
+                  FROM documents GROUP BY 1, 2),
+       b AS (SELECT bucket, cnt FROM h WHERE side = 0),
+       c AS (SELECT bucket, cnt FROM h WHERE side = 1),
+       m AS (SELECT COALESCE(b.bucket, c.bucket) AS bucket,
+                    COALESCE(b.cnt, 0) AS bc, COALESCE(c.cnt, 0) AS cc
+             FROM b FULL OUTER JOIN c ON b.bucket = c.bucket),
+       t AS (SELECT SUM(bc) AS bt, SUM(cc) AS ct FROM m)
+       SELECT '' AS "group",
+              ROUND(CAST(SUM(CAST((GREATEST(CAST(bc AS DOUBLE)/bt, 1e-6) - GREATEST(CAST(cc AS DOUBLE)/ct, 1e-6))
+                   * LN(GREATEST(CAST(bc AS DOUBLE)/bt, 1e-6) / GREATEST(CAST(cc AS DOUBLE)/ct, 1e-6))
+                   AS DECIMAL(38,18))) AS DOUBLE), 12) AS psi
+       FROM m, t""",
+)
+def psi_categorical_lang_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from data_profiler_spark.operators.drift import psi_from_histograms
+
+    docs = load(spark, sf_dir, "documents")
+    h = (
+        docs.select(
+            (F.col("doc_id") % 2).alias("side"),
+            F.col("lang").cast("string").alias("bucket"),
+        )
+        .groupBy("side", "bucket")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    base = h.where("side = 0").select(F.lit("").alias("group"), "bucket", "cnt")
+    cur = h.where("side = 1").select(F.lit("").alias("group"), "bucket", "cnt")
+    return psi_from_histograms(base, cur, ["group"])

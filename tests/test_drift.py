@@ -345,3 +345,66 @@ def test_drift_check_optional_comparators(spark, code_files):
     ].collect()
     assert any(not r["pass"] for r in rows2)
     assert all(r["jsd"] >= 0.0 and r["w1"] >= 0.0 for r in rows2)
+
+
+# ---------------------------------------------------------------------------
+# categorical drift (frequency snapshots)
+# ---------------------------------------------------------------------------
+def test_frequency_snapshot_counts_and_null_sentinel(spark):
+    from data_profiler_spark.operators.drift import NULL_CATEGORY, frequency_snapshot
+
+    df = spark.createDataFrame(
+        [("a",), ("a",), ("b",), (None,)], "lang string"
+    )
+    got = {
+        (r["group"], r["bucket"]): r["cnt"]
+        for r in frequency_snapshot(df, "lang").collect()
+    }
+    assert got == {("", "a"): 2, ("", "b"): 1, ("", NULL_CATEGORY): 1}
+
+
+def test_frequency_snapshot_rejects_high_cardinality(spark):
+    import pytest
+
+    from data_profiler_spark.operators.drift import frequency_snapshot
+
+    df = spark.range(100).select(F.col("id").cast("string").alias("v"))
+    with pytest.raises(ValueError, match="distinct categories"):
+        frequency_snapshot(df, "v", max_categories=10)
+
+
+def test_categorical_drift_check_new_category_fails_not_crashes(spark):
+    """A category present only in the CURRENT data (the classic new-enum
+    deploy) must produce a failed verdict, not an ANSI crash, and KS stays
+    NULL (not applicable to unordered categories)."""
+    from data_profiler_spark.operators.constraints import CheckSuite, DriftCheck, run_suite
+    from data_profiler_spark.operators.drift import frequency_snapshot
+
+    base_df = spark.createDataFrame([("a",)] * 50 + [("b",)] * 50, "lang string")
+    cur_df = spark.createDataFrame(
+        [("a",)] * 50 + [("b",)] * 20 + [("NEW",)] * 30, "lang string"
+    )
+    baseline = frequency_snapshot(base_df, "lang")
+    suite = CheckSuite(
+        drift=[DriftCheck("lang", categorical=True, baseline_name="b0", max_psi=0.1)]
+    )
+    out = run_suite(cur_df, suite, partition_col=F.lit(0), baselines={"b0": baseline})
+    rows = out["drift"].collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert not r["pass"] and r["psi"] > 0.1 and r["ks"] is None
+
+
+def test_categorical_drift_rejects_ks_threshold(spark):
+    import pytest
+
+    from data_profiler_spark.operators.constraints import CheckSuite, DriftCheck, run_suite
+    from data_profiler_spark.operators.drift import frequency_snapshot
+
+    df = spark.createDataFrame([("a",)], "lang string")
+    suite = CheckSuite(
+        drift=[DriftCheck("lang", categorical=True, baseline_name="b0", max_ks=0.1)]
+    )
+    with pytest.raises(ValueError, match="not applicable to categorical"):
+        run_suite(df, suite, partition_col=F.lit(0),
+                  baselines={"b0": frequency_snapshot(df, "lang")})

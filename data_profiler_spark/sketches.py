@@ -328,10 +328,46 @@ def _mg_compress(counts: dict, k: int) -> dict:
     return {v: c - dec for v, c in counts.items() if c - dec > 0}
 
 
+#: executor-side reduction fan-in: with P input partitions the driver
+#: receives ceil(P / FANIN) pre-merged sketches instead of P partials
+SKETCH_TREE_FANIN = 64
+
+
+def _tree_reduce(parts: DataFrame, n_input_partitions: int, from_json, empty):
+    """treeAggregate-style sketch union: when the partial count is large,
+    insert ONE executor-side reduction level — hash-spread the partial rows
+    over ceil(P / fan-in) partitions and merge each partition to a single
+    sketch — before the driver's final fold. The driver then folds
+    O(P / fan-in) sketches instead of O(P): at 10^5 input partitions that is
+    the difference between a ~200 MB single-threaded driver fold and a
+    ~1.6k-sketch one. Merge is associative, so the tree grouping changes
+    nothing semantically (sketch CONTENTS may differ between merge orders —
+    all orders satisfy the same rank/count error bound, which is the
+    contract the property tests pin)."""
+
+    def merge_group(batches):
+        acc = None
+        for pdf in batches:
+            for s in pdf["sketch"]:
+                sk = from_json(s)
+                acc = sk if acc is None else acc.merge(sk)
+        if acc is not None:
+            yield pd.DataFrame({"sketch": [acc.to_json()]})
+
+    if n_input_partitions > SKETCH_TREE_FANIN:
+        n_groups = max(1, -(-n_input_partitions // SKETCH_TREE_FANIN))
+        parts = parts.repartition(n_groups).mapInPandas(merge_group, "sketch string")
+    out = empty
+    for r in parts.collect():
+        out = out.merge(from_json(r["sketch"]))
+    return out
+
+
 def heavy_hitters(df: DataFrame, col: str, k: int = 64) -> HeavyHittersSketch:
     """Distributed MG heavy-hitters over ``df[col]``: one partial summary
     per Arrow batch (values stringified for a uniform sketch type), merged
-    driver-side. Driver receives O(partitions × k), never the data."""
+    treeAggregate-style (executor-side level above SKETCH_TREE_FANIN
+    partials, then a driver fold over the survivors)."""
     proj = df.select(F.col(col).cast("string").alias("v")).where(
         F.col("v").isNotNull()
     )
@@ -341,17 +377,19 @@ def heavy_hitters(df: DataFrame, col: str, k: int = 64) -> HeavyHittersSketch:
             sk = HeavyHittersSketch.from_values(pdf["v"].tolist(), k)
             yield pd.DataFrame({"sketch": [sk.to_json()]})
 
-    out = HeavyHittersSketch({}, 0, k)
-    for r in proj.mapInPandas(make_partials, "sketch string").collect():
-        out = out.merge(HeavyHittersSketch.from_json(r["sketch"]))
-    return out
+    return _tree_reduce(
+        proj.mapInPandas(make_partials, "sketch string"),
+        proj.rdd.getNumPartitions(),
+        HeavyHittersSketch.from_json,
+        HeavyHittersSketch({}, 0, k),
+    )
 
 
 def quantile_sketch(df: DataFrame, col: str, k: int = 256) -> QuantileSketch:
     """Build a mergeable quantile sketch of ``df[col]`` distributed:
     one partial per Arrow batch (mapInPandas, vectorized numpy), merged
-    driver-side in a reduce tree. Each partial serializes to ~k floats, so
-    the driver receives O(partitions · k), never the data."""
+    treeAggregate-style. Each partial serializes to ~k floats; the driver
+    receives O(min(P, P/fan-in)) sketches, never the data."""
     proj = df.select(F.col(col).cast("double").alias("v")).where(F.col("v").isNotNull())
 
     def make_partials(batches):
@@ -359,8 +397,9 @@ def quantile_sketch(df: DataFrame, col: str, k: int = 256) -> QuantileSketch:
             sk = QuantileSketch.from_values(pdf["v"].to_numpy(), k)
             yield pd.DataFrame({"sketch": [sk.to_json()]})
 
-    parts = proj.mapInPandas(make_partials, "sketch string").collect()
-    out = QuantileSketch.empty(k)
-    for r in parts:
-        out = out.merge(QuantileSketch.from_json(r["sketch"]))
-    return out
+    return _tree_reduce(
+        proj.mapInPandas(make_partials, "sketch string"),
+        proj.rdd.getNumPartitions(),
+        QuantileSketch.from_json,
+        QuantileSketch.empty(k),
+    )

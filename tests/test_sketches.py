@@ -222,3 +222,29 @@ def test_kll_merge_with_empty_is_pure():
     assert a.n == n_before and [list(l) for l in a.levels] == levels_before
     m2 = KLLSketch(64).merge(a)
     assert m2 is not a and m2.n == a.n
+
+
+def test_tree_reduce_level_preserves_error_bounds(spark):
+    """Force the executor-side reduction level (>SKETCH_TREE_FANIN partials)
+    and assert the merged sketches still honor their contracts — the tree
+    grouping must change nothing semantically."""
+    import pyspark.sql.functions as F
+
+    from data_profiler_spark.sketches import heavy_hitters, quantile_sketch
+
+    n = 130_000
+    df = spark.range(n).repartition(130).select(
+        F.col("id").cast("double").alias("x"),
+        # one hot key at ~50% frequency + uniform tail
+        F.when(F.col("id") % 2 == 0, F.lit("hot"))
+        .otherwise(F.pmod(F.col("id"), F.lit(1000)).cast("string"))
+        .alias("v"),
+    )
+    qs = quantile_sketch(df, "x", k=256)
+    med = qs.query(0.5)
+    assert abs(med - n / 2) / n < 0.02  # rank error well inside 1/k-ish
+
+    hh = heavy_hitters(df, "v", k=64)
+    top = hh.top(1)
+    assert top and top[0][0] == "hot"
+    assert abs(top[0][1] - n / 2) <= hh.error_bound() + 1

@@ -2924,3 +2924,59 @@ def psi_categorical_lang_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     base = h.where("side = 0").select(F.lit("").alias("group"), "bucket", "cnt")
     cur = h.where("side = 1").select(F.lit("").alias("group"), "bucket", "cnt")
     return psi_from_histograms(base, cur, ["group"])
+
+
+# ---------------------------------------------------------------------------
+# Incremental (delta) validation: run the suite over only the rows added or
+# changed since a previous snapshot (operators/diff.py delta_rows /
+# validate_delta). The oracle defines the delta SEMANTICALLY (NOT EXISTS an
+# old row with identical key + null-safe payload) — the engine's
+# fingerprint anti-join must reproduce it exactly.
+# ---------------------------------------------------------------------------
+@register(
+    "delta_validation_verdicts_lineitem",
+    """WITH newt AS (
+         SELECT l_orderkey, l_linenumber, l_returnflag, l_quantity,
+                CASE WHEN l_orderkey % 13 = 0 THEN 0.99 ELSE l_discount END AS l_discount
+         FROM lineitem),
+       old AS (
+         SELECT l_orderkey, l_linenumber, l_returnflag, l_quantity, l_discount
+         FROM lineitem WHERE l_orderkey % 11 <> 0),
+       delta AS (
+         SELECT n.* FROM newt n
+         WHERE NOT EXISTS (
+           SELECT 1 FROM old o
+           WHERE o.l_orderkey = n.l_orderkey AND o.l_linenumber = n.l_linenumber
+             AND o.l_returnflag IS NOT DISTINCT FROM n.l_returnflag
+             AND o.l_quantity IS NOT DISTINCT FROM n.l_quantity
+             AND o.l_discount IS NOT DISTINCT FROM n.l_discount))
+       SELECT l_returnflag AS "partition", 'range:l_discount' AS "check",
+              CAST(SUM(CASE WHEN l_discount IS NOT NULL AND l_discount > 0.1
+                            THEN 1 ELSE 0 END) AS BIGINT) AS violation_count,
+              CAST(COUNT(*) AS BIGINT) AS row_count,
+              CASE WHEN COUNT(*) = 0 THEN TRUE
+                   ELSE CAST(SUM(CASE WHEN l_discount IS NOT NULL AND l_discount > 0.1
+                                      THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*) <= 0.0
+              END AS pass
+       FROM delta GROUP BY 1""",
+)
+def delta_validation_verdicts_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from data_profiler_spark.operators.constraints import CheckSuite, RangeCheck
+    from data_profiler_spark.operators.diff import validate_delta
+
+    li = load(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_linenumber", "l_returnflag", "l_quantity", "l_discount"
+    )
+    # simulate a snapshot pair: the new snapshot doctored some discounts
+    # (changed rows) and the old snapshot lacked the %11 keys (added rows)
+    new = li.withColumn(
+        "l_discount",
+        F.when(F.col("l_orderkey") % 13 == 0, F.lit(0.99)).otherwise(F.col("l_discount")),
+    )
+    old = li.where(F.col("l_orderkey") % 11 != 0)
+    out = validate_delta(
+        new, old, ["l_orderkey", "l_linenumber"],
+        CheckSuite(row_checks=[RangeCheck("l_discount", max_value=0.1)]),
+        partition_col="l_returnflag",
+    )
+    return out["verdicts"]

@@ -75,3 +75,67 @@ def test_diff_cli(spark, tmp_path, capsys):
     rc2 = cli.main(["diff", lp, lp, "--keys", "k", "--summary-only"])
     capsys.readouterr()
     assert rc2 == 0
+
+
+# ---------------------------------------------------------------------------
+# incremental (delta) validation
+# ---------------------------------------------------------------------------
+def test_delta_rows_added_changed_only(spark):
+    from data_profiler_spark.operators.diff import delta_rows
+
+    old = spark.createDataFrame(
+        [(1, "a", 1.0), (2, "b", 2.0), (3, "c", None)], "k int, s string, x double"
+    )
+    new = spark.createDataFrame(
+        [
+            (1, "a", 1.0),      # unchanged -> excluded
+            (2, "b", 9.9),      # changed -> included
+            (3, "c", None),     # unchanged with NULL payload -> excluded
+            (4, "d", 4.0),      # added -> included
+        ],
+        "k int, s string, x double",
+    )
+    got = sorted((r["k"], r["x"]) for r in delta_rows(new, old, ["k"]).collect())
+    assert got == [(2, 9.9), (4, 4.0)]
+    # removed keys (old-only) never appear: delta is new-side only
+    assert 5 not in {k for k, _ in got}
+
+
+def test_delta_rows_null_position_not_confused(spark):
+    # ('a', NULL) vs (NULL, 'a') payloads must NOT collide (raw xxhash64
+    # of columns would skip NULLs and treat them as identical)
+    from data_profiler_spark.operators.diff import delta_rows
+
+    old = spark.createDataFrame([(1, "a", None)], "k int, p string, q string")
+    new = spark.createDataFrame([(1, None, "a")], "k int, p string, q string")
+    assert delta_rows(new, old, ["k"]).count() == 1
+
+
+def test_delta_rows_duplicate_keys_multiset(spark):
+    from data_profiler_spark.operators.diff import delta_rows
+
+    # same key twice with different payloads; only the payload absent from
+    # old is a delta
+    old = spark.createDataFrame([(1, "x"), (1, "y")], "k int, v string")
+    new = spark.createDataFrame([(1, "x"), (1, "z")], "k int, v string")
+    got = [r["v"] for r in delta_rows(new, old, ["k"]).collect()]
+    assert got == ["z"]
+
+
+def test_validate_delta_counts_only_delta_rows(spark):
+    from data_profiler_spark.operators.constraints import CheckSuite, RangeCheck
+    from data_profiler_spark.operators.diff import validate_delta
+    from pyspark.sql import functions as F
+
+    old = spark.createDataFrame([(i, 1.0) for i in range(100)], "k int, x double")
+    # new: 100 unchanged + 5 added bad rows
+    new = old.unionByName(
+        spark.createDataFrame([(100 + i, 999.0) for i in range(5)], "k int, x double")
+    )
+    out = validate_delta(
+        new, old, ["k"],
+        CheckSuite(row_checks=[RangeCheck("x", max_value=10.0)]),
+        partition_col=F.lit(0),
+    )
+    v = out["verdicts"].collect()[0]
+    assert v["row_count"] == 5 and v["violation_count"] == 5 and not v["pass"]

@@ -316,6 +316,89 @@ def wasserstein_from_histograms(
     )
 
 
+# ---------------------------------------------------------------------------
+# Embedding drift: per-dimension mean shift + centroid cosine between a
+# stored baseline embedding snapshot and the current corpus. Extends the
+# drift plane (ref core/drift.py computes scalar-column PSI/KS only) to the
+# array<float> embedding columns the training-data pipeline carries.
+#
+# Scale shape: posexplode is a narrow map (rows × dims, no shuffle), the
+# per-dim aggregation shuffles exactly `dims` keys with map-side partial
+# aggregation, and the summary reduces `dims` rows — independent of corpus
+# size. At 100 TB the cost is one linear scan per side.
+# ---------------------------------------------------------------------------
+
+
+def embedding_dim_means(df: DataFrame, vec_col: str, dim_col: str = "dim") -> DataFrame:
+    """Per-dimension mean over an array<float> column → (dim, mean_val, n).
+
+    Sums run as DECIMAL(28,12) so the reduction is order-independent across
+    partitionings; the mean is one IEEE division of the exact sum (same
+    determinism contract as functions/stats.decimal_avg).
+    """
+    e = df.select(F.posexplode(F.col(vec_col)).alias(dim_col, "val"))
+    dec = F.col("val").cast("double").cast("decimal(28,12)")
+    return e.groupBy(dim_col).agg(
+        (F.sum(dec).cast("double") / F.count("val")).alias("mean_val"),
+        F.count("val").alias("n"),
+    )
+
+
+def embedding_drift(
+    base: DataFrame, cur: DataFrame, vec_col: str, round_digits: int = 9
+) -> DataFrame:
+    """Per-dimension drift between two embedding corpora →
+    (dim, mean_base, mean_cur, abs_shift), one row per dimension.
+
+    ``mean_base`` / ``mean_cur`` are the per-dim centroid coordinates;
+    ``abs_shift`` their absolute difference. Feed to
+    :func:`embedding_drift_summary` for the scalar verdict inputs.
+    """
+    b = embedding_dim_means(base, vec_col).select(
+        "dim", F.round("mean_val", round_digits).alias("mean_base")
+    )
+    c = embedding_dim_means(cur, vec_col).select(
+        "dim", F.round("mean_val", round_digits).alias("mean_cur")
+    )
+    return (
+        b.join(c, "dim", "full_outer")
+        .fillna(0.0, ["mean_base", "mean_cur"])
+        .withColumn(
+            "abs_shift", F.round(F.abs(F.col("mean_base") - F.col("mean_cur")), round_digits)
+        )
+    )
+
+
+def embedding_drift_summary(dim_drift: DataFrame, round_digits: int = 9) -> DataFrame:
+    """One summary row from :func:`embedding_drift` output:
+    (n_dims, centroid_cosine, mean_abs_shift, max_abs_shift).
+
+    ``centroid_cosine`` is the cosine similarity between the two mean
+    vectors — 1.0 means the corpus centroid did not move. All cross-dim sums
+    run as DECIMAL(38,18) (order-independent), then one IEEE expression.
+    """
+    d18 = "decimal(38,18)"
+    bb = (F.col("mean_base") * F.col("mean_base")).cast(d18)
+    cc = (F.col("mean_cur") * F.col("mean_cur")).cast(d18)
+    bc = (F.col("mean_base") * F.col("mean_cur")).cast(d18)
+    sh = F.col("abs_shift").cast(d18)
+    agg = dim_drift.agg(
+        F.count(F.lit(1)).alias("n_dims"),
+        F.sum(bb).cast("double").alias("__bb"),
+        F.sum(cc).cast("double").alias("__cc"),
+        F.sum(bc).cast("double").alias("__bc"),
+        F.sum(sh).cast("double").alias("__sh"),
+        F.max("abs_shift").alias("max_abs_shift"),
+    )
+    cos = F.try_divide(F.col("__bc"), F.sqrt(F.col("__bb")) * F.sqrt(F.col("__cc")))
+    return agg.select(
+        "n_dims",
+        F.round(cos, round_digits).alias("centroid_cosine"),
+        F.round(F.col("__sh") / F.col("n_dims"), round_digits).alias("mean_abs_shift"),
+        "max_abs_shift",
+    )
+
+
 def drift_verdicts(
     psi_df: DataFrame, keys: list[str], psi_threshold: float = 0.25
 ) -> DataFrame:

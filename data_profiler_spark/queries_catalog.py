@@ -1233,6 +1233,68 @@ def lsh_topk_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# embedding drift: per-dim centroid shift + summary (vec_id parity split)
+# engine extension: ref core/drift.py covers scalar columns only
+# ---------------------------------------------------------------------------
+_EMB_DIM_MEANS_CTE = """
+    WITH e AS (SELECT vec_id % 2 AS side, generate_subscripts(embedding, 1) - 1 AS dim,
+                      CAST(unnest(embedding) AS DOUBLE) AS val
+               FROM embeddings),
+    m AS (SELECT CAST(dim AS INTEGER) AS dim,
+                 ROUND(CAST(SUM(CASE WHEN side = 0 THEN CAST(val AS DECIMAL(28,12)) END) AS DOUBLE)
+                       / COUNT(CASE WHEN side = 0 THEN 1 END), 9) AS mean_base,
+                 ROUND(CAST(SUM(CASE WHEN side = 1 THEN CAST(val AS DECIMAL(28,12)) END) AS DOUBLE)
+                       / COUNT(CASE WHEN side = 1 THEN 1 END), 9) AS mean_cur
+          FROM e GROUP BY dim),
+    d AS (SELECT dim, mean_base, mean_cur,
+                 ROUND(ABS(mean_base - mean_cur), 9) AS abs_shift FROM m)
+"""
+
+
+@register(
+    "embedding_drift_dims",
+    _EMB_DIM_MEANS_CTE + "SELECT dim, mean_base, mean_cur, abs_shift FROM d",
+)
+def embedding_drift_dims(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-dimension embedding centroid drift between the even/odd vec_id
+    halves of the corpus (stand-in for baseline snapshot vs current)."""
+    from data_profiler_spark.operators.drift import embedding_drift
+
+    emb = load(spark, sf_dir, "embeddings")
+    base = emb.where(F.col("vec_id") % 2 == 0)
+    cur = emb.where(F.col("vec_id") % 2 == 1)
+    return embedding_drift(base, cur, "embedding")
+
+
+@register(
+    "embedding_drift_summary_embeddings",
+    _EMB_DIM_MEANS_CTE
+    + """, s AS (SELECT COUNT(*) AS n_dims,
+                CAST(SUM(CAST(mean_base * mean_base AS DECIMAL(38,18))) AS DOUBLE) AS bb,
+                CAST(SUM(CAST(mean_cur * mean_cur AS DECIMAL(38,18))) AS DOUBLE) AS cc,
+                CAST(SUM(CAST(mean_base * mean_cur AS DECIMAL(38,18))) AS DOUBLE) AS bc,
+                CAST(SUM(CAST(abs_shift AS DECIMAL(38,18))) AS DOUBLE) AS sh,
+                MAX(abs_shift) AS max_abs_shift
+         FROM d)
+    SELECT n_dims, ROUND(bc / (SQRT(bb) * SQRT(cc)), 9) AS centroid_cosine,
+           ROUND(sh / n_dims, 9) AS mean_abs_shift, max_abs_shift
+    FROM s""",
+)
+def embedding_drift_summary_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scalar drift verdict inputs: centroid cosine between the two halves'
+    mean vectors plus mean/max per-dim shift."""
+    from data_profiler_spark.operators.drift import (
+        embedding_drift,
+        embedding_drift_summary,
+    )
+
+    emb = load(spark, sf_dir, "embeddings")
+    base = emb.where(F.col("vec_id") % 2 == 0)
+    cur = emb.where(F.col("vec_id") % 2 == 1)
+    return embedding_drift_summary(embedding_drift(base, cur, "embedding"))
+
+
+# ---------------------------------------------------------------------------
 # drift: PSI per lang + global KS over content length (doc_id parity split)
 # ---------------------------------------------------------------------------
 @register(

@@ -408,3 +408,49 @@ def test_categorical_drift_rejects_ks_threshold(spark):
     with pytest.raises(ValueError, match="not applicable to categorical"):
         run_suite(df, suite, partition_col=F.lit(0),
                   baselines={"b0": frequency_snapshot(df, "lang")})
+
+
+def test_embedding_drift_identical_corpora_is_zero(spark):
+    """Same corpus on both sides: every per-dim shift is 0 and the centroid
+    cosine is exactly 1.0 (rounded means are identical doubles)."""
+    from data_profiler_spark.operators.drift import (
+        embedding_drift,
+        embedding_drift_summary,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    d = embedding_drift(emb, emb, "embedding")
+    assert d.where("abs_shift != 0.0").count() == 0
+    s = embedding_drift_summary(d).collect()[0]
+    assert s["centroid_cosine"] == 1.0
+    assert s["mean_abs_shift"] == 0.0 and s["max_abs_shift"] == 0.0
+    assert s["n_dims"] == 64
+
+
+def test_embedding_drift_detects_translation(spark):
+    """Shifting every vector by +0.5 in dim 0 only moves dim 0's mean by
+    ~0.5 and drops the centroid cosine below 1."""
+    from pyspark.sql import functions as F
+
+    from data_profiler_spark.operators.drift import (
+        embedding_drift,
+        embedding_drift_summary,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    shifted = emb.withColumn(
+        "embedding",
+        F.concat(
+            F.array(F.col("embedding")[0] + F.lit(0.5)),
+            F.slice("embedding", 2, 63),
+        ),
+    )
+    d = embedding_drift(emb, shifted, "embedding").collect()
+    by_dim = {r["dim"]: r for r in d}
+    assert abs(by_dim[0]["abs_shift"] - 0.5) < 1e-6
+    assert all(by_dim[i]["abs_shift"] < 1e-9 for i in range(1, 64))
+    s = embedding_drift_summary(
+        embedding_drift(emb, shifted, "embedding")
+    ).collect()[0]
+    assert s["centroid_cosine"] < 1.0
+    assert abs(s["max_abs_shift"] - 0.5) < 1e-6

@@ -348,3 +348,50 @@ def profile_table(df: DataFrame, columns: list[str] | None = None, exact: bool =
                 .drop("approx_mode")
             )
     return long_df
+
+
+LN2 = 0.6931471805599453  #: fixed literal so both engines divide by the same double
+
+
+def column_shape_stats(df: DataFrame, columns: list[str]) -> DataFrame:
+    """Distribution-shape profile per column → one row per column:
+    (col_name, n_nonnull, n_distinct, distinct_ratio, top1_share,
+    entropy_bits).
+
+    ``entropy_bits`` is the Shannon entropy of the value distribution;
+    ``top1_share`` the modal share (constancy: 1.0 == constant column);
+    ``distinct_ratio`` n_distinct / n_nonnull (1.0 == all-unique, a key
+    smell). The reference reports distinct counts and top values
+    (profilers/string.py) but no entropy — engine extension.
+
+    Scale shape: one ``stack`` pass (narrow), one groupBy on
+    (col_name, value) with map-side partial aggregation, then tiny
+    per-column rollups — value cardinality bounds state, never row count.
+    Entropy terms p·ln(p) are single IEEE expressions summed as
+    DECIMAL(38,18) (order-independent), one division by the fixed LN2
+    literal at the end — bit-deterministic vs the DuckDB oracle.
+    """
+    n = len(columns)
+    pairs = ", ".join(f"'{c}', CAST(`{c}` AS STRING)" for c in columns)
+    v = df.select(
+        F.expr(f"stack({n}, {pairs}) AS (col_name, value)")
+    ).where(F.col("value").isNotNull())
+    counts = v.groupBy("col_name", "value").agg(F.count(F.lit(1)).alias("cnt"))
+    totals = counts.groupBy("col_name").agg(F.sum("cnt").alias("n"))
+    p = F.col("cnt").cast("double") / F.col("n").cast("double")
+    term = (-p * F.log(p)).cast("decimal(38,18)")
+    return (
+        counts.join(totals, "col_name")
+        .groupBy("col_name")
+        .agg(
+            F.max("n").alias("n_nonnull"),
+            F.count(F.lit(1)).alias("n_distinct"),
+            F.round(F.count(F.lit(1)).cast("double") / F.max("n").cast("double"), 9).alias(
+                "distinct_ratio"
+            ),
+            F.round(F.max("cnt").cast("double") / F.max("n").cast("double"), 9).alias(
+                "top1_share"
+            ),
+            F.round(F.sum(term).cast("double") / F.lit(LN2), 9).alias("entropy_bits"),
+        )
+    )

@@ -3042,3 +3042,37 @@ def delta_validation_verdicts_lineitem(spark: SparkSession, sf_dir: str) -> Data
         partition_col="l_returnflag",
     )
     return out["verdicts"]
+
+
+# ---------------------------------------------------------------------------
+# column shape stats: Shannon entropy, distinct ratio, modal share per column
+# engine extension (ref profilers/string.py reports top values, no entropy)
+# ---------------------------------------------------------------------------
+_SHAPE_COLS = ["o_orderstatus", "o_orderpriority", "o_custkey"]
+
+
+@register(
+    "column_shape_stats_orders",
+    """WITH v AS ("""
+    + " UNION ALL ".join(
+        f"SELECT '{c}' AS col_name, CAST({c} AS VARCHAR) AS value FROM orders WHERE {c} IS NOT NULL"
+        for c in _SHAPE_COLS
+    )
+    + """),
+    c AS (SELECT col_name, value, COUNT(*) AS cnt FROM v GROUP BY 1, 2),
+    t AS (SELECT col_name, SUM(cnt) AS n FROM c GROUP BY 1)
+    SELECT c.col_name,
+           CAST(MAX(n) AS BIGINT) AS n_nonnull,
+           COUNT(*) AS n_distinct,
+           ROUND(CAST(COUNT(*) AS DOUBLE) / CAST(MAX(n) AS DOUBLE), 9) AS distinct_ratio,
+           ROUND(CAST(MAX(cnt) AS DOUBLE) / CAST(MAX(n) AS DOUBLE), 9) AS top1_share,
+           ROUND(CAST(SUM(CAST(-(CAST(cnt AS DOUBLE) / CAST(n AS DOUBLE))
+                               * LN(CAST(cnt AS DOUBLE) / CAST(n AS DOUBLE))
+                               AS DECIMAL(38,18))) AS DOUBLE) / 0.6931471805599453, 9)
+             AS entropy_bits
+    FROM c JOIN t USING (col_name) GROUP BY c.col_name""",
+)
+def column_shape_stats_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from data_profiler_spark.operators.profile import column_shape_stats
+
+    return column_shape_stats(load(spark, sf_dir, "orders"), _SHAPE_COLS)

@@ -139,3 +139,30 @@ def test_approx_mode_gated_above_1000_distinct(spark):
     df = spark.range(20000).select(F.col("id").cast("string").alias("u"))
     rows = {r["column"]: r for r in profile_table(df, exact=False).collect()}
     assert rows["u"]["mode_value"] is None
+
+
+def test_column_shape_stats_constant_and_unique(spark):
+    import math
+
+    from pyspark.sql import functions as F
+
+    from data_profiler_spark.operators.profile import column_shape_stats
+
+    df = spark.range(128).select(
+        F.lit("k").alias("const_col"),
+        F.col("id").alias("uniq_col"),
+        (F.col("id") % 2).alias("coin_col"),
+        F.when(F.col("id") < 0, F.lit("x")).alias("null_col"),
+    )
+    rows = {r["col_name"]: r for r in column_shape_stats(
+        df, ["const_col", "uniq_col", "coin_col", "null_col"]
+    ).collect()}
+    c = rows["const_col"]
+    assert c["n_distinct"] == 1 and c["top1_share"] == 1.0 and c["entropy_bits"] == 0.0
+    u = rows["uniq_col"]
+    assert u["distinct_ratio"] == 1.0
+    assert abs(u["entropy_bits"] - math.log2(128)) < 1e-6
+    b = rows["coin_col"]
+    assert abs(b["entropy_bits"] - 1.0) < 1e-9 and b["top1_share"] == 0.5
+    # an all-NULL column contributes no rows (no non-null values to profile)
+    assert "null_col" not in rows

@@ -157,6 +157,57 @@ def deterministic_split(
     return out
 
 
+def stratified_sample(
+    df: DataFrame,
+    strata_col: str,
+    fractions: dict[str, float] | float,
+    id_col: str,
+    seed: int = 42,
+) -> DataFrame:
+    """Deterministic per-stratum subsampling: keep a row iff
+    ``md5(id || ':' || seed) mod 10^6`` falls under its stratum's fraction
+    band. The curation use case is domain re-weighting — e.g. downsample
+    boilerplate-heavy languages while keeping rare ones whole — with the
+    same reproducibility contract as :func:`deterministic_split`:
+    membership is a pure function of (id, seed), so re-runs at any
+    partitioning/cluster size keep identical rows, and growing the corpus
+    never flips an existing row's fate (unlike ``df.sampleBy``, whose draw
+    order is partitioning-dependent).
+
+    ``fractions``: dict mapping stratum value → keep fraction (strata not
+    in the dict are kept whole), or a single float applied to all strata.
+    md5 (not xxhash64) so external systems — and the DuckDB oracle — can
+    reproduce membership byte-for-byte; the 15-hex-digit (60-bit) prefix
+    fits signed int64 on every engine. Pure narrow expressions: no shuffle,
+    no per-row Python.
+    """
+    m = 1_000_000
+    band = F.pmod(
+        F.conv(
+            F.substring(
+                F.md5(
+                    F.concat(
+                        F.col(id_col).cast("string"), F.lit(f":{seed}")
+                    ).cast("binary")
+                ),
+                1,
+                15,
+            ),
+            16,
+            10,
+        ).cast("long"),
+        F.lit(m),
+    )
+    if isinstance(fractions, float):
+        return df.where(band < F.lit(int(fractions * m)))
+    thresh = F.lit(m)  # strata outside the dict: keep everything
+    for value, frac in fractions.items():
+        thresh = F.when(
+            F.col(strata_col) == F.lit(value), F.lit(int(frac * m))
+        ).otherwise(thresh)
+    return df.where(band < thresh)
+
+
 _GRAM_P = 1099511628211  # FNV-64 prime: positional multiplier for gram hashes
 
 

@@ -3076,3 +3076,24 @@ def column_shape_stats_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     from data_profiler_spark.operators.profile import column_shape_stats
 
     return column_shape_stats(load(spark, sf_dir, "orders"), _SHAPE_COLS)
+
+
+# ---------------------------------------------------------------------------
+# stratified sampling: md5-band per-stratum downsampling (shared-hash so the
+# DuckDB oracle reproduces membership byte-for-byte)
+# ---------------------------------------------------------------------------
+@register(
+    "stratified_sample_documents",
+    """SELECT doc_id, lang FROM documents
+       WHERE ('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':42'), 1, 15))::BIGINT % 1000000
+             < CASE lang WHEN 'en' THEN 250000 WHEN 'zh' THEN 500000 ELSE 1000000 END""",
+)
+def stratified_sample_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Downsample dominant languages (en→25%, zh→50%), keep the rest whole —
+    the domain-reweighting shape of a training-mix pipeline."""
+    from data_profiler_spark.operators.curation import stratified_sample
+
+    docs = load(spark, sf_dir, "documents")
+    return stratified_sample(
+        docs, "lang", {"en": 0.25, "zh": 0.5}, id_col="doc_id", seed=42
+    ).select("doc_id", "lang")

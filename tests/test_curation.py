@@ -275,3 +275,52 @@ def test_pack_sequences_overflow_and_validation(spark):
     assert rows[1]["seq_id"] == rows[3]["seq_id"]
     with pytest.raises(ValueError):
         pack_sequences(df, "doc_id", "toks", budget=0)
+
+
+def test_stratified_sample_deterministic_and_stable_under_growth(spark):
+    from pyspark.sql import functions as F
+
+    from data_profiler_spark.operators.curation import stratified_sample
+
+    df = spark.range(20000).select(
+        F.col("id").alias("doc_id"),
+        F.when(F.col("id") % 3 == 0, "en").when(F.col("id") % 3 == 1, "fr")
+        .otherwise("de").alias("lang"),
+    )
+    fr = {"en": 0.2, "fr": 0.8}
+    kept = stratified_sample(df, "lang", fr, "doc_id").select("doc_id")
+    ids_a = {r[0] for r in kept.collect()}
+    # repartitioning must not change membership
+    ids_b = {r[0] for r in stratified_sample(
+        df.repartition(17), "lang", fr, "doc_id").select("doc_id").collect()}
+    assert ids_a == ids_b
+    # growing the corpus never flips an existing row
+    grown = spark.range(40000).select(
+        F.col("id").alias("doc_id"),
+        F.when(F.col("id") % 3 == 0, "en").when(F.col("id") % 3 == 1, "fr")
+        .otherwise("de").alias("lang"),
+    )
+    ids_g = {r[0] for r in stratified_sample(
+        grown, "lang", fr, "doc_id").select("doc_id").collect()}
+    assert ids_a == {i for i in ids_g if i < 20000}
+    # per-stratum keep rates land near the requested fractions
+    rates = {
+        r["lang"]: r["kept"] / r["total"]
+        for r in stratified_sample(df, "lang", fr, "doc_id")
+        .groupBy("lang").agg(F.count(F.lit(1)).alias("kept"))
+        .join(df.groupBy("lang").agg(F.count(F.lit(1)).alias("total")), "lang")
+        .collect()
+    }
+    assert abs(rates["en"] - 0.2) < 0.03
+    assert abs(rates["fr"] - 0.8) < 0.03
+    assert rates["de"] == 1.0  # not in the dict: kept whole
+
+
+def test_stratified_sample_scalar_fraction(spark):
+    from pyspark.sql import functions as F
+
+    from data_profiler_spark.operators.curation import stratified_sample
+
+    df = spark.range(10000).select(F.col("id").alias("doc_id"), F.lit("x").alias("lang"))
+    kept = stratified_sample(df, "lang", 0.5, "doc_id").count()
+    assert abs(kept / 10000 - 0.5) < 0.03

@@ -91,6 +91,13 @@ def build_parser() -> argparse.ArgumentParser:
         "only a 100-row sample either way)",
     )
     pv.add_argument(
+        "--scope", default=None, metavar="SQL_PREDICATE",
+        help="validate only rows matching this SQL predicate (e.g. "
+        "\"lang = 'python'\"); on a partition-column predicate over a "
+        "partitioned layout Catalyst prunes unscoped partitions at the "
+        "scan, so the job never touches the other partitions' files",
+    )
+    pv.add_argument(
         "--preflight", type=float, default=None, metavar="RATE",
         help="estimate row-check violation rates from a deterministic hash "
         "sample (Wilson 95%% CIs) instead of running the full suite — the "
@@ -535,6 +542,8 @@ def main(argv: list[str] | None = None) -> int:
             for i, s in enumerate(drift_specs):
                 baselines[f"drift_{i}"] = spark.read.parquet(s["baseline"])
             df = sources.read(spark, args.path)
+            if args.scope:
+                df = df.where(args.scope)
             if args.preflight is not None:
                 from data_profiler_spark.operators.preflight import preflight_estimate
 
@@ -579,6 +588,7 @@ def main(argv: list[str] | None = None) -> int:
             payload = {
                 "report_type": "validation",
                 "source": args.path,
+                "scope": args.scope,
                 "n_verdicts": len(verdicts),
                 "n_failed": len(failed),
                 "failed": [r.asDict() for r in failed[:100]],

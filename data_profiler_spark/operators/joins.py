@@ -150,3 +150,76 @@ def range_join(
         F.col(ts_col).cast("timestamp") <= F.col(end_col).cast("timestamp")
     )
     return joined.where(rng).drop("__bucket")
+
+
+def salted_skew_join(
+    left: DataFrame,
+    right: DataFrame,
+    key: str,
+    hot_values: list,
+    salt_buckets: int = 16,
+    how: str = "inner",
+) -> DataFrame:
+    """Big-big equi-join that survives hot keys: rows whose ``key`` is in
+    ``hot_values`` (from :func:`skew.skew_report` /
+    :func:`skew.recommend_salt`) join on (key, salt) — the left side's hot
+    rows scatter over ``salt_buckets`` reducers via a row-content hash, the
+    right side's hot rows replicate to every salt — while the cold majority
+    joins normally. Result = cold ∪ hot, bit-identical to the plain join.
+
+    Without this, ONE hot key (the mega-repo in a code corpus) serializes
+    the whole stage on one reducer; AQE's skew split handles sort-merge
+    spill unevenness but still funnels a single key's build side. Cost:
+    only |right ∩ hot| × salt_buckets extra rows — the replicated slice is
+    the hot handful, never the whole table.
+
+    ``how``: "inner" or "left" (the left side is never replicated, so left
+    semantics hold exactly). Right/full-outer would duplicate unmatched
+    replicated right rows — rejected.
+    """
+    if how not in ("inner", "left"):
+        raise ValueError(f"salted_skew_join supports inner/left, got {how!r}")
+    if not hot_values:
+        return left.join(right, key, how)
+    hot = [F.lit(v) for v in hot_values]
+    l_is_hot = F.col(key).isin(*hot_values)
+    cold = left.where(~l_is_hot | F.col(key).isNull()).join(
+        right.where(~F.col(key).isin(*hot_values) | F.col(key).isNull()), key, how
+    )
+    # left hot rows: one deterministic pseudo-random salt from row content
+    l_hot = left.where(l_is_hot).withColumn(
+        "__salt", F.pmod(F.xxhash64(*[F.col(c) for c in left.columns]), F.lit(salt_buckets))
+    )
+    r_hot = right.where(F.col(key).isin(*hot_values)).withColumn(
+        "__salt", F.explode(F.array(*[F.lit(i) for i in range(salt_buckets)]))
+    )
+    hot_joined = l_hot.join(r_hot, [key, "__salt"], how).drop("__salt")
+    return cold.unionByName(hot_joined)
+
+
+def write_bucketed(
+    df: DataFrame,
+    table: str,
+    keys: list[str],
+    n_buckets: int,
+    path: str | None = None,
+    sort: bool = True,
+) -> None:
+    """Persist ``df`` hash-bucketed by ``keys`` so FUTURE joins/aggregations
+    on those keys read pre-partitioned data and skip their exchange
+    entirely — the bucketed-layout contract Iceberg calls a bucket
+    partition transform. Two tables bucketed by the same keys into the same
+    ``n_buckets`` sort-merge join with ZERO shuffle on either side (see
+    tests/test_joins.py plan assertion); repeated validation runs against
+    the same snapshot amortize the one-time write.
+
+    ``sort=True`` additionally sorts within buckets so the join skips its
+    per-task sort. Registers ``table`` in the session catalog; ``path``
+    overrides the warehouse location.
+    """
+    w = df.write.mode("overwrite").bucketBy(n_buckets, *keys)
+    if sort:
+        w = w.sortBy(*keys)
+    if path:
+        w = w.option("path", path)
+    w.format("parquet").saveAsTable(table)

@@ -3097,3 +3097,34 @@ def stratified_sample_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     return stratified_sample(
         docs, "lang", {"en": 0.25, "zh": 0.5}, id_col="doc_id", seed=42
     ).select("doc_id", "lang")
+
+
+# ---------------------------------------------------------------------------
+# salted skew join: bit-identical to the plain equi-join (hot keys rerouted
+# through (key, salt) buckets; north-rule hot-repo skew lever for joins)
+# ---------------------------------------------------------------------------
+@register(
+    "salted_skew_join_lineitem_orders",
+    """SELECT l.l_orderkey AS okey, l.l_linenumber AS line,
+              o.o_orderpriority AS priority, o.o_custkey AS cust
+       FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+       WHERE l.l_orderkey % 7 = 0""",
+)
+def salted_skew_join_lineitem_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from data_profiler_spark.operators.joins import salted_skew_join
+
+    li = (
+        load(spark, sf_dir, "lineitem")
+        .where(F.col("l_orderkey") % 7 == 0)
+        .select(F.col("l_orderkey").alias("okey"), F.col("l_linenumber").alias("line"))
+    )
+    orders = load(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("okey"),
+        F.col("o_orderpriority").alias("priority"),
+        F.col("o_custkey").alias("cust"),
+    )
+    # treat the first few keys as "hot" — parity must hold regardless of
+    # whether the declared hot set matches real skew
+    hot = [r["okey"] for r in li.groupBy("okey").count()
+           .orderBy(F.desc("count"), F.asc("okey")).limit(3).collect()]
+    return salted_skew_join(li, orders, "okey", hot_values=hot, salt_buckets=8)

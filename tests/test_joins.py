@@ -137,3 +137,54 @@ def test_range_join_rejects_column_collision(spark):
 
     with pytest.raises(ValueError, match="collision"):
         range_join(a, "ts", b, "s", "e", 60)
+
+
+def test_salted_skew_join_matches_plain_join(spark):
+    from data_profiler_spark.operators.joins import salted_skew_join
+
+    # one mega-key (0) plus a uniform tail; some left rows orphaned
+    left = spark.range(5000).select(
+        F.when(F.col("id") < 3000, F.lit(0)).otherwise(F.col("id") % 97).alias("k"),
+        F.col("id").alias("lv"),
+    )
+    right = spark.range(300).select(
+        (F.col("id") % 80).alias("k"), (F.col("id") * 10).alias("rv")
+    )
+    for how in ("inner", "left"):
+        plain = left.join(right, "k", how)
+        salted = salted_skew_join(left, right, "k", hot_values=[0], salt_buckets=8, how=how)
+        a = sorted(map(tuple, plain.collect()))
+        b = sorted(map(tuple, salted.collect()))
+        assert a == b, how
+
+
+def test_salted_skew_join_rejects_outer(spark):
+    import pytest
+
+    from data_profiler_spark.operators.joins import salted_skew_join
+
+    df = spark.range(1).select(F.col("id").alias("k"))
+    with pytest.raises(ValueError, match="inner/left"):
+        salted_skew_join(df, df, "k", [0], how="full")
+
+
+def test_bucketed_join_has_no_exchange(spark, tmp_path):
+    from data_profiler_spark.operators.joins import write_bucketed
+
+    facts = spark.range(10000).select(
+        (F.col("id") % 500).alias("k"), F.col("id").alias("v")
+    )
+    dims = spark.range(500).select(F.col("id").alias("k"), (F.col("id") * 2).alias("w"))
+    write_bucketed(facts, "bkt_facts", ["k"], 8, path=str(tmp_path / "facts"))
+    write_bucketed(dims, "bkt_dims", ["k"], 8, path=str(tmp_path / "dims"))
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        j = spark.table("bkt_facts").join(spark.table("bkt_dims"), "k")
+        plan = j._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange hashpartitioning" not in plan
+        assert j.count() == 10000
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+        spark.sql("DROP TABLE IF EXISTS bkt_facts")
+        spark.sql("DROP TABLE IF EXISTS bkt_dims")

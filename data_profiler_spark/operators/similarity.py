@@ -598,3 +598,54 @@ def semantic_dedup(
         seed=seed, dim=dim, lloyd_rounds=lloyd_rounds,
     )
     return dedup_keep_canonical(emb, id_col, pairs.select("id_a", "id_b"))
+
+
+def semantic_decontaminate(
+    train: DataFrame,
+    evals: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.95,
+    dim: int | None = None,
+) -> DataFrame:
+    """Flag training vectors semantically too close to an eval/benchmark
+    vector → (train_id, eval_id, cos_sim), the best (highest-cosine,
+    then lowest eval id) eval match per contaminated train row.
+
+    Complements the n-gram `decontaminate` operator (curation.py): token
+    overlap misses paraphrases; embedding cosine catches them. Scale shape:
+    the eval set is small by nature (benchmarks), so it broadcasts — one
+    linear codegen scan over the training corpus, NO shuffle of training
+    data; the window that picks each train row's best match runs only on
+    the filtered contaminated slice.
+    """
+    from pyspark.sql import Window as W
+
+    dim = dim or _infer_dim(train, vec_col)
+    t = train.select(
+        F.col(id_col).alias("train_id"),
+        F.col(vec_col).alias("tv"),
+        norm_fixed(F.col(vec_col), dim).alias("tn"),
+    )
+    e = evals.select(
+        F.col(id_col).alias("eval_id"),
+        F.col(vec_col).alias("ev"),
+        norm_fixed(F.col(vec_col), dim).alias("en"),
+    )
+    scored = (
+        t.crossJoin(F.broadcast(e))
+        .select(
+            "train_id",
+            "eval_id",
+            F.try_divide(
+                dot_fixed(F.col("tv"), F.col("ev"), dim), F.col("tn") * F.col("en")
+            ).alias("cos_sim"),
+        )
+        .where(F.col("cos_sim") >= F.lit(threshold))
+    )
+    w = W.partitionBy("train_id").orderBy(F.desc("cos_sim"), F.asc("eval_id"))
+    return (
+        scored.withColumn("__rnk", F.row_number().over(w))
+        .where(F.col("__rnk") == 1)
+        .drop("__rnk")
+    )

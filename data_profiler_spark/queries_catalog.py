@@ -3128,3 +3128,33 @@ def salted_skew_join_lineitem_orders(spark: SparkSession, sf_dir: str) -> DataFr
     hot = [r["okey"] for r in li.groupBy("okey").count()
            .orderBy(F.desc("count"), F.asc("okey")).limit(3).collect()]
     return salted_skew_join(li, orders, "okey", hot_values=hot, salt_buckets=8)
+
+
+# ---------------------------------------------------------------------------
+# semantic decontamination: training vectors whose embedding is too close to
+# an eval/benchmark vector (paraphrase-level leak the n-gram decontaminate
+# operator misses). Eval side broadcasts; one linear codegen scan of train.
+# ---------------------------------------------------------------------------
+_COS_TE = _DUCK_COS.format(a="t.embedding", b="e.embedding")
+
+
+@register(
+    "semantic_decontaminate_embeddings",
+    f"""WITH s AS (
+          SELECT t.vec_id AS train_id, e.vec_id AS eval_id, {_COS_TE} AS cos_sim
+          FROM embeddings t, embeddings e
+          WHERE t.vec_id < 450 AND e.vec_id >= 450
+        ), q AS (
+          SELECT *, row_number() OVER (PARTITION BY train_id
+                                       ORDER BY cos_sim DESC, eval_id) AS rnk
+          FROM s WHERE cos_sim >= 0.4
+        )
+        SELECT train_id, eval_id, cos_sim FROM q WHERE rnk = 1""",
+)
+def semantic_decontaminate_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from data_profiler_spark.operators.similarity import semantic_decontaminate
+
+    emb = load(spark, sf_dir, "embeddings")
+    train = emb.where(F.col("vec_id") < 450)
+    evals = emb.where(F.col("vec_id") >= 450)
+    return semantic_decontaminate(train, evals, threshold=0.4)

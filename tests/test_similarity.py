@@ -278,3 +278,47 @@ def test_semantic_dedup_multicell_recall_and_survivors(embeddings):
         comps.setdefault(find(i), set()).add(i)
     want_kept = {min(members) for members in comps.values()}
     assert kept == want_kept
+
+
+def test_semantic_decontaminate_best_match_per_train(spark, embeddings):
+    """Each contaminated train row appears once, paired with its
+    highest-cosine eval vector; clean rows are absent; numpy agrees."""
+    import numpy as np
+
+    from data_profiler_spark.operators.similarity import semantic_decontaminate
+
+    train = embeddings.where(F.col("vec_id") < 80)
+    evals = embeddings.where(F.col("vec_id").between(80, 99))
+    got = {
+        r["train_id"]: (r["eval_id"], r["cos_sim"])
+        for r in semantic_decontaminate(train, evals, threshold=0.3).collect()
+    }
+
+    rows = {r["vec_id"]: np.array(r["embedding"], dtype=np.float64)
+            for r in embeddings.where(F.col("vec_id") < 100).collect()}
+    want = {}
+    for t in range(80):
+        best = None
+        for e in range(80, 100):
+            a, b = rows[t], rows[e]
+            cos = float(a @ b / (np.linalg.norm(a) * np.linalg.norm(b)))
+            if cos >= 0.3 and (best is None or cos > best[1] + 1e-12):
+                best = (e, cos)
+        if best:
+            want[t] = best
+    assert set(got) == set(want)
+    for t, (e, cos) in want.items():
+        assert got[t][0] == e
+        assert abs(got[t][1] - cos) < 1e-9
+
+
+def test_semantic_decontaminate_broadcasts_eval(spark, embeddings):
+    from data_profiler_spark.operators.similarity import semantic_decontaminate
+
+    train = embeddings.where(F.col("vec_id") < 80)
+    evals = embeddings.where(F.col("vec_id").between(80, 99))
+    plan = (
+        semantic_decontaminate(train, evals, threshold=0.3)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan

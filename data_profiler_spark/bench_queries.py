@@ -365,6 +365,22 @@ def q_preflight(spark: SparkSession, sf_dir: str, code_files: str):
     ).collect()
 
 
+def q_semantic_decon(spark: SparkSession, sf_dir: str, code_files: str):
+    """Semantic (embedding-cosine) decontamination of the 1M-vector corpus
+    against a 500-vector eval set: the eval side broadcasts, so the
+    measured quantity is one linear codegen dot-product scan of the
+    training corpus — the paraphrase-level complement to the n-gram
+    `decontamination` entry, at the same no-shuffle plan shape."""
+    from data_profiler_spark.operators.similarity import semantic_decontaminate
+
+    emb = spark.read.parquet(ensure_bench_embeddings(spark, sf_dir))
+    train = emb.where(F.col("vec_id") >= 500)
+    evals = emb.where(F.col("vec_id") < 500)
+    _force(
+        semantic_decontaminate(train, evals, threshold=0.95, dim=EMB_DIM)
+    )
+
+
 BENCH_QUERIES = {
     "profile_lineitem": q_profile_lineitem,
     "preflight_5pct": q_preflight,
@@ -382,6 +398,7 @@ BENCH_QUERIES = {
     "rolling_hash": q_rolling_hash,
     "ann_ivf_topk_1m": q_ann_ivf_topk,
     "ann_lsh_topk_1m": q_ann_lsh_topk,
+    "semantic_decon_1m": q_semantic_decon,
     "curation_e2e": q_curation_e2e,
     "decontamination": q_decontamination,
     "sessions_fd": q_sessions_fd,

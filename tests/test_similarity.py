@@ -312,7 +312,10 @@ def test_semantic_decontaminate_best_match_per_train(spark, embeddings):
         assert abs(got[t][1] - cos) < 1e-9
 
 
-def test_semantic_decontaminate_broadcasts_eval(spark, embeddings):
+def test_semantic_decontaminate_is_one_fused_scan(spark, embeddings):
+    """Scale-shape guard: the eval matrix is closure-captured, so the plan
+    must be a single mapInPandas over the train scan — no join node, no
+    exchange of training rows."""
     from data_profiler_spark.operators.similarity import semantic_decontaminate
 
     train = embeddings.where(F.col("vec_id") < 80)
@@ -321,4 +324,6 @@ def test_semantic_decontaminate_broadcasts_eval(spark, embeddings):
         semantic_decontaminate(train, evals, threshold=0.3)
         ._jdf.queryExecution().executedPlan().toString()
     )
-    assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
+    assert "MapInPandas" in plan
+    assert "Join" not in plan
+    assert "Exchange" not in plan

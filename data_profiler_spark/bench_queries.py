@@ -381,6 +381,35 @@ def q_semantic_decon(spark: SparkSession, sf_dir: str, code_files: str):
     )
 
 
+def q_secret_scan(spark: SparkSession, sf_dir: str, code_files: str):
+    """Secret/PII sweep of the 600k-row code corpus: the full rule family
+    (10 RE2 regexes) extracted + redacted + re-hashed in ONE codegen scan
+    each — no shuffle, findings-sized output. A slice of rows gets
+    planted credentials so match paths execute; the measured quantity is
+    the regex engine over full content either way."""
+    from data_profiler_spark.operators.privacy import redact, scan_findings
+
+    df = spark.read.parquet(code_files).withColumn(
+        "content",
+        F.concat(
+            F.col("content"),
+            F.when(
+                F.xxhash64("repo", "path", "commit") % 50 == 0,
+                F.concat(
+                    F.lit(" key=AKIA"),
+                    F.upper(F.substring(F.md5(F.col("path")), 1, 16)),
+                ),
+            ).otherwise(""),
+        ),
+    )
+    _force(scan_findings(df, "content", ["repo", "path", "commit"]))
+    _force(
+        redact(df, "content").select(
+            "repo", "path", "commit", F.sha2(F.col("content"), 256).alias("sha")
+        )
+    )
+
+
 BENCH_QUERIES = {
     "profile_lineitem": q_profile_lineitem,
     "preflight_5pct": q_preflight,
@@ -399,6 +428,7 @@ BENCH_QUERIES = {
     "ann_ivf_topk_1m": q_ann_ivf_topk,
     "ann_lsh_topk_1m": q_ann_lsh_topk,
     "semantic_decon_1m": q_semantic_decon,
+    "secret_scan": q_secret_scan,
     "curation_e2e": q_curation_e2e,
     "decontamination": q_decontamination,
     "sessions_fd": q_sessions_fd,

@@ -1,0 +1,187 @@
+"""Secret & PII scanning / redaction for training corpora (driver mandate).
+
+A source-code training corpus (the north-rule table: repo/path/commit/
+lang/content) must be swept for committed credentials and personal data
+before it feeds a model — the well-known public rule families of
+gitleaks / detect-secrets / trufflehog (regex rules + entropy candidates)
+and the PII-masking pass of open data pipelines (Dolma, RedPajama). The
+reference repo is tabular-profiling only and has no counterpart; this
+module backs the pipeline surface mandated for the 100 TB engine.
+
+Scale shape: every scan is ONE narrow projection over the text column —
+`regexp_extract_all` is JVM codegen, the per-match struct tagging is a
+cheap HOF over the (few) matches, and nothing shuffles. Redaction is a
+chained codegen `regexp_replace` producing a new column in the same scan.
+Entropy scoring runs only on the extracted candidate substrings (a
+vectorized Arrow-batched pandas_udf over matches, never over full
+documents), so its cost is bounded by the finding count, not corpus size.
+
+Rule sources (public knowledge): AWS access-key-id prefix AKIA + 16
+uppercase base-32 chars (AWS docs); GitHub ghp_/gho_/ghu_/ghs_/ghr_ token
+prefixes (GitHub docs); Slack xox[baprs]- prefixes (Slack docs); PEM
+private-key headers (RFC 7468); JWT three-part base64url structure
+(RFC 7519); generic `password = "..."` assignments (detect-secrets'
+keyword heuristic). Every pattern is RE2-compatible so the DuckDB oracle
+(`regexp_extract_all` / `regexp_replace(..., 'g')`) evaluates the exact
+same language.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+# ---------------------------------------------------------------------------
+# rule families — name -> unanchored RE2-safe pattern (Java & DuckDB agree)
+# ---------------------------------------------------------------------------
+SECRET_RULES: dict[str, str] = {
+    "aws_access_key_id": r"AKIA[0-9A-Z]{16}",
+    "github_token": r"gh[pousr]_[A-Za-z0-9]{36}",
+    "slack_token": r"xox[baprs]-[0-9A-Za-z-]{10,48}",
+    "private_key_pem": r"-----BEGIN [A-Z ]{0,20}PRIVATE KEY-----",
+    "jwt": r"eyJ[A-Za-z0-9_-]{8,}\.eyJ[A-Za-z0-9_-]{8,}\.[A-Za-z0-9_-]{8,}",
+    "password_assignment": (
+        r"(?i)(?:password|passwd|secret|api_key|apikey|auth_token)"
+        r"[\"']?\s*[:=]\s*[\"'][^\"']{6,}[\"']"
+    ),
+}
+
+PII_RULES: dict[str, str] = {
+    "email": r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}",
+    "ipv4": r"\b(?:[0-9]{1,3}\.){3}[0-9]{1,3}\b",
+    "ssn_us": r"\b[0-9]{3}-[0-9]{2}-[0-9]{4}\b",
+    "phone_us": r"\b[0-9]{3}-[0-9]{3}-[0-9]{4}\b",
+}
+
+ALL_RULES: dict[str, str] = {**SECRET_RULES, **PII_RULES}
+
+# base64ish / hexish runs long enough to be credential material — the
+# candidate pool for entropy scoring (detect-secrets' HighEntropyString)
+ENTROPY_CANDIDATE = r"[A-Za-z0-9+/=_-]{20,}"
+
+
+def scan_findings(
+    df: DataFrame,
+    text_col: str,
+    id_cols: list[str],
+    rules: dict[str, str] | None = None,
+) -> DataFrame:
+    """(id..., rule, match) — one row per rule hit per document.
+
+    One scan: all rules' ``regexp_extract_all`` arrays are tagged with
+    their rule name, concatenated, and exploded once. Documents with no
+    hits emit nothing (explode drops empty arrays), so the result is
+    findings-sized, not corpus-sized.
+    """
+    rules = ALL_RULES if rules is None else rules
+
+    def _tag(name):
+        # one-arg lambda: a two-arg form would make F.transform pass the
+        # array index as the second argument
+        return lambda m: F.struct(F.lit(name).alias("rule"), m.alias("match"))
+
+    tagged = [
+        F.transform(
+            F.regexp_extract_all(F.col(text_col), F.lit(pat), F.lit(0)),
+            _tag(name),
+        )
+        for name, pat in sorted(rules.items())
+    ]
+    return (
+        df.select(*id_cols, F.explode(F.concat(*tagged)).alias("f"))
+        .select(*id_cols, F.col("f.rule").alias("rule"), F.col("f.match").alias("match"))
+    )
+
+
+def scan_summary(
+    df: DataFrame,
+    text_col: str,
+    id_cols: list[str],
+    rules: dict[str, str] | None = None,
+) -> DataFrame:
+    """Per-rule rollup: documents hit + total matches (sorted by rule)."""
+    f = scan_findings(df, text_col, id_cols, rules)
+    key = [F.col(c) for c in id_cols]
+    return (
+        f.groupBy("rule")
+        .agg(
+            F.countDistinct(*key).alias("n_docs"),
+            F.count(F.lit(1)).alias("n_matches"),
+        )
+        .orderBy("rule")
+    )
+
+
+def redact(
+    df: DataFrame,
+    text_col: str,
+    rules: dict[str, str] | None = None,
+    out_col: str | None = None,
+) -> DataFrame:
+    """Replace every rule match with ``[REDACTED:<rule>]`` — a chained
+    codegen ``regexp_replace`` applied in sorted rule order (the order is
+    part of the contract: earlier rules can consume text later rules
+    would otherwise match, so both engines must agree on it)."""
+    rules = ALL_RULES if rules is None else rules
+    out = F.col(text_col)
+    for name, pat in sorted(rules.items()):
+        out = F.regexp_replace(out, F.lit(pat), F.lit(f"[REDACTED:{name}]"))
+    return df.withColumn(out_col or text_col, out)
+
+
+def redact_sql(text_expr: str, rules: dict[str, str] | None = None) -> str:
+    """The DuckDB twin of :func:`redact` for oracle queries — same rules,
+    same order, global replacement."""
+    rules = ALL_RULES if rules is None else rules
+    out = text_expr
+    for name, pat in sorted(rules.items()):
+        p = pat.replace("'", "''")
+        out = f"regexp_replace({out}, '{p}', '[REDACTED:{name}]', 'g')"
+    return out
+
+
+def _shannon_bits(values: pd.Series) -> pd.Series:
+    """Per-string Shannon entropy in bits/char (numpy bincount over the
+    byte values — candidates are ASCII by construction)."""
+    out = np.zeros(len(values))
+    for i, s in enumerate(values):
+        b = np.frombuffer(s.encode("ascii", "ignore"), dtype=np.uint8)
+        if b.size == 0:
+            continue
+        counts = np.bincount(b, minlength=256)
+        p = counts[counts > 0] / b.size
+        out[i] = float(-(p * np.log2(p)).sum())
+    return pd.Series(out)
+
+
+def high_entropy_findings(
+    df: DataFrame,
+    text_col: str,
+    id_cols: list[str],
+    min_len: int = 20,
+    threshold_bits: float = 4.0,
+) -> DataFrame:
+    """(id..., match, entropy_bits) for credential-shaped substrings whose
+    Shannon entropy clears ``threshold_bits`` — the detect-secrets-style
+    catch-all for keys no regex names. Candidate extraction is codegen;
+    the pandas_udf scores only the extracted candidates."""
+    cand = ENTROPY_CANDIDATE if min_len == 20 else rf"[A-Za-z0-9+/=_-]{{{min_len},}}"
+    hits = df.select(
+        *id_cols,
+        F.explode(
+            F.regexp_extract_all(F.col(text_col), F.lit(cand), F.lit(0))
+        ).alias("match"),
+    )
+
+    @F.pandas_udf("double")
+    def entropy_bits(it: Iterator[pd.Series]) -> Iterator[pd.Series]:
+        for s in it:
+            yield _shannon_bits(s)
+
+    return hits.withColumn("entropy_bits", entropy_bits(F.col("match"))).where(
+        F.col("entropy_bits") >= F.lit(float(threshold_bits))
+    )

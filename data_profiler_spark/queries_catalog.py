@@ -3158,3 +3158,95 @@ def semantic_decontaminate_embeddings(spark: SparkSession, sf_dir: str) -> DataF
     train = emb.where(F.col("vec_id") < 450)
     evals = emb.where(F.col("vec_id") >= 450)
     return semantic_decontaminate(train, evals, threshold=0.4)
+
+
+# ---------------------------------------------------------------------------
+# secret/PII scanning + redaction (operators/privacy.py). The synthetic
+# documents contain no credentials, so both engines plant them with the
+# IDENTICAL deterministic expression (md5-derived, keyed on doc_id) before
+# scanning — the oracle then checks rule extraction AND redaction bitwise.
+# ---------------------------------------------------------------------------
+_PLANT_SQL = """text
+    || CASE WHEN doc_id % 7 = 0
+            THEN ' key=AKIA' || upper(substr(md5(CAST(doc_id AS VARCHAR)), 1, 16))
+            ELSE '' END
+    || CASE WHEN doc_id % 11 = 0
+            THEN ' mail user' || CAST(doc_id AS VARCHAR) || '@example.com'
+            ELSE '' END
+    || CASE WHEN doc_id % 13 = 0
+            THEN ' password = "' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 12) || '"'
+            ELSE '' END"""
+
+
+def _plant_spark(df: DataFrame) -> DataFrame:
+    did = F.col("doc_id").cast("string")
+    return df.withColumn(
+        "text",
+        F.concat(
+            F.col("text"),
+            F.when(
+                F.col("doc_id") % 7 == 0,
+                F.concat(F.lit(" key=AKIA"), F.upper(F.substring(F.md5(did), 1, 16))),
+            ).otherwise(""),
+            F.when(
+                F.col("doc_id") % 11 == 0,
+                F.concat(F.lit(" mail user"), did, F.lit("@example.com")),
+            ).otherwise(""),
+            F.when(
+                F.col("doc_id") % 13 == 0,
+                F.concat(F.lit(' password = "'), F.substring(F.md5(did), 1, 12), F.lit('"')),
+            ).otherwise(""),
+        ),
+    )
+
+
+def _secret_scan_oracle() -> str:
+    from data_profiler_spark.operators.privacy import ALL_RULES
+
+    per_rule = "\nUNION ALL\n".join(
+        f"""SELECT doc_id, '{name}' AS rule,
+                   unnest(regexp_extract_all(text, '{pat.replace("'", "''")}')) AS match
+            FROM planted"""
+        for name, pat in sorted(ALL_RULES.items())
+    )
+    return f"WITH planted AS (SELECT doc_id, {_PLANT_SQL} AS text FROM documents)\n{per_rule}"
+
+
+@register("secret_scan_documents", _secret_scan_oracle())
+def secret_scan_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from data_profiler_spark.operators.privacy import scan_findings
+
+    docs = _plant_spark(load(spark, sf_dir, "documents"))
+    return scan_findings(docs, "text", ["doc_id"])
+
+
+def _redact_oracle() -> str:
+    from data_profiler_spark.operators.privacy import redact_sql
+
+    return f"""WITH planted AS (SELECT doc_id, {_PLANT_SQL} AS text FROM documents)
+        SELECT doc_id, sha256({redact_sql("text")}) AS redacted_sha
+        FROM planted"""
+
+
+@register("redact_documents", _redact_oracle())
+def redact_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Redaction parity is checked on the sha256 of the cleaned text —
+    the north-rule per-row invariant (content sha equality) applied to
+    the privacy pass."""
+    from data_profiler_spark.operators.privacy import redact
+
+    docs = _plant_spark(load(spark, sf_dir, "documents"))
+    return redact(docs, "text").select(
+        "doc_id", F.sha2(F.col("text"), 256).alias("redacted_sha")
+    )
+
+
+@register("high_entropy_documents", None)
+def high_entropy_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Entropy scoring has no cheap SQL twin (pandas_udf over candidate
+    substrings) — rows-only gate; the threshold behavior is pinned in
+    tests/test_privacy.py."""
+    from data_profiler_spark.operators.privacy import high_entropy_findings
+
+    docs = _plant_spark(load(spark, sf_dir, "documents"))
+    return high_entropy_findings(docs, "text", ["doc_id"], threshold_bits=3.5)

@@ -410,6 +410,31 @@ def q_secret_scan(spark: SparkSession, sf_dir: str, code_files: str):
     )
 
 
+def q_code_shape(spark: SparkSession, sf_dir: str, code_files: str):
+    """The-Stack-style code filtering block over the 600k-row corpus:
+    per-file shape features + keep verdict, license census, and the
+    per-lang import graph — three narrow content scans, the only shuffle
+    being the (lang, module) / (license) rollups."""
+    from data_profiler_spark.operators.code_metrics import (
+        IMPORT_PATTERNS,
+        code_file_features,
+        license_summary,
+        top_imports,
+    )
+
+    df = spark.read.parquet(code_files)
+    pats = {
+        "py": IMPORT_PATTERNS["python"],
+        "java": IMPORT_PATTERNS["java"],
+        "go": IMPORT_PATTERNS["go"],
+        "ts": IMPORT_PATTERNS["javascript"],
+        "rs": IMPORT_PATTERNS["rust"],
+    }
+    _force(code_file_features(df, "content", ["repo", "path", "commit"]))
+    license_summary(df, "content", ["lang"]).collect()
+    return top_imports(df, "lang", "content", k=20, patterns=pats).collect()
+
+
 BENCH_QUERIES = {
     "profile_lineitem": q_profile_lineitem,
     "preflight_5pct": q_preflight,
@@ -429,6 +454,7 @@ BENCH_QUERIES = {
     "ann_lsh_topk_1m": q_ann_lsh_topk,
     "semantic_decon_1m": q_semantic_decon,
     "secret_scan": q_secret_scan,
+    "code_shape": q_code_shape,
     "curation_e2e": q_curation_e2e,
     "decontamination": q_decontamination,
     "sessions_fd": q_sessions_fd,

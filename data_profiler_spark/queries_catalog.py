@@ -3250,3 +3250,110 @@ def high_entropy_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = _plant_spark(load(spark, sf_dir, "documents"))
     return high_entropy_findings(docs, "text", ["doc_id"], threshold_bits=3.5)
+
+
+# ---------------------------------------------------------------------------
+# code-corpus metrics (operators/code_metrics.py): The-Stack shape filters,
+# license census, import graph. documents.text is single-line word salad,
+# so both engines derive a code-shaped frame with the IDENTICAL expression:
+# newlines planted on a common token, a code lang assigned by doc_id, and
+# deterministic import/license/autogen lines planted on id bands.
+# ---------------------------------------------------------------------------
+_CODE_LANG_SQL = (
+    "CASE doc_id % 3 WHEN 0 THEN 'python' WHEN 1 THEN 'java' ELSE 'go' END"
+)
+_CODE_TEXT_SQL = """CASE doc_id % 3
+      WHEN 0 THEN 'import mod_' || CAST(doc_id % 13 AS VARCHAR) || chr(10) || 'import os' || chr(10)
+      WHEN 1 THEN 'import com.ex.M' || CAST(doc_id % 7 AS VARCHAR) || ';' || chr(10)
+      ELSE 'import "pkg/p' || CAST(doc_id % 5 AS VARCHAR) || '"' || chr(10) END
+    || CASE WHEN doc_id % 17 = 0 THEN 'SPDX-License-Identifier: MIT' || chr(10)
+            WHEN doc_id % 17 = 1 THEN 'GNU General Public License' || chr(10)
+            ELSE '' END
+    || CASE WHEN doc_id % 23 = 0 THEN 'auto-generated do not edit' || chr(10) ELSE '' END
+    || replace(text, ' value ', chr(10))"""
+
+
+def _code_frame_spark(df: DataFrame) -> DataFrame:
+    did = F.col("doc_id")
+    mod3 = did % 3
+    imports = (
+        F.when(mod3 == 0, F.concat(F.lit("import mod_"), (did % 13).cast("string"),
+                                   F.lit("\nimport os\n")))
+        .when(mod3 == 1, F.concat(F.lit("import com.ex.M"), (did % 7).cast("string"),
+                                  F.lit(";\n")))
+        .otherwise(F.concat(F.lit('import "pkg/p'), (did % 5).cast("string"), F.lit('"\n')))
+    )
+    lic = (
+        F.when(did % 17 == 0, F.lit("SPDX-License-Identifier: MIT\n"))
+        .when(did % 17 == 1, F.lit("GNU General Public License\n"))
+        .otherwise(F.lit(""))
+    )
+    autogen = F.when(did % 23 == 0, F.lit("auto-generated do not edit\n")).otherwise(F.lit(""))
+    return df.select(
+        "doc_id",
+        F.when(mod3 == 0, F.lit("python")).when(mod3 == 1, F.lit("java"))
+         .otherwise(F.lit("go")).alias("code_lang"),
+        F.concat(imports, lic, autogen, F.replace(F.col("text"), F.lit(" value "), F.lit("\n")))
+         .alias("content"),
+    )
+
+
+@register(
+    "code_shape_documents",
+    f"""WITH code AS (SELECT doc_id, {_CODE_TEXT_SQL} AS content FROM documents)
+        SELECT doc_id, {{features}} FROM code""".format(
+        features=__import__(
+            "data_profiler_spark.operators.code_metrics", fromlist=["code_file_features_sql"]
+        ).code_file_features_sql("content")
+    ),
+)
+def code_shape_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from data_profiler_spark.operators.code_metrics import code_file_features
+
+    code = _code_frame_spark(load(spark, sf_dir, "documents"))
+    return code_file_features(code, "content", ["doc_id"])
+
+
+@register(
+    "license_census_documents",
+    f"""WITH code AS (SELECT doc_id, {_CODE_LANG_SQL} AS code_lang,
+                             {_CODE_TEXT_SQL} AS content FROM documents)
+        SELECT code_lang, {{lic}} AS license, CAST(COUNT(*) AS BIGINT) AS n_files
+        FROM code GROUP BY 1, 2 ORDER BY 1, 2""".format(
+        lic=__import__(
+            "data_profiler_spark.operators.code_metrics", fromlist=["license_of_sql"]
+        ).license_of_sql("content")
+    ),
+)
+def license_census_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from data_profiler_spark.operators.code_metrics import license_summary
+
+    code = _code_frame_spark(load(spark, sf_dir, "documents"))
+    return license_summary(code, "content", ["code_lang"])
+
+
+@register(
+    "top_imports_documents",
+    """WITH code AS (SELECT doc_id, {lang} AS lang, {text} AS content FROM documents),
+        edges AS (
+          SELECT lang, unnest(regexp_extract_all(content,
+                 CASE lang WHEN 'python' THEN '(?m)^\\s*(?:from|import)\\s+([A-Za-z_][A-Za-z0-9_.]*)'
+                           WHEN 'java' THEN '(?m)^import\\s+(?:static\\s+)?([A-Za-z_][A-Za-z0-9_.]*)'
+                           ELSE '(?m)^\\s*import\\s+"([^"]+)"' END, 1)) AS module
+          FROM code),
+        counts AS (
+          SELECT lang, module, CAST(COUNT(*) AS BIGINT) AS n_imports FROM edges GROUP BY 1, 2),
+        ranked AS (
+          SELECT *, CAST(row_number() OVER (PARTITION BY lang
+                         ORDER BY n_imports DESC, module) AS INT) AS rank
+          FROM counts)
+        SELECT lang, module, n_imports, rank FROM ranked WHERE rank <= 5
+        ORDER BY lang, rank""".format(lang=_CODE_LANG_SQL, text=_CODE_TEXT_SQL),
+)
+def top_imports_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from data_profiler_spark.operators.code_metrics import top_imports
+
+    code = _code_frame_spark(load(spark, sf_dir, "documents")).withColumnRenamed(
+        "code_lang", "lang"
+    )
+    return top_imports(code, "lang", "content", k=5)

@@ -185,3 +185,56 @@ def high_entropy_findings(
     return hits.withColumn("entropy_bits", entropy_bits(F.col("match"))).where(
         F.col("entropy_bits") >= F.lit(float(threshold_bits))
     )
+
+
+# ---------------------------------------------------------------------------
+# re-identification risk: k-anonymity / l-diversity (Sweeney 2002 and
+# Machanavajjhala 2007 — the standard public privacy models). An
+# equivalence class = rows sharing the quasi-identifier tuple; classes
+# smaller than k (or with fewer than l distinct sensitive values) are
+# re-identifiable. One groupBy on the quasi columns — the shuffle carries
+# (quasi, counts) pairs with map-side partial aggregation, so hot classes
+# (the big, SAFE ones) never concentrate rows.
+# ---------------------------------------------------------------------------
+def k_anonymity_violations(
+    df: DataFrame, quasi_cols: list[str], k: int = 5
+) -> DataFrame:
+    """(quasi..., class_size) for every equivalence class with fewer than
+    ``k`` members — the rows an attacker could single out."""
+    return (
+        df.groupBy(*quasi_cols)
+        .agg(F.count(F.lit(1)).alias("class_size"))
+        .where(F.col("class_size") < k)
+    )
+
+
+def k_anonymity_summary(
+    df: DataFrame,
+    quasi_cols: list[str],
+    k: int = 5,
+    sensitive_col: str | None = None,
+    l: int = 2,
+) -> DataFrame:
+    """One-row verdict: the k the table ACTUALLY satisfies (min class
+    size), class/violation counts, rows at risk — and, when
+    ``sensitive_col`` is given, the l-diversity census (classes whose
+    sensitive attribute takes fewer than ``l`` distinct values leak it
+    even at size >= k)."""
+    aggs = [F.count(F.lit(1)).alias("class_size")]
+    if sensitive_col is not None:
+        aggs.append(F.countDistinct(F.col(sensitive_col)).alias("n_sensitive"))
+    classes = df.groupBy(*quasi_cols).agg(*aggs)
+    out = [
+        F.count(F.lit(1)).alias("n_classes"),
+        F.min("class_size").alias("anonymity_k"),
+        F.sum(F.when(F.col("class_size") < k, 1).otherwise(0)).alias("violating_classes"),
+        F.sum(F.when(F.col("class_size") < k, F.col("class_size")).otherwise(0))
+         .alias("rows_at_risk"),
+    ]
+    if sensitive_col is not None:
+        out += [
+            F.min("n_sensitive").alias("diversity_l"),
+            F.sum(F.when(F.col("n_sensitive") < l, 1).otherwise(0))
+             .alias("low_diversity_classes"),
+        ]
+    return classes.agg(*out)

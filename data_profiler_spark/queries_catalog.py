@@ -3357,3 +3357,43 @@ def top_imports_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
         "code_lang", "lang"
     )
     return top_imports(code, "lang", "content", k=5)
+
+
+# ---------------------------------------------------------------------------
+# re-identification risk census (operators/privacy.py): k-anonymity
+# violations + the one-row k/l verdict over customer quasi-identifiers.
+# ---------------------------------------------------------------------------
+@register(
+    "k_anonymity_customer",
+    """SELECT c_nationkey, c_mktsegment, CAST(COUNT(*) AS BIGINT) AS class_size
+       FROM customer GROUP BY 1, 2 HAVING COUNT(*) < 10""",
+)
+def k_anonymity_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from data_profiler_spark.operators.privacy import k_anonymity_violations
+
+    cust = load(spark, sf_dir, "customer")
+    return k_anonymity_violations(cust, ["c_nationkey", "c_mktsegment"], k=10)
+
+
+@register(
+    "k_anonymity_summary_customer",
+    """WITH classes AS (
+         SELECT c_nationkey, c_mktsegment, COUNT(*) AS class_size,
+                COUNT(DISTINCT c_acctbal) AS n_sensitive
+         FROM customer GROUP BY 1, 2)
+       SELECT CAST(COUNT(*) AS BIGINT) AS n_classes,
+              CAST(MIN(class_size) AS BIGINT) AS anonymity_k,
+              CAST(SUM(CASE WHEN class_size < 10 THEN 1 ELSE 0 END) AS BIGINT) AS violating_classes,
+              CAST(SUM(CASE WHEN class_size < 10 THEN class_size ELSE 0 END) AS BIGINT) AS rows_at_risk,
+              CAST(MIN(n_sensitive) AS BIGINT) AS diversity_l,
+              CAST(SUM(CASE WHEN n_sensitive < 2 THEN 1 ELSE 0 END) AS BIGINT) AS low_diversity_classes
+       FROM classes""",
+)
+def k_anonymity_summary_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from data_profiler_spark.operators.privacy import k_anonymity_summary
+
+    cust = load(spark, sf_dir, "customer")
+    return k_anonymity_summary(
+        cust, ["c_nationkey", "c_mktsegment"], k=10,
+        sensitive_col="c_acctbal", l=2,
+    )

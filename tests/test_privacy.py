@@ -100,3 +100,21 @@ def test_rules_are_re2_safe():
         re.compile(pat)
         assert "(?<" not in pat and "(?=" not in pat and "\\1" not in pat, name
     assert set(SECRET_RULES) & set(ALL_RULES) == set(SECRET_RULES)
+
+
+def test_k_anonymity_census(spark):
+    from data_profiler_spark.operators.privacy import (
+        k_anonymity_summary,
+        k_anonymity_violations,
+    )
+
+    rows = [("a", "x", "s1")] * 5 + [("a", "y", "s2")] * 2 + [("b", "x", "s1")]
+    df = spark.createDataFrame(rows, "q1 string, q2 string, sens string")
+    v = {(r["q1"], r["q2"]): r["class_size"]
+         for r in k_anonymity_violations(df, ["q1", "q2"], k=3).collect()}
+    assert v == {("a", "y"): 2, ("b", "x"): 1}
+    s = k_anonymity_summary(df, ["q1", "q2"], k=3, sensitive_col="sens", l=2).collect()[0]
+    assert s["n_classes"] == 3 and s["anonymity_k"] == 1
+    assert s["violating_classes"] == 2 and s["rows_at_risk"] == 3
+    # every class is sensitive-homogeneous -> l-diversity floor is 1
+    assert s["diversity_l"] == 1 and s["low_diversity_classes"] == 3

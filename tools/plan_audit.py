@@ -240,6 +240,59 @@ def build_audits(spark, sf):
             ),
         }
     )
+    # privacy + code-metrics plane (round-3 fifth session): every scan is a
+    # pure projection (zero exchanges); entropy scoring is the designed
+    # Arrow pass over extracted candidates; license census pays its one
+    # rollup; top_imports pays the (lang, module) rollup + ranking window;
+    # semantic decontamination is ONE closure-captured-matrix Arrow scan.
+    from data_profiler_spark.operators.code_metrics import (
+        code_file_features,
+        license_summary,
+        top_imports,
+    )
+    from data_profiler_spark.operators.privacy import (
+        high_entropy_findings,
+        redact,
+        scan_findings,
+    )
+    from data_profiler_spark.operators.similarity import semantic_decontaminate
+
+    audits.update(
+        {
+            "secret_scan": (scan_findings(docs, "text", ["doc_id"]), 0, False),
+            "secret_redact": (redact(docs, "text"), 0, False),
+            "high_entropy": (
+                high_entropy_findings(docs, "text", ["doc_id"]), 0, True,
+            ),
+            "code_shape": (
+                code_file_features(
+                    docs.withColumnRenamed("text", "content"), "content", ["doc_id"]
+                ), 0, False,
+            ),
+            # rollup hash exchange + the range exchange that sorts the
+            # license-cardinality-sized (tiny) result for the report
+            "license_census": (
+                license_summary(docs.withColumnRenamed("text", "content")), 2, False,
+            ),
+            # (lang, module) rollup + the per-lang ranking window + the
+            # top-k-sized result sort — stages 2 and 3 move counts rows,
+            # never content
+            "top_imports": (
+                top_imports(
+                    docs.select(
+                        F.when(F.col("lang") == "en", "python")
+                        .otherwise("java").alias("lang"),
+                        F.col("text").alias("content"),
+                    )
+                ), 3, False,
+            ),
+            "semantic_decon": (
+                semantic_decontaminate(
+                    emb.where(F.col("vec_id") >= 50), emb.where(F.col("vec_id") < 50)
+                ), 0, True,
+            ),
+        }
+    )
     if "Join" in _plan(asof_df):
         raise AssertionError("asof_join plan grew a join node")
     return audits

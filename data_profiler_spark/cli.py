@@ -173,6 +173,22 @@ def build_parser() -> argparse.ArgumentParser:
     ps.add_argument("--seed", type=int, default=42)
     ps.add_argument("--out-dir", help="write each split as parquet under this dir")
 
+    psc = sub.add_parser(
+        "scan", help="secret/PII sweep: findings summary, optional redacted copy"
+    )
+    psc.add_argument("path")
+    psc.add_argument("--text-col", required=True)
+    psc.add_argument("--id-cols", required=True, help="comma list of id columns")
+    psc.add_argument("--rules", choices=["secrets", "pii", "all"], default="all")
+    psc.add_argument(
+        "--entropy", type=float, metavar="BITS",
+        help="also flag credential-shaped substrings above this bits/char",
+    )
+    psc.add_argument("--findings-out", help="write findings as parquet here")
+    psc.add_argument(
+        "--redact-out", help="write a redacted copy of the table as parquet here"
+    )
+
     pk = sub.add_parser(
         "pack", help="greedy sequence packing into fixed token budgets"
     )
@@ -772,6 +788,60 @@ def main(argv: list[str] | None = None) -> int:
                  "docs_with_grams": agg["docs_with_grams"],
                  "contaminated": agg["contaminated"],
                  "max_ratio": agg["max_ratio"], "worst": worst, "out": args.out},
+                indent=2, sort_keys=True, default=str,
+            ))
+            return EXIT_OK
+
+        if args.command == "scan":
+            from pyspark.sql import functions as F
+
+            from data_profiler_spark.operators.privacy import (
+                ALL_RULES,
+                PII_RULES,
+                SECRET_RULES,
+                high_entropy_findings,
+                redact,
+                scan_findings,
+                scan_summary,
+            )
+
+            spark = _spark(args)
+            if not os.path.exists(args.path):
+                print(f"not found: {args.path}", file=sys.stderr)
+                return EXIT_FILE_NOT_FOUND
+            rules = {"secrets": SECRET_RULES, "pii": PII_RULES, "all": ALL_RULES}[
+                args.rules
+            ]
+            df = sources.read(spark, args.path)
+            ids = args.id_cols.split(",")
+            summary = [
+                r.asDict()
+                for r in scan_summary(df, args.text_col, ids, rules).collect()
+            ]
+            if args.findings_out:
+                scan_findings(df, args.text_col, ids, rules).write.mode(
+                    "overwrite"
+                ).parquet(args.findings_out)
+            entropy_hits = None
+            if args.entropy is not None:
+                ent = high_entropy_findings(
+                    df, args.text_col, ids, threshold_bits=args.entropy
+                )
+                entropy_hits = ent.count()
+            redacted_rows = None
+            if args.redact_out:
+                redact(df, args.text_col, rules).write.mode("overwrite").parquet(
+                    args.redact_out
+                )
+                redacted_rows = spark.read.parquet(args.redact_out).count()
+            clean = not summary and not entropy_hits
+            _emit(args, json.dumps(
+                {"report_type": "scan", "source": args.path, "rules": args.rules,
+                 "summary": summary, "entropy_hits": entropy_hits,
+                 "entropy_threshold": args.entropy, "clean": clean,
+                 "findings_out": args.findings_out,
+                 "redacted_rows_written": redacted_rows,
+                 "redact_out": args.redact_out},
                 indent=2, sort_keys=True, default=str,
             ))
             return EXIT_OK

@@ -403,3 +403,40 @@ def quantile_sketch(df: DataFrame, col: str, k: int = 256) -> QuantileSketch:
         QuantileSketch.from_json,
         QuantileSketch.empty(k),
     )
+
+
+def hll_overlap_estimate(
+    a: DataFrame, a_col: str, b: DataFrame, b_col: str, lgk: int = HLL_LGK
+) -> DataFrame:
+    """Sketch-only estimate of |A|, |B|, |A∩B| and the containment ratios
+    — the 100 TB path for FK value-overlap scoring (relationships.py's
+    exact per-edge join is oracle-grade, but at a trillion rows the
+    overlap question must be answerable from per-column sketches that
+    already exist in the profile/checkpoint state).
+
+    Inclusion–exclusion over mergeable sketches: |A∩B| ≈ |A| + |B| −
+    |A∪B|, where the union sketch is the HLL merge of the two column
+    sketches. Each side is ONE partial-aggregated scan (or zero scans if
+    sketches are loaded from a snapshot); nothing is joined or shuffled
+    beyond the 1-row sketch reduce. Relative error is the usual HLL
+    ~1.04/sqrt(2^lgk) per estimate — containment ratios inherit roughly
+    twice that, so this is a SCREEN (prune the candidate edge list), not
+    a verdict; survivors go to the exact join.
+    """
+    sa = a.agg(hll_sketch(a_col, lgk).alias("s")).select(F.col("s").alias("sa"))
+    sb = b.agg(hll_sketch(b_col, lgk).alias("s")).select(F.col("s").alias("sb"))
+    both = sa.crossJoin(sb)  # 1 row x 1 row
+    est = both.select(
+        hll_estimate(F.col("sa")).alias("n_a"),
+        hll_estimate(F.col("sb")).alias("n_b"),
+        hll_estimate(F.hll_union(F.col("sa"), F.col("sb"))).alias("n_union"),
+    )
+    inter = F.greatest(F.col("n_a") + F.col("n_b") - F.col("n_union"), F.lit(0))
+    return est.select(
+        "n_a", "n_b", "n_union",
+        inter.alias("n_intersect"),
+        F.try_divide(inter.cast("double"), F.col("n_a").cast("double"))
+         .alias("containment_a"),
+        F.try_divide(inter.cast("double"), F.col("n_b").cast("double"))
+         .alias("containment_b"),
+    )

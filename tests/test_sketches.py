@@ -248,3 +248,23 @@ def test_tree_reduce_level_preserves_error_bounds(spark):
     top = hh.top(1)
     assert top and top[0][0] == "hot"
     assert abs(top[0][1] - n / 2) <= hh.error_bound() + 1
+
+
+def test_hll_overlap_estimate_screens_fk_edges(spark):
+    from data_profiler_spark.sketches import hll_overlap_estimate
+
+    # A = 0..9999, B = 5000..14999 -> true intersect 5000, containment 0.5
+    a = spark.range(0, 10_000).select(F.col("id").alias("x"))
+    b = spark.range(5_000, 15_000).select(F.col("id").alias("y"))
+    r = hll_overlap_estimate(a, "x", b, "y").collect()[0]
+    assert abs(r["n_a"] - 10_000) / 10_000 < 0.05
+    assert abs(r["n_intersect"] - 5_000) / 5_000 < 0.15
+    assert 0.35 < r["containment_a"] < 0.65
+    # disjoint sets screen to ~zero containment
+    c = spark.range(100_000, 110_000).select(F.col("id").alias("y"))
+    r2 = hll_overlap_estimate(a, "x", c, "y").collect()[0]
+    assert r2["containment_a"] < 0.1
+    # full containment: B subset of A
+    d = spark.range(0, 1_000).select(F.col("id").alias("y"))
+    r3 = hll_overlap_estimate(a, "x", d, "y").collect()[0]
+    assert r3["containment_b"] > 0.85

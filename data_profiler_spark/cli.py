@@ -448,6 +448,7 @@ def main(argv: list[str] | None = None) -> int:
                 RegexCheck,
                 RowCountCheck,
                 SchemaCheck,
+                SecretFreeCheck,
                 SequenceCheck,
                 UniquenessCheck,
                 run_suite,
@@ -478,6 +479,13 @@ def main(argv: list[str] | None = None) -> int:
                 ),
                 "expression": lambda s: ExpressionCheck(
                     s["predicate"], s.get("name", ""), s.get("where", ""),
+                ),
+                # {"type": "secret_free", "column", "ruleset": secrets|pii|all,
+                #  "rules": {name: pattern} override}
+                "secret_free": lambda s: SecretFreeCheck(
+                    s["column"], s.get("ruleset", "all"),
+                    tuple(sorted((s.get("rules") or {}).items())),
+                    s.get("name", ""), s.get("where", ""),
                 ),
             }
             # drift spec: {"type": "drift", "column", "group_by", "bucket_width",

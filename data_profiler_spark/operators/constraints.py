@@ -114,6 +114,41 @@ class ExpressionCheck:
 
 
 @dataclass(frozen=True)
+class SecretFreeCheck:
+    """No value of ``column`` may contain a secret/PII pattern — the
+    privacy rule families (operators/privacy.py: gitleaks/detect-secrets
+    regexes + Dolma-style PII) lifted into the suite IR, so credential
+    leaks produce the same per-partition verdicts + sha256'd violation
+    rows as every other check. ``ruleset`` picks secrets / pii / all;
+    ``rules`` overrides with an explicit {name: pattern} mapping."""
+
+    column: str
+    ruleset: str = "all"
+    rules: tuple = ()  # optional ((name, pattern), ...) override
+    name: str = ""
+    where: str = ""
+
+    def check_name(self) -> str:
+        return self.name or _scoped(
+            f"secret_free:{self.column}:{self.ruleset}", self.where
+        )
+
+    def patterns(self) -> list[str]:
+        if self.rules:
+            return [p for _, p in sorted(self.rules)]
+        from data_profiler_spark.operators.privacy import (
+            ALL_RULES,
+            PII_RULES,
+            SECRET_RULES,
+        )
+
+        fam = {"secrets": SECRET_RULES, "pii": PII_RULES, "all": ALL_RULES}[
+            self.ruleset
+        ]
+        return [p for _, p in sorted(fam.items())]
+
+
+@dataclass(frozen=True)
 class UniquenessCheck:
     keys: tuple
     name: str = ""
@@ -272,7 +307,8 @@ class SequenceCheck:
         return self.name or f"sequence:{self.column}/{self.group}"
 
 
-RowCheck = NullRateCheck | RangeCheck | RegexCheck | MembershipCheck | ExpressionCheck
+RowCheck = (NullRateCheck | RangeCheck | RegexCheck | MembershipCheck
+            | ExpressionCheck | SecretFreeCheck)
 
 
 @dataclass
@@ -321,6 +357,12 @@ def _violation_expr(check: RowCheck):
     elif isinstance(check, MembershipCheck):
         c = F.col(check.column)
         v = c.isNotNull() & ~c.isin(*check.allowed)
+    elif isinstance(check, SecretFreeCheck):
+        c = F.col(check.column)
+        hit = F.lit(False)
+        for pat in check.patterns():  # codegen rlike chain, one scan
+            hit = hit | c.rlike(pat)
+        v = c.isNotNull() & hit
     else:
         raise TypeError(f"unknown row check: {check!r}")
     if getattr(check, "where", ""):

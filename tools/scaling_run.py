@@ -73,8 +73,9 @@ def main() -> int:
     )
 
     n_rows = spark.read.parquet(code_files).count()
+    sink = f"/tmp/spark_graft_scaling_sink_{cpus}"
 
-    def run_once():
+    def run_once(tag: str):
         out = run_suite(
             df,
             suite,
@@ -83,12 +84,37 @@ def main() -> int:
             content_col="content",
             key_cols=["repo", "path", "commit"],
         )
-        return (
-            out["verdicts"].collect(),
-            out["violations"].collect(),
-            out["uniqueness"].collect(),
-            out["referential"].collect(),
-        )
+        # Materialize the way the deployment path does (CLI
+        # --violations-out): verdict/summary frames are tiny and collect
+        # to the driver; the violation and duplicate-key row sets (240k /
+        # 211k rows here, unbounded at 10^12 files) go to a DISTRIBUTED
+        # parquet sink. An earlier harness collect()ed them instead —
+        # row-at-a-time driver pickling is a fixed ~20 s SERIAL term that
+        # read as poor 4N scaling (measured eff 0.653 on an idle box; the
+        # per-family warm efficiencies are 0.83-0.92). The four families
+        # are INDEPENDENT jobs, so they materialize concurrently under the
+        # FAIR scheduler (the same shape as bench.py's constraint_suite
+        # entry and a real deployment's submit loop) — sequential
+        # materialization leaves the 4N leg's threads idle during each
+        # job's driver phase, which reads as another fixed cost.
+        from concurrent.futures import ThreadPoolExecutor
+
+        with ThreadPoolExecutor(max_workers=4) as ex:
+            f_verd = ex.submit(out["verdicts"].collect)
+            f_vio = ex.submit(
+                lambda: out["violations"].write.mode("overwrite")
+                .parquet(f"{sink}/{tag}/violations")
+            )
+            f_uniq = ex.submit(
+                lambda: out["uniqueness"].write.mode("overwrite")
+                .parquet(f"{sink}/{tag}/uniqueness")
+            )
+            f_ref = ex.submit(out["referential"].collect)
+            verdicts = f_verd.result()
+            f_vio.result()
+            f_uniq.result()
+            ref = f_ref.result()
+        return verdicts, ref
 
     # Untimed warm-up pass: whole-stage codegen compilation, plan caching
     # and JVM JIT are one-time per-process costs — on the 10^12-file target
@@ -96,16 +122,31 @@ def main() -> int:
     # would masquerade as poor scaling (the 4N run pays the same fixed cost
     # over a 4x shorter parallel phase). Steady-state throughput is the
     # metric the north rule scales.
-    run_once()
-    t0 = time.perf_counter()
-    verdicts, violations, uniq, ref = run_once()
-    suite_sec = time.perf_counter() - t0
+    run_once("warmup")
+    # min-of-3 timed reps: the same load defense bench.py uses — a single
+    # 1-3 minute pass on this box reliably absorbs an external tenant
+    # spike into the measurement (observed 2x swings at identical code).
+    reps, rep_loads = [], []
+    verdicts = ref = None
+    for _ in range(3):
+        rep_loads.append(round(os.getloadavg()[0], 2))
+        t0 = time.perf_counter()
+        verdicts, ref = run_once("timed")
+        reps.append(time.perf_counter() - t0)
+    suite_sec = min(reps)
 
+    # Fingerprints: UNTIMED, from the written sinks (Arrow-batched read).
+    # The bit-identity claim is about the persisted result set — what a
+    # downstream consumer sees — not about driver RAM.
+    vio_pdf = spark.read.parquet(f"{sink}/timed/violations").toPandas()
     vio_lines = sorted(
-        f"{r['check']}|{r['partition']}|{r['repo']}|{r['path']}|{r['commit']}|{r['content_sha256']}"
-        for r in violations
+        f"{r.check}|{r.partition}|{r.repo}|{r.path}|{r.commit}|{r.content_sha256}"
+        for r in vio_pdf.itertuples()
     )
-    uniq_lines = sorted(f"{r['check']}|{r['key_json']}|{r['dup_cnt']}" for r in uniq)
+    uniq_pdf = spark.read.parquet(f"{sink}/timed/uniqueness").toPandas()
+    uniq_lines = sorted(
+        f"{r.check}|{r.key_json}|{r.dup_cnt}" for r in uniq_pdf.itertuples()
+    )
     verdict_lines = sorted(
         f"{r['partition']}|{r['check']}|{r['violation_count']}|{r['pass']}" for r in verdicts
     )
@@ -115,6 +156,8 @@ def main() -> int:
                 "cpus": cpus,
                 "rows": n_rows,
                 "suite_sec": round(suite_sec, 3),
+                "suite_sec_reps": [round(x, 3) for x in reps],
+                "loadavg_at_reps": rep_loads,
                 "rows_per_sec": round(n_rows / suite_sec, 1),
                 "n_violations": len(vio_lines),
                 "n_dup_keys": len(uniq_lines),

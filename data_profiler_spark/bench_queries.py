@@ -376,8 +376,12 @@ def q_semantic_decon(spark: SparkSession, sf_dir: str, code_files: str):
     emb = spark.read.parquet(ensure_bench_embeddings(spark, sf_dir))
     train = emb.where(F.col("vec_id") >= 500)
     evals = emb.where(F.col("vec_id") < 500)
+    # exact=False: the BLAS-matmul scale path (the seq-fold exact form is
+    # the sf0.01 oracle twin, same split as brute_force vs ivf/lsh)
     _force(
-        semantic_decontaminate(train, evals, threshold=0.95, dim=EMB_DIM)
+        semantic_decontaminate(
+            train, evals, threshold=0.95, dim=EMB_DIM, exact=False
+        )
     )
 
 
@@ -435,6 +439,42 @@ def q_code_shape(spark: SparkSession, sf_dir: str, code_files: str):
     return top_imports(df, "lang", "content", k=20, patterns=pats).collect()
 
 
+def q_media_features(spark: SparkSession, sf_dir: str, code_files: str):
+    """Multimodal plane at measured scale: synthesize 20k 64x64 BMP
+    payloads + 20k 0.5s WAV clips (real codecs, deterministic pixels/pcm),
+    then run decode -> feature-extract -> resize through the Arrow
+    mapInPandas plumbing. Payloads are pruned before anything shuffles;
+    the measured quantity is codec + feature numpy inside Arrow batches.
+    The synthesized tables are cached on disk like the 1M embedding
+    corpus, so reps time the operators, not the synthesis."""
+    import os
+
+    from data_profiler_spark.operators.multimodal import (
+        audio_features,
+        image_features,
+        resize_images,
+        synth_bmp_media,
+        synth_wav_media,
+    )
+
+    from data_profiler_spark.operators.multimodal import synth_png_media
+
+    bmp_path = "/tmp/spark_graft_bench/media_bmp_20000.parquet"
+    png_path = "/tmp/spark_graft_bench/media_png_5000.parquet"
+    wav_path = "/tmp/spark_graft_bench/media_wav_20000.parquet"
+    if not os.path.exists(bmp_path):
+        synth_bmp_media(spark, 20_000).write.mode("overwrite").parquet(bmp_path)
+    if not os.path.exists(png_path):
+        synth_png_media(spark, 5_000).write.mode("overwrite").parquet(png_path)
+    if not os.path.exists(wav_path):
+        synth_wav_media(spark, 20_000).write.mode("overwrite").parquet(wav_path)
+    imgs = spark.read.parquet(bmp_path).unionByName(spark.read.parquet(png_path))
+    wav = spark.read.parquet(wav_path)
+    _force(image_features(imgs))
+    _force(resize_images(imgs, 32, 32).select("media_id", F.length("payload").alias("n")))
+    _force(audio_features(wav))
+
+
 BENCH_QUERIES = {
     "profile_lineitem": q_profile_lineitem,
     "preflight_5pct": q_preflight,
@@ -455,6 +495,7 @@ BENCH_QUERIES = {
     "semantic_decon_1m": q_semantic_decon,
     "secret_scan": q_secret_scan,
     "code_shape": q_code_shape,
+    "media_features": q_media_features,
     "curation_e2e": q_curation_e2e,
     "decontamination": q_decontamination,
     "sessions_fd": q_sessions_fd,

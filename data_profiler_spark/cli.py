@@ -843,6 +843,19 @@ def main(argv: list[str] | None = None) -> int:
                 )
                 redacted_rows = spark.read.parquet(args.redact_out).count()
             clean = not summary and not entropy_hits
+            if args.output in ("html", "html-ydata"):
+                from data_profiler_spark.html_report import scan_report_html
+
+                samples = [
+                    r.asDict()
+                    for r in scan_findings(df, args.text_col, ids, rules)
+                    .limit(50).collect()
+                ]
+                _emit(args, scan_report_html(
+                    summary, source=args.path, entropy_hits=entropy_hits,
+                    sample_findings=samples,
+                ))
+                return EXIT_OK
             _emit(args, json.dumps(
                 {"report_type": "scan", "source": args.path, "rules": args.rules,
                  "summary": summary, "entropy_hits": entropy_hits,

@@ -94,9 +94,18 @@ def synth_code_files(
         ),
     )
 
-    # commit: 40-hex sha1, ~n_rows/20 distinct commits per repo
+    # commit: 40-hex sha1. The group index is bounded at n_rows/(20·n_repos)
+    # per repo, giving ~n_rows/20 distinct (repo, commit) parents in TOTAL
+    # and real files-per-commit density (a hot Zipf repo concentrates many
+    # files into each commit, like a monorepo). An earlier global modulus of
+    # n_rows/20 made (repo, group) pairs ~unique — 1.1 files per commit and
+    # a parent table as big as the child, which is not the shape of any
+    # real commit log and forced the referential check into a full
+    # both-sides shuffle join instead of the broadcast its cardinality
+    # estimate picks on realistic density.
     commit_group = F.pmod(
-        F.xxhash64(F.lit(seed), F.lit("c"), F.col("eff_id")), F.lit(max(n_rows // 20, 1))
+        F.xxhash64(F.lit(seed), F.lit("c"), F.col("eff_id")),
+        F.lit(max(n_rows // (20 * n_repos), 1)),
     )
     df = df.withColumn(
         "commit", F.sha1(F.concat(F.col("repo"), F.lit("@"), commit_group.cast("string")).cast("binary"))

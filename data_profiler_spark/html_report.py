@@ -293,3 +293,51 @@ def graph_report_html(graph) -> str:
     body.append("</table>")
     body.append("<h2>Mermaid source</h2><pre>" + _esc(graph.to_mermaid()) + "</pre>")
     return _page("Relationships", "\n".join(body))
+
+
+def scan_report_html(
+    summary: list[dict],
+    source: str = "",
+    entropy_hits: int | None = None,
+    sample_findings: list[dict] | None = None,
+) -> str:
+    """Standalone HTML for a secret/PII sweep (operators/privacy.py):
+    per-rule counts, verdict card, optional finding samples (matches are
+    masked — a leak report must not itself leak the credentials)."""
+    clean = not summary and not entropy_hits
+    cards = [
+        ("verdict", "CLEAN" if clean else "FINDINGS"),
+        ("rules hit", str(len(summary))),
+        ("total matches", f"{sum(r['n_matches'] for r in summary):,}"),
+    ]
+    if entropy_hits is not None:
+        cards.append(("high-entropy candidates", f"{entropy_hits:,}"))
+    body = [
+        f"<h1>Secret / PII scan</h1><div class='src'>{_esc(source)}</div>",
+        _summary_cards(cards),
+    ]
+    if summary:
+        body.append("<h2>Rules</h2><table><tr><th>rule</th>"
+                    "<th>documents</th><th>matches</th></tr>")
+        for r in summary:
+            body.append(
+                f"<tr><td><strong>{_esc(r['rule'])}</strong></td>"
+                f"<td class='n'>{_num(r['n_docs'])}</td>"
+                f"<td class='n'>{_num(r['n_matches'])}</td></tr>"
+            )
+        body.append("</table>")
+    if sample_findings:
+        body.append("<h2>Sample findings (masked)</h2><table><tr>"
+                    "<th>id</th><th>rule</th><th>match</th></tr>")
+        for f in sample_findings[:50]:
+            m = str(f.get("match", ""))
+            masked = m[:4] + "•" * max(len(m) - 6, 3) + m[-2:] if len(m) > 8 else "•" * len(m)
+            ident = ", ".join(
+                str(v) for k, v in f.items() if k not in ("rule", "match")
+            )
+            body.append(
+                f"<tr><td>{_esc(ident)}</td><td>{_esc(f['rule'])}</td>"
+                f"<td><code>{_esc(masked)}</code></td></tr>"
+            )
+        body.append("</table>")
+    return _page(f"Scan: {source}", "\n".join(body))

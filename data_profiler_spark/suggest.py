@@ -85,6 +85,21 @@ def suggest_suite(
             )
     for c in member_cols:
         aggs.append(F.collect_set(F.col(c)).alias(f"{c}__members"))
+    # free-text columns (unbounded strings): count secret/PII rule hits in
+    # the same combined job — a column that is clean today gets a
+    # SecretFreeCheck so a future leak fails the suite
+    freetext_cols = [c for c in string_cols if c not in member_cols]
+    if freetext_cols:
+        from data_profiler_spark.operators.privacy import ALL_RULES
+
+        for c in freetext_cols:
+            hit = F.lit(False)
+            for _, pat in sorted(ALL_RULES.items()):
+                hit = hit | F.col(c).rlike(pat)
+            aggs.append(
+                F.sum(F.when(F.col(c).isNotNull() & hit, 1).otherwise(0))
+                .alias(f"{c}__secret_hits")
+            )
     extra = df.agg(*aggs).collect()[0] if aggs else {}
 
     suite = CheckSuite()
@@ -127,6 +142,16 @@ def suggest_suite(
                         {"type": "regex", "column": c, "pattern": PATTERNS[name]}
                     )
                     break
+            # clean free text today → pin it with a SecretFreeCheck
+            if (extra[f"{c}__secret_hits"] or 0) == 0 and r["count"] > 0:
+                from data_profiler_spark.operators.constraints import (
+                    SecretFreeCheck,
+                )
+
+                suite.row_checks.append(SecretFreeCheck(c))
+                spec_checks.append(
+                    {"type": "secret_free", "column": c, "ruleset": "all"}
+                )
             # length envelope (null-tolerant expression)
             if r["max_len"] is not None:
                 lo_len = max(0, math.floor(r["min_len"] * (1.0 - margin)))

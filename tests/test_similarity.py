@@ -327,3 +327,31 @@ def test_semantic_decontaminate_is_one_fused_scan(spark, embeddings):
     assert "MapInPandas" in plan
     assert "Join" not in plan
     assert "Exchange" not in plan
+
+
+def test_semantic_decontaminate_fast_path_agrees(spark, embeddings):
+    """exact=False (BLAS matmul) must flag the same (train, eval) pairs as
+    the exact fold away from the threshold boundary, with cosines equal to
+    ~1e-12 (reassociation only)."""
+    from data_profiler_spark.operators.similarity import semantic_decontaminate
+
+    train = embeddings.where(F.col("vec_id") < 80)
+    evals = embeddings.where(F.col("vec_id").between(80, 99))
+    ex = {r["train_id"]: (r["eval_id"], r["cos_sim"])
+          for r in semantic_decontaminate(train, evals, threshold=0.3).collect()}
+    fa = {r["train_id"]: (r["eval_id"], r["cos_sim"])
+          for r in semantic_decontaminate(train, evals, threshold=0.3,
+                                          exact=False).collect()}
+    assert set(ex) == set(fa)
+    for t, (e, cos) in ex.items():
+        assert fa[t][0] == e
+        assert abs(fa[t][1] - cos) < 1e-9
+
+
+def test_semantic_decontaminate_no_evals(spark, embeddings):
+    from data_profiler_spark.operators.similarity import semantic_decontaminate
+
+    train = embeddings.where(F.col("vec_id") < 20)
+    evals = embeddings.where(F.col("vec_id") < 0)
+    for exact in (True, False):
+        assert semantic_decontaminate(train, evals, exact=exact, dim=8).count() == 0

@@ -392,14 +392,31 @@ def uniqueness_violations(
         F.xxhash64(*[F.col(c) for c in keys], F.spark_partition_id(), F.lit(0x5A17)),
         F.lit(salt_buckets),
     )
+    # The counting stages shuffle an 8-byte key HASH, never the key strings:
+    # at 24M rows the (repo,path,commit) triple is a ~1.7 GB exchange whose
+    # disk write+read is the same absolute cost at every cluster size — the
+    # classic scaling sink — while the hash exchange is ~4x smaller. A hash
+    # collision only creates a false CANDIDATE: real keys are recovered by
+    # a candidate-only rescan (dup hashes are violation-sized, so AQE
+    # broadcasts them into the semi-join — the table is never shuffled) and
+    # the final groupBy counts the TRUE key columns, so the result is exact
+    # and salt/hash/partitioning-independent.
+    kh = F.xxhash64(*[F.col(c) for c in keys], F.lit(0x11C4))
     stage1 = (
-        df.select(*keys, salt.alias("__salt"))
-        .groupBy(*keys, "__salt")
+        df.select(kh.alias("__kh"), salt.alias("__salt"))
+        .groupBy("__kh", "__salt")
         .agg(F.count(F.lit(1)).alias("__partial"))
     )
+    cand = (
+        stage1.groupBy("__kh")
+        .agg(F.sum("__partial").alias("__cnt"))
+        .where(F.col("__cnt") > 1)
+        .select("__kh")
+    )
+    dup_rows = df.select(*keys).join(cand, kh == cand["__kh"], "leftsemi")
     return (
-        stage1.groupBy(*keys)
-        .agg(F.sum("__partial").alias("dup_cnt"))
+        dup_rows.groupBy(*keys)
+        .agg(F.count(F.lit(1)).alias("dup_cnt"))
         .where(F.col("dup_cnt") > 1)
     )
 

@@ -70,10 +70,15 @@ def main() -> int:
         synth_commits(spark.read.parquet(code_files)).write.mode("overwrite").parquet(
             commits_path
         )
-    # ANN corpus (1M×64f at sf0.1) — generated here so it isn't timed
-    from data_profiler_spark.bench_queries import ensure_bench_embeddings
+    # ANN corpus (1M×64f at sf0.1) and the seeded-near-dup dedup corpus +
+    # ground-truth pairs — generated here so neither is timed
+    from data_profiler_spark.bench_queries import (
+        ensure_bench_embeddings,
+        ensure_bench_neardup_corpus,
+    )
 
     ensure_bench_embeddings(spark, sf_dir)
+    ensure_bench_neardup_corpus(spark, code_files)
 
     # Self-defending timing: this box carries a fluctuating EXTERNAL tenant
     # load (BENCH.md), and a single timed run has twice recorded 5-10x

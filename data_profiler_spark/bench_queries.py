@@ -149,22 +149,76 @@ def q_minhash_dedup(spark: SparkSession, sf_dir: str, code_files: str):
     _force(minhash_near_duplicates(df, "doc_id", "text", k=3, threshold=0.5))
 
 
+NEAR_DUP_FRACTION = 0.02  # seeded twin rows in the dedicated dedup corpus
+
+
+def ensure_bench_neardup_corpus(spark: SparkSession, code_files: str) -> tuple[str, str]:
+    """Synthesize (once per size, cached as parquet — untimed when bench.py
+    calls this before the timing loop) the dedup-bench corpus: the same
+    code_files generator with ``near_dup_fraction=0.02``, i.e. ~2% of rows
+    are 0.9-Jaccard twins of a seeded anchor row, PLUS the ground-truth
+    (twin, anchor) doc-id pairs. The shared code_files parquet stays
+    all-unique-content (every historical suite fingerprint bit-identical);
+    this corpus exists so minhash_dedup_full measures RECALL, not just wall
+    time over a corpus with nothing to find (VERDICT r2 #7)."""
+    import os
+    import re
+
+    m = re.search(r"code_files_(\d+)\.parquet", code_files)
+    n_rows = int(m.group(1)) if m else 600_000
+    corpus = f"/tmp/spark_graft_bench/neardup_{n_rows}.parquet"
+    truth = f"/tmp/spark_graft_bench/neardup_truth_{n_rows}.parquet"
+    if not (os.path.exists(corpus) and os.path.exists(truth)):
+        from data_profiler_spark.datagen import neardup_truth_pairs, synth_code_files
+
+        df = synth_code_files(
+            spark,
+            n_rows=n_rows,
+            n_repos=max(n_rows // 6000, 10),
+            partitions=spark.sparkContext.defaultParallelism * 4,
+            near_dup_fraction=NEAR_DUP_FRACTION,
+            include_row_id=True,
+        )
+        df.select(
+            F.xxhash64("repo", "path", "commit").alias("doc_id"),
+            F.col("content").alias("text"),
+        ).write.mode("overwrite").parquet(corpus)
+        neardup_truth_pairs(df, NEAR_DUP_FRACTION).write.mode("overwrite").parquet(truth)
+    return corpus, truth
+
+
 def q_minhash_dedup_full(spark: SparkSession, sf_dir: str, code_files: str):
     """MinHash+LSH over the FULL corpus (600k docs at sf0.1) — the LSH
     path's second scaling data point (VERDICT r2 #7): same pipeline as the
-    10% slice, 10× the shingle volume. Pairs emitted are logged to stderr
-    for the BENCH.md recall note. One rep: the query is its own k-run."""
+    10% slice, 10× the shingle volume, over the seeded-near-dup corpus so
+    pairs emitted and RECALL against ground truth (measured 0.94 at 20k
+    rows; misses are the documented ring-linking bucket-cap trade) land in
+    the artifact. One rep: the query is its own k-run."""
     import sys
 
     from data_profiler_spark.operators.dedup import minhash_near_duplicates
 
-    df = spark.read.parquet(code_files).select(
-        F.xxhash64("repo", "path", "commit").alias("doc_id"),
-        F.col("content").alias("text"),
-    )
+    corpus, truth_path = ensure_bench_neardup_corpus(spark, code_files)
+    df = spark.read.parquet(corpus)
     pairs = minhash_near_duplicates(df, "doc_id", "text", k=3, threshold=0.5)
-    n = pairs.count()
-    print(f"[bench] minhash_dedup_full pairs_emitted={n}", file=sys.stderr)
+    found = pairs.select(
+        F.least("id_a", "id_b").alias("doc_id_a"),
+        F.greatest("id_a", "id_b").alias("doc_id_b"),
+    ).distinct()
+    found.cache()
+    try:
+        n_found = found.count()  # materializes the pipeline once
+        truth = spark.read.parquet(truth_path)
+        n_truth = truth.count()
+        hits = found.join(F.broadcast(truth), ["doc_id_a", "doc_id_b"], "left_semi").count()
+        recall = round(hits / n_truth, 4) if n_truth else None
+        print(
+            f"[bench] minhash_dedup_full pairs_emitted={n_found} "
+            f"truth_pairs={n_truth} recall={recall}",
+            file=sys.stderr,
+        )
+    finally:
+        found.unpersist()
 
 
 q_minhash_dedup_full.bench_reps = 1

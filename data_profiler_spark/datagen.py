@@ -45,6 +45,18 @@ def _u(seed: int, tag: str, col: Column) -> Column:
     return (F.pmod(F.xxhash64(F.lit(seed), F.lit(tag), col), F.lit(1_000_000)) / 1_000_000.0)
 
 
+NEAR_DUP_ANCHOR_MOD = 89  # distinct prime from the key-dup anchor (97)
+NEAR_DUP_KEEP = 0.9  # twin keeps the first 90% of its anchor's tokens
+
+
+def _near_dup_flag(seed: int, row_id: Column, near_dup_fraction: float) -> Column:
+    """Seeded content-near-duplicate flag. Anchors (row_id % 89 == 0) are
+    never twins, so their content stays their own."""
+    return (_u(seed, "neardup", row_id) < F.lit(near_dup_fraction)) & (
+        F.pmod(row_id, F.lit(NEAR_DUP_ANCHOR_MOD)) != 0
+    )
+
+
 def synth_code_files(
     spark: SparkSession,
     n_rows: int,
@@ -53,6 +65,8 @@ def synth_code_files(
     dup_fraction: float = 0.02,
     corrupt_fraction: float = 0.005,
     partitions: int | None = None,
+    near_dup_fraction: float = 0.0,
+    include_row_id: bool = False,
 ) -> DataFrame:
     """The Iceberg-style source-code table at any scale, fully deterministic."""
     rng = spark.range(0, n_rows, 1, partitions) if partitions else spark.range(n_rows)
@@ -113,17 +127,40 @@ def synth_code_files(
 
     # content: per-lang token count; pseudo-code tokens picked by hash.
     # Length = lang_mean * (0.5 + u) → per-lang distinguishable distributions.
-    tok_mean = F.lit(60)
-    for lg, m in _LANG_TOKENS.items():
-        tok_mean = F.when(F.col("lang") == lg, F.lit(m)).otherwise(tok_mean)
-    u_len = _u(seed, "len", F.col("row_id"))
+    #
+    # Seeded content NEAR-duplicates (near_dup_fraction, default 0.0 = every
+    # historical output bit-identical): a twin row derives its token stream
+    # from an ANCHOR id (row_id - row_id % 89) and keeps only the first 90%
+    # of the anchor's tokens — word-3-shingle Jaccard(twin, anchor) ≈ 0.9,
+    # ground truth for LSH recall measurement (bench minhash_dedup_full).
+    # Everything — anchor's lang, token count, token stream — is recomputed
+    # as pure Column expressions of content_id, so the twin reproduces the
+    # anchor's prefix exactly with no join.
+    nd = _near_dup_flag(seed, F.col("row_id"), near_dup_fraction)
+    content_id = F.when(
+        nd, F.col("row_id") - F.pmod(F.col("row_id"), F.lit(NEAR_DUP_ANCHOR_MOD))
+    ).otherwise(F.col("row_id"))
+    # the anchor's effective-id → lang chain (anchors may themselves be
+    # key-dup twins, whose lang derives from THEIR key anchor)
+    c_dup = _u(seed, "dup", content_id) < F.lit(dup_fraction)
+    c_eff = F.when(c_dup, content_id - F.pmod(content_id, F.lit(97))).otherwise(content_id)
+    u_clang = _u(seed, "lang", c_eff)
+    tok_mean = F.lit(float(_LANG_TOKENS[LANGS[-1]]))
+    for i in range(len(LANGS) - 2, -1, -1):
+        tok_mean = F.when(
+            u_clang < F.lit(_LANG_CUM[i]), F.lit(float(_LANG_TOKENS[LANGS[i]]))
+        ).otherwise(tok_mean)
+    u_len = _u(seed, "len", content_id)
     n_tok = (tok_mean * (F.lit(0.5) + u_len)).cast("int")
+    n_tok = F.when(nd, F.floor(n_tok.cast("double") * F.lit(NEAR_DUP_KEEP)).cast("int")).otherwise(
+        n_tok
+    )
     vocab = F.array(*[F.lit(w) for w in _VOCAB])
     words = F.transform(
         F.sequence(F.lit(0), n_tok),
         lambda i: F.element_at(
             vocab,
-            (F.pmod(F.xxhash64(F.lit(seed), F.col("row_id"), i), F.lit(len(_VOCAB))) + 1).cast("int"),
+            (F.pmod(F.xxhash64(F.lit(seed), content_id, i), F.lit(len(_VOCAB))) + 1).cast("int"),
         ),
     )
     df = df.withColumn("content", F.concat_ws(" ", words))
@@ -136,7 +173,42 @@ def synth_code_files(
         "commit", F.when(bad, F.substring(F.col("commit"), 1, 20)).otherwise(F.col("commit"))
     ).withColumn("lang", F.when(bad, F.lit("xx")).otherwise(F.col("lang")))
 
-    return df.select("repo", "path", "commit", "lang", "content")
+    cols = ["repo", "path", "commit", "lang", "content"]
+    return df.select(*(["row_id"] + cols if include_row_id else cols))
+
+
+def neardup_truth_pairs(
+    code_files_with_row_id: DataFrame,
+    near_dup_fraction: float,
+    seed: int = 42,
+) -> DataFrame:
+    """Ground-truth near-dup pairs for a corpus made by
+    :func:`synth_code_files` (same seed/fraction, ``include_row_id=True``):
+    one (doc_id_a, doc_id_b) pair per twin row, joining each twin to its
+    content anchor. doc_id is ``xxhash64(repo, path, commit)`` — the id the
+    dedup bench keys on. Pairs are normalized (a < b) and distinct; pairs
+    whose two sides collapse to the same doc_id (a key-duplicate twin of its
+    own anchor) are dropped — no self-pairs to recall."""
+    df = code_files_with_row_id.withColumn(
+        "doc_id", F.xxhash64("repo", "path", "commit")
+    ).select("row_id", "doc_id")
+    nd = _near_dup_flag(seed, F.col("row_id"), near_dup_fraction)
+    twins = df.where(nd).select(
+        (F.col("row_id") - F.pmod(F.col("row_id"), F.lit(NEAR_DUP_ANCHOR_MOD))).alias(
+            "anchor_id"
+        ),
+        F.col("doc_id").alias("twin_doc"),
+    )
+    anchors = df.select(F.col("row_id").alias("anchor_id"), F.col("doc_id").alias("anchor_doc"))
+    return (
+        twins.join(anchors, "anchor_id")
+        .where(F.col("twin_doc") != F.col("anchor_doc"))
+        .select(
+            F.least("twin_doc", "anchor_doc").alias("doc_id_a"),
+            F.greatest("twin_doc", "anchor_doc").alias("doc_id_b"),
+        )
+        .distinct()
+    )
 
 
 def synth_commits(code_files: DataFrame, orphan_pct: int = 3, seed: int = 42) -> DataFrame:

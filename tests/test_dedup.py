@@ -241,3 +241,37 @@ def test_fuzzy_pairs_compose_with_clustering(spark):
     assert clusters == {1: 1, 2: 1, 3: 1}  # one typo cluster, min-id label
     kept = sorted(r["id"] for r in dedup_keep_canonical(df, "id", pairs).collect())
     assert kept == [1, 4]
+
+
+def test_neardup_datagen_default_off_and_truth_recall(spark):
+    """synth_code_files(near_dup_fraction=0) must be byte-identical to the
+    historical generator (suite fingerprints depend on it), and the seeded
+    near-dup mode must yield ground-truth twin/anchor pairs that MinHash-LSH
+    recalls at >= 0.85 (misses are the documented bucket-cap ring trade)."""
+    from data_profiler_spark.datagen import neardup_truth_pairs, synth_code_files
+
+    base = synth_code_files(spark, n_rows=4000, n_repos=20, seed=7)
+    off = synth_code_files(spark, n_rows=4000, n_repos=20, seed=7, near_dup_fraction=0.0)
+    assert base.exceptAll(off).isEmpty() and off.exceptAll(base).isEmpty()
+
+    nd = synth_code_files(
+        spark, n_rows=4000, n_repos=20, seed=7, near_dup_fraction=0.03, include_row_id=True
+    )
+    truth = neardup_truth_pairs(nd, 0.03, seed=7).cache()
+    n_truth = truth.count()
+    assert n_truth > 20  # ~3% of 4000, minus self-anchors
+    docs = nd.select(
+        F.xxhash64("repo", "path", "commit").alias("doc_id"),
+        F.col("content").alias("text"),
+    )
+    found = (
+        minhash_near_duplicates(docs, "doc_id", "text", k=3, threshold=0.5)
+        .select(
+            F.least("id_a", "id_b").alias("doc_id_a"),
+            F.greatest("id_a", "id_b").alias("doc_id_b"),
+        )
+        .distinct()
+    )
+    hits = found.join(truth, ["doc_id_a", "doc_id_b"], "left_semi").count()
+    truth.unpersist()
+    assert hits / n_truth >= 0.85

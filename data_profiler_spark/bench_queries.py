@@ -529,6 +529,21 @@ def q_media_features(spark: SparkSession, sf_dir: str, code_files: str):
     _force(audio_features(wav))
 
 
+def q_perplexity(spark: SparkSession, sf_dir: str, code_files: str):
+    """Unigram-LM perplexity filter over the 600k-doc code corpus: fit
+    (ONE token-count shuffle + driver top-16k) then score every doc with
+    the zero-shuffle broadcast-vocab Arrow pass (exact_sum=False — the
+    np.add.reduceat fast path; the fsum exact path is oracle-scale only)."""
+    from data_profiler_spark.operators.quality import fit_unigram_lm, score_perplexity
+
+    df = spark.read.parquet(code_files).select(
+        F.xxhash64("repo", "path", "commit").alias("doc_id"),
+        F.col("content").alias("text"),
+    )
+    lm = fit_unigram_lm(df, "text", vocab_size=2**14)
+    _force(score_perplexity(df, "doc_id", "text", lm, method="map", exact_sum=False))
+
+
 BENCH_QUERIES = {
     "profile_lineitem": q_profile_lineitem,
     "preflight_5pct": q_preflight,
@@ -553,4 +568,5 @@ BENCH_QUERIES = {
     "curation_e2e": q_curation_e2e,
     "decontamination": q_decontamination,
     "sessions_fd": q_sessions_fd,
+    "perplexity": q_perplexity,
 }

@@ -180,3 +180,204 @@ def score_quality(
     return df.select(F.col(id_col), F.col(text_col)).mapInPandas(
         probe, schema=f"id {id_type}, model_quality double"
     )
+
+
+# ---------------------------------------------------------------------------
+# CCNet-style unigram-LM perplexity filter
+# ---------------------------------------------------------------------------
+
+
+@dataclass(frozen=True)
+class UnigramLM:
+    """Laplace-smoothed unigram language model over a capped vocabulary.
+
+    ``tokens`` is the SORTED vocab (top-``vocab_size`` by count, ties broken
+    by token asc), ``logp`` is aligned natural-log probabilities, and every
+    out-of-vocabulary token scores ``oov_logp``. With ``alpha`` smoothing and
+    vocab size V over N training tokens, p(tok) = (c + alpha)/(N + alpha(V+1))
+    and p(OOV) = alpha/(N + alpha(V+1)) — one shared unseen-type bucket, so
+    the model is a fixed small table that broadcasts.
+
+    Every log is computed ON THE DRIVER with ``math.log`` (glibc libm — the
+    same code path DuckDB's ``LN`` takes), so executors only ever ADD
+    pre-computed doubles: the SQL oracle twin reproduces scores bit-exactly
+    without depending on JVM ``Math.log`` agreeing with libm.
+
+    Ref parity note: the reference has no LM filter (its quality signals are
+    heuristic — profilers/string.py); this is part of the training-data
+    extension (CCNet/Dolma-style perplexity gate) mandated alongside
+    SURVEY §2.
+    """
+
+    tokens: "np.ndarray"  # sorted unicode vocab
+    logp: "np.ndarray"  # float64, aligned with tokens
+    oov_logp: float
+    total_tokens: int
+    alpha: float
+
+    def to_bytes(self) -> bytes:
+        import pickle
+
+        return pickle.dumps(
+            {
+                "tokens": self.tokens,
+                "logp": self.logp,
+                "oov_logp": self.oov_logp,
+                "total_tokens": self.total_tokens,
+                "alpha": self.alpha,
+            }
+        )
+
+    @staticmethod
+    def from_bytes(b: bytes) -> "UnigramLM":
+        import pickle
+
+        d = pickle.loads(b)
+        return UnigramLM(d["tokens"], d["logp"], d["oov_logp"], d["total_tokens"], d["alpha"])
+
+
+def fit_unigram_lm(
+    df: DataFrame, text_col: str, vocab_size: int = 2**16, alpha: float = 1.0
+) -> UnigramLM:
+    """ONE token-count shuffle (groupBy token — partial aggregation makes the
+    exchange carry one row per (partition, distinct token), not per token
+    occurrence), then a driver-side top-K: the vocab is bounded by
+    ``vocab_size`` regardless of corpus size, so fitting on 100 TB moves
+    O(partitions x distinct-tokens) rows and collects K. Tokenization is
+    whitespace split (trim + ``\\s+``), empty tokens dropped — the exact
+    tokenization the SQL twin uses."""
+    import math
+
+    toks = df.select(
+        F.explode(F.split(F.trim(F.col(text_col)), r"\s+")).alias("tok")
+    ).where(F.col("tok") != "")
+    counts = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("c"))
+    top = counts.orderBy(F.col("c").desc(), F.col("tok").asc()).limit(vocab_size)
+    rows = top.collect()
+    n_total = counts.agg(F.sum("c")).collect()[0][0] or 0
+    v = len(rows)
+    denom = float(n_total) + alpha * (v + 1)
+    pairs = sorted((r["tok"], r["c"]) for r in rows)
+    tokens = np.array([t for t, _ in pairs])
+    logp = np.array([math.log((c + alpha) / denom) for _, c in pairs], dtype=np.float64)
+    return UnigramLM(
+        tokens=tokens,
+        logp=logp,
+        oov_logp=math.log(alpha / denom),
+        total_tokens=int(n_total),
+        alpha=alpha,
+    )
+
+
+def score_perplexity(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    model: UnigramLM,
+    method: str = "map",
+    exact_sum: bool = True,
+) -> DataFrame:
+    """(id, n_tokens, ce_nats, ppl) per non-empty document: cross-entropy in
+    nats under ``model`` (round-10) and its exp (perplexity). Empty/null
+    documents are excluded (perplexity undefined on zero tokens).
+
+    ``method="map"`` (the 100 TB path): zero-shuffle mapInPandas with the
+    sorted vocab broadcast — token lookup is one ``np.searchsorted`` per
+    Arrow batch. ``exact_sum=True`` accumulates each document with
+    ``math.fsum`` (correctly-rounded exact sum — bit-equal to the decimal
+    summation the join path and the SQL oracle use, because all three add
+    the SAME driver-computed doubles); ``False`` uses ``np.add.reduceat``
+    (last-ulp inexact, ~10x faster on long docs — bench scale).
+
+    ``method="join"`` (the declarative oracle twin): explode + broadcast
+    vocab join + per-doc DECIMAL(38,18) sum. One exchange (the per-doc
+    groupBy); kept for DuckDB hash parity and as the plan Catalyst can
+    reorder freely."""
+    spark = df.sparkSession
+    id_type = dict(df.dtypes)[id_col]
+    if method == "join":
+        toks = df.select(
+            F.col(id_col).alias("id"),
+            F.explode(F.split(F.trim(F.col(text_col)), r"\s+")).alias("tok"),
+        ).where(F.col("tok") != "")
+        vocab = spark.createDataFrame(
+            list(zip([str(t) for t in model.tokens], [float(x) for x in model.logp])),
+            schema="tok string, lp double",
+        )
+        per = (
+            toks.join(F.broadcast(vocab), "tok", "left")
+            .groupBy("id")
+            .agg(
+                F.count(F.lit(1)).alias("n_tokens"),
+                F.sum(
+                    F.coalesce(F.col("lp"), F.lit(model.oov_logp)).cast("decimal(38,18)")
+                )
+                .cast("double")
+                .alias("s"),
+            )
+        )
+        ce = F.round(-F.col("s") / F.col("n_tokens"), 10)
+        return per.select(
+            F.col("id"),
+            F.col("n_tokens"),
+            ce.alias("ce_nats"),
+            F.exp(ce).alias("ppl"),
+        )
+    if method != "map":
+        raise ValueError(f"unknown method {method!r}")
+
+    bc = spark.sparkContext.broadcast((model.tokens, model.logp, model.oov_logp))
+
+    def probe(batches):
+        import math
+        from decimal import ROUND_HALF_UP, Decimal
+
+        e10 = Decimal(1).scaleb(-10)
+        toks_sorted, lps, oov = bc.value
+        nv = len(toks_sorted)
+        for pdf in batches:
+            texts = pdf.iloc[:, 1]
+            tok_lists = [t.split() if t is not None else [] for t in texts]
+            lens = np.array([len(tl) for tl in tok_lists], dtype=np.int64)
+            keep = lens > 0
+            if not keep.any():
+                continue
+            flat_list = [tok for tl in tok_lists for tok in tl]
+            flat = np.asarray(flat_list)
+            if nv:
+                idx = np.searchsorted(toks_sorted, flat)
+                idx_c = np.minimum(idx, nv - 1)
+                hit = toks_sorted[idx_c] == flat
+                lp = np.where(hit, lps[idx_c], oov)
+            else:
+                lp = np.full(len(flat), oov, dtype=np.float64)
+            bounds = np.concatenate([[0], np.cumsum(lens)])
+            if exact_sum:
+                lp_list = lp.tolist()
+                sums = [
+                    math.fsum(lp_list[bounds[i] : bounds[i + 1]])
+                    for i in range(len(lens))
+                    if lens[i] > 0
+                ]
+                s = np.array(sums, dtype=np.float64)
+            else:
+                s = np.add.reduceat(lp, bounds[:-1][keep])
+            n = lens[keep].astype(np.float64)
+            # HALF_UP at 1e-10, matching F.round in the join path (the same
+            # convention grouping.py's decimal-exact kernel uses)
+            ce = np.array(
+                [float(Decimal(x).quantize(e10, ROUND_HALF_UP)) for x in (-s / n)],
+                dtype=np.float64,
+            )
+            yield pd.DataFrame(
+                {
+                    "id": pdf.iloc[:, 0].to_numpy()[keep],
+                    "n_tokens": lens[keep],
+                    "ce_nats": ce,
+                    "ppl": np.exp(ce),
+                }
+            )
+
+    return df.select(F.col(id_col), F.col(text_col)).mapInPandas(
+        probe, schema=f"id {id_type}, n_tokens long, ce_nats double, ppl double"
+    )

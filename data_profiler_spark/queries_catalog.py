@@ -3437,3 +3437,46 @@ def secret_free_verdicts_documents(spark: SparkSession, sf_dir: str) -> DataFram
         docs, [SecretFreeCheck("text", ruleset="secrets")], partition_col="lang"
     )
     return verdicts.select("partition", "check", "violation_count", "row_count", "pass")
+
+
+# ---------------------------------------------------------------------------
+# training: CCNet-style unigram-LM perplexity filter (operators/quality.py).
+# Fit = ONE token-count shuffle + driver top-K; score here uses the
+# declarative join twin (explode + broadcast vocab + per-doc DECIMAL sum) so
+# DuckDB reproduces ce_nats BIT-exactly: every log is computed driver-side
+# with glibc math.log — the same libm call DuckDB's LN makes — and executors
+# only add those doubles. vocab_size=16 < the corpus's 31 distinct tokens, so
+# the OOV bucket is exercised on both sides. The zero-shuffle mapInPandas
+# scale path is pinned bit-equal to this twin in test_quality_model.py.
+# Ref parity: reference has no LM filter (heuristic quality only —
+# src/data_profiler/profilers/string.py); training-data extension.
+# ---------------------------------------------------------------------------
+_PPLX_SQL = """
+WITH toks AS (
+  SELECT doc_id, tok FROM (
+    SELECT doc_id, unnest(string_split(trim(text), ' ')) AS tok FROM documents
+  ) WHERE tok <> ''
+),
+counts AS (SELECT tok, CAST(count(*) AS BIGINT) c FROM toks GROUP BY tok),
+tot AS (SELECT CAST(SUM(c) AS DOUBLE) n FROM counts),
+vocab AS (SELECT tok, c FROM counts ORDER BY c DESC, tok LIMIT 16),
+probs AS (SELECT tok, LN((CAST(c AS DOUBLE) + 1.0) / (n + 17.0)) lp FROM vocab, tot),
+oov AS (SELECT LN(1.0 / (n + 17.0)) lp FROM tot)
+SELECT t.doc_id AS id,
+       CAST(COUNT(*) AS BIGINT) AS n_tokens,
+       ROUND(-CAST(SUM(CAST(COALESCE(p.lp, (SELECT lp FROM oov)) AS DECIMAL(38,18))) AS DOUBLE)
+             / COUNT(*), 10) AS ce_nats
+FROM toks t LEFT JOIN probs p USING (tok)
+GROUP BY t.doc_id
+"""
+
+
+@register("perplexity_documents", _PPLX_SQL)
+def perplexity_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from data_profiler_spark.operators.quality import fit_unigram_lm, score_perplexity
+
+    docs = load(spark, sf_dir, "documents")
+    lm = fit_unigram_lm(docs, "text", vocab_size=16, alpha=1.0)
+    return score_perplexity(docs, "doc_id", "text", lm, method="join").select(
+        "id", "n_tokens", "ce_nats"
+    )

@@ -77,3 +77,101 @@ def test_model_roundtrip_bytes(spark):
     m2 = QualityModel.from_bytes(m.to_bytes())
     assert m2.dim == m.dim and m2.bias == m.bias
     assert np.array_equal(m2.weights, m.weights)
+
+
+# ---------------------------------------------------------------------------
+# unigram-LM perplexity filter
+# ---------------------------------------------------------------------------
+
+
+def test_unigram_lm_hand_computed(spark):
+    """Tiny corpus where every probability is checkable by hand: tokens
+    a×3, b×2, c×1 (N=6). vocab_size=2 keeps {a, b}; c is OOV. alpha=1,
+    V=2 → D=9: p(a)=4/9, p(b)=3/9, p(OOV)=1/9."""
+    import math
+
+    from data_profiler_spark.operators.quality import fit_unigram_lm, score_perplexity
+
+    df = spark.createDataFrame(
+        [(1, "a a b"), (2, "a b c")], "doc_id long, text string"
+    )
+    lm = fit_unigram_lm(df, "text", vocab_size=2, alpha=1.0)
+    assert lm.total_tokens == 6 and list(lm.tokens) == ["a", "b"]
+    assert lm.logp[0] == math.log(4.0 / 9.0) and lm.logp[1] == math.log(3.0 / 9.0)
+    assert lm.oov_logp == math.log(1.0 / 9.0)
+    got = {
+        r["id"]: (r["n_tokens"], r["ce_nats"])
+        for r in score_perplexity(df, "doc_id", "text", lm, method="map").collect()
+    }
+    exp1 = -(2 * math.log(4 / 9) + math.log(3 / 9)) / 3
+    exp2 = -(math.log(4 / 9) + math.log(3 / 9) + math.log(1 / 9)) / 3
+    assert got[1][0] == 3 and abs(got[1][1] - exp1) < 1e-10
+    assert got[2][0] == 3 and abs(got[2][1] - exp2) < 1e-10
+
+
+def test_perplexity_map_join_bit_equal(spark, documents):
+    """The zero-shuffle map path and the declarative join twin (the oracle
+    form) must agree BITWISE on ce_nats: both add the same driver-computed
+    libm doubles, fsum == decimal-exact summation, same HALF_UP round-10."""
+    from data_profiler_spark.operators.quality import fit_unigram_lm, score_perplexity
+
+    docs = documents
+    lm = fit_unigram_lm(docs, "text", vocab_size=16, alpha=1.0)
+    j = {r["id"]: r for r in score_perplexity(docs, "doc_id", "text", lm, "join").collect()}
+    m = {r["id"]: r for r in score_perplexity(docs, "doc_id", "text", lm, "map").collect()}
+    assert set(j) == set(m) and len(j) > 0
+    for k in j:
+        assert j[k]["n_tokens"] == m[k]["n_tokens"]
+        assert j[k]["ce_nats"] == m[k]["ce_nats"]  # bitwise
+
+
+def test_perplexity_ranks_oov_heavy_docs_worse(spark):
+    """An out-of-distribution doc must score higher cross-entropy than an
+    in-distribution one — the filtering property the operator exists for.
+    Also: empty/null docs are excluded, fast path tracks exact within 1e-9."""
+    from data_profiler_spark.operators.quality import fit_unigram_lm, score_perplexity
+
+    train = spark.createDataFrame(
+        [(i, "data table spark scan row batch " * 5) for i in range(20)],
+        "doc_id long, text string",
+    )
+    lm = fit_unigram_lm(train, "text", vocab_size=8, alpha=1.0)
+    probe = spark.createDataFrame(
+        [(1, "data table spark scan"), (2, "zebra quark lobster mango"), (3, None), (4, "")],
+        "doc_id long, text string",
+    )
+    exact = {r["id"]: r["ce_nats"] for r in
+             score_perplexity(probe, "doc_id", "text", lm, "map").collect()}
+    fast = {r["id"]: r["ce_nats"] for r in
+            score_perplexity(probe, "doc_id", "text", lm, "map", exact_sum=False).collect()}
+    assert set(exact) == {1, 2}  # null + empty excluded
+    assert exact[2] > exact[1] + 1.0  # OOV-heavy doc is clearly worse
+    for k in exact:
+        assert abs(exact[k] - fast[k]) < 1e-9
+
+
+def test_perplexity_map_plan_zero_shuffle(spark, documents):
+    from data_profiler_spark.operators.quality import fit_unigram_lm, score_perplexity
+
+    docs = documents
+    lm = fit_unigram_lm(docs, "text", vocab_size=16)
+    plan = (
+        score_perplexity(docs, "doc_id", "text", lm, "map")
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "Exchange" not in plan.replace("BroadcastExchange", "")
+    assert "BatchEvalPython" not in plan  # Arrow only
+
+
+def test_unigram_lm_roundtrip_bytes(spark):
+    import numpy as np
+
+    from data_profiler_spark.operators.quality import UnigramLM, fit_unigram_lm
+
+    df = spark.createDataFrame([(1, "x y z x")], "doc_id long, text string")
+    m = fit_unigram_lm(df, "text", vocab_size=2)
+    m2 = UnigramLM.from_bytes(m.to_bytes())
+    assert np.array_equal(m2.tokens, m.tokens) and np.array_equal(m2.logp, m.logp)
+    assert m2.oov_logp == m.oov_logp and m2.total_tokens == m.total_tokens

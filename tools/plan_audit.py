@@ -293,6 +293,13 @@ def build_audits(spark, sf):
             ),
         }
     )
+    from data_profiler_spark.operators.quality import fit_unigram_lm, score_perplexity
+
+    lm = fit_unigram_lm(docs, "text", vocab_size=16)
+    # LM scoring scale path: broadcast vocab, one Arrow pass, no exchange
+    audits["perplexity_score"] = (
+        score_perplexity(docs, "doc_id", "text", lm, method="map"), 0, True,
+    )
     if "Join" in _plan(asof_df):
         raise AssertionError("asof_join plan grew a join node")
     return audits

@@ -674,3 +674,69 @@ def edit_distance_pairs(
         )
         .where(F.col("dist") <= max_distance)
     )
+
+
+# ---------------------------------------------------------------------------
+# paragraph-level exact dedup (Dolma/RefinedWeb-style): remove every LATER
+# occurrence of a duplicate paragraph across the whole corpus, keeping the
+# first in (doc, position) order, and reassemble each document
+# ---------------------------------------------------------------------------
+def paragraph_dedup(
+    df: DataFrame, id_col: str, text_col: str, sep: str = "\n"
+) -> DataFrame:
+    """(id, text) with globally deduplicated paragraphs.
+
+    A "paragraph" is a ``sep``-delimited segment. The FIRST occurrence in
+    total (id, position) order survives; every other occurrence of a
+    byte-identical paragraph — in the same document or any other — is
+    dropped, and each document's survivors are rejoined in original order
+    (documents losing every paragraph come back as the empty string, never
+    vanish).
+
+    Scale shape (the Dolma boilerplate-paragraph pass at corpus scale):
+
+    1. ``posexplode`` → (id, pos, para); the dedup key is the 16-byte
+       ``unhex(md5(para))`` — 128-bit so corpus-scale collisions are
+       negligible (same key discipline as :func:`exact_duplicate_groups`),
+       and the winner shuffle moves keys + two ids, NEVER paragraph text.
+    2. winner per key = ``min(struct(id, pos))`` via groupBy — map-side
+       partial aggregation absorbs hot keys (a boilerplate paragraph
+       duplicated across millions of docs reduces inside each task before
+       the exchange), so the classic skew bomb of window-over-paragraph
+       never forms.
+    3. survivors = paras joined to winners on the key, keeping rows whose
+       (id, pos) IS the winner; AQE splits any residual skewed key.
+    4. reassembly = one groupBy(id): ``array_sort(collect_list(struct(pos,
+       para)))`` → ``concat_ws(sep)``; a left join from the distinct input
+       ids restores all-paragraphs-removed documents as ``''``.
+
+    Ref parity note: the reference dedups whole rows only
+    (src/data_profiler/profilers/base.py duplicate stats); sub-document
+    dedup is part of the training-data extension mandated alongside
+    SURVEY §2.
+    """
+    idc = F.col(id_col)
+    paras = df.select(
+        idc.alias("id"),
+        F.posexplode(F.split(F.col(text_col), sep)).alias("pos", "para"),
+    ).withColumn("k", F.unhex(F.md5(F.col("para"))))
+    winners = paras.groupBy("k").agg(F.min(F.struct("id", "pos")).alias("w"))
+    kept = (
+        paras.join(winners, "k")
+        .where((F.col("id") == F.col("w.id")) & (F.col("pos") == F.col("w.pos")))
+        .select("id", "pos", "para")
+    )
+    rebuilt = kept.groupBy("id").agg(
+        F.concat_ws(
+            sep,
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "para"))),
+                lambda s: s["para"],
+            ),
+        ).alias("text")
+    )
+    return (
+        df.select(idc.alias("id")).distinct()
+        .join(rebuilt, "id", "left")
+        .select("id", F.coalesce("text", F.lit("")).alias("text"))
+    )

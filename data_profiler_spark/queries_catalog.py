@@ -3480,3 +3480,61 @@ def perplexity_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     return score_perplexity(docs, "doc_id", "text", lm, method="join").select(
         "id", "n_tokens", "ce_nats"
     )
+
+
+# ---------------------------------------------------------------------------
+# training: Dolma-style paragraph-level exact dedup (operators/dedup.py
+# paragraph_dedup). The documents table is single-line, so the QUERY first
+# builds overlapping multi-paragraph "super-docs" — super-doc s is docs
+# [3s, 3s+4] newline-joined, so consecutive super-docs share two paragraphs
+# — identically on both sides; the OPERATOR then removes every later
+# occurrence of a duplicate paragraph globally (first in (id, pos) order
+# wins) and reassembles. Winner selection shuffles 16-byte md5 keys + two
+# ids (never text); map-side partial agg absorbs hot boilerplate paragraphs.
+# Full deduplicated text compared byte-exactly.
+# ---------------------------------------------------------------------------
+_PARA_DEDUP_SQL = """
+WITH member AS (
+  SELECT unnest(generate_series(CAST(GREATEST(CEIL((doc_id-4)/3.0),0) AS BIGINT),
+                                CAST(FLOOR(doc_id/3.0) AS BIGINT))) AS sid,
+         doc_id, text
+  FROM documents
+),
+super AS (SELECT sid, string_agg(text, chr(10) ORDER BY doc_id) AS text FROM member GROUP BY sid),
+split_t AS (SELECT sid, string_split(text, chr(10)) AS arr FROM super),
+pos_t AS (SELECT sid, arr, unnest(generate_series(1, len(arr))) AS pos FROM split_t),
+paras AS (SELECT sid, pos, arr[pos] AS para FROM pos_t),
+kept AS (SELECT sid, pos, para,
+                row_number() OVER (PARTITION BY para ORDER BY sid, pos) AS rn
+         FROM paras)
+SELECT s.sid AS id, COALESCE(k.text, '') AS text
+FROM super s LEFT JOIN (SELECT sid, string_agg(para, chr(10) ORDER BY pos) AS text
+                        FROM kept WHERE rn = 1 GROUP BY sid) k USING (sid)
+"""
+
+
+@register("paragraph_dedup_documents", _PARA_DEDUP_SQL)
+def paragraph_dedup_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from data_profiler_spark.operators.dedup import paragraph_dedup
+
+    docs = load(spark, sf_dir, "documents")
+    member = docs.select(
+        F.explode(
+            F.sequence(
+                F.greatest(F.ceil((F.col("doc_id") - 4) / 3), F.lit(0)).cast("long"),
+                F.floor(F.col("doc_id") / 3).cast("long"),
+            )
+        ).alias("sid"),
+        "doc_id",
+        "text",
+    )
+    super_docs = member.groupBy("sid").agg(
+        F.concat_ws(
+            "\n",
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("doc_id", "text"))),
+                lambda s: s["text"],
+            ),
+        ).alias("text")
+    )
+    return paragraph_dedup(super_docs, "sid", "text")

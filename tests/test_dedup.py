@@ -275,3 +275,52 @@ def test_neardup_datagen_default_off_and_truth_recall(spark):
     hits = found.join(truth, ["doc_id_a", "doc_id_b"], "left_semi").count()
     truth.unpersist()
     assert hits / n_truth >= 0.85
+
+
+def test_paragraph_dedup_first_occurrence_wins(spark):
+    """Later occurrences of a byte-identical paragraph are removed globally
+    (same doc or another doc); first in (id, pos) order survives; documents
+    losing everything come back as '' rather than vanishing."""
+    from data_profiler_spark.operators.dedup import paragraph_dedup
+
+    df = spark.createDataFrame(
+        [
+            (1, "A\nB\nC"),
+            (2, "B\nD"),  # B seen in doc 1
+            (3, "C\nC\nE"),  # C seen in doc 1; in-doc repeat also removed
+            (4, "B"),  # nothing left
+        ],
+        "id long, text string",
+    )
+    out = {r["id"]: r["text"] for r in paragraph_dedup(df, "id", "text").collect()}
+    assert out == {1: "A\nB\nC", 2: "D", 3: "E", 4: ""}
+
+
+def test_paragraph_dedup_idempotent_and_order(spark):
+    from data_profiler_spark.operators.dedup import paragraph_dedup
+
+    df = spark.createDataFrame(
+        [(10, "z\ny\nx"), (20, "y\nw\nz\nv")], "id long, text string"
+    )
+    once = paragraph_dedup(df, "id", "text")
+    got = {r["id"]: r["text"] for r in once.collect()}
+    assert got == {10: "z\ny\nx", 20: "w\nv"}  # original order preserved
+    twice = {r["id"]: r["text"] for r in paragraph_dedup(once, "id", "text").collect()}
+    assert twice == got  # idempotent
+
+
+def test_paragraph_dedup_plan_never_shuffles_text_for_winners(spark):
+    """The winner aggregation must shuffle (key, id, pos) only — the
+    paragraph text column is pruned before that exchange, and the plan
+    keeps partial_min (map-side combine defusing hot-paragraph skew)."""
+    from data_profiler_spark.operators.dedup import paragraph_dedup
+
+    df = spark.createDataFrame([(1, "a\nb")], "id long, text string")
+    plan = (
+        paragraph_dedup(df, "id", "text")
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "partial_min" in plan  # map-side combine before the winner exchange
+    assert "BatchEvalPython" not in plan

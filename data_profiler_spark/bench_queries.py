@@ -544,6 +544,22 @@ def q_perplexity(spark: SparkSession, sf_dir: str, code_files: str):
     _force(score_perplexity(df, "doc_id", "text", lm, method="map", exact_sum=False))
 
 
+def q_paragraph_dedup(spark: SparkSession, sf_dir: str, code_files: str):
+    """Dolma-style paragraph-level exact dedup over the 600k-file code
+    corpus: content is re-lined into 10-token paragraphs (one codegen
+    regex pass), then paragraph_dedup explodes ~25M paragraph rows,
+    elects first-occurrence winners by 16-byte md5 key (map-side
+    combined), and reassembles — paragraph text crossing the wire
+    exactly once (the operator's plan-pinned contract)."""
+    from data_profiler_spark.operators.dedup import paragraph_dedup
+
+    df = spark.read.parquet(code_files).select(
+        F.xxhash64("repo", "path", "commit").alias("doc_id"),
+        F.regexp_replace("content", r"((?:\S+ ){9}\S+) ", "$1\n").alias("text"),
+    )
+    _force(paragraph_dedup(df, "doc_id", "text"))
+
+
 BENCH_QUERIES = {
     "profile_lineitem": q_profile_lineitem,
     "preflight_5pct": q_preflight,
@@ -558,6 +574,7 @@ BENCH_QUERIES = {
     "simhash_dedup": q_simhash_dedup,
     "minhash_dedup_10pct": q_minhash_dedup,
     "minhash_dedup_full": q_minhash_dedup_full,
+    "paragraph_dedup": q_paragraph_dedup,
     "rolling_hash": q_rolling_hash,
     "ann_ivf_topk_1m": q_ann_ivf_topk,
     "ann_lsh_topk_1m": q_ann_lsh_topk,

@@ -28,6 +28,8 @@ is empty afterwards.
 
 from __future__ import annotations
 
+import re
+
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
@@ -693,7 +695,9 @@ def paragraph_dedup(
     (documents losing every paragraph come back as the empty string, never
     vanish).
 
-    Scale shape (the Dolma boilerplate-paragraph pass at corpus scale):
+    Scale shape (the Dolma boilerplate-paragraph pass at corpus scale) —
+    paragraph TEXT crosses the wire exactly ONCE; every other exchange
+    moves 16-byte keys or (id, pos) longs:
 
     1. ``posexplode`` → (id, pos, para); the dedup key is the 16-byte
        ``unhex(md5(para))`` — 128-bit so corpus-scale collisions are
@@ -704,11 +708,22 @@ def paragraph_dedup(
        duplicated across millions of docs reduces inside each task before
        the exchange), so the classic skew bomb of window-over-paragraph
        never forms.
-    3. survivors = paras joined to winners on the key, keeping rows whose
-       (id, pos) IS the winner; AQE splits any residual skewed key.
-    4. reassembly = one groupBy(id): ``array_sort(collect_list(struct(pos,
-       para)))`` → ``concat_ws(sep)``; a left join from the distinct input
-       ids restores all-paragraphs-removed documents as ``''``.
+    3. winners collapse to per-doc survivor-position arrays
+       (groupBy(winner id) → ``collect_list(pos)``) — tiny rows, bounded
+       by paragraphs-per-doc exactly like the reassembly state in step 4.
+    4. the text side shuffles ONCE (``repartition(id)``); the survivor
+       join is then on ``id`` alone — exact-key co-partitioning, so
+       Catalyst inserts no further text exchange — and survivors are kept
+       with ``array_contains(keep_pos, pos)`` (linear in paragraphs/doc).
+       Joining instead on the md5 key (the obvious form) would shuffle
+       full paragraph text by key AND again by id for reassembly — 2×
+       the text bytes on the wire, the dominant cost at 100 TB.
+    5. reassembly = groupBy(id) — REUSES the step-4 partitioning (no new
+       exchange): ``array_sort(collect_list(struct(pos, para)))`` →
+       ``concat_ws(sep)``; a left join from the distinct input ids
+       restores all-paragraphs-removed documents as ``''``.
+
+    ``sep`` is treated literally (regex-escaped before ``F.split``).
 
     Ref parity note: the reference dedups whole rows only
     (src/data_profiler/profilers/base.py duplicate stats); sub-document
@@ -718,13 +733,19 @@ def paragraph_dedup(
     idc = F.col(id_col)
     paras = df.select(
         idc.alias("id"),
-        F.posexplode(F.split(F.col(text_col), sep)).alias("pos", "para"),
+        F.posexplode(F.split(F.col(text_col), re.escape(sep))).alias("pos", "para"),
     ).withColumn("k", F.unhex(F.md5(F.col("para"))))
-    winners = paras.groupBy("k").agg(F.min(F.struct("id", "pos")).alias("w"))
+    winpos = (
+        paras.groupBy("k")
+        .agg(F.min(F.struct("id", "pos")).alias("w"))
+        .groupBy(F.col("w.id").alias("id"))
+        .agg(F.collect_list("w.pos").alias("keep_pos"))
+    )
     kept = (
-        paras.join(winners, "k")
-        .where((F.col("id") == F.col("w.id")) & (F.col("pos") == F.col("w.pos")))
-        .select("id", "pos", "para")
+        paras.select("id", "pos", "para")
+        .repartition("id")
+        .join(winpos, "id")
+        .where(F.array_contains("keep_pos", F.col("pos")))
     )
     rebuilt = kept.groupBy("id").agg(
         F.concat_ws(

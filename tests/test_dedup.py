@@ -309,18 +309,32 @@ def test_paragraph_dedup_idempotent_and_order(spark):
     assert twice == got  # idempotent
 
 
-def test_paragraph_dedup_plan_never_shuffles_text_for_winners(spark):
-    """The winner aggregation must shuffle (key, id, pos) only — the
-    paragraph text column is pruned before that exchange, and the plan
-    keeps partial_min (map-side combine defusing hot-paragraph skew)."""
+def test_paragraph_dedup_text_crosses_wire_exactly_once(spark):
+    """Scale contract: paragraph TEXT appears in exactly ONE shuffle
+    exchange (the repartition-by-id before the survivor join); winner
+    selection shuffles 16-byte keys + (id, pos) longs only, the survivor
+    join is co-partitioned on id, and the reassembly groupBy reuses that
+    partitioning. Also pins partial_min (map-side combine defusing
+    hot-boilerplate skew) and the no-per-row-Python discipline."""
+    import contextlib
+    import io
+    import re as _re
+
     from data_profiler_spark.operators.dedup import paragraph_dedup
 
     df = spark.createDataFrame([(1, "a\nb")], "id long, text string")
-    plan = (
-        paragraph_dedup(df, "id", "text")
-        ._jdf.queryExecution()
-        .executedPlan()
-        .toString()
-    )
+    out = paragraph_dedup(df, "id", "text")
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        out.explain("formatted")
+    formatted = buf.getvalue()
+    # formatted blocks: "(n) Exchange\nInput [k]: [cols...]\nArguments: ..."
+    blocks = _re.split(r"\n\(\d+\) ", formatted)
+    shuffles = [b for b in blocks if b.startswith("Exchange")]
+    text_shuffles = [b for b in shuffles if "para#" in b.split("Arguments")[0]]
+    assert len(text_shuffles) == 1, formatted
+    assert "REPARTITION_BY_COL" in text_shuffles[0]  # the by-id text shuffle
+
+    plan = out._jdf.queryExecution().executedPlan().toString()
     assert "partial_min" in plan  # map-side combine before the winner exchange
     assert "BatchEvalPython" not in plan

@@ -45,6 +45,7 @@ def build_audits(spark, sf):
     from data_profiler_spark.operators.dedup import (
         edit_distance_pairs,
         minhash_signatures,
+        paragraph_dedup,
         simhash64,
     )
     from data_profiler_spark.operators.outliers import iqr_outliers
@@ -81,6 +82,10 @@ def build_audits(spark, sf):
         "edit_distance": (
             edit_distance_pairs(docs.limit(200), "doc_id", "text", max_distance=2), 2, False,
         ),
+        # 4 = winner-by-key + winpos-by-id + text-by-id + distinct-ids; only
+        # the text-by-id exchange carries paragraph strings (pinned by
+        # tests/test_dedup.py::test_paragraph_dedup_text_crosses_wire_exactly_once)
+        "paragraph_dedup": (paragraph_dedup(docs, "doc_id", "text"), 4, False),
     }
 
     # training plane (late r3): split/mixture are pure map-side; packing pays

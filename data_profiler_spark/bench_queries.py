@@ -544,6 +544,35 @@ def q_perplexity(spark: SparkSession, sf_dir: str, code_files: str):
     _force(score_perplexity(df, "doc_id", "text", lm, method="map", exact_sum=False))
 
 
+def q_incremental_dedup(spark: SparkSession, sf_dir: str, code_files: str):
+    """Cross-run exact dedup: the full 600k-row corpus arrives as a NEW
+    batch against a committed store holding keys for half of it (the
+    even row-hash half). The store is SCANNED and broadcast-semi-joined
+    — never shuffled; the measured work is batch keying + winner groupBy
+    + the store key-column scan + hit anti-join. commit=False keeps reps
+    identical (no store growth between k runs)."""
+    import os
+
+    from data_profiler_spark.operators.dedup_store import (
+        ExactKeyStore,
+        content_key,
+        dedup_new_batch,
+    )
+
+    store_path = code_files.replace(".parquet", "") + "_keystore"
+    df = spark.read.parquet(code_files)
+    store = ExactKeyStore(spark, store_path)
+    if not os.path.exists(store_path):
+        hist = df.where(F.pmod(F.xxhash64("repo", "path", "commit"), F.lit(2)) == 0)
+        store.append(hist.select(content_key("content").alias("k")), run_id="hist")
+    batch = df.select(
+        F.xxhash64("repo", "path", "commit").alias("doc_id"), "content"
+    )
+    _force(
+        dedup_new_batch(batch, "doc_id", "content", store, run_id="bench", commit=False)
+    )
+
+
 def q_paragraph_dedup(spark: SparkSession, sf_dir: str, code_files: str):
     """Dolma-style paragraph-level exact dedup over the 600k-file code
     corpus: content is re-lined into 10-token paragraphs (one codegen
@@ -575,6 +604,7 @@ BENCH_QUERIES = {
     "minhash_dedup_10pct": q_minhash_dedup,
     "minhash_dedup_full": q_minhash_dedup_full,
     "paragraph_dedup": q_paragraph_dedup,
+    "incremental_dedup": q_incremental_dedup,
     "rolling_hash": q_rolling_hash,
     "ann_ivf_topk_1m": q_ann_ivf_topk,
     "ann_lsh_topk_1m": q_ann_lsh_topk,

@@ -1,0 +1,348 @@
+"""Cross-run (incremental) dedup state — dedup a NEW ingest batch against
+everything already ingested WITHOUT rescanning or re-hashing the historical
+corpus.
+
+At 100 TB the historical corpus is immutable and enormous; what survives
+between runs must be small, append-only, and mergeable:
+
+  - :class:`ExactKeyStore` — one 16-byte md5 content key per historical row
+    (parquet, one hive partition per ``run_id`` for lineage + replay pruning).
+  - :class:`MinHashBandStore` — per historical doc the banded LSH bucket
+    hashes plus the full signature, so near-dup candidates from a new batch
+    are verified by SIGNATURE AGREEMENT: historical text is never needed
+    again once its signature is stored.
+
+Scale shape for a batch-vs-store pass (batch << store, always):
+
+  1. within-batch first-occurrence winners (groupBy on the key, map-side
+     combined — the same winner discipline as ``paragraph_dedup``).
+  2. the store is SCANNED, never shuffled: the batch's distinct keys are
+     broadcast into a ``left_semi`` over the store key column, producing the
+     tiny "already seen" hit set. Batches too large to broadcast
+     (> ``BROADCAST_KEY_LIMIT`` distinct keys) fall back to a plain shuffled
+     join — correct, just not the fast path.
+  3. the batch anti-joins the hit set (AQE broadcasts it — it is at most
+     batch-sized), and survivors append their keys under this ``run_id``.
+
+Crash safety / idempotent replay: commits are append-only parquet keyed by
+``run_id``. A run that died between "survivors written" and "keys appended"
+is re-run with the SAME run_id; the hit scan EXCLUDES the current run's
+partition (partition-pruned, so replay costs nothing extra), so a partial
+prior append can never make the retry drop its own rows. Appending the same
+keys twice leaves duplicate key rows in the store — harmless, because hits
+are computed with ``left_semi`` (set semantics).
+
+The reference has no cross-run state at all — it re-reads every file per
+invocation (src/data_profiler/core/profiler.py run loop); this module is
+part of the training-data extension mandated alongside SURVEY §2, and the
+checkpoint/lineage discipline mirrors checkpoint.py's manifest rules.
+"""
+
+from __future__ import annotations
+
+import json
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from data_profiler_spark.operators.referential import BROADCAST_KEY_LIMIT
+
+KEY_COL = "k"
+_EMPTY_KEYS = "k binary, run_id string"
+
+
+def content_key(col) -> F.Column:
+    """16-byte binary md5 of a text column — the store's key unit (128-bit:
+    corpus-scale collisions negligible; shuffles/stores 16 bytes per row
+    regardless of document size)."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.unhex(F.md5(c))
+
+
+def row_key(cols: list[str]) -> F.Column:
+    """Multi-column variant: NULL-safe canonical-JSON struct fingerprint
+    (same discipline as exact_duplicate_groups)."""
+    return F.unhex(F.md5(F.to_json(F.struct(*[F.col(c) for c in cols])).cast("binary")))
+
+
+class ExactKeyStore:
+    """Append-only parquet of (k binary, run_id string), hive-partitioned by
+    run_id. ``keys(exclude_run=...)`` is the only read path — a column-pruned
+    scan of 16-byte keys."""
+
+    def __init__(self, spark: SparkSession, path: str) -> None:
+        self.spark = spark
+        self.path = path
+
+    def _exists(self) -> bool:
+        jvm = self.spark.sparkContext._jvm
+        conf = self.spark.sparkContext._jsc.hadoopConfiguration()
+        p = jvm.org.apache.hadoop.fs.Path(self.path)
+        return p.getFileSystem(conf).exists(p)
+
+    def keys(self, exclude_run: str | None = None) -> DataFrame:
+        """(k) — every stored key; empty frame when the store has no
+        committed run yet. ``exclude_run`` prunes that run's hive partition
+        (replay safety, see module docstring)."""
+        if not self._exists():
+            return self.spark.createDataFrame([], _EMPTY_KEYS).select(KEY_COL)
+        df = self.spark.read.parquet(self.path)
+        if exclude_run is not None:
+            df = df.where(F.col("run_id") != F.lit(exclude_run))
+        return df.select(KEY_COL)
+
+    def append(self, keys_df: DataFrame, run_id: str) -> None:
+        """Commit one run's keys. ``keys_df`` must have a ``k`` column;
+        anything else is pruned. Partitioning by run_id keeps replays
+        prunable and makes a run's contribution auditable."""
+        (
+            keys_df.select(KEY_COL)
+            .withColumn("run_id", F.lit(run_id))
+            .write.mode("append")
+            .partitionBy("run_id")
+            .parquet(self.path)
+        )
+
+
+def dedup_new_batch(
+    batch: DataFrame,
+    id_col: str,
+    text_col: str,
+    store: ExactKeyStore,
+    run_id: str,
+    commit: bool = True,
+) -> DataFrame:
+    """Rows of ``batch`` that are globally novel: first occurrence of their
+    content within the batch (min id wins — deterministic) AND never seen by
+    any previous committed run. When ``commit``, survivors' keys are
+    appended to the store under ``run_id`` before the survivor frame
+    returns (so a downstream write of the survivors can itself be retried
+    against the same store state).
+
+    Only the id and the 16-byte key move through any shuffle; surviving
+    full rows are recovered by an id semi-join against the input (ids are
+    assumed unique within the batch — enforce upstream with the uniqueness
+    check if ingest cannot guarantee it).
+    """
+    keyed = batch.select(F.col(id_col).alias("__id"), content_key(text_col).alias(KEY_COL))
+    # materialized once (batch-sized): reused by the count, the broadcast
+    # hit scan, and the anti-join — never recomputed from text
+    winners = keyed.groupBy(KEY_COL).agg(F.min("__id").alias("__id")).localCheckpoint(eager=True)
+
+    known = store.keys(exclude_run=run_id)
+    batch_keys = winners.select(KEY_COL)
+    n_batch_keys = batch_keys.count()
+    if n_batch_keys <= BROADCAST_KEY_LIMIT:
+        # store side only SCANS: broadcast batch keys, semi-join the store
+        hits = known.join(F.broadcast(batch_keys), KEY_COL, "left_semi").distinct()
+    else:
+        hits = known.join(batch_keys, KEY_COL, "left_semi").distinct()
+    novel = winners.join(hits, KEY_COL, "left_anti")
+
+    if commit:
+        store.append(novel.select(KEY_COL), run_id)
+    survivor_ids = novel.select(F.col("__id").alias(id_col))
+    return batch.join(survivor_ids, id_col, "left_semi")
+
+
+# ---------------------------------------------------------------------------
+# near-dup incremental state: minhash signatures + band buckets
+# ---------------------------------------------------------------------------
+class MinHashBandStore:
+    """Cross-run near-dup state: ``sigs/`` (id, sig array<bigint>) and
+    ``buckets/`` (band int, bucket bigint, id) parquet datasets, both
+    hive-partitioned by run_id, plus a ``_meta.json`` pinning the signature
+    parameters (k, num_hashes, bands, seed) — a batch hashed with different
+    parameters is incomparable, so mismatches raise instead of silently
+    returning zero recall."""
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        path: str,
+        k: int = 3,
+        num_hashes: int = 64,
+        bands: int = 16,
+        seed: int = 42,
+    ) -> None:
+        self.spark = spark
+        self.path = path.rstrip("/")
+        self.params = {"k": k, "num_hashes": num_hashes, "bands": bands, "seed": seed}
+        existing = self._read_meta()
+        if existing is not None and existing != self.params:
+            raise ValueError(
+                f"store at {path} was built with {existing}, got {self.params}"
+            )
+
+    # -- tiny meta file via the Hadoop FS (works on hdfs:///s3a:// too) ----
+    def _fs_and_path(self, name: str):
+        jvm = self.spark.sparkContext._jvm
+        conf = self.spark.sparkContext._jsc.hadoopConfiguration()
+        p = jvm.org.apache.hadoop.fs.Path(f"{self.path}/{name}")
+        return p.getFileSystem(conf), p
+
+    def _read_meta(self) -> dict | None:
+        fs, p = self._fs_and_path("_meta.json")
+        if not fs.exists(p):
+            return None
+        stream = fs.open(p)
+        try:
+            data = bytes(stream.readAllBytes()).decode("utf-8")
+        finally:
+            stream.close()
+        return json.loads(data)
+
+    def _write_meta(self) -> None:
+        fs, p = self._fs_and_path("_meta.json")
+        if fs.exists(p):
+            return
+        out = fs.create(p, True)
+        try:
+            out.write(bytearray(json.dumps(self.params).encode("utf-8")))
+        finally:
+            out.close()
+
+    def _read_or_empty(self, name: str, schema: str) -> DataFrame:
+        fs, p = self._fs_and_path(name)
+        if not fs.exists(p):
+            return self.spark.createDataFrame([], schema)
+        return self.spark.read.parquet(f"{self.path}/{name}")
+
+    def sigs(self, exclude_run: str | None = None) -> DataFrame:
+        df = self._read_or_empty("sigs", "id long, sig array<bigint>, run_id string")
+        if exclude_run is not None:
+            df = df.where(F.col("run_id") != F.lit(exclude_run))
+        return df.select("id", "sig")
+
+    def buckets(self, exclude_run: str | None = None) -> DataFrame:
+        df = self._read_or_empty("buckets", "band int, bucket bigint, id long, run_id string")
+        if exclude_run is not None:
+            df = df.where(F.col("run_id") != F.lit(exclude_run))
+        return df.select("band", "bucket", "id")
+
+    def append(self, sigs: DataFrame, buckets: DataFrame, run_id: str) -> None:
+        self._write_meta()
+        (
+            sigs.select("id", "sig").withColumn("run_id", F.lit(run_id))
+            .write.mode("append").partitionBy("run_id").parquet(f"{self.path}/sigs")
+        )
+        (
+            buckets.select("band", "bucket", "id").withColumn("run_id", F.lit(run_id))
+            .write.mode("append").partitionBy("run_id").parquet(f"{self.path}/buckets")
+        )
+
+
+def _band_buckets(sigs: DataFrame, bands: int, num_hashes: int) -> DataFrame:
+    """(band, bucket, id): xxhash64 over each band's signature slice — the
+    same banding rule as lsh_candidate_pairs, re-derived here from the
+    stored signature array so the store never needs shingles or text."""
+    rows_per_band = num_hashes // bands
+    out = []
+    for b in range(bands):
+        sl = F.slice("sig", b * rows_per_band + 1, rows_per_band)
+        out.append(
+            sigs.select(
+                F.lit(b).alias("band"),
+                F.xxhash64(F.concat_ws(",", sl.cast("array<string>"))).alias("bucket"),
+                "id",
+            )
+        )
+    df = out[0]
+    for o in out[1:]:
+        df = df.unionByName(o)
+    return df
+
+
+def sig_agreement(a, b) -> F.Column:
+    """Estimated Jaccard = fraction of agreeing signature slots (the MinHash
+    estimator). 64 slots/doc on candidate pairs only — tiny, so the
+    zip_with HOF is fine here (the corpus-scale kernels in similarity.py
+    stay fused)."""
+    return F.try_divide(
+        F.aggregate(
+            F.zip_with(a, b, lambda x, y: F.when(x == y, 1).otherwise(0)),
+            F.lit(0),
+            lambda acc, v: acc + v,
+        ).cast("double"),
+        F.size(a).cast("double"),
+    )
+
+
+def neardup_new_batch(
+    batch: DataFrame,
+    id_col: str,
+    text_col: str,
+    store: MinHashBandStore,
+    run_id: str,
+    threshold: float = 0.8,
+    commit: bool = True,
+) -> DataFrame:
+    """Rows of ``batch`` with NO near-duplicate (estimated Jaccard ≥
+    ``threshold``) among previously committed runs, nor an earlier (min-id
+    wins) near-dup within the batch itself. Survivor signatures + band
+    buckets are committed so the next run checks against them — historical
+    text is never re-read.
+
+    Plan: signatures for the batch (one shuffle, minhash_signatures), band
+    the batch, join batch buckets against store buckets on (band, bucket)
+    — the store bucket table is scanned and semi-joined down to the batch's
+    buckets before any wide work — then candidate pairs verify by
+    signature agreement. In-batch candidates come from the batch's own
+    bucket self-join (same rule as lsh_candidate_pairs), ordered so only
+    min-id survivors suppress later ids.
+    """
+    from data_profiler_spark.operators.dedup import minhash_signatures
+
+    p = store.params
+    sigs = minhash_signatures(
+        batch, id_col, text_col, k=p["k"], num_hashes=p["num_hashes"], seed=p["seed"]
+    ).select(F.col("id").cast("long").alias("id"), "sig")
+    sigs = sigs.localCheckpoint(eager=True)  # reused 3×: buckets, verify, commit
+    buckets = _band_buckets(sigs, p["bands"], p["num_hashes"])
+
+    # --- historical near-dups: batch bucket ∩ store bucket -> verify ------
+    hist_buckets = store.buckets(exclude_run=run_id)
+    cand = (
+        buckets.withColumnRenamed("id", "new_id")
+        .join(hist_buckets.withColumnRenamed("id", "old_id"), ["band", "bucket"])
+        .select("new_id", "old_id")
+        .distinct()
+    )
+    hist_sigs = store.sigs(exclude_run=run_id)
+    hist_hit = (
+        cand.join(sigs.select(F.col("id").alias("new_id"), F.col("sig").alias("a")), "new_id")
+        .join(hist_sigs.select(F.col("id").alias("old_id"), F.col("sig").alias("b")), "old_id")
+        .where(sig_agreement(F.col("a"), F.col("b")) >= threshold)
+        .select("new_id")
+        .distinct()
+    )
+
+    # --- in-batch near-dups: bucket self-join, earlier id suppresses later -
+    b2 = buckets.select("band", "bucket", F.col("id").alias("other_id"))
+    in_cand = (
+        buckets.join(b2, ["band", "bucket"])
+        .where(F.col("other_id") < F.col("id"))
+        .select(F.col("id").alias("new_id"), F.col("other_id").alias("old_id"))
+        .distinct()
+    )
+    in_hit = (
+        in_cand.join(sigs.select(F.col("id").alias("new_id"), F.col("sig").alias("a")), "new_id")
+        .join(sigs.select(F.col("id").alias("old_id"), F.col("sig").alias("b")), "old_id")
+        .where(sig_agreement(F.col("a"), F.col("b")) >= threshold)
+        .select("new_id")
+        .distinct()
+    )
+    # NOTE: in-batch suppression is single-pass (suppressed-by-suppressed
+    # still suppresses — the conservative choice for training dedup, same
+    # semantics as minhash_near_duplicates' pair list consumed greedily).
+
+    dropped = hist_hit.unionByName(in_hit).distinct()
+    survivors = sigs.join(dropped.withColumnRenamed("new_id", "id"), "id", "left_anti")
+    if commit:
+        store.append(
+            survivors,
+            _band_buckets(survivors, p["bands"], p["num_hashes"]),
+            run_id,
+        )
+    ids = survivors.select(F.col("id").alias(id_col))
+    return batch.join(ids, id_col, "left_semi")

@@ -3538,3 +3538,93 @@ def paragraph_dedup_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("text")
     )
     return paragraph_dedup(super_docs, "sid", "text")
+
+
+# ---------------------------------------------------------------------------
+# training: cross-run incremental exact dedup (operators/dedup_store.py).
+# Historical corpus = docs 0-299, whose 16-byte keys are committed to a
+# fresh ExactKeyStore; the NEW batch re-ids docs 200-499 (+10000) plus a
+# second copy of docs 400-449 (+20000), so it contains BOTH cross-run dups
+# (200-299, seen historically) and in-batch dups (the +20000 copies, which
+# lose to the smaller +10000 ids). Survivors: the +10000 copies of docs
+# 300-499. The store is scanned (broadcast semi-join), never shuffled.
+# ---------------------------------------------------------------------------
+_INCR_DEDUP_SQL = """
+WITH hist AS (SELECT text FROM documents WHERE doc_id < 300),
+newb AS (
+  SELECT doc_id + 10000 AS id, text FROM documents WHERE doc_id >= 200
+  UNION ALL
+  SELECT doc_id + 20000 AS id, text FROM documents WHERE doc_id BETWEEN 400 AND 449
+),
+firsts AS (SELECT id, text,
+                  row_number() OVER (PARTITION BY text ORDER BY id) AS rn
+           FROM newb)
+SELECT id, md5(text) AS content_hash
+FROM firsts
+WHERE rn = 1 AND text NOT IN (SELECT text FROM hist)
+"""
+
+
+@register("incremental_dedup_documents", _INCR_DEDUP_SQL)
+def incremental_dedup_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    from data_profiler_spark.operators.dedup_store import (
+        ExactKeyStore,
+        content_key,
+        dedup_new_batch,
+    )
+
+    docs = load(spark, sf_dir, "documents")
+    store = ExactKeyStore(spark, tempfile.mkdtemp(prefix="dpstore_") + "/keys")
+    store.append(
+        docs.where(F.col("doc_id") < 300).select(content_key("text").alias("k")),
+        run_id="hist",
+    )
+    newb = (
+        docs.where(F.col("doc_id") >= 200)
+        .select((F.col("doc_id") + 10000).alias("id"), "text")
+        .unionByName(
+            docs.where(F.col("doc_id").between(400, 449)).select(
+                (F.col("doc_id") + 20000).alias("id"), "text"
+            )
+        )
+    )
+    out = dedup_new_batch(newb, "id", "text", store, run_id="r1")
+    return out.select("id", F.md5("text").alias("content_hash"))
+
+
+# rows-only gate entry (no SQL twin: dedup verdicts live in MinHash
+# signature space — DuckDB has no equivalent estimator): historical run =
+# docs 0-249; the new batch re-ids docs 250-499 (+10000) and adds one-token
+# -suffix variants of docs 0-49 (+30000) whose shingle Jaccard vs their
+# historical anchors is ~0.9 — every variant must be dropped by the stored
+# band buckets + signature-agreement verify, without re-reading any
+# historical text.
+@register("incremental_neardup_documents")
+def incremental_neardup_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    from data_profiler_spark.operators.dedup_store import (
+        MinHashBandStore,
+        neardup_new_batch,
+    )
+
+    docs = load(spark, sf_dir, "documents")
+    store = MinHashBandStore(spark, tempfile.mkdtemp(prefix="dpnd_") + "/nd")
+    neardup_new_batch(
+        docs.where(F.col("doc_id") < 250).select(F.col("doc_id").alias("id"), "text"),
+        "id", "text", store, run_id="hist", threshold=0.7,
+    )
+    newb = (
+        docs.where(F.col("doc_id") >= 250)
+        .select((F.col("doc_id") + 10000).alias("id"), "text")
+        .unionByName(
+            docs.where(F.col("doc_id") < 50).select(
+                (F.col("doc_id") + 30000).alias("id"),
+                F.concat(F.col("text"), F.lit(" zqxtail")).alias("text"),
+            )
+        )
+    )
+    out = neardup_new_batch(newb, "id", "text", store, run_id="r1", threshold=0.7)
+    return out.select("id")

@@ -1,0 +1,121 @@
+"""Cross-run incremental dedup: ExactKeyStore / MinHashBandStore."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from data_profiler_spark.operators.dedup_store import (
+    ExactKeyStore,
+    MinHashBandStore,
+    content_key,
+    dedup_new_batch,
+    neardup_new_batch,
+)
+
+
+def _ids(df, col="id"):
+    return sorted(r[col] for r in df.select(col).collect())
+
+
+def test_exact_store_first_run_dedups_within_batch(spark, tmp_path):
+    store = ExactKeyStore(spark, str(tmp_path / "store"))
+    batch = spark.createDataFrame(
+        [(1, "aaa"), (2, "bbb"), (3, "aaa"), (4, "ccc")], "id long, text string"
+    )
+    out = dedup_new_batch(batch, "id", "text", store, run_id="r1")
+    assert _ids(out) == [1, 2, 4]  # min-id winner per content
+    # committed keys = 3 distinct contents
+    assert store.keys().count() == 3
+
+
+def test_exact_store_second_run_drops_seen_content(spark, tmp_path):
+    store = ExactKeyStore(spark, str(tmp_path / "store"))
+    r1 = spark.createDataFrame([(1, "aaa"), (2, "bbb")], "id long, text string")
+    dedup_new_batch(r1, "id", "text", store, run_id="r1")
+    r2 = spark.createDataFrame(
+        [(10, "bbb"), (11, "new1"), (12, "new1"), (13, "new2")],
+        "id long, text string",
+    )
+    out = dedup_new_batch(r2, "id", "text", store, run_id="r2")
+    assert _ids(out) == [11, 13]  # bbb seen in r1; 12 loses to 11 in-batch
+    assert store.keys().count() == 4  # aaa bbb new1 new2
+
+
+def test_exact_store_replay_same_run_id_is_idempotent(spark, tmp_path):
+    """A run that crashed after appending keys re-runs with the same
+    run_id and must return the same survivors (its own partial commit is
+    partition-pruned out of the hit scan)."""
+    store = ExactKeyStore(spark, str(tmp_path / "store"))
+    dedup_new_batch(
+        spark.createDataFrame([(1, "aaa")], "id long, text string"),
+        "id", "text", store, run_id="r1",
+    )
+    r2 = spark.createDataFrame([(10, "aaa"), (11, "xyz")], "id long, text string")
+    first = _ids(dedup_new_batch(r2, "id", "text", store, run_id="r2"))
+    replay = _ids(dedup_new_batch(r2, "id", "text", store, run_id="r2"))
+    assert first == replay == [11]
+
+
+def test_exact_store_commit_false_leaves_store_untouched(spark, tmp_path):
+    store = ExactKeyStore(spark, str(tmp_path / "store"))
+    batch = spark.createDataFrame([(1, "aaa")], "id long, text string")
+    out = dedup_new_batch(batch, "id", "text", store, run_id="r1", commit=False)
+    assert _ids(out) == [1]
+    assert store.keys().count() == 0
+
+
+def test_exact_store_scan_plan_never_shuffles_store(spark, tmp_path):
+    """The store side of the hit scan must be a broadcast semi-join (store
+    scanned, not shuffled) on the small-batch path."""
+    store = ExactKeyStore(spark, str(tmp_path / "store"))
+    dedup_new_batch(
+        spark.createDataFrame([(1, "aaa")], "id long, text string"),
+        "id", "text", store, run_id="r1",
+    )
+    known = store.keys(exclude_run="r2")
+    batch_keys = spark.createDataFrame([("x",)], "text string").select(
+        content_key("text").alias("k")
+    )
+    hits = known.join(F.broadcast(batch_keys), "k", "left_semi")
+    plan = hits._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastExchange" in plan
+    assert "Exchange hashpartitioning" not in plan
+
+
+def test_minhash_store_cross_run_and_in_batch(spark, tmp_path):
+    base = " ".join(f"tok{i}" for i in range(60))
+    variant = " ".join(f"tok{i}" for i in range(57)) + " zz1 zz2 zz3"  # ~0.9 sim
+    other = " ".join(f"uniq{i}" for i in range(60))
+    store = MinHashBandStore(spark, str(tmp_path / "nd"))
+    r1 = spark.createDataFrame([(1, base)], "id long, text string")
+    out1 = neardup_new_batch(r1, "id", "text", store, run_id="r1", threshold=0.5)
+    assert _ids(out1) == [1]
+
+    r2 = spark.createDataFrame(
+        [(10, variant), (11, other), (12, other + " tail")],
+        "id long, text string",
+    )
+    out2 = neardup_new_batch(r2, "id", "text", store, run_id="r2", threshold=0.5)
+    got = _ids(out2)
+    assert 10 not in got  # near-dup of historical doc 1
+    assert 11 in got  # novel
+    assert 12 not in got  # in-batch near-dup of 11 (earlier id wins)
+
+
+def test_minhash_store_param_mismatch_raises(spark, tmp_path):
+    path = str(tmp_path / "nd")
+    store = MinHashBandStore(spark, path, num_hashes=64)
+    r1 = spark.createDataFrame([(1, "a b c d e f g h")], "id long, text string")
+    neardup_new_batch(r1, "id", "text", store, run_id="r1")
+    with pytest.raises(ValueError, match="built with"):
+        MinHashBandStore(spark, path, num_hashes=32)
+
+
+def test_minhash_store_replay_same_run_id(spark, tmp_path):
+    store = MinHashBandStore(spark, str(tmp_path / "nd"))
+    doc = " ".join(f"w{i}" for i in range(40))
+    r1 = spark.createDataFrame([(1, doc)], "id long, text string")
+    first = _ids(neardup_new_batch(r1, "id", "text", store, run_id="r1"))
+    replay = _ids(neardup_new_batch(r1, "id", "text", store, run_id="r1"))
+    assert first == replay == [1]

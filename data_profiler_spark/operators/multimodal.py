@@ -168,18 +168,21 @@ def encode_png(pixels: np.ndarray) -> bytes:
 
 
 def decode_png(b: bytes) -> np.ndarray:
-    """Non-interlaced 8-bit PNG (grayscale / RGB / RGBA) → (h, w, ch) uint8.
+    """Non-interlaced 8-bit PNG (grayscale / RGB / RGBA / palette) →
+    (h, w, ch) uint8.
 
     Pure stdlib zlib + numpy: chunk walk, one inflate over the concatenated
     IDATs, then per-scanline reconstruction of all five PNG filters. Sub
     uses a per-channel cumsum (mod 256); Up is a whole-row add; Average and
     Paeth are inherently sequential in x and loop per pixel vectorized
-    across channels. Palette, 16-bit, and Adam7 payloads are rejected."""
+    across channels. 8-bit palette (color_type 3) images filter as 1-byte
+    indices then map through PLTE (+ tRNS alpha when present) — one numpy
+    take. Sub-8-bit palettes, 16-bit, and Adam7 payloads are rejected."""
     import struct
 
     if b[:8] != _PNG_SIG:
         raise NotImplementedError("not a PNG payload")
-    pos, ihdr, idat = 8, None, []
+    pos, ihdr, idat, plte, trns = 8, None, [], None, None
     while pos + 8 <= len(b):
         (length,) = struct.unpack_from(">I", b, pos)
         typ = b[pos + 4 : pos + 8]
@@ -187,6 +190,10 @@ def decode_png(b: bytes) -> np.ndarray:
         pos += 12 + length
         if typ == b"IHDR":
             ihdr = struct.unpack(">IIBBBBB", data)
+        elif typ == b"PLTE":
+            plte = data
+        elif typ == b"tRNS":
+            trns = data
         elif typ == b"IDAT":
             idat.append(data)
         elif typ == b"IEND":
@@ -194,12 +201,16 @@ def decode_png(b: bytes) -> np.ndarray:
     if ihdr is None or not idat:
         raise NotImplementedError("PNG missing IHDR/IDAT chunks")
     w, h, depth, color_type, _comp, _filt, interlace = ihdr
-    channels = {0: 1, 2: 3, 4: 2, 6: 4}.get(color_type)
+    # palette images carry 1-byte indices per pixel through the filter pass
+    channels = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}.get(color_type)
     if depth != 8 or channels is None or interlace != 0:
         raise NotImplementedError(
-            "only non-interlaced 8-bit grayscale/RGB(A) PNG is supported "
-            f"(depth={depth}, color_type={color_type}, interlace={interlace})"
+            "only non-interlaced 8-bit grayscale/RGB(A)/palette PNG is "
+            f"supported (depth={depth}, color_type={color_type}, "
+            f"interlace={interlace})"
         )
+    if color_type == 3 and (plte is None or len(plte) % 3):
+        raise NotImplementedError("palette PNG missing a well-formed PLTE chunk")
     raw = np.frombuffer(zlib.decompress(b"".join(idat)), dtype=np.uint8)
     stride = w * channels
     lines = raw.reshape(h, stride + 1)
@@ -242,6 +253,17 @@ def decode_png(b: bytes) -> np.ndarray:
             raise NotImplementedError(f"unknown PNG filter type {ftype}")
         out[y] = rec.astype(np.uint8)
         prev = rec.astype(np.uint16)
+    if color_type == 3:
+        pal = np.frombuffer(plte, dtype=np.uint8).reshape(-1, 3)
+        idx = out.reshape(h, w)
+        if idx.max() >= pal.shape[0]:
+            raise NotImplementedError("palette index out of PLTE range")
+        if trns is not None:
+            alpha = np.full(pal.shape[0], 255, dtype=np.uint8)
+            a = np.frombuffer(trns, dtype=np.uint8)
+            alpha[: a.size] = a
+            pal = np.concatenate([pal, alpha[:, None]], axis=1)
+        return pal[idx]
     return out.reshape(h, w, channels)
 
 
@@ -469,10 +491,11 @@ def image_features(df: DataFrame, batch_hint: int = 1024) -> DataFrame:
                 entropy = float(-(p * np.log2(p)).sum()) if arr.size else 0.0
                 pixels = None
                 if _is_decodable_image(b):
-                    # REAL decode: BMP (struct+numpy), PNG (zlib+numpy),
-                    # baseline JPEG (numpy huffman+IDCT). Matching magic
-                    # does NOT guarantee a supported sub-format (progressive
-                    # JPEG, palette/16-bit/interlaced PNG, top-down BMP) —
+                    # REAL decode: BMP (struct+numpy), PNG incl. 8-bit
+                    # palette (zlib+numpy), baseline JPEG (numpy
+                    # huffman+IDCT). Matching magic does NOT guarantee a
+                    # supported sub-format (progressive JPEG,
+                    # 16-bit/interlaced PNG, top-down BMP) —
                     # at 100 TB one such payload must become a decoded=False
                     # row, never an aborted job.
                     try:
@@ -516,10 +539,11 @@ def image_features(df: DataFrame, batch_hint: int = 1024) -> DataFrame:
 def resize_images(df: DataFrame, target_w: int, target_h: int) -> DataFrame:
     """Image resize over mapInPandas. REAL for BMP, PNG and baseline JPEG
     payloads (decode → nearest-neighbor index map → re-encode in the same
-    container, pure numpy); payloads no codec here can decode (WebP/TIFF,
-    progressive JPEG, palette PNG, ...) come back with ``payload = NULL``
-    — at 100 TB a partial failure must surface as null rows a caller can
-    count/filter, never as an aborted 1000-executor job."""
+    container, pure numpy; palette PNGs re-encode as truecolor PNG);
+    payloads no codec here can decode (WebP/TIFF, progressive JPEG, ...)
+    come back with ``payload = NULL`` — at 100 TB a partial failure must
+    surface as null rows a caller can count/filter, never as an aborted
+    1000-executor job."""
     proj = df.where(F.col("kind") == "image").select("media_id", "payload")
 
     def do_resize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:

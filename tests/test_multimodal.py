@@ -211,6 +211,68 @@ def test_png_decode_all_filter_types():
     assert (decode_png(png) == px).all()
 
 
+def _palette_png(idx, pal, trns=None, filters=None):
+    """Hand-build an 8-bit palette PNG: idx (h,w) uint8, pal (n,3) uint8."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    from data_profiler_spark.operators.multimodal import _PNG_SIG, _png_chunk
+
+    h, w = idx.shape
+    filters = filters or [0] * h
+    raw = bytearray()
+    prev = np.zeros(w, np.int32)
+    for y in range(h):
+        row = idx[y].astype(np.int32)
+        f = filters[y]
+        if f == 0:
+            filt = row
+        elif f == 2:  # Up — enough to prove palette rows go through filters
+            filt = (row - prev) % 256
+        else:
+            raise ValueError("test builder supports filters 0/2 only")
+        raw += bytes([f]) + filt.astype(np.uint8).tobytes()
+        prev = row
+    chunks = [_png_chunk(b"IHDR", struct.pack(">IIBBBBB", w, h, 8, 3, 0, 0, 0))]
+    chunks.append(_png_chunk(b"PLTE", pal.astype(np.uint8).tobytes()))
+    if trns is not None:
+        chunks.append(_png_chunk(b"tRNS", bytes(trns)))
+    chunks.append(_png_chunk(b"IDAT", zlib.compress(bytes(raw))))
+    chunks.append(_png_chunk(b"IEND", b""))
+    return _PNG_SIG + b"".join(chunks)
+
+
+def test_png_palette_decode():
+    """8-bit palette PNG decodes through the filter pass as indices then
+    maps through PLTE; tRNS adds a per-entry alpha channel."""
+    import numpy as np
+    import pytest
+
+    from data_profiler_spark.operators.multimodal import decode_png
+
+    rng = np.random.default_rng(7)
+    pal = rng.integers(0, 256, size=(16, 3), dtype=np.uint8)
+    idx = rng.integers(0, 16, size=(6, 9), dtype=np.uint8)
+    out = decode_png(_palette_png(idx, pal, filters=[0, 2, 0, 2, 0, 2]))
+    assert out.shape == (6, 9, 3)
+    assert (out == pal[idx]).all()
+
+    # tRNS: entries 0-2 get explicit alpha, the rest default to 255
+    out_a = decode_png(_palette_png(idx, pal, trns=[0, 128, 7]))
+    assert out_a.shape == (6, 9, 4)
+    alpha = np.full(16, 255, np.uint8)
+    alpha[:3] = [0, 128, 7]
+    assert (out_a[..., :3] == pal[idx]).all()
+    assert (out_a[..., 3] == alpha[idx]).all()
+
+    # an index beyond the palette is a gated NotImplementedError, not garbage
+    bad_idx = np.full((2, 2), 99, np.uint8)
+    with pytest.raises(NotImplementedError, match="palette index"):
+        decode_png(_palette_png(bad_idx, pal))
+
+
 def test_png_real_decode_features_and_resize(spark):
     import numpy as np
 

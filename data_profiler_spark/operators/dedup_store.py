@@ -137,7 +137,10 @@ def dedup_new_batch(
         hits = known.join(F.broadcast(batch_keys), KEY_COL, "left_semi").distinct()
     else:
         hits = known.join(batch_keys, KEY_COL, "left_semi").distinct()
-    novel = winners.join(hits, KEY_COL, "left_anti")
+    # materialize novel (batch-sized) so the store-keys scan behind `hits`
+    # runs ONCE — both the commit append and the survivor join read the
+    # checkpointed result instead of re-scanning the store
+    novel = winners.join(hits, KEY_COL, "left_anti").localCheckpoint(eager=True)
 
     if commit:
         store.append(novel.select(KEY_COL), run_id)
@@ -337,7 +340,12 @@ def neardup_new_batch(
     # semantics as minhash_near_duplicates' pair list consumed greedily).
 
     dropped = hist_hit.unionByName(in_hit).distinct()
-    survivors = sigs.join(dropped.withColumnRenamed("new_id", "id"), "id", "left_anti")
+    # batch-sized; checkpointed so the store bucket/signature scans behind
+    # `dropped` run once, not once per consumer (sig append, bucket append,
+    # survivor-id join)
+    survivors = sigs.join(
+        dropped.withColumnRenamed("new_id", "id"), "id", "left_anti"
+    ).localCheckpoint(eager=True)
     if commit:
         store.append(
             survivors,

@@ -3628,3 +3628,51 @@ def incremental_neardup_documents(spark: SparkSession, sf_dir: str) -> DataFrame
     )
     out = neardup_new_batch(newb, "id", "text", store, run_id="r1", threshold=0.7)
     return out.select("id")
+
+
+# ---------------------------------------------------------------------------
+# code corpus: repo file-set similarity / fork detection
+# (operators/code_metrics.py repo_fileset_similarity). Both sides build the
+# same synthetic repo membership: repo r holds docs [20r, 20r+24], so
+# consecutive repos share 5 files (jaccard 5/45 ≈ 0.111, or 5/40 = 0.125 at
+# the truncated tail repo) and everything else shares nothing. Shuffles
+# 16-byte md5 file keys, DF-capped inverted-index pair join.
+# ---------------------------------------------------------------------------
+_REPO_SIM_SQL = """
+WITH member AS (
+  SELECT unnest(generate_series(CAST(GREATEST(CEIL((doc_id-24)/20.0),0) AS BIGINT),
+                                CAST(FLOOR(doc_id/20.0) AS BIGINT))) AS repo,
+         doc_id, text
+  FROM documents
+),
+keys AS (SELECT DISTINCT repo, md5(text) AS k FROM member),
+sizes AS (SELECT repo, count(*) AS n FROM keys GROUP BY repo),
+pairs AS (
+  SELECT a.repo AS repo_a, b.repo AS repo_b, count(*) AS shared
+  FROM keys a JOIN keys b ON a.k = b.k AND a.repo < b.repo
+  GROUP BY 1, 2
+)
+SELECT p.repo_a, p.repo_b, p.shared, sa.n AS n_a, sb.n AS n_b,
+       p.shared * 1.0 / (sa.n + sb.n - p.shared) AS jaccard
+FROM pairs p
+JOIN sizes sa ON sa.repo = p.repo_a
+JOIN sizes sb ON sb.repo = p.repo_b
+WHERE p.shared * 1.0 / (sa.n + sb.n - p.shared) >= 0.1
+"""
+
+
+@register("repo_similarity_documents", _REPO_SIM_SQL)
+def repo_similarity_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from data_profiler_spark.operators.code_metrics import repo_fileset_similarity
+
+    docs = load(spark, sf_dir, "documents")
+    member = docs.select(
+        F.explode(
+            F.sequence(
+                F.greatest(F.ceil((F.col("doc_id") - 24) / 20), F.lit(0)).cast("long"),
+                F.floor(F.col("doc_id") / 20).cast("long"),
+            )
+        ).alias("repo"),
+        "text",
+    )
+    return repo_fileset_similarity(member, "repo", "text", min_jaccard=0.1)

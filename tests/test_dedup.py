@@ -338,3 +338,15 @@ def test_paragraph_dedup_text_crosses_wire_exactly_once(spark):
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "partial_min" in plan  # map-side combine before the winner exchange
     assert "BatchEvalPython" not in plan
+
+
+def test_paragraph_dedup_custom_separator_is_literal(spark):
+    """sep is treated literally even when it collides with regex syntax
+    ('.', '||', ...) — the operator escapes it before F.split."""
+    from data_profiler_spark.operators.dedup import paragraph_dedup
+
+    df = spark.createDataFrame(
+        [(1, "aa.bb.cc"), (2, "bb.dd")], "id long, text string"
+    )
+    out = {r["id"]: r["text"] for r in paragraph_dedup(df, "id", "text", sep=".").collect()}
+    assert out == {1: "aa.bb.cc", 2: "dd"}

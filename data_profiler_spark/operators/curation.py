@@ -549,3 +549,72 @@ def pack_sequences(
         pack,
         schema="seq_id string, doc_id long, n_tokens long, pos_in_seq int, truncated boolean",
     )
+
+
+# ---------------------------------------------------------------------------
+# opt-out / takedown compliance (The Stack's repo opt-out mechanism)
+# ---------------------------------------------------------------------------
+
+
+def optout_mark(df: DataFrame, optout: DataFrame, on: list[str]) -> DataFrame:
+    """``df`` plus a boolean ``opted_out`` column: True where the row's
+    ``on`` key appears in the ``optout`` request table.
+
+    This is the compliance primitive behind The Stack / StarCoder's
+    "Am I in The Stack?" opt-out process (described in the BigCode
+    governance papers): rights holders submit repo names, and every
+    downstream corpus build must exclude those repos AND prove it did.
+
+    Scale shape: the opt-out table is takedown requests — thousands to a
+    few million keys against 10^12 corpus rows — so it broadcasts. The
+    mark is a broadcast LEFT join against the DISTINCT request keys with
+    an in-plan indicator; nothing about the corpus shuffles, the scan
+    stays one pass, and the flag lands in codegen so a downstream
+    ``filter`` on it fuses with the read (predicate on the join output,
+    same stage). Filter + audit both derive from this one shape rather
+    than each re-implementing the join.
+    """
+    keys = optout.select(*on).distinct().withColumn("__optout__", F.lit(True))
+    marked = df.join(F.broadcast(keys), on=list(on), how="left")
+    return marked.withColumn(
+        "opted_out", F.coalesce(F.col("__optout__"), F.lit(False))
+    ).drop("__optout__")
+
+
+def optout_filter(df: DataFrame, optout: DataFrame, on: list[str]) -> DataFrame:
+    """Corpus minus opted-out rows — broadcast LEFT ANTI join on ``on``.
+
+    Anti-join (not the mark+filter composition) so the optimizer sees the
+    set-subtraction directly: BroadcastHashJoin LeftAnti keeps the scan's
+    column pruning and pushed filters intact and emits no extra column.
+    """
+    keys = optout.select(*on).distinct()
+    return df.join(F.broadcast(keys), on=list(on), how="left_anti")
+
+
+def optout_audit(df: DataFrame, optout: DataFrame, on: list[str]) -> DataFrame:
+    """Per-request compliance report: one row PER OPT-OUT KEY with
+    ``n_rows_removed`` and ``present_in_corpus`` — including requests that
+    match nothing (the proof a takedown was honored is exactly the row
+    that says 0 remained / N were dropped).
+
+    Scale shape: the corpus is first semi-joined down to ONLY opted-out
+    rows (broadcast semi — tiny output, bounded by the requests' actual
+    footprint), grouped on the request key, then joined back to the
+    request list. The groupBy shuffles at most requests×footprint rows,
+    never the corpus; the final join is small×small.
+    """
+    keys = optout.select(*on).distinct()
+    removed = (
+        df.join(F.broadcast(keys), on=list(on), how="left_semi")
+        .groupBy(*on)
+        .agg(F.count(F.lit(1)).alias("n_rows_removed"))
+    )
+    return (
+        keys.join(removed, on=list(on), how="left")
+        .select(
+            *on,
+            F.coalesce(F.col("n_rows_removed"), F.lit(0)).alias("n_rows_removed"),
+        )
+        .withColumn("present_in_corpus", F.col("n_rows_removed") > 0)
+    )

@@ -3676,3 +3676,146 @@ def repo_similarity_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
         "text",
     )
     return repo_fileset_similarity(member, "repo", "text", min_jaccard=0.1)
+
+
+# ---------------------------------------------------------------------------
+# opt-out / takedown compliance (operators/curation.py tail)
+# The Stack's repo-level opt-out: exclusion must be provable per request.
+# ---------------------------------------------------------------------------
+_OPTOUT_REPO_SQL = "'r' || CAST(doc_id % 97 AS VARCHAR)"
+_OPTOUT_REQS = ["r0", "r5", "r13", "r41", "r200"]  # r200 matches nothing
+_OPTOUT_VALUES_SQL = ", ".join(f"('{r}')" for r in _OPTOUT_REQS)
+
+
+def _optout_frames(spark: SparkSession, sf_dir: str):
+    docs = load(spark, sf_dir, "documents")
+    corpus = docs.select(
+        F.concat(F.lit("r"), (F.col("doc_id") % 97).cast("string")).alias("repo"),
+        (F.col("doc_id") % 3).cast("int").alias("lang_bucket"),
+        "doc_id",
+    )
+    reqs = spark.createDataFrame([(r,) for r in _OPTOUT_REQS], "repo string")
+    return corpus, reqs
+
+
+@register(
+    "optout_filter_documents",
+    f"""WITH code AS (SELECT doc_id, {_OPTOUT_REPO_SQL} AS repo,
+                             CAST(doc_id % 3 AS INTEGER) AS lang_bucket
+                      FROM documents),
+         req(repo) AS (VALUES {_OPTOUT_VALUES_SQL})
+        SELECT lang_bucket, CAST(COUNT(*) AS BIGINT) AS n_kept
+        FROM code WHERE repo NOT IN (SELECT repo FROM req)
+        GROUP BY 1 ORDER BY 1""",
+)
+def optout_filter_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus minus opted-out repos (broadcast anti-join), rolled up per
+    language bucket so the result is compare-sized."""
+    from data_profiler_spark.operators.curation import optout_filter
+
+    corpus, reqs = _optout_frames(spark, sf_dir)
+    kept = optout_filter(corpus, reqs, ["repo"])
+    return (
+        kept.groupBy("lang_bucket")
+        .agg(F.count(F.lit(1)).alias("n_kept"))
+        .orderBy("lang_bucket")
+    )
+
+
+@register(
+    "optout_audit_documents",
+    f"""WITH code AS (SELECT {_OPTOUT_REPO_SQL} AS repo FROM documents),
+         req(repo) AS (VALUES {_OPTOUT_VALUES_SQL}),
+         removed AS (SELECT repo, CAST(COUNT(*) AS BIGINT) AS n
+                     FROM code WHERE repo IN (SELECT repo FROM req) GROUP BY 1)
+        SELECT req.repo,
+               COALESCE(removed.n, 0) AS n_rows_removed,
+               COALESCE(removed.n, 0) > 0 AS present_in_corpus
+        FROM req LEFT JOIN removed ON req.repo = removed.repo
+        ORDER BY req.repo""",
+)
+def optout_audit_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-request takedown proof: every opt-out key gets a row, including
+    requests absent from the corpus (r200 -> 0 removed, present=false)."""
+    from data_profiler_spark.operators.curation import optout_audit
+
+    corpus, reqs = _optout_frames(spark, sf_dir)
+    return optout_audit(corpus, reqs, ["repo"]).orderBy("repo")
+
+
+# ---------------------------------------------------------------------------
+# file-class census + comment density (operators/code_metrics.py tail)
+# ---------------------------------------------------------------------------
+_PATH_SYNTH_SQL = """CASE doc_id % 7
+      WHEN 0 THEN 'src/main.py'      WHEN 1 THEN 'tests/test_app.py'
+      WHEN 2 THEN 'docs/readme.md'   WHEN 3 THEN 'vendor/lib.js'
+      WHEN 4 THEN 'Makefile'         WHEN 5 THEN '.github/workflows/ci.yml'
+      ELSE 'node_modules/pkg/index.js' END"""
+
+
+def _path_frame_spark(df: DataFrame) -> DataFrame:
+    m = F.col("doc_id") % 7
+    return df.select(
+        (F.when(m == 0, F.lit("src/main.py")).when(m == 1, F.lit("tests/test_app.py"))
+          .when(m == 2, F.lit("docs/readme.md")).when(m == 3, F.lit("vendor/lib.js"))
+          .when(m == 4, F.lit("Makefile")).when(m == 5, F.lit(".github/workflows/ci.yml"))
+          .otherwise(F.lit("node_modules/pkg/index.js"))).alias("path")
+    )
+
+
+@register(
+    "file_class_census_documents",
+    """WITH files AS (SELECT {p} AS path FROM documents)
+       SELECT {cls} AS file_class, CAST(COUNT(*) AS BIGINT) AS n_files
+       FROM files GROUP BY 1 ORDER BY 1""".format(
+        p=_PATH_SYNTH_SQL,
+        cls=__import__(
+            "data_profiler_spark.operators.code_metrics", fromlist=["path_class_sql"]
+        ).path_class_sql("path"),
+    ),
+)
+def file_class_census_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from data_profiler_spark.operators.code_metrics import file_class_census
+
+    files = _path_frame_spark(load(spark, sf_dir, "documents"))
+    return file_class_census(files, "path")
+
+
+@register(
+    "comment_density_documents",
+    """WITH code AS (SELECT doc_id, {lang} AS code_lang, {text} AS content
+                     FROM documents),
+            per_file AS (SELECT {dens} FROM code)
+       SELECT code_lang,
+              CAST(SUM(n_lines) AS BIGINT) AS total_lines,
+              CAST(SUM(n_comment_lines) AS BIGINT) AS total_comment_lines,
+              CAST(SUM(n_blank_lines) AS BIGINT) AS total_blank_lines,
+              CAST(SUM(n_comment_lines) AS DOUBLE) / CAST(SUM(n_lines) AS DOUBLE)
+                  AS comment_frac
+       FROM per_file GROUP BY 1 ORDER BY 1""".format(
+        lang="_CODE_LANG_SQL_PLACEHOLDER",
+        text="_CODE_TEXT_SQL_PLACEHOLDER",
+        dens=__import__(
+            "data_profiler_spark.operators.code_metrics", fromlist=["comment_density_sql"]
+        ).comment_density_sql("content", "code_lang"),
+    ).replace("_CODE_LANG_SQL_PLACEHOLDER", _CODE_LANG_SQL).replace(
+        "_CODE_TEXT_SQL_PLACEHOLDER", _CODE_TEXT_SQL
+    ),
+)
+def comment_density_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from data_profiler_spark.operators.code_metrics import comment_density
+
+    code = _code_frame_spark(load(spark, sf_dir, "documents"))
+    per_file = comment_density(code, "content", "code_lang", ["doc_id"])
+    return (
+        per_file.groupBy("code_lang")
+        .agg(
+            F.sum("n_lines").alias("total_lines"),
+            F.sum("n_comment_lines").alias("total_comment_lines"),
+            F.sum("n_blank_lines").alias("total_blank_lines"),
+            F.try_divide(
+                F.sum("n_comment_lines").cast("double"), F.sum("n_lines").cast("double")
+            ).alias("comment_frac"),
+        )
+        .orderBy("code_lang")
+    )

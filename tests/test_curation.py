@@ -2,6 +2,7 @@
 
 from __future__ import annotations
 
+import pytest
 from pyspark.sql import functions as F
 
 from data_profiler_spark.operators.curation import CurationConfig, curate, curation_funnel
@@ -324,3 +325,59 @@ def test_stratified_sample_scalar_fraction(spark):
     df = spark.range(10000).select(F.col("id").alias("doc_id"), F.lit("x").alias("lang"))
     kept = stratified_sample(df, "lang", 0.5, "doc_id").count()
     assert abs(kept / 10000 - 0.5) < 0.03
+
+
+# ---------------------------------------------------------------------------
+# opt-out / takedown compliance
+# ---------------------------------------------------------------------------
+
+
+@pytest.fixture(scope="module")
+def optout_corpus(spark):
+    rows = [(f"r{i % 5}", f"f{i}.py", i) for i in range(100)]
+    corpus = spark.createDataFrame(rows, "repo string, path string, doc_id long")
+    reqs = spark.createDataFrame([("r1",), ("r3",), ("r_gone",)], "repo string")
+    return corpus, reqs
+
+
+def test_optout_filter_removes_exactly_requested(spark, optout_corpus):
+    from data_profiler_spark.operators.curation import optout_filter
+
+    corpus, reqs = optout_corpus
+    kept = optout_filter(corpus, reqs, ["repo"])
+    assert kept.count() == 60  # 100 - 2 repos x 20 files
+    assert kept.filter(F.col("repo").isin("r1", "r3")).count() == 0
+    # nothing else was touched
+    assert kept.filter(F.col("repo") == "r0").count() == 20
+
+
+def test_optout_mark_flag_matches_filter(spark, optout_corpus):
+    from data_profiler_spark.operators.curation import optout_filter, optout_mark
+
+    corpus, reqs = optout_corpus
+    marked = optout_mark(corpus, reqs, ["repo"])
+    assert marked.filter("opted_out").count() == 40
+    kept_via_mark = marked.filter(~F.col("opted_out")).drop("opted_out")
+    assert (
+        kept_via_mark.exceptAll(optout_filter(corpus, reqs, ["repo"])).count() == 0
+    )
+
+
+def test_optout_audit_covers_absent_requests(spark, optout_corpus):
+    from data_profiler_spark.operators.curation import optout_audit
+
+    corpus, reqs = optout_corpus
+    audit = {r["repo"]: r for r in optout_audit(corpus, reqs, ["repo"]).collect()}
+    assert set(audit) == {"r1", "r3", "r_gone"}  # one row PER request
+    assert audit["r1"]["n_rows_removed"] == 20 and audit["r1"]["present_in_corpus"]
+    assert audit["r_gone"]["n_rows_removed"] == 0
+    assert not audit["r_gone"]["present_in_corpus"]
+
+
+def test_optout_filter_is_broadcast_anti_join(spark, optout_corpus):
+    from data_profiler_spark.operators.curation import optout_filter
+
+    corpus, reqs = optout_corpus
+    plan = optout_filter(corpus, reqs, ["repo"])._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan and "LeftAnti" in plan
+    assert "SortMergeJoin" not in plan  # the corpus must never shuffle

@@ -1,0 +1,147 @@
+#!/usr/bin/env python
+"""Scaling-efficiency evidence for the DEDUP plane: the paragraph-level
+exact dedup (the heaviest text-shuffling operator) at N vs 4N parallelism
+on identical input, fresh JVM per leg, with the same corruption guards as
+tools/scaling_bench.py (settle-before-leg, idle requirement, 4N-faster and
+efficiency<=1.05 plausibility, bit-identical output fingerprints).
+
+Usage:
+  python tools/scaling_dedup.py [n_rows]          # orchestrate both legs
+  python tools/scaling_dedup.py --leg CPUS PATH   # one leg (internal)
+
+The fingerprint is order-independent and content-exact: row count plus the
+exact integer sum of xxhash64(id, text) over the deduplicated output
+(decimal(38,0) accumulation — no overflow, no float). The north-rule
+invariant transfers: the same input must produce the same surviving
+paragraphs at every cluster size.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+import time
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+
+def leg(cpus: int, code_files: str) -> int:
+    os.environ.setdefault("SPARK_GRAFT_PRETOUCH", "1")
+    from pyspark.sql import functions as F
+
+    from data_profiler_spark import get_spark
+    from data_profiler_spark.operators.dedup import paragraph_dedup
+
+    # Shuffle on tmpfs: this operator moves GBs of paragraph text through
+    # the exchange, and BOTH legs share one box disk — a saturated single
+    # disk hides compute scaling that a real cluster has (shuffle I/O
+    # bandwidth scales per-node there). tmpfs isolates the CPU story;
+    # measured: disk-backed local.dir flattened 8→32 cores to 1.2×.
+    spark = get_spark(
+        app_name=f"scaling-dedup[{cpus}]",
+        master=f"local[{cpus}]",
+        shuffle_partitions=max(cpus, 8),
+        extra_conf={
+            "spark.ui.showConsoleProgress": "false",
+            "spark.local.dir": f"/dev/shm/spark_scaling_dedup_{cpus}",
+        },
+    )
+    df = spark.read.parquet(code_files).select(
+        F.xxhash64("repo", "path", "commit").alias("doc_id"),
+        F.regexp_replace("content", r"((?:\S+ ){9}\S+) ", "$1\n").alias("text"),
+    )
+    n_rows = df.count()  # also pre-touches the scan
+    t0 = time.monotonic()
+    out = paragraph_dedup(df, "doc_id", "text")
+    fp = out.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.xxhash64("id", "text").cast("decimal(38,0)")).alias("h"),
+    ).collect()[0]
+    sec = time.monotonic() - t0
+    print(
+        json.dumps(
+            {
+                "cpus": cpus,
+                "rows": n_rows,
+                "sec": round(sec, 4),
+                "rows_per_sec": round(n_rows / sec, 1),
+                "out_rows": fp["n"],
+                "fingerprint": str(fp["h"]),
+            }
+        )
+    )
+    spark.stop()
+    return 0
+
+
+def main() -> int:
+    if len(sys.argv) > 1 and sys.argv[1] == "--leg":
+        return leg(int(sys.argv[2]), sys.argv[3])
+
+    from tools.scaling_bench import _ensure_input, _settle
+
+    n_rows = int(sys.argv[1]) if len(sys.argv) > 1 else 2_400_000
+    lo_cpus = int(os.environ.get("SCALING_N", "8"))
+    hi_cpus = 4 * lo_cpus
+    code_files, _ = _ensure_input(n_rows)
+    max_load = float(os.environ.get("SCALING_MAX_LOAD", "3.0"))
+
+    # min-of-k fresh-JVM reps per leg: external tenant load on this box can
+    # only SLOW a leg, so the fastest rep is the least-contaminated sample
+    # (same defense as bench.py; a single-shot leg measured 42 s and 57 s
+    # for identical code+input minutes apart)
+    reps = int(os.environ.get("SCALING_REPS", "2"))
+    legs = {}
+    for cpus in (lo_cpus, hi_cpus):
+        best = None
+        for _ in range(reps):
+            load_before = _settle(max_load)
+            out = subprocess.run(
+                [sys.executable, os.path.abspath(__file__), "--leg", str(cpus), code_files],
+                capture_output=True, text=True, timeout=3000, check=True,
+            )
+            r = json.loads(out.stdout.strip().splitlines()[-1])
+            r["loadavg_before"] = round(load_before, 2)
+            r["loadavg_after"] = round(os.getloadavg()[0], 2)
+            if best is not None and r["fingerprint"] != best["fingerprint"]:
+                raise AssertionError("reps disagree on output fingerprint")
+            if best is None or r["sec"] < best["sec"]:
+                best = r
+        legs[cpus] = best
+
+    lo, hi = legs[lo_cpus], legs[hi_cpus]
+    eff = (hi["rows_per_sec"] / lo["rows_per_sec"]) / (hi_cpus / lo_cpus)
+    result = {
+        "metric": "scaling_efficiency_paragraph_dedup",
+        "n_rows": n_rows,
+        "n_cpus": lo_cpus,
+        "4n_cpus": hi_cpus,
+        "localN": {k: lo[k] for k in ("sec", "rows_per_sec", "loadavg_before")},
+        "local4N": {k: hi[k] for k in ("sec", "rows_per_sec", "loadavg_before")},
+        "efficiency_4N_vs_N": round(eff, 3),
+        "target": 0.8,
+        "outputs_bit_identical": (
+            lo["fingerprint"] == hi["fingerprint"] and lo["out_rows"] == hi["out_rows"]
+        ),
+        "out_rows": hi["out_rows"],
+    }
+    print(json.dumps(result))
+    # same plausibility guards as scaling_bench: refuse to bless a
+    # load-corrupted measurement in either direction
+    if hi["rows_per_sec"] <= lo["rows_per_sec"]:
+        print("WARN: 4N <= N throughput — load-corrupted; discard.", file=sys.stderr)
+        return 1
+    if lo["loadavg_before"] > max_load or hi["loadavg_before"] > max_load:
+        print("WARN: legs started under external load; discard.", file=sys.stderr)
+        return 1
+    if eff > 1.05:
+        print("WARN: efficiency > 1.05 is implausible — N leg was slowed mid-run; discard.", file=sys.stderr)
+        return 1
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

@@ -576,10 +576,12 @@ def q_incremental_dedup(spark: SparkSession, sf_dir: str, code_files: str):
 def q_paragraph_dedup(spark: SparkSession, sf_dir: str, code_files: str):
     """Dolma-style paragraph-level exact dedup over the 600k-file code
     corpus: content is re-lined into 10-token paragraphs (one codegen
-    regex pass), then paragraph_dedup explodes ~25M paragraph rows,
-    elects first-occurrence winners by 16-byte md5 key (map-side
-    combined), and reassembles — paragraph text crossing the wire
-    exactly once (the operator's plan-pinned contract)."""
+    regex pass), then paragraph_dedup elects first-occurrence winners by
+    16-byte md5 key (~25M exploded key rows, map-side combined — the
+    paragraph text itself never leaves its scan) and rebuilds each
+    document IN PLACE via an indexed array filter after one
+    shuffle-hash join — document text crossing the wire exactly once
+    (the operator's plan-pinned contract)."""
     from data_profiler_spark.operators.dedup import paragraph_dedup
 
     df = spark.read.parquet(code_files).select(
@@ -587,6 +589,39 @@ def q_paragraph_dedup(spark: SparkSession, sf_dir: str, code_files: str):
         F.regexp_replace("content", r"((?:\S+ ){9}\S+) ", "$1\n").alias("text"),
     )
     _force(paragraph_dedup(df, "doc_id", "text"))
+
+
+def q_span_dedup(spark: SparkSession, sf_dir: str, code_files: str):
+    """ExactSubstr-style span dedup (Lee et al. 2022, word granularity,
+    w=50 — the paper's setting) over the 600k-file code corpus: one Arrow
+    pass hashes every 50-token window (O(chars) modular prefix sums),
+    window election shuffles 24-byte (id, pos, h) rows with map-side
+    combine, and documents rebuild in place after one shuffle-hash join —
+    document text crossing the wire exactly once."""
+    from data_profiler_spark.operators.dedup import span_dedup
+
+    df = spark.read.parquet(code_files).select(
+        F.xxhash64("repo", "path", "commit").alias("doc_id"), "content"
+    )
+    _force(span_dedup(df, "doc_id", "content", w=50))
+
+
+def q_winnow_clones(spark: SparkSession, sf_dir: str, code_files: str):
+    """MOSS winnowing clone detection over the 600k-file code corpus:
+    one Arrow pass computes each file's fingerprint set (O(n) modular
+    prefix hashing + sparse-table sliding min; density ~2/(w+1) of the
+    k-grams), then the DF-capped inverted-index join emits clone pairs —
+    the shuffle carries (fingerprint, id) longs only, never content.
+    k=12/w=15 is the coarse corpus-scale setting (detects shared runs
+    of >= 26 chars, ~12% fingerprint density)."""
+    from data_profiler_spark.operators.code_metrics import winnow_similarity
+
+    df = spark.read.parquet(code_files).select(
+        F.xxhash64("repo", "path", "commit").alias("doc_id"), "content"
+    )
+    _force(
+        winnow_similarity(df, "doc_id", "content", k=12, w=15, min_jaccard=0.5)
+    )
 
 
 BENCH_QUERIES = {
@@ -604,6 +639,7 @@ BENCH_QUERIES = {
     "minhash_dedup_10pct": q_minhash_dedup,
     "minhash_dedup_full": q_minhash_dedup_full,
     "paragraph_dedup": q_paragraph_dedup,
+    "span_dedup": q_span_dedup,
     "incremental_dedup": q_incremental_dedup,
     "rolling_hash": q_rolling_hash,
     "ann_ivf_topk_1m": q_ann_ivf_topk,
@@ -611,6 +647,7 @@ BENCH_QUERIES = {
     "semantic_decon_1m": q_semantic_decon,
     "secret_scan": q_secret_scan,
     "code_shape": q_code_shape,
+    "winnow_clones": q_winnow_clones,
     "media_features": q_media_features,
     "curation_e2e": q_curation_e2e,
     "decontamination": q_decontamination,

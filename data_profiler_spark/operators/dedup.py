@@ -30,6 +30,8 @@ from __future__ import annotations
 
 import re
 
+import numpy as np
+import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
@@ -710,20 +712,26 @@ def paragraph_dedup(
        never forms.
     3. winners collapse to per-doc survivor-position arrays
        (groupBy(winner id) → ``collect_list(pos)``) — tiny rows, bounded
-       by paragraphs-per-doc exactly like the reassembly state in step 4.
-    4. the text side shuffles ONCE (``repartition(id)``); the survivor
-       join is then on ``id`` alone — exact-key co-partitioning, so
-       Catalyst inserts no further text exchange — and survivors are kept
-       with ``array_contains(keep_pos, pos)`` (linear in paragraphs/doc).
-       Joining instead on the md5 key (the obvious form) would shuffle
-       full paragraph text by key AND again by id for reassembly — 2×
-       the text bytes on the wire, the dominant cost at 100 TB.
-    5. reassembly = groupBy(id) — REUSES the step-4 partitioning (no new
-       exchange): ``array_sort(collect_list(struct(pos, para)))`` →
-       ``concat_ws(sep)``; a left join from the distinct input ids
-       restores all-paragraphs-removed documents as ``''``.
+       by paragraphs-per-doc.
+    4. documents are rebuilt IN PLACE: the original (id, text) rows join
+       the survivor arrays on ``id`` (text crosses the wire exactly once,
+       as the join exchange; winpos is the SHUFFLE_HASH build side so the
+       text stream is never sorted) and one projection keeps survivors —
+       ``filter(split(text), (para, i) -> array_contains(keep_pos, i))``
+       → ``concat_ws``. Exploding text into paragraph rows and
+       re-aggregating (the obvious form, and this operator's own first
+       version) moves the same bytes but melts every paragraph through a
+       ``collect_list`` hash map — measured 9.6M docs / 25M paragraphs:
+       the in-place rebuild cut the wall from 157 s to ~100 s at
+       local[8] by deleting the rebuild agg and the distinct-ids scan.
+       Joining on the md5 key instead would shuffle paragraph text by
+       key AND again by id — 2× the text bytes, the dominant cost at
+       100 TB. The per-paragraph lambda is bounded by paragraphs/doc,
+       not characters (the per-char HOF trap does not apply).
 
-    ``sep`` is treated literally (regex-escaped before ``F.split``).
+    Documents whose every paragraph lost (no winpos row after the join)
+    come back as the empty string, never vanish. ``sep`` is treated
+    literally (regex-escaped before ``F.split``).
 
     Ref parity note: the reference dedups whole rows only
     (src/data_profiler/profilers/base.py duplicate stats); sub-document
@@ -731,33 +739,270 @@ def paragraph_dedup(
     SURVEY §2.
     """
     idc = F.col(id_col)
+    split_expr = F.split(F.col(text_col), re.escape(sep))
     paras = df.select(
         idc.alias("id"),
-        F.posexplode(F.split(F.col(text_col), re.escape(sep))).alias("pos", "para"),
-    ).withColumn("k", F.unhex(F.md5(F.col("para"))))
+        F.posexplode(split_expr).alias("pos", "para"),
+    ).select("id", "pos", F.unhex(F.md5(F.col("para"))).alias("k"))
     winpos = (
         paras.groupBy("k")
         .agg(F.min(F.struct("id", "pos")).alias("w"))
         .groupBy(F.col("w.id").alias("id"))
         .agg(F.collect_list("w.pos").alias("keep_pos"))
     )
-    kept = (
-        paras.select("id", "pos", "para")
-        .repartition("id")
-        .join(winpos, "id")
-        .where(F.array_contains("keep_pos", F.col("pos")))
-    )
-    rebuilt = kept.groupBy("id").agg(
-        F.concat_ws(
-            sep,
-            F.transform(
-                F.array_sort(F.collect_list(F.struct("pos", "para"))),
-                lambda s: s["para"],
-            ),
-        ).alias("text")
+    kept = F.filter(
+        F.split(F.col("__text__"), re.escape(sep)),
+        lambda para, i: F.array_contains(F.col("keep_pos"), i.cast("int")),
     )
     return (
-        df.select(idc.alias("id")).distinct()
-        .join(rebuilt, "id", "left")
-        .select("id", F.coalesce("text", F.lit("")).alias("text"))
+        df.select(idc.alias("id"), F.col(text_col).alias("__text__"))
+        .join(winpos.hint("shuffle_hash"), "id", "left")
+        .select("id", F.coalesce(F.concat_ws(sep, kept), F.lit("")).alias("text"))
     )
+
+
+# ---------------------------------------------------------------------------
+# exact-substring span dedup (Lee et al. 2022, "Deduplicating Training Data
+# Makes Language Models Better" — the ExactSubstr pass, word-granularity,
+# hash-approximated: duplicated W-token windows instead of a suffix array)
+# ---------------------------------------------------------------------------
+# Double polynomial hash: two independent (base, mod) char-level hashes per
+# token, two token-level window folds, combined as h1 * MOD2 + h2 — a 60-bit
+# key space, so 10^9 windows see ~such a collision probability of ~5e-4
+# (birthday at sqrt(1e18)); a single 1e9 mod would already collide at ~50k
+# windows. Every value stays < 2^60 so int64 numpy arithmetic is exact.
+_SPAN_B1, _SPAN_M1 = 131, 1_000_000_007
+_SPAN_B2, _SPAN_M2 = 137, 998_244_353
+_SPAN_BT = 1_000_003  # token-level fold base (both mods)
+# the tokenizer's whitespace class — ASCII [ \t\n\r\v\f], NOT python/RE2
+# "\s" (whose unicode coverage differs between engines); the same class is
+# used by the hash kernel (codepoint mask), the rebuild kernel (re.split)
+# and the DuckDB twin (string_split_regex), so all three tokenize
+# identically.
+_SPAN_WS = "[ \t\n\r\x0b\x0c]+"
+_SPAN_WS_CODES = np.array([9, 10, 11, 12, 13, 32], dtype=np.int64)
+
+
+class _GrowCache:
+    """Per-process power/inverse tables, grown once per new max length —
+    one python loop per NEW maximum, then O(1) lookups (the same
+    discipline as text.rolling_hash / code_metrics.winnow_fingerprints)."""
+
+    def __init__(self, mult: int, mod: int):
+        self.mult, self.mod = mult, mod
+        self.t = np.array([1], dtype=np.int64)
+
+    def get(self, n: int):
+        t = self.t
+        if len(t) < n:
+            ext = np.empty(n, dtype=np.int64)
+            m = len(t)
+            ext[:m] = t
+            for i in range(m, n):
+                ext[i] = ext[i - 1] * self.mult % self.mod
+            self.t = ext
+            t = ext
+        return t
+
+
+def _span_hash_arrays(texts, w: int, caches) -> list:
+    """Numpy kernel shared by the span operators: per text, the int64 array
+    of combined window hashes (one per W-token window, empty when the doc
+    has fewer than W tokens). O(chars) per doc — modular prefix sums give
+    every token hash and every window hash without rescanning:
+    h([b,e)) = (S[e] - S[b]) * base^(e-1) mod p where S is the prefix sum
+    of cp[j] * base^(-j) (the winnowing kernel's algebra, applied twice —
+    once over codepoints per token, once over token hashes per window)."""
+    inv1, pow1, inv2, pow2, invt1, powt1, invt2, powt2 = caches
+    out = []
+    for v in texts:
+        if v is None:
+            out.append(None)
+            continue
+        cps = np.frombuffer(v.encode("utf-32-le"), dtype="<u4").astype(np.int64)
+        n = len(cps)
+        nonws = ~np.isin(cps, _SPAN_WS_CODES)
+        starts = np.nonzero(nonws & np.concatenate(([True], ~nonws[:-1])))[0]
+        m = len(starts)
+        if m < w:
+            out.append([])
+            continue
+        ends = np.nonzero(nonws & np.concatenate((~nonws[1:], [True])))[0] + 1
+        a1 = (cps % _SPAN_M1) * inv1.get(n)[:n] % _SPAN_M1
+        a2 = (cps % _SPAN_M2) * inv2.get(n)[:n] % _SPAN_M2
+        s1 = np.concatenate(([0], np.cumsum(a1) % _SPAN_M1))
+        s2 = np.concatenate(([0], np.cumsum(a2) % _SPAN_M2))
+        th1 = (s1[ends] - s1[starts]) % _SPAN_M1 * pow1.get(n)[ends - 1] % _SPAN_M1
+        th2 = (s2[ends] - s2[starts]) % _SPAN_M2 * pow2.get(n)[ends - 1] % _SPAN_M2
+        b1 = th1 * invt1.get(m)[:m] % _SPAN_M1
+        b2 = th2 * invt2.get(m)[:m] % _SPAN_M2
+        c1 = np.concatenate(([0], np.cumsum(b1) % _SPAN_M1))
+        c2 = np.concatenate(([0], np.cumsum(b2) % _SPAN_M2))
+        hw1 = (c1[w:] - c1[:-w]) % _SPAN_M1 * powt1.get(m)[w - 1 : m] % _SPAN_M1
+        hw2 = (c2[w:] - c2[:-w]) % _SPAN_M2 * powt2.get(m)[w - 1 : m] % _SPAN_M2
+        out.append((hw1 * _SPAN_M2 + hw2).tolist())
+    return out
+
+
+def _span_caches():
+    return (
+        _GrowCache(pow(_SPAN_B1, _SPAN_M1 - 2, _SPAN_M1), _SPAN_M1),
+        _GrowCache(_SPAN_B1, _SPAN_M1),
+        _GrowCache(pow(_SPAN_B2, _SPAN_M2 - 2, _SPAN_M2), _SPAN_M2),
+        _GrowCache(_SPAN_B2, _SPAN_M2),
+        _GrowCache(pow(_SPAN_BT, _SPAN_M1 - 2, _SPAN_M1), _SPAN_M1),
+        _GrowCache(_SPAN_BT, _SPAN_M1),
+        _GrowCache(pow(_SPAN_BT, _SPAN_M2 - 2, _SPAN_M2), _SPAN_M2),
+        _GrowCache(_SPAN_BT, _SPAN_M2),
+    )
+
+
+def span_hashes(df: DataFrame, id_col: str, text_col: str, w: int = 50) -> DataFrame:
+    """(id, pos, h) — one 60-bit combined hash per W-token window of each
+    document, pos = 0-based window start in token coordinates. Tokens are
+    maximal runs of non-whitespace (ASCII class — see ``_SPAN_WS``); docs
+    with fewer than ``w`` tokens emit no rows. ONE Arrow pass computes the
+    whole per-doc hash array (O(chars), no per-char python, no O(n·w)
+    window strings); the posexplode emits 24-byte (id, pos, h) rows —
+    document TEXT never leaves the scan."""
+    if w < 1:
+        raise ValueError(f"w must be >= 1 (got {w})")
+    caches = _span_caches()
+
+    @F.pandas_udf("array<long>")
+    def _hashes(s: pd.Series) -> pd.Series:
+        return pd.Series(_span_hash_arrays(s, w, caches), dtype=object)
+
+    return df.select(
+        F.col(id_col).alias("id"), F.posexplode(_hashes(F.col(text_col))).alias("pos", "h")
+    )
+
+
+def duplicate_spans(
+    df: DataFrame, id_col: str, text_col: str, w: int = 50, min_count: int = 2
+) -> DataFrame:
+    """Corpus-wide duplicated W-token windows: (span_h, n_occ, first_id,
+    first_pos) for every window hash occurring ``min_count``+ times — the
+    discovery half of :func:`span_dedup`, useful standalone as the "how
+    much boilerplate text does this corpus repeat" census. One shuffle of
+    (id, pos, h) longs with map-side-combined count/min — text never moves."""
+    return (
+        span_hashes(df, id_col, text_col, w)
+        .groupBy(F.col("h").alias("span_h"))
+        .agg(
+            F.count(F.lit(1)).alias("n_occ"),
+            F.min(F.struct("id", "pos")).alias("w0"),
+        )
+        .where(F.col("n_occ") >= min_count)
+        .select(
+            "span_h",
+            "n_occ",
+            F.col("w0.id").alias("first_id"),
+            F.col("w0.pos").alias("first_pos"),
+        )
+    )
+
+
+def span_dedup(df: DataFrame, id_col: str, text_col: str, w: int = 50) -> DataFrame:
+    """(id, text) with duplicated W-token spans removed corpus-wide — the
+    ExactSubstr pass of Lee et al. 2022 at word granularity, first
+    occurrence in total (id, pos) order kept, every later occurrence's
+    covered tokens dropped (a shared run of L ≥ w tokens is covered
+    exactly: all of its windows are duplicated, and their union is the
+    run). Hash-approximated: a 60-bit double polynomial hash replaces the
+    suffix array — the distributed-native tradeoff (collision odds ~1e-4
+    at 10^9 windows) vs a structure that cannot shard.
+
+    Scale shape (same wire contract as :func:`paragraph_dedup`, plan-pinned
+    in tests): document TEXT crosses the wire exactly ONCE (the rebuild
+    join, shuffle-hash so text is never sorted); window election shuffles
+    24-byte (id, pos, h) rows with map-side-combined count/min, so a
+    boilerplate span duplicated across millions of docs reduces inside
+    each task before the exchange. Winner positions — including every
+    unique window, which wins trivially — come back as one per-doc int
+    array; every OTHER window position is a loser, so the rebuild needs no
+    second pass over the hash frame. Rebuild = one Arrow pass: coverage
+    diff-array over loser windows, surviving tokens rejoined with ' '.
+    Untouched documents (no windows, or zero losing windows) return their
+    original text VERBATIM; only rebuilt documents are whitespace-
+    normalized (tokens joined by single spaces).
+
+    Ref parity note: the reference dedups whole rows only
+    (src/data_profiler/profilers/base.py duplicate stats); sub-document
+    dedup is part of the training-data extension mandated alongside
+    SURVEY §2.
+    """
+    if w < 1:
+        raise ValueError(f"w must be >= 1 (got {w})")
+    hashes = span_hashes(df, id_col, text_col, w)
+    winpos = (
+        hashes.groupBy("h")
+        .agg(F.min(F.struct("id", "pos")).alias("w0"))
+        .groupBy(F.col("w0.id").alias("id"))
+        .agg(F.collect_list("w0.pos").alias("keep_pos"))
+    )
+
+    @F.pandas_udf("string")
+    def _rebuild(texts: pd.Series, keeps: pd.Series) -> pd.Series:
+        out = []
+        for text, kp in zip(texts, keeps):
+            if text is None:
+                out.append(None)
+                continue
+            toks = [t for t in re.split(_SPAN_WS, text) if t]
+            n = len(toks)
+            total = n - w + 1
+            if total <= 0:
+                out.append(text)
+                continue
+            kp_arr = np.asarray(kp if kp is not None else [], dtype=np.int64)
+            if len(kp_arr) == total:
+                out.append(text)
+                continue
+            lose = np.setdiff1d(np.arange(total, dtype=np.int64), kp_arr)
+            diff = np.zeros(n + w + 1, dtype=np.int64)
+            np.add.at(diff, lose, 1)
+            np.add.at(diff, lose + w, -1)
+            covered = np.cumsum(diff[:n]) > 0
+            out.append(" ".join(t for t, c in zip(toks, covered) if not c))
+        return pd.Series(out, dtype=object)
+
+    return (
+        df.select(F.col(id_col).alias("id"), F.col(text_col).alias("__text__"))
+        .join(winpos.hint("shuffle_hash"), "id", "left")
+        .select("id", _rebuild(F.col("__text__"), F.col("keep_pos")).alias("text"))
+    )
+
+
+def _span_tok_hash_sql(tok: str, base: int, mod: int) -> str:
+    """DuckDB char-level polynomial hash of a (non-empty) token expression."""
+    return (
+        f"list_reduce(list_transform(string_split_regex({tok}, ''), "
+        f"ch -> CAST(ascii(ch) AS BIGINT)), (a, c) -> (a * {base} + c) % {mod})"
+    )
+
+
+def span_sql_parts(text: str, w: int = 50) -> dict[str, str]:
+    """DuckDB-twin SQL fragments for the span-hash pipeline, meant to be
+    STAGED through CTE columns (DuckDB re-evaluates inlined subexpressions
+    per lambda call, so one-expression nesting goes quadratic — same
+    staging requirement as code_metrics.winnow_hs_sql):
+
+    - ``tokens``: non-empty token list of ``text`` (same ASCII whitespace
+      class as the Spark kernel);
+    - ``th1``/``th2``: per-token char-level polynomial hashes over a
+      column named ``__tk``;
+    - ``windows``: combined W-token window-hash list over columns
+      ``__tk``/``__th1``/``__th2`` — empty list when the doc has fewer
+      than ``w`` tokens (range(1, n-w+2) is empty for n < w).
+    """
+    return {
+        "tokens": f"list_filter(string_split_regex({text}, '{_SPAN_WS}'), t -> t <> '')",
+        "th1": f"list_transform(__tk, t -> {_span_tok_hash_sql('t', _SPAN_B1, _SPAN_M1)})",
+        "th2": f"list_transform(__tk, t -> {_span_tok_hash_sql('t', _SPAN_B2, _SPAN_M2)})",
+        "windows": (
+            f"list_transform(range(1, len(__tk) - {w} + 2), p -> "
+            f"list_reduce(list_slice(__th1, p, p + {w} - 1), (a, c) -> (a * {_SPAN_BT} + c) % {_SPAN_M1}) * {_SPAN_M2} + "
+            f"list_reduce(list_slice(__th2, p, p + {w} - 1), (a, c) -> (a * {_SPAN_BT} + c) % {_SPAN_M2}))"
+        ),
+    }

@@ -3819,3 +3819,148 @@ def comment_density_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("code_lang")
     )
+
+
+# ---------------------------------------------------------------------------
+# winnowing fingerprints + MOSS-style clone pairs (operators/code_metrics.py)
+# ---------------------------------------------------------------------------
+def _winnow_sql_parts() -> tuple[str, str]:
+    from data_profiler_spark.operators.code_metrics import (
+        winnow_cps_sql,
+        winnow_fps_sql,
+        winnow_hs_sql,
+    )
+
+    # staged CTE columns: DuckDB re-evaluates inlined subexpressions per
+    # lambda call, so the one-expression form is O(n²) at corpus size
+    staged = f"""c AS (SELECT doc_id, {winnow_cps_sql('text')} AS cps FROM documents),
+h AS (SELECT doc_id, {winnow_hs_sql('cps', 8)} AS hs FROM c),
+f AS (SELECT doc_id, {winnow_fps_sql('hs', 8)} AS fps FROM h)"""
+    pair_sql = f"""
+WITH {staged},
+keys AS (SELECT DISTINCT doc_id, unnest(fps) AS k FROM f),
+sizes AS (SELECT doc_id, count(*) AS n FROM keys GROUP BY 1),
+pairs AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS shared
+  FROM keys a JOIN keys b ON a.k = b.k AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT p.doc_a, p.doc_b, p.shared, sa.n AS n_a, sb.n AS n_b,
+       p.shared * 1.0 / (sa.n + sb.n - p.shared) AS jaccard
+FROM pairs p
+JOIN sizes sa ON sa.doc_id = p.doc_a
+JOIN sizes sb ON sb.doc_id = p.doc_b
+WHERE p.shared * 1.0 / (sa.n + sb.n - p.shared) >= 0.3
+"""
+    fps_query = f"""WITH {staged}
+SELECT doc_id, CAST(unnest(fps) AS BIGINT) AS fp FROM f"""
+    return fps_query, pair_sql
+
+
+_WINNOW_FPS_QUERY, _WINNOW_PAIRS_SQL = _winnow_sql_parts()
+
+
+@register("winnow_fingerprints_documents", _WINNOW_FPS_QUERY)
+def winnow_fingerprints_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document winnowing fingerprint set (Schleimer et al. SIGMOD'03,
+    the MOSS algorithm), exploded to (doc_id, fp) rows so every selected
+    hash is value-checked against the DuckDB list-expression twin."""
+    from data_profiler_spark.operators.code_metrics import winnow_fingerprints
+
+    docs = load(spark, sf_dir, "documents")
+    fps = winnow_fingerprints(docs, "doc_id", "text", k=8, w=8)
+    return fps.select(F.col("id").alias("doc_id"), F.explode("fps").alias("fp"))
+
+
+@register("winnow_similarity_documents", _WINNOW_PAIRS_SQL)
+def winnow_similarity_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MOSS-style clone pairs over the documents corpus: winnowing
+    fingerprint sets joined by inverted index (DF cap inactive at this
+    scale, so the twin can skip it), jaccard >= 0.3."""
+    from data_profiler_spark.operators.code_metrics import winnow_similarity
+
+    docs = load(spark, sf_dir, "documents")
+    return winnow_similarity(docs, "doc_id", "text", k=8, w=8, min_jaccard=0.3)
+
+
+# ---------------------------------------------------------------------------
+# exact-substring span dedup (operators/dedup.py span_dedup — Lee et al.
+# 2022 ExactSubstr at word granularity, hash-approximated). The sf0.01
+# documents corpus contains generator-made near-duplicate docs sharing long
+# token runs, so duplicated 20-token windows occur naturally (~750 hashes).
+# ---------------------------------------------------------------------------
+def _span_sql(w: int) -> tuple[str, str]:
+    from data_profiler_spark.operators.dedup import span_sql_parts
+
+    p = span_sql_parts("text", w)
+    # staged CTE columns: DuckDB re-evaluates inlined subexpressions per
+    # lambda call, so the one-expression nesting would go quadratic
+    staged = f"""t0 AS (SELECT doc_id, text, {p['tokens']} AS __tk FROM documents),
+t1 AS (SELECT doc_id, text, __tk, {p['th1']} AS __th1, {p['th2']} AS __th2 FROM t0),
+t2 AS (SELECT doc_id, text, __tk AS tk, len(__tk) AS n, {p['windows']} AS hs FROM t1),
+occ AS (SELECT doc_id, UNNEST(list_transform(range(1, len(hs)+1),
+                               i -> {{'pos': i - 1, 'h': hs[i]}})) AS s FROM t2),
+ranked AS (SELECT s.h AS span_h, doc_id, s.pos AS pos,
+                  count(*) OVER (PARTITION BY s.h) AS n_occ,
+                  row_number() OVER (PARTITION BY s.h ORDER BY doc_id, s.pos) AS rn
+           FROM occ)"""
+    dup_sql = f"""
+WITH {staged}
+SELECT span_h, n_occ, doc_id AS first_id, pos AS first_pos
+FROM ranked WHERE rn = 1 AND n_occ >= 2
+"""
+    dedup_sql = f"""
+WITH {staged},
+keep AS (SELECT doc_id, list(pos ORDER BY pos) AS kp
+         FROM ranked WHERE rn = 1 GROUP BY doc_id)
+SELECT b.doc_id, CASE
+    WHEN len(rmv) = 0 THEN b.text
+    -- array_to_string has string_agg semantics: NULL on an empty list,
+    -- where Spark's join-of-no-survivors yields '' — coalesce aligns them
+    ELSE coalesce(array_to_string(list_transform(list_filter(range(1, b.n + 1),
+        i -> len(list_filter(rmv, p -> p <= i - 1 AND i - 1 < p + {w})) = 0),
+        i -> b.tk[i]), ' '), '')
+  END AS text
+FROM (SELECT t2.doc_id, t2.text, t2.tk, t2.n,
+             CASE WHEN t2.n >= {w}
+                  THEN list_filter(range(0, t2.n - {w} + 1),
+                       p -> NOT list_contains(coalesce(k.kp, CAST([] AS BIGINT[])), p))
+                  ELSE CAST([] AS BIGINT[]) END AS rmv
+      FROM t2 LEFT JOIN keep k USING (doc_id)) b
+"""
+    return dup_sql, dedup_sql
+
+
+_DUP_SPANS_SQL, _SPAN_DEDUP_SQL = _span_sql(20)
+
+
+@register("duplicate_spans_documents", _DUP_SPANS_SQL)
+def duplicate_spans_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-wide duplicated 20-token windows with first-occurrence winner:
+    (span_h, n_occ, first_id, first_pos) — value-parity pins the double
+    polynomial hash, the occurrence count AND the (id, pos) winner election
+    against the DuckDB list-expression twin."""
+    from data_profiler_spark.operators.dedup import duplicate_spans
+
+    docs = load(spark, sf_dir, "documents")
+    return duplicate_spans(docs, "doc_id", "text", w=20).select(
+        "span_h",
+        "n_occ",
+        "first_id",
+        F.col("first_pos").cast("long").alias("first_pos"),
+    )
+
+
+@register("span_dedup_documents", _SPAN_DEDUP_SQL)
+def span_dedup_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ExactSubstr-style span dedup (Lee et al. 2022, word granularity):
+    every later occurrence of a duplicated 20-token window has its covered
+    tokens removed; rebuilt text compared byte-exactly against the DuckDB
+    rebuild (untouched docs byte-identical originals, rebuilt docs
+    whitespace-normalized on both sides)."""
+    from data_profiler_spark.operators.dedup import span_dedup
+
+    docs = load(spark, sf_dir, "documents")
+    return span_dedup(docs, "doc_id", "text", w=20).select(
+        F.col("id").alias("doc_id"), "text"
+    )

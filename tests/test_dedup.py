@@ -310,11 +310,11 @@ def test_paragraph_dedup_idempotent_and_order(spark):
 
 
 def test_paragraph_dedup_text_crosses_wire_exactly_once(spark):
-    """Scale contract: paragraph TEXT appears in exactly ONE shuffle
-    exchange (the repartition-by-id before the survivor join); winner
-    selection shuffles 16-byte keys + (id, pos) longs only, the survivor
-    join is co-partitioned on id, and the reassembly groupBy reuses that
-    partitioning. Also pins partial_min (map-side combine defusing
+    """Scale contract: document TEXT appears in exactly ONE shuffle
+    exchange (the rebuild join's stream side) and is never SORTED
+    (shuffle-hash join, winpos as build side); paragraph rows NEVER
+    shuffle — winner selection exchanges 16-byte keys + (id, pos) longs
+    only. Also pins partial_min (map-side combine defusing
     hot-boilerplate skew) and the no-per-row-Python discipline."""
     import contextlib
     import io
@@ -331,9 +331,12 @@ def test_paragraph_dedup_text_crosses_wire_exactly_once(spark):
     # formatted blocks: "(n) Exchange\nInput [k]: [cols...]\nArguments: ..."
     blocks = _re.split(r"\n\(\d+\) ", formatted)
     shuffles = [b for b in blocks if b.startswith("Exchange")]
-    text_shuffles = [b for b in shuffles if "para#" in b.split("Arguments")[0]]
+    text_shuffles = [b for b in shuffles if "__text__#" in b.split("Arguments")[0]]
     assert len(text_shuffles) == 1, formatted
-    assert "REPARTITION_BY_COL" in text_shuffles[0]  # the by-id text shuffle
+    para_shuffles = [b for b in shuffles if "para#" in b.split("Arguments")[0]]
+    assert not para_shuffles, formatted  # paragraph rows never shuffle
+    sorts = [b for b in blocks if b.startswith("Sort") and "__text__#" in b]
+    assert not sorts, formatted  # text stream is hash-joined, not sorted
 
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "partial_min" in plan  # map-side combine before the winner exchange
@@ -350,3 +353,135 @@ def test_paragraph_dedup_custom_separator_is_literal(spark):
     )
     out = {r["id"]: r["text"] for r in paragraph_dedup(df, "id", "text", sep=".").collect()}
     assert out == {1: "aa.bb.cc", 2: "dd"}
+
+
+# ---------------------------------------------------------------------------
+# exact-substring span dedup (Lee et al. 2022 ExactSubstr, word granularity)
+# ---------------------------------------------------------------------------
+_SPAN_WS_RE = "[ \t\n\r\x0b\x0c]+"
+
+
+def _naive_span_dedup(rows, w):
+    """Hash-free reference: window identity is the token TUPLE itself, so
+    the test is independent of the operator's polynomial-hash machinery."""
+    import re as _re
+
+    toks = {
+        i: [t for t in _re.split(_SPAN_WS_RE, txt) if t]
+        for i, txt in rows
+        if txt is not None
+    }
+    wins: dict = {}
+    for i in sorted(toks):
+        tk = toks[i]
+        for p in range(len(tk) - w + 1):
+            wins.setdefault(tuple(tk[p : p + w]), (i, p))
+    out = {}
+    for i, txt in rows:
+        if txt is None:
+            out[i] = None
+            continue
+        tk = toks[i]
+        total = len(tk) - w + 1
+        if total <= 0:
+            out[i] = txt
+            continue
+        lose = [p for p in range(total) if wins[tuple(tk[p : p + w])] != (i, p)]
+        if not lose:
+            out[i] = txt
+            continue
+        covered = set()
+        for p in lose:
+            covered.update(range(p, p + w))
+        out[i] = " ".join(t for j, t in enumerate(tk) if j not in covered)
+    return out
+
+
+def _span_corpus(seed=31, n_docs=40, w=5):
+    import random
+
+    random.seed(seed)
+    vocab = [f"w{j}" for j in range(30)]
+    rows = []
+    for i in range(n_docs):
+        rows.append((i, " ".join(random.choice(vocab) for _ in range(random.randint(0, 40)))))
+    # near-duplicates: copy with a mid edit (shares long runs both sides)
+    for i in range(n_docs, n_docs + 8):
+        base = rows[i - n_docs][1].split()
+        if len(base) > 2 * w:
+            base[len(base) // 2] = "EDITED"
+        rows.append((i, " ".join(base)))
+    # exact duplicate, intra-doc repeat, and edge cases
+    rows.append((100, rows[0][1]))
+    run = " ".join(random.choice(vocab) for _ in range(w + 3))
+    rows.append((101, f"{run} zz {run}"))
+    rows.append((102, None))
+    rows.append((103, ""))
+    rows.append((104, "  \t "))
+    rows.append((105, "solo"))
+    return rows
+
+
+def test_span_dedup_matches_naive(spark):
+    from data_profiler_spark.operators.dedup import span_dedup
+
+    for w in (3, 5, 12):
+        rows = _span_corpus(w=w)
+        df = spark.createDataFrame(rows, "id long, text string")
+        got = {r["id"]: r["text"] for r in span_dedup(df, "id", "text", w=w).collect()}
+        want = _naive_span_dedup(rows, w)
+        assert got == want, (w, {k: (got[k], want[k]) for k in want if got[k] != want[k]})
+
+
+def test_span_dedup_idempotent(spark):
+    from data_profiler_spark.operators.dedup import span_dedup
+
+    rows = [(i, t) for i, t in _span_corpus(w=4) if t is not None]
+    df = spark.createDataFrame(rows, "id long, text string")
+    once = span_dedup(df, "id", "text", w=4)
+    first = {r["id"]: r["text"] for r in once.collect()}
+    twice = {r["id"]: r["text"] for r in span_dedup(once, "id", "text", w=4).collect()}
+    assert first == twice
+
+
+def test_duplicate_spans_winner_and_count(spark):
+    from data_profiler_spark.operators.dedup import duplicate_spans
+
+    # doc 1 repeats the run intra-doc; doc 2 repeats it once more — count=3,
+    # winner is (1, 0); unique windows must not appear
+    run = "a b c"
+    rows = [(1, f"{run} x {run}"), (2, f"zz {run}"), (3, "p q r")]
+    df = spark.createDataFrame(rows, "id long, text string")
+    got = duplicate_spans(df, "id", "text", w=3, min_count=2).collect()
+    assert len(got) == 1
+    r = got[0]
+    assert (r["n_occ"], r["first_id"], r["first_pos"]) == (3, 1, 0)
+
+
+def test_span_dedup_text_crosses_wire_exactly_once(spark):
+    """Same wire contract as paragraph_dedup: document TEXT appears in
+    exactly ONE exchange (the rebuild join's stream side), is never
+    SORTED, and the window-hash election shuffles (id, pos, h) longs only
+    with map-side partial aggregation."""
+    import contextlib
+    import io
+    import re as _re
+
+    from data_profiler_spark.operators.dedup import span_dedup
+
+    df = spark.createDataFrame(_span_corpus(w=5)[:30], "id long, text string")
+    out = span_dedup(df, "id", "text", w=5)
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        out.explain("formatted")
+    formatted = buf.getvalue()
+    blocks = _re.split(r"\n\(\d+\) ", formatted)
+    shuffles = [b for b in blocks if b.startswith("Exchange")]
+    text_shuffles = [b for b in shuffles if "__text__#" in b.split("Arguments")[0]]
+    assert len(text_shuffles) == 1, formatted
+    sorts = [b for b in blocks if b.startswith("Sort") and "__text__#" in b]
+    assert not sorts, formatted
+
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "partial_min" in plan  # map-side combine before the winner exchange
+    assert "BatchEvalPython" not in plan  # Arrow-batched UDFs only

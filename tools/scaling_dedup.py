@@ -54,6 +54,16 @@ def leg(cpus: int, code_files: str) -> int:
         F.regexp_replace("content", r"((?:\S+ ){9}\S+) ", "$1\n").alias("text"),
     )
     n_rows = df.count()  # also pre-touches the scan
+    # untimed warm-up on a small slice: same plan shapes, so whole-stage
+    # codegen compile + JIT are paid before the timed pass — the same
+    # methodology as scaling_bench's untimed suite pass. These are fixed
+    # ~9 s/JVM costs (measured from the 4/16-core leg algebra) that
+    # amortize to zero on the 10^12-row target but read as poor scaling
+    # at bench scale (the 4N leg pays them over a 4x shorter run).
+    warm = paragraph_dedup(df.limit(50_000), "doc_id", "text")
+    warm.agg(
+        F.count(F.lit(1)), F.sum(F.xxhash64("id", "text").cast("decimal(38,0)"))
+    ).collect()
     t0 = time.monotonic()
     out = paragraph_dedup(df, "doc_id", "text")
     fp = out.agg(
@@ -83,7 +93,7 @@ def main() -> int:
 
     from tools.scaling_bench import _ensure_input, _settle
 
-    n_rows = int(sys.argv[1]) if len(sys.argv) > 1 else 2_400_000
+    n_rows = int(sys.argv[1]) if len(sys.argv) > 1 else 4_800_000
     lo_cpus = int(os.environ.get("SCALING_N", "8"))
     hi_cpus = 4 * lo_cpus
     code_files, _ = _ensure_input(n_rows)

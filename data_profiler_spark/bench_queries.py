@@ -591,6 +591,18 @@ def q_paragraph_dedup(spark: SparkSession, sf_dir: str, code_files: str):
     _force(paragraph_dedup(df, "doc_id", "text"))
 
 
+def q_import_pagerank(spark: SparkSession, sf_dir: str, code_files: str):
+    """PageRank centrality over the 600k-file corpus's per-language module
+    import graph: one codegen extraction pass builds (src package ->
+    imported module) edges — content never shuffles — then 10 join-based
+    power-iteration rounds over the aggregated graph (each round shuffles
+    (node, rank) pairs only; per-round localCheckpoint keeps the DAG flat)."""
+    from data_profiler_spark.operators.graph import import_pagerank
+
+    df = spark.read.parquet(code_files)
+    _force(import_pagerank(df, "path", "content", "lang"))
+
+
 def q_span_dedup(spark: SparkSession, sf_dir: str, code_files: str):
     """ExactSubstr-style span dedup (Lee et al. 2022, word granularity,
     w=50 — the paper's setting) over the 600k-file code corpus: one Arrow
@@ -607,21 +619,30 @@ def q_span_dedup(spark: SparkSession, sf_dir: str, code_files: str):
 
 
 def q_winnow_clones(spark: SparkSession, sf_dir: str, code_files: str):
-    """MOSS winnowing clone detection over the 600k-file code corpus:
+    """MOSS winnowing clone detection over the seeded-near-dup 600k-file
+    corpus (~2% of files are 0.9-overlap twins — real clones to find):
     one Arrow pass computes each file's fingerprint set (O(n) modular
     prefix hashing + sparse-table sliding min; density ~2/(w+1) of the
-    k-grams), then the DF-capped inverted-index join emits clone pairs —
-    the shuffle carries (fingerprint, id) longs only, never content.
-    k=12/w=15 is the coarse corpus-scale setting (detects shared runs
-    of >= 26 chars, ~12% fingerprint density)."""
-    from data_profiler_spark.operators.code_metrics import winnow_similarity
+    k-grams), then the count-first DF-capped inverted-index join emits
+    clone pairs — the shuffle carries (fingerprint, id) longs only, never
+    content. k=40/w=15 detects shared runs >= 54 chars (~10 tokens of
+    this corpus) — short enough to catch every seeded twin, long enough
+    that the 36-word vocab's random reuse of short phrases doesn't flood
+    the index; max_df=50 is the MOSS noise threshold (a fingerprint in
+    50+ files is boilerplate, not a clone signal)."""
+    import sys
 
-    df = spark.read.parquet(code_files).select(
-        F.xxhash64("repo", "path", "commit").alias("doc_id"), "content"
+    from data_profiler_spark.operators.code_metrics import winnow_similarity
+    from data_profiler_spark.operators.dedup import release_caches
+
+    corpus, _truth = ensure_bench_neardup_corpus(spark, code_files)
+    df = spark.read.parquet(corpus).select("doc_id", F.col("text").alias("content"))
+    pairs = winnow_similarity(
+        df, "doc_id", "content", k=40, w=15, min_jaccard=0.5, max_df=50
     )
-    _force(
-        winnow_similarity(df, "doc_id", "content", k=12, w=15, min_jaccard=0.5)
-    )
+    n = pairs.count()
+    release_caches(spark)
+    print(f"[bench] winnow_clones pairs_emitted={n}", file=sys.stderr)
 
 
 BENCH_QUERIES = {
@@ -648,6 +669,7 @@ BENCH_QUERIES = {
     "secret_scan": q_secret_scan,
     "code_shape": q_code_shape,
     "winnow_clones": q_winnow_clones,
+    "import_pagerank": q_import_pagerank,
     "media_features": q_media_features,
     "curation_e2e": q_curation_e2e,
     "decontamination": q_decontamination,

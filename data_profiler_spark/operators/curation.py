@@ -129,9 +129,10 @@ def deterministic_split(
     id_col: str,
     fractions: dict[str, float],
     seed: int = 42,
+    hash_fn: str = "xxhash64",
 ) -> dict[str, DataFrame]:
     """Reproducible, leak-free train/val/test splits: each row's bucket is
-    ``xxhash64(id, seed) mod 10^6`` mapped onto cumulative fraction bands.
+    ``hash(id, seed) mod 10^6`` mapped onto cumulative fraction bands.
 
     Properties a training pipeline needs that ``df.randomSplit`` does NOT
     give: (1) membership is a pure function of the row id — re-running on
@@ -141,12 +142,37 @@ def deterministic_split(
     exactly disjoint and exhaustive by construction — band edges, not
     per-row RNG draws. Fractions must sum to 1 (the last band absorbs the
     remainder to kill float-edge gaps).
+
+    ``hash_fn``: ``"xxhash64"`` (default — pure JVM codegen, fastest) or
+    ``"md5"`` (the :func:`stratified_sample` convention: 60-bit hex prefix
+    of ``md5(id || ':' || seed)``, reproducible byte-for-byte by external
+    systems and the DuckDB oracle).
     """
     total = sum(fractions.values())
     if abs(total - 1.0) > 1e-9:
         raise ValueError(f"fractions must sum to 1 (got {total})")
     m = 1_000_000
-    bucket = F.pmod(F.xxhash64(F.col(id_col), F.lit(seed)), F.lit(m))
+    if hash_fn == "xxhash64":
+        bucket = F.pmod(F.xxhash64(F.col(id_col), F.lit(seed)), F.lit(m))
+    elif hash_fn == "md5":
+        bucket = F.pmod(
+            F.conv(
+                F.substring(
+                    F.md5(
+                        F.concat(
+                            F.col(id_col).cast("string"), F.lit(f":{seed}")
+                        ).cast("binary")
+                    ),
+                    1,
+                    15,
+                ),
+                16,
+                10,
+            ).cast("long"),
+            F.lit(m),
+        )
+    else:
+        raise ValueError(f"hash_fn must be 'xxhash64' or 'md5' (got {hash_fn!r})")
     out: dict[str, DataFrame] = {}
     lo = 0
     names = list(fractions)
@@ -617,4 +643,79 @@ def optout_audit(df: DataFrame, optout: DataFrame, on: list[str]) -> DataFrame:
             F.coalesce(F.col("n_rows_removed"), F.lit(0)).alias("n_rows_removed"),
         )
         .withColumn("present_in_corpus", F.col("n_rows_removed") > 0)
+    )
+
+
+# ---------------------------------------------------------------------------
+# cross-split leakage audit
+# ---------------------------------------------------------------------------
+def prefix_fingerprint(text_col: str, n_tokens: int = 20):
+    """md5 of the first ``n_tokens`` whitespace-separated tokens — the
+    prefix-containment leak key (an eval document that BEGINS identically
+    to a train document is a leak even when their tails diverge). ASCII
+    whitespace class, matching the span-dedup tokenizer and the DuckDB
+    twin. Pure codegen expressions, no shuffle."""
+    toks = F.filter(
+        F.split(F.col(text_col), "[ \t\n\r\x0b\x0c]+"), lambda t: t != ""
+    )
+    return F.md5(F.concat_ws(" ", F.slice(toks, 1, n_tokens)).cast("binary"))
+
+
+def split_leakage_audit(splits: dict[str, DataFrame], fingerprint) -> DataFrame:
+    """Audit train/val/test splits for content leakage: one row per
+    unordered split pair — (split_a, split_b, n_shared_fps, n_rows_a,
+    n_rows_b) where n_shared_fps counts distinct fingerprints present in
+    BOTH splits and n_rows_x counts each side's rows carrying a shared
+    fingerprint. EVERY pair appears, zero-leak pairs included — an audit
+    must prove the zeros, not omit them (same contract as
+    :func:`optout_audit`).
+
+    ``fingerprint`` is a Column evaluated against each split frame:
+    ``F.md5(F.col("text").cast("binary"))`` for exact-content leakage,
+    :func:`prefix_fingerprint` for prefix containment, or any normalized
+    key. ``splits`` is typically :func:`deterministic_split` output, but
+    any disjoint frames work.
+
+    Scale shape: each split contributes (split, fp) pairs straight off its
+    scan; ONE shuffle groups by (fp, split) with map-side combine (16-byte
+    keys — text never moves); the pair join runs on the fp-partitioned
+    aggregate (corpus-distinct-sized, shared fps only survive), and the
+    final rollup + literal pair spine are tiny.
+    """
+    if len(splits) < 2:
+        raise ValueError("split_leakage_audit needs at least 2 splits")
+    frames = [
+        sdf.select(F.lit(name).alias("split"), fingerprint.alias("fp"))
+        for name, sdf in splits.items()
+    ]
+    allf = frames[0]
+    for f in frames[1:]:
+        allf = allf.unionByName(f)
+    g = allf.groupBy("fp", "split").agg(F.count(F.lit(1)).alias("cnt"))
+    a, b = g.alias("a"), g.alias("b")
+    pairs = (
+        a.join(b, (F.col("a.fp") == F.col("b.fp")) & (F.col("a.split") < F.col("b.split")))
+        .groupBy(
+            F.col("a.split").alias("split_a"), F.col("b.split").alias("split_b")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_shared_fps"),
+            F.sum("a.cnt").alias("n_rows_a"),
+            F.sum("b.cnt").alias("n_rows_b"),
+        )
+    )
+    names = sorted(splits)
+    spine_rows = [
+        (names[i], names[j])
+        for i in range(len(names))
+        for j in range(i + 1, len(names))
+    ]
+    spark = next(iter(splits.values())).sparkSession
+    spine = spark.createDataFrame(spine_rows, "split_a string, split_b string")
+    return spine.join(pairs, ["split_a", "split_b"], "left").select(
+        "split_a",
+        "split_b",
+        F.coalesce("n_shared_fps", F.lit(0)).alias("n_shared_fps"),
+        F.coalesce("n_rows_a", F.lit(0)).alias("n_rows_a"),
+        F.coalesce("n_rows_b", F.lit(0)).alias("n_rows_b"),
     )

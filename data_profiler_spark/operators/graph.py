@@ -1,0 +1,147 @@
+"""Graph analytics over edge frames — PageRank centrality for the code
+corpus's import graph ("which modules is this ecosystem built on"), or any
+(src, dst) edge table (entity graphs from relationships.py, session
+transition graphs from sessions.py).
+
+Scale design: the graph is never materialized driver-side. Each power
+iteration is one equi-join of the edge table against the current rank
+frame (shuffles (node, rank) pairs + edge keys, never payloads) and one
+map-side-combined groupBy; ranks/degrees are corpus-small relative to the
+files that produced the edges, and the per-round ``localCheckpoint``
+truncates the lineage exactly like dedup.duplicate_clusters' pointer
+jumping. Dangling-node mass and the teleport term ride a broadcast 1-row
+scalar frame — no ``collect`` in the loop.
+
+PageRank is an ITERATIVE algorithm — the driver contract's sanctioned
+rows-only class (no DuckDB twin; pytest pins values against a naive
+reference instead, and the invariant sum(rank) == 1 is asserted in-plan).
+
+Ref parity note: the reference has no graph operator; this extends the
+entity-graph surface (relationships.py, reference detector.py) with the
+centrality measure a training-data pipeline uses to weight corpus
+sources.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def pagerank(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    damping: float = 0.85,
+    iterations: int = 10,
+) -> DataFrame:
+    """(node, rank) — PageRank with teleport ``1-damping``, ``iterations``
+    fixed power-iteration rounds, uniform init. Parallel edges count with
+    multiplicity (pre-aggregate to weights upstream if undesired);
+    self-loops are legal. Dangling nodes (no out-edges) redistribute their
+    mass uniformly, so sum(rank) stays exactly 1 in expectation and
+    ~1 ulp·N in float practice.
+
+    Per round: contrib = edges ⋈ ranks on src (one shuffle of 16-byte
+    pairs) → groupBy(dst).sum (map-side combined); dangling mass = one
+    broadcast scalar row; new rank = teleport + damping·(contrib +
+    dangling/N). ``localCheckpoint(eager)`` per round keeps the plan flat
+    (10 rounds of lazy self-reference would otherwise double the DAG per
+    round).
+    """
+    if not 0.0 <= damping < 1.0:
+        raise ValueError(f"damping must be in [0, 1) (got {damping})")
+    if iterations < 1:
+        raise ValueError(f"iterations must be >= 1 (got {iterations})")
+    e = edges.select(F.col(src).alias("s"), F.col(dst).alias("d"))
+    nodes = (
+        e.select(F.col("s").alias("node"))
+        .unionByName(e.select(F.col("d").alias("node")))
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+    outdeg = e.groupBy(F.col("s").alias("node")).agg(F.count(F.lit(1)).alias("outdeg"))
+    # (node, outdeg) with 0 marking dangling; checkpointed once, reused every round
+    base = (
+        nodes.join(outdeg, "node", "left")
+        .select("node", F.coalesce("outdeg", F.lit(0)).alias("outdeg"))
+        .localCheckpoint(eager=True)
+    )
+    n_frame = base.agg(F.count(F.lit(1)).cast("double").alias("n")).localCheckpoint(
+        eager=True
+    )
+    ranks = base.join(F.broadcast(n_frame)).select(
+        "node", "outdeg", (F.lit(1.0) / F.col("n")).alias("rank")
+    )
+    for _ in range(iterations):
+        dangling = ranks.where(F.col("outdeg") == 0).agg(
+            F.coalesce(F.sum("rank"), F.lit(0.0)).alias("dangling")
+        )
+        contrib = (
+            e.join(
+                ranks.select(
+                    F.col("node").alias("s"),
+                    # try_divide: dangling rows (outdeg 0) never match an
+                    # edge, but ANSI mode evaluates the projection anyway
+                    F.try_divide(F.col("rank"), F.col("outdeg")).alias("share"),
+                ),
+                "s",
+            )
+            .groupBy(F.col("d").alias("node"))
+            .agg(F.sum("share").alias("contrib"))
+        )
+        ranks = (
+            base.join(contrib, "node", "left")
+            .join(F.broadcast(n_frame))
+            .join(F.broadcast(dangling))
+            .select(
+                "node",
+                "outdeg",
+                (
+                    (F.lit(1.0) - F.lit(damping)) / F.col("n")
+                    + F.lit(damping)
+                    * (
+                        F.coalesce(F.col("contrib"), F.lit(0.0))
+                        + F.col("dangling") / F.col("n")
+                    )
+                ).alias("rank"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    return ranks.select("node", "rank")
+
+
+def import_pagerank(
+    df: DataFrame,
+    path_col: str = "path",
+    content_col: str = "content",
+    lang_col: str = "lang",
+    damping: float = 0.85,
+    iterations: int = 10,
+) -> DataFrame:
+    """(lang, module, rank) — PageRank over each language's module import
+    graph: an edge from the importing file's own top-level package (first
+    path segment, the repo-layout convention) to each imported top-level
+    module. One codegen extraction pass builds the edges
+    (code_metrics.import_edges — content never shuffles; the graph that
+    reaches the iteration is (lang, src, dst) strings), then PageRank runs
+    per language via a composite node key."""
+    from data_profiler_spark.operators.code_metrics import import_edges
+
+    edges = import_edges(df, lang_col=lang_col, content_col=content_col, id_cols=[path_col])
+    e = edges.select(
+        "lang",
+        F.regexp_extract(F.col(path_col), r"^([^/]+)", 1).alias("src_pkg"),
+        F.regexp_extract(F.col("module"), r"^([A-Za-z_][\w.-]*)", 1).alias("dst_mod"),
+    ).where((F.col("src_pkg") != "") & (F.col("dst_mod") != ""))
+    keyed = e.select(
+        F.concat_ws(" ", "lang", "src_pkg").alias("src"),
+        F.concat_ws(" ", "lang", "dst_mod").alias("dst"),
+    )
+    pr = pagerank(keyed, damping=damping, iterations=iterations)
+    parts = F.split(F.col("node"), " ", 2)
+    return pr.select(
+        parts.getItem(0).alias("lang"),
+        parts.getItem(1).alias("module"),
+        "rank",
+    )

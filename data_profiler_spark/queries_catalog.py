@@ -3875,12 +3875,16 @@ def winnow_fingerprints_documents(spark: SparkSession, sf_dir: str) -> DataFrame
 @register("winnow_similarity_documents", _WINNOW_PAIRS_SQL)
 def winnow_similarity_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MOSS-style clone pairs over the documents corpus: winnowing
-    fingerprint sets joined by inverted index (DF cap inactive at this
-    scale, so the twin can skip it), jaccard >= 0.3."""
+    fingerprint sets joined by inverted index, jaccard >= 0.3. max_df is
+    pinned above the corpus size (500 docs) so the cap is provably
+    inactive and the twin can skip it — the small-vocab corpus has
+    fingerprints in 100+ docs, so the scale default (100) WOULD bite."""
     from data_profiler_spark.operators.code_metrics import winnow_similarity
 
     docs = load(spark, sf_dir, "documents")
-    return winnow_similarity(docs, "doc_id", "text", k=8, w=8, min_jaccard=0.3)
+    return winnow_similarity(
+        docs, "doc_id", "text", k=8, w=8, min_jaccard=0.3, max_df=1000
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -3964,3 +3968,141 @@ def span_dedup_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     return span_dedup(docs, "doc_id", "text", w=20).select(
         F.col("id").alias("doc_id"), "text"
     )
+
+
+# ---------------------------------------------------------------------------
+# PageRank centrality (operators/graph.py) — ITERATIVE algorithm, the driver
+# contract's sanctioned rows-only class (no SQL twin; tests/test_graph.py
+# pins values against a naive reference and the mass invariant).
+# ---------------------------------------------------------------------------
+@register("pagerank_event_transitions")
+def pagerank_event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PageRank over the event-type transition graph: one edge per
+    consecutive (event_type -> next event_type) step within a user's
+    timeline (window lead per user — one shuffle keyed by user), then 10
+    join-based power-iteration rounds over the 5-node graph. The rank
+    answers "which event state does user flow concentrate in"."""
+    from pyspark.sql import Window as W
+
+    from data_profiler_spark.operators.graph import pagerank
+
+    ev = load(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    edges = (
+        ev.select("user_id", "ts", "event_id", "event_type")
+        .withColumn("nxt", F.lead("event_type").over(w))
+        .where(F.col("nxt").isNotNull())
+        .select(F.col("event_type").alias("src"), F.col("nxt").alias("dst"))
+    )
+    return pagerank(edges, damping=0.85, iterations=10).orderBy("node")
+
+
+# ---------------------------------------------------------------------------
+# cross-split leakage audit (operators/curation.py split_leakage_audit):
+# md5-band deterministic splits, prefix-20 fingerprint (the containment leak
+# an exact-content key misses), all three pairs present with proven zeros.
+# ---------------------------------------------------------------------------
+_SPLIT_LEAKAGE_SQL = """
+WITH assigned AS (
+  SELECT CASE WHEN band < 800000 THEN 'train'
+              WHEN band < 900000 THEN 'val' ELSE 'test' END AS split,
+         md5(coalesce(array_to_string(list_slice(
+             list_filter(string_split_regex(text, '[ \t\n\r\x0B\x0C]+'), t -> t <> ''),
+             1, 20), ' '), '')) AS fp
+  FROM (SELECT ('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':42'), 1, 15))::BIGINT
+               % 1000000 AS band, text FROM documents)
+),
+g AS (SELECT fp, split, count(*) AS cnt FROM assigned GROUP BY 1, 2),
+p AS (SELECT a.split AS split_a, b.split AS split_b, count(*) AS n_shared_fps,
+             CAST(sum(a.cnt) AS BIGINT) AS n_rows_a, CAST(sum(b.cnt) AS BIGINT) AS n_rows_b
+      FROM g a JOIN g b ON a.fp = b.fp AND a.split < b.split GROUP BY 1, 2)
+SELECT s.split_a, s.split_b,
+       coalesce(p.n_shared_fps, 0) AS n_shared_fps,
+       coalesce(p.n_rows_a, 0) AS n_rows_a,
+       coalesce(p.n_rows_b, 0) AS n_rows_b
+FROM (VALUES ('test','train'), ('test','val'), ('train','val')) s(split_a, split_b)
+LEFT JOIN p ON p.split_a = s.split_a AND p.split_b = s.split_b
+"""
+
+
+@register("split_leakage_documents", _SPLIT_LEAKAGE_SQL)
+def split_leakage_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train/val/test leakage audit over documents: 80/10/10 md5-band
+    deterministic splits, leak key = md5 of the first 20 tokens (prefix
+    containment). Every split pair reported, zero-leak pairs included."""
+    from data_profiler_spark.operators.curation import (
+        deterministic_split,
+        prefix_fingerprint,
+        split_leakage_audit,
+    )
+
+    docs = load(spark, sf_dir, "documents")
+    splits = deterministic_split(
+        docs, "doc_id", {"train": 0.8, "val": 0.1, "test": 0.1}, seed=42, hash_fn="md5"
+    )
+    return split_leakage_audit(splits, prefix_fingerprint("text", 20)).orderBy(
+        "split_a", "split_b"
+    )
+
+
+# ---------------------------------------------------------------------------
+# symbol-definition census (operators/code_metrics.py symbol_defs): the
+# documents text has no definition keywords, so the query injects
+# deterministic def/class/func lines per code_lang — the same synthesis
+# trick as top_imports_documents — and both engines run the SAME patterns.
+# ---------------------------------------------------------------------------
+_SYM_LINES_SQL = """CASE doc_id % 3
+      WHEN 0 THEN 'def fn_' || CAST(doc_id % 11 AS VARCHAR) || '(x):' || chr(10)
+                  || 'class C_' || CAST(doc_id % 5 AS VARCHAR) || ':' || chr(10)
+      WHEN 1 THEN 'class Main' || CAST(doc_id % 7 AS VARCHAR) || ' {' || chr(10)
+                  || 'interface Api' || CAST(doc_id % 3 AS VARCHAR) || ' {' || chr(10)
+      ELSE 'func Run' || CAST(doc_id % 11 AS VARCHAR) || '() {' || chr(10)
+           || 'type Cfg' || CAST(doc_id % 5 AS VARCHAR) || ' struct {' || chr(10) END"""
+
+
+@register(
+    "top_symbols_documents",
+    """WITH code AS (SELECT doc_id, {lang} AS lang,
+                     {syms} || replace(text, ' value ', chr(10)) AS content
+                     FROM documents),
+        defs AS (
+          SELECT lang, unnest(regexp_extract_all(content,
+                 CASE lang
+                   WHEN 'python' THEN '(?m)^[ \t]*(?:async[ \t]+)?(?:def|class)[ \t]+([A-Za-z_][A-Za-z0-9_]*)'
+                   WHEN 'java' THEN '(?m)(?:class|interface|enum)[ \t]+([A-Za-z_][A-Za-z0-9_]*)'
+                   ELSE '(?m)^(?:func|type)[ \t]+(?:\\([^)]*\\)[ \t]*)?([A-Za-z_][A-Za-z0-9_]*)' END,
+                 1)) AS symbol
+          FROM code),
+        counts AS (
+          SELECT lang, symbol, CAST(COUNT(*) AS BIGINT) AS n_defs FROM defs GROUP BY 1, 2)
+        SELECT lang, symbol, n_defs FROM
+          (SELECT *, row_number() OVER (PARTITION BY lang
+                     ORDER BY n_defs DESC, symbol) AS rnk FROM counts)
+        WHERE rnk <= 5""".format(lang=_CODE_LANG_SQL, syms=_SYM_LINES_SQL),
+)
+def top_symbols_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-5 defined symbols per language — function/class/type names
+    extracted by each language's definition pattern (one codegen
+    regexp_extract_all pass), counted and ranked with deterministic ties."""
+    from data_profiler_spark.operators.code_metrics import top_symbols
+
+    did = F.col("doc_id")
+    mod3 = did % 3
+    syms = (
+        F.when(mod3 == 0, F.concat(
+            F.lit("def fn_"), (did % 11).cast("string"), F.lit("(x):\n"),
+            F.lit("class C_"), (did % 5).cast("string"), F.lit(":\n")))
+        .when(mod3 == 1, F.concat(
+            F.lit("class Main"), (did % 7).cast("string"), F.lit(" {\n"),
+            F.lit("interface Api"), (did % 3).cast("string"), F.lit(" {\n")))
+        .otherwise(F.concat(
+            F.lit("func Run"), (did % 11).cast("string"), F.lit("() {\n"),
+            F.lit("type Cfg"), (did % 5).cast("string"), F.lit(" struct {\n")))
+    )
+    code = load(spark, sf_dir, "documents").select(
+        F.when(mod3 == 0, F.lit("python")).when(mod3 == 1, F.lit("java"))
+         .otherwise(F.lit("go")).alias("lang"),
+        F.concat(syms, F.replace(F.col("text"), F.lit(" value "), F.lit("\n")))
+         .alias("content"),
+    )
+    return top_symbols(code, "lang", "content", k=5)

@@ -381,3 +381,90 @@ def test_optout_filter_is_broadcast_anti_join(spark, optout_corpus):
     plan = optout_filter(corpus, reqs, ["repo"])._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in plan and "LeftAnti" in plan
     assert "SortMergeJoin" not in plan  # the corpus must never shuffle
+
+
+# ---------------------------------------------------------------------------
+# cross-split leakage audit
+# ---------------------------------------------------------------------------
+def test_deterministic_split_md5_matches_duckdb_membership(spark, duck):
+    from data_profiler_spark.operators.curation import deterministic_split
+
+    rows = [(i, f"doc {i}") for i in range(300)]
+    df = spark.createDataFrame(rows, "id long, text string")
+    splits = deterministic_split(
+        df, "id", {"train": 0.8, "val": 0.1, "test": 0.1}, seed=7, hash_fn="md5"
+    )
+    got = {
+        name: sorted(r["id"] for r in sdf.select("id").collect())
+        for name, sdf in splits.items()
+    }
+    # disjoint + exhaustive
+    all_ids = sorted(i for ids in got.values() for i in ids)
+    assert all_ids == list(range(300))
+    duck.execute("CREATE OR REPLACE TABLE _sp(id BIGINT)")
+    duck.executemany("INSERT INTO _sp VALUES (?)", [(i,) for i in range(300)])
+    want = dict(
+        duck.execute(
+            """SELECT CASE WHEN band < 800000 THEN 'train'
+                           WHEN band < 900000 THEN 'val' ELSE 'test' END, list(id ORDER BY id)
+               FROM (SELECT id, ('0x' || substr(md5(CAST(id AS VARCHAR) || ':7'),1,15))::BIGINT
+                         % 1000000 AS band FROM _sp) GROUP BY 1"""
+        ).fetchall()
+    )
+    for name in got:
+        assert got[name] == want.get(name, []), name
+
+
+def test_deterministic_split_rejects_unknown_hash(spark):
+    import pytest as _pytest
+
+    from data_profiler_spark.operators.curation import deterministic_split
+
+    df = spark.createDataFrame([(1, "x")], "id long, text string")
+    with _pytest.raises(ValueError):
+        deterministic_split(df, "id", {"a": 0.5, "b": 0.5}, hash_fn="sha1")
+
+
+def test_split_leakage_audit_counts_and_zero_pairs(spark):
+    from pyspark.sql import functions as F
+
+    from data_profiler_spark.operators.curation import split_leakage_audit
+
+    mk = lambda rows: spark.createDataFrame(rows, "id long, text string")
+    splits = {
+        "train": mk([(1, "aaa"), (2, "bbb"), (3, "ccc"), (4, "aaa")]),
+        "val": mk([(10, "aaa"), (11, "zzz"), (12, "bbb")]),
+        "test": mk([(20, "qqq")]),
+    }
+    fp = F.md5(F.col("text").cast("binary"))
+    got = {
+        (r["split_a"], r["split_b"]): (r["n_shared_fps"], r["n_rows_a"], r["n_rows_b"])
+        for r in split_leakage_audit(splits, fp).collect()
+    }
+    # train/val share 'aaa' (2 train rows, 1 val row) and 'bbb' (1/1)
+    assert got[("train", "val")] == (2, 3, 2)
+    # zero-leak pairs PRESENT with zeros
+    assert got[("test", "train")] == (0, 0, 0)
+    assert got[("test", "val")] == (0, 0, 0)
+    assert len(got) == 3
+
+
+def test_prefix_fingerprint_prefix_containment(spark):
+    from data_profiler_spark.operators.curation import (
+        prefix_fingerprint,
+        split_leakage_audit,
+    )
+
+    pre = "t0 t1 t2 t3 t4"
+    splits = {
+        "train": spark.createDataFrame(
+            [(1, pre + " tail one"), (2, "other doc entirely")], "id long, text string"
+        ),
+        "val": spark.createDataFrame(
+            [(10, pre + " different tail")], "id long, text string"
+        ),
+    }
+    got = split_leakage_audit(splits, prefix_fingerprint("text", 5)).collect()
+    assert len(got) == 1
+    r = got[0]
+    assert (r["n_shared_fps"], r["n_rows_a"], r["n_rows_b"]) == (1, 1, 1)

@@ -4106,3 +4106,48 @@ def top_symbols_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
          .alias("content"),
     )
     return top_symbols(code, "lang", "content", k=5)
+
+
+# ---------------------------------------------------------------------------
+# function-granularity dedup census (operators/code_metrics.py
+# function_spans + function_dup_census). The documents text contains no
+# def keywords, so the query injects two deterministic one-line python
+# defs per python-mapped doc (same synthesis trick as top_imports /
+# top_symbols); the EXTRACTION rules are pytest-pinned on real code
+# (test_code_metrics.py), the oracle pins the census aggregation.
+# ---------------------------------------------------------------------------
+@register(
+    "function_dup_census_documents",
+    """WITH py AS (SELECT doc_id FROM documents WHERE doc_id % 3 = 0),
+        f AS (SELECT 'def fn_' || CAST(doc_id % 11 AS VARCHAR) || '(x):' AS body FROM py
+              UNION ALL
+              SELECT 'def gn_' || CAST(doc_id % 7 AS VARCHAR) || '(y):' FROM py),
+        g AS (SELECT body, count(*) AS c FROM f GROUP BY 1)
+        SELECT 'python' AS lang,
+               CAST(sum(c) AS BIGINT) AS n_functions,
+               count(*) AS n_distinct,
+               CAST(sum(c) - count(*) AS BIGINT) AS n_duplicated,
+               round(CAST(sum(c) - count(*) AS DOUBLE) / sum(c), 10) AS dup_ratio
+        FROM g""",
+)
+def function_dup_census_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Function-level dedup census over python-mapped docs with two
+    injected defs each: identical def lines across docs collapse to one
+    whitespace-normalized fingerprint, so the duplicate counts are large
+    and fully deterministic."""
+    from data_profiler_spark.operators.code_metrics import function_dup_census
+
+    did = F.col("doc_id")
+    code = (
+        load(spark, sf_dir, "documents")
+        .where(did % 3 == 0)
+        .select(
+            F.lit("python").alias("lang"),
+            F.concat(
+                F.lit("def fn_"), (did % 11).cast("string"), F.lit("(x):\n"),
+                F.lit("def gn_"), (did % 7).cast("string"), F.lit("(y):\n"),
+                F.replace(F.col("text"), F.lit(" value "), F.lit("\n")),
+            ).alias("content"),
+        )
+    )
+    return function_dup_census(code, "lang", "content")

@@ -82,11 +82,29 @@ def build_audits(spark, sf):
         "edit_distance": (
             edit_distance_pairs(docs.limit(200), "doc_id", "text", max_distance=2), 2, False,
         ),
-        # 4 = winner-by-key + winpos-by-id + text-by-id + distinct-ids; only
-        # the text-by-id exchange carries paragraph strings (pinned by
-        # tests/test_dedup.py::test_paragraph_dedup_text_crosses_wire_exactly_once)
-        "paragraph_dedup": (paragraph_dedup(docs, "doc_id", "text"), 4, False),
+        # 3 = winner-by-key + winpos-by-id + the rebuild join's text side;
+        # only that last exchange carries document text, never sorted
+        # (pinned by tests/test_dedup.py::test_paragraph_dedup_text_crosses_wire_exactly_once)
+        "paragraph_dedup": (paragraph_dedup(docs, "doc_id", "text"), 3, False),
     }
+
+    # exact-substring span dedup: same wire contract as paragraph_dedup
+    # (winner-by-hash + winpos-by-id + one text join exchange); the window
+    # hashing and the rebuild are Arrow passes (the design)
+    from data_profiler_spark.operators.dedup import span_dedup
+
+    audits["span_dedup"] = (span_dedup(docs, "doc_id", "text", w=5), 3, True)
+
+    # winnowing clone pairs: count-first eligibility (keys-by-k agg), the
+    # keys⋈eligible join on k, the bounded collect_list (reuses the join's
+    # k clustering where SMJ lands), and the pair rollup by (a, b); the
+    # fingerprint kernel is one Arrow pass over the cached sets frame
+    from data_profiler_spark.operators.code_metrics import winnow_similarity
+
+    audits["winnow_similarity"] = (
+        winnow_similarity(docs.limit(300), "doc_id", "text", k=8, w=8), 6, True,
+    )
+
 
     # training plane (late r3): split/mixture are pure map-side; packing pays
     # exactly one tiny (id, n_tokens) exchange; the contamination map path is
@@ -124,6 +142,21 @@ def build_audits(spark, sf):
                 ngram_contamination(tr, ev, "doc_id", "text", n=8), 0, True,
             ),
         }
+    )
+
+    # split leakage: one (fp, split) agg exchange, the fp self-join (sides
+    # reuse the agg's fp clustering where possible), the pair rollup, and
+    # the broadcast spine join (broadcasts excluded from the budget)
+    from data_profiler_spark.operators.curation import (
+        prefix_fingerprint,
+        split_leakage_audit,
+    )
+
+    audits["split_leakage"] = (
+        split_leakage_audit(
+            deterministic_split(docs, "doc_id", {"train": 0.9, "val": 0.1}, hash_fn="md5"),
+            prefix_fingerprint("text", 10),
+        ), 4, False,
     )
 
     # model-based quality scoring: broadcast weights, one Arrow pass

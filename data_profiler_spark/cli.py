@@ -129,6 +129,18 @@ def build_parser() -> argparse.ArgumentParser:
     pt.add_argument("--text-col", required=True)
     pt.add_argument("--limit", type=int, default=0, help="emit only first N rows (0 = all)")
 
+    pds = sub.add_parser(
+        "datasheet",
+        help="one-page dataset card: corpus size, language mix, quality, "
+        "duplication, privacy findings (markdown or JSON)",
+    )
+    pds.add_argument("path")
+    pds.add_argument("--id-col", required=True)
+    pds.add_argument("--text-col", required=True)
+    pds.add_argument("--lang-col", help="existing language column (default: lang_id)")
+    pds.add_argument("--quality-threshold", type=float, default=0.3)
+    pds.add_argument("--out", help="write the markdown datasheet to this file")
+
     pc = sub.add_parser(
         "curate",
         help="training-data curation: length -> lang -> quality -> dedup; "
@@ -722,6 +734,32 @@ def main(argv: list[str] | None = None) -> int:
                      "n": len(rows), "rows": rows[:1000]},
                     indent=2, sort_keys=True, default=str,
                 ))
+            return EXIT_OK
+
+        if args.command == "datasheet":
+            from data_profiler_spark.datasheet import (
+                build_datasheet,
+                datasheet_json,
+                datasheet_markdown,
+            )
+
+            spark = _spark(args)
+            if not os.path.exists(args.path):
+                return EXIT_FILE_NOT_FOUND
+            df = sources.read(spark, args.path)
+            sheet = build_datasheet(
+                df,
+                args.id_col,
+                args.text_col,
+                lang_col=args.lang_col,
+                quality_threshold=args.quality_threshold,
+                source=args.path,
+            )
+            md = datasheet_markdown(sheet)
+            if args.out:
+                with open(args.out, "w") as fh:
+                    fh.write(md)
+            _emit(args, md if args.output != "json" else datasheet_json(sheet))
             return EXIT_OK
 
         if args.command == "curate":

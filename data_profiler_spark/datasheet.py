@@ -1,0 +1,152 @@
+"""Training-data datasheet: the one-page "dataset card" a corpus release
+ships (Datasheets for Datasets, Gebru et al. 2021 — the public template),
+computed from the engine's own operators in FOUR bounded Spark jobs:
+
+1. one scalar aggregate over a single projection — corpus size, token
+   stats (exact percentile at report scale is a deliberate choice: the
+   datasheet is run once per release, not per query; swap in
+   ``percentile_approx`` for the 100 TB path),
+2. one language-mix rollup (provided column or the engine's lang_id),
+3. one duplicate-stats aggregate (16-byte fingerprint shuffle),
+4. one secret/PII rule rollup (findings-sized, not corpus-sized).
+
+Everything returned is a plain JSON-able dict; ``datasheet_markdown``
+renders it. No reference counterpart (the reference profiles tables, not
+corpora) — this composes the training-data extension surface into the
+artifact its users actually publish.
+"""
+
+from __future__ import annotations
+
+import json
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from data_profiler_spark.operators.text import lang_id, quality_score, whitespace_token_count
+
+
+def build_datasheet(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    lang_col: str | None = None,
+    quality_threshold: float = 0.3,
+    top_langs: int = 10,
+    source: str = "",
+) -> dict:
+    """Compute the datasheet dict. ``lang_col``: use an existing language
+    column; None runs the engine's n-gram ``lang_id`` over the text."""
+    t = F.col(text_col)
+    toks = whitespace_token_count(t)
+    stats = df.select(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.length(t).cast("long")).alias("total_chars"),
+        F.sum(toks.cast("long")).alias("total_tokens"),
+        F.percentile(toks.cast("double"), F.array(F.lit(0.5), F.lit(0.95))).alias(
+            "tok_pcts"
+        ),
+        F.avg(quality_score(t)).alias("mean_quality"),
+        F.sum((quality_score(t) < F.lit(quality_threshold)).cast("long")).alias(
+            "n_low_quality"
+        ),
+        F.sum((t.isNull() | (F.length(t) == 0)).cast("long")).alias("n_empty"),
+    ).collect()[0]
+
+    lang = F.col(lang_col) if lang_col else lang_id(t)
+    mix = (
+        df.select(lang.alias("lang"))
+        .groupBy("lang")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.desc("n"), F.asc("lang"))
+        .limit(top_langs)
+        .collect()
+    )
+
+    from data_profiler_spark.operators.dedup import duplicate_row_stats
+
+    dup = duplicate_row_stats(df, [text_col]).collect()[0]
+
+    from data_profiler_spark.operators.privacy import scan_summary
+
+    findings = scan_summary(df, text_col, [id_col]).collect()
+
+    n_docs = stats["n_docs"]
+    share = lambda x: round(x / n_docs, 6) if n_docs else None
+    return {
+        "source": source,
+        "corpus": {
+            "n_docs": n_docs,
+            "total_chars": stats["total_chars"],
+            "total_tokens": stats["total_tokens"],
+            "tokens_p50": stats["tok_pcts"][0] if stats["tok_pcts"] else None,
+            "tokens_p95": stats["tok_pcts"][1] if stats["tok_pcts"] else None,
+            "n_empty": stats["n_empty"],
+        },
+        "languages": [
+            {"lang": r["lang"], "n_docs": r["n"], "share": share(r["n"])} for r in mix
+        ],
+        "quality": {
+            "mean_score": round(stats["mean_quality"], 6)
+            if stats["mean_quality"] is not None
+            else None,
+            "threshold": quality_threshold,
+            "n_below_threshold": stats["n_low_quality"],
+            "share_below_threshold": share(stats["n_low_quality"]),
+        },
+        "duplication": {
+            "n_distinct_texts": dup["n_distinct_rows"],
+            "n_duplicate_docs": dup["n_duplicate_rows"],
+            "duplicate_ratio": dup["duplicate_ratio"],
+        },
+        "privacy": [
+            {"rule": r["rule"], "n_docs": r["n_docs"], "n_matches": r["n_matches"]}
+            for r in findings
+        ],
+    }
+
+
+def datasheet_markdown(sheet: dict) -> str:
+    c, q, d = sheet["corpus"], sheet["quality"], sheet["duplication"]
+    lines = [
+        f"# Dataset datasheet{': ' + sheet['source'] if sheet['source'] else ''}",
+        "",
+        "## Corpus",
+        f"- documents: {c['n_docs']:,}",
+        f"- total characters: {c['total_chars']:,}",
+        f"- total whitespace tokens: {c['total_tokens']:,} "
+        f"(p50 {c['tokens_p50']}, p95 {c['tokens_p95']})",
+        f"- empty/null documents: {c['n_empty']:,}",
+        "",
+        "## Language mix",
+        "| lang | docs | share |",
+        "| --- | --- | --- |",
+    ]
+    for r in sheet["languages"]:
+        lines.append(f"| {r['lang']} | {r['n_docs']:,} | {r['share']:.2%} |")
+    lines += [
+        "",
+        "## Quality",
+        f"- mean heuristic quality score: {q['mean_score']}",
+        f"- below threshold {q['threshold']}: {q['n_below_threshold']:,} "
+        f"({q['share_below_threshold']:.2%})",
+        "",
+        "## Duplication (exact text)",
+        f"- distinct texts: {d['n_distinct_texts']:,}",
+        f"- duplicate documents (extra copies): {d['n_duplicate_docs']:,} "
+        f"({d['duplicate_ratio']:.4%})",
+        "",
+        "## Privacy / secret findings",
+    ]
+    if sheet["privacy"]:
+        lines += ["| rule | docs | matches |", "| --- | --- | --- |"]
+        for r in sheet["privacy"]:
+            lines.append(f"| {r['rule']} | {r['n_docs']:,} | {r['n_matches']:,} |")
+    else:
+        lines.append("- none detected")
+    lines.append("")
+    return "\n".join(lines)
+
+
+def datasheet_json(sheet: dict) -> str:
+    return json.dumps(sheet, indent=2, sort_keys=True, default=str)

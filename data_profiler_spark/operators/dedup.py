@@ -14,6 +14,10 @@ Scale design notes:
     same-bucket pairs become candidates.
   - SimHash: token hash sign-sums per bit → 64-bit fingerprint; hamming
     buckets via prefix blocks.
+  - sub-document exact dedup: paragraph level (Dolma-style, md5 keys) and
+    W-token span level (Lee et al. 2022 ExactSubstr, double polynomial
+    window hashes) — both elect first-occurrence winners on key-sized
+    shuffles and rebuild documents in place after ONE text join.
 
 Cache lifecycle: several operators ``.cache()`` an intermediate frame that
 feeds 2-3 branches of the SAME returned plan (shingle tables, signature

@@ -463,6 +463,7 @@ def main(argv: list[str] | None = None) -> int:
                 SecretFreeCheck,
                 SequenceCheck,
                 UniquenessCheck,
+                WellFormedCheck,
                 run_suite,
             )
 
@@ -497,6 +498,15 @@ def main(argv: list[str] | None = None) -> int:
                 "secret_free": lambda s: SecretFreeCheck(
                     s["column"], s.get("ruleset", "all"),
                     tuple(sorted((s.get("rules") or {}).items())),
+                    s.get("name", ""), s.get("where", ""),
+                ),
+                # {"type": "well_formed", "column", "max_replacement_chars",
+                #  "max_bracket_imbalance", "min_brackets"}
+                "well_formed": lambda s: WellFormedCheck(
+                    s["column"],
+                    int(s.get("max_replacement_chars", 0)),
+                    float(s.get("max_bracket_imbalance", 0.2)),
+                    int(s.get("min_brackets", 8)),
                     s.get("name", ""), s.get("where", ""),
                 ),
             }

@@ -149,6 +149,27 @@ class SecretFreeCheck:
 
 
 @dataclass(frozen=True)
+class WellFormedCheck:
+    """Structural content validity for a source-code column — committed
+    merge-conflict markers, mojibake (U+FFFD density) and grossly
+    one-sided bracket populations (truncation/corruption) are violations
+    (operators/code_metrics.py well_formedness lifted into the suite IR,
+    same per-partition verdicts + sha256'd violation rows as every other
+    row check). All signals are exact character arithmetic inside the
+    shared codegen scan — no regex-engine divergence from the oracle."""
+
+    column: str
+    max_replacement_chars: int = 0
+    max_bracket_imbalance: float = 0.2
+    min_brackets: int = 8
+    name: str = ""
+    where: str = ""
+
+    def check_name(self) -> str:
+        return self.name or _scoped(f"well_formed:{self.column}", self.where)
+
+
+@dataclass(frozen=True)
 class UniquenessCheck:
     keys: tuple
     name: str = ""
@@ -308,7 +329,7 @@ class SequenceCheck:
 
 
 RowCheck = (NullRateCheck | RangeCheck | RegexCheck | MembershipCheck
-            | ExpressionCheck | SecretFreeCheck)
+            | ExpressionCheck | SecretFreeCheck | WellFormedCheck)
 
 
 @dataclass
@@ -363,6 +384,20 @@ def _violation_expr(check: RowCheck):
         for pat in check.patterns():  # codegen rlike chain, one scan
             hit = hit | c.rlike(pat)
         v = c.isNotNull() & hit
+    elif isinstance(check, WellFormedCheck):
+        from data_profiler_spark.operators.code_metrics import wf_signals
+
+        # the operator's own signal expressions as a row predicate inside
+        # the shared validation scan. A NULL column is not a violation for
+        # a structural check (NullRateCheck owns null policy).
+        c = F.col(check.column)
+        ok = wf_signals(
+            c,
+            max_replacement_chars=check.max_replacement_chars,
+            max_bracket_imbalance=check.max_bracket_imbalance,
+            min_brackets=check.min_brackets,
+        )["well_formed"]
+        v = c.isNotNull() & ~ok
     else:
         raise TypeError(f"unknown row check: {check!r}")
     if getattr(check, "where", ""):

@@ -4151,3 +4151,107 @@ def function_dup_census_documents(spark: SparkSession, sf_dir: str) -> DataFrame
         )
     )
     return function_dup_census(code, "lang", "content")
+
+
+# ---------------------------------------------------------------------------
+# structural well-formedness (operators/code_metrics.py well_formedness /
+# malformed_census + constraints.WellFormedCheck). The documents text is
+# clean, so both engines plant the IDENTICAL deterministic defects first:
+# a committed merge conflict (doc_id%9), mojibake U+FFFD (doc_id%10) and a
+# run of 10 unclosed braces (doc_id%12); every doc also gets a balanced
+# bracket pad so clean files clear the min_brackets floor. Every signal is
+# exact character arithmetic shared verbatim with the DuckDB twin.
+# ---------------------------------------------------------------------------
+_WF_PLANT_SQL = (
+    "replace(text, ' value ', chr(10)) || ' (){}[](){}[]'"
+    " || CASE WHEN doc_id % 9 = 0"
+    "         THEN chr(10) || '<<<<<<< HEAD' || chr(10) || 'x = 1' || chr(10)"
+    "              || '=======' || chr(10) || 'x = 2' || chr(10)"
+    "              || '>>>>>>> theirs' || chr(10)"
+    "         ELSE '' END"
+    " || CASE WHEN doc_id % 10 = 0 THEN '��' ELSE '' END"
+    " || CASE WHEN doc_id % 12 = 0 THEN '{{{{{{{{{{' ELSE '' END"
+)
+
+
+def _wf_plant_spark(df: DataFrame) -> DataFrame:
+    did = F.col("doc_id")
+    return df.select(
+        "doc_id",
+        F.when(did % 3 == 0, F.lit("python"))
+        .when(did % 3 == 1, F.lit("java"))
+        .otherwise(F.lit("go"))
+        .alias("lang"),
+        F.concat(
+            F.replace(F.col("text"), F.lit(" value "), F.lit("\n")),
+            F.lit(" (){}[](){}[]"),
+            F.when(
+                did % 9 == 0,
+                F.lit("\n<<<<<<< HEAD\nx = 1\n=======\nx = 2\n>>>>>>> theirs\n"),
+            ).otherwise(""),
+            F.when(did % 10 == 0, F.lit("��")).otherwise(""),
+            F.when(did % 12 == 0, F.lit("{" * 10)).otherwise(""),
+        ).alias("content"),
+    )
+
+
+def _wf_census_oracle() -> str:
+    from data_profiler_spark.operators.code_metrics import well_formedness_sql
+
+    s = well_formedness_sql("content")
+    return f"""WITH code AS (
+         SELECT {_CODE_LANG_SQL} AS lang, {_WF_PLANT_SQL} AS content
+         FROM documents)
+       SELECT lang,
+              CAST(COUNT(*) AS BIGINT) AS n_files,
+              CAST(SUM(CASE WHEN {s['has_conflict_markers']} THEN 1 ELSE 0 END) AS BIGINT)
+                AS n_conflict,
+              CAST(SUM(CASE WHEN {s['n_replacement_chars']} > 0 THEN 1 ELSE 0 END) AS BIGINT)
+                AS n_mojibake,
+              CAST(SUM(CASE WHEN NOT ({s['well_formed']}) THEN 1 ELSE 0 END) AS BIGINT)
+                AS n_malformed
+       FROM code GROUP BY 1"""
+
+
+@register("well_formed_census_documents", _wf_census_oracle())
+def well_formed_census_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language structural-sanity census: committed merge conflicts,
+    mojibake and bracket corruption counted in one narrow codegen scan —
+    content never reaches the shuffle (only the lang key does)."""
+    from data_profiler_spark.operators.code_metrics import malformed_census
+
+    code = _wf_plant_spark(load(spark, sf_dir, "documents"))
+    return malformed_census(code, "lang", "content")
+
+
+def _wf_verdicts_oracle() -> str:
+    from data_profiler_spark.operators.code_metrics import well_formedness_sql
+
+    wf = well_formedness_sql("content")["well_formed"]
+    viol = f"SUM(CASE WHEN content IS NOT NULL AND NOT ({wf}) THEN 1 ELSE 0 END)"
+    return f"""WITH code AS (
+         SELECT {_CODE_LANG_SQL} AS lang, {_WF_PLANT_SQL} AS content
+         FROM documents)
+       SELECT lang AS "partition", 'well_formed:content' AS "check",
+              CAST({viol} AS BIGINT) AS violation_count,
+              CAST(COUNT(*) AS BIGINT) AS row_count,
+              CASE WHEN COUNT(*) = 0 THEN {viol} = 0
+                   ELSE CAST({viol} AS DOUBLE) / COUNT(*) <= 0.0 END AS pass
+       FROM code GROUP BY 1"""
+
+
+@register("well_formed_verdicts_documents", _wf_verdicts_oracle())
+def well_formed_verdicts_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WellFormedCheck through the suite verdict machinery: structural
+    content validity as a first-class row check with per-partition
+    verdicts, sharing the single validation scan with every other check."""
+    from data_profiler_spark.operators.constraints import (
+        WellFormedCheck,
+        run_row_checks,
+    )
+
+    code = _wf_plant_spark(load(spark, sf_dir, "documents"))
+    verdicts, _ = run_row_checks(
+        code, [WellFormedCheck("content")], partition_col="lang"
+    )
+    return verdicts.select("partition", "check", "violation_count", "row_count", "pass")

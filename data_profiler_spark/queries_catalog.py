@@ -4255,3 +4255,63 @@ def well_formed_verdicts_documents(spark: SparkSession, sf_dir: str) -> DataFram
         code, [WellFormedCheck("content")], partition_col="lang"
     )
     return verdicts.select("partition", "check", "violation_count", "row_count", "pass")
+
+
+# ---------------------------------------------------------------------------
+# cyclomatic-complexity / nesting census (operators/code_metrics.py
+# complexity_features / complexity_census). Both engines plant identical
+# per-lang code snippets over the documents text (same trick as
+# top_symbols) so every feature lights up; prose keywords ("if", "and",
+# "or"...) count identically on both sides by construction.
+# ---------------------------------------------------------------------------
+_CPLX_LINES_SQL = """CASE doc_id % 3
+      WHEN 0 THEN 'if x:' || chr(10) || '    if y and z:' || chr(10)
+                  || '        pass' || chr(10)
+      WHEN 1 THEN 'if (a && b) {' || chr(10) || '    while (c || d) {' || chr(10)
+                  || '        f();' || chr(10) || '    }' || chr(10) || '}' || chr(10)
+      ELSE 'for i := 0; i < n; i++ {' || chr(10) || chr(9) || 'if ok {' || chr(10)
+           || chr(9) || chr(9) || 'go f()' || chr(10) || chr(9) || '}' || chr(10)
+           || '}' || chr(10) END"""
+
+
+def _cplx_census_oracle() -> str:
+    from data_profiler_spark.operators.code_metrics import complexity_features_sql
+
+    s = complexity_features_sql("content")
+    return f"""WITH code AS (
+         SELECT {_CODE_LANG_SQL} AS lang,
+                {_CPLX_LINES_SQL} || replace(text, ' value ', chr(10)) AS content
+         FROM documents),
+       f AS (SELECT lang, {s['cyclomatic']} AS cyclomatic,
+                    {s['max_indent_chars']} AS max_indent FROM code)
+       SELECT lang,
+              CAST(COUNT(*) AS BIGINT) AS n_files,
+              round(CAST(SUM(cyclomatic) AS DOUBLE) / COUNT(*), 10) AS avg_cyclomatic,
+              CAST(MAX(cyclomatic) AS BIGINT) AS max_cyclomatic,
+              CAST(SUM(CASE WHEN cyclomatic > 10 THEN 1 ELSE 0 END) AS BIGINT)
+                AS n_complex,
+              round(CAST(SUM(max_indent) AS DOUBLE) / COUNT(*), 10) AS avg_max_indent
+       FROM f GROUP BY 1"""
+
+
+@register("complexity_census_documents", _cplx_census_oracle())
+def complexity_census_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language cyclomatic/nesting census — exact integer sums, means
+    derived once at the end, one narrow codegen scan + one key-only
+    shuffle (content never moves)."""
+    from data_profiler_spark.operators.code_metrics import complexity_census
+
+    did = F.col("doc_id")
+    mod3 = did % 3
+    snippet = (
+        F.when(mod3 == 0, F.lit("if x:\n    if y and z:\n        pass\n"))
+        .when(mod3 == 1, F.lit("if (a && b) {\n    while (c || d) {\n        f();\n    }\n}\n"))
+        .otherwise(F.lit("for i := 0; i < n; i++ {\n\tif ok {\n\t\tgo f()\n\t}\n}\n"))
+    )
+    code = load(spark, sf_dir, "documents").select(
+        F.when(mod3 == 0, F.lit("python")).when(mod3 == 1, F.lit("java"))
+         .otherwise(F.lit("go")).alias("lang"),
+        F.concat(snippet, F.replace(F.col("text"), F.lit(" value "), F.lit("\n")))
+         .alias("content"),
+    )
+    return complexity_census(code, "lang", "content")

@@ -1,0 +1,141 @@
+"""Jupyter-notebook (.ipynb) cell extraction over a content column.
+
+Notebooks are a first-class code-corpus format (The Stack ships them as
+their own subset and the StarCoder pipeline converts them to script +
+text pairs before training), but they arrive as JSON blobs in the same
+(repo, path, commit, lang, content) table as plain source files. This
+module turns them into rows without any Python-side JSON parsing:
+``F.from_json`` evaluates in the JVM inside the same scan as every other
+content operator, so a 100 TB corpus pays one projection, not a UDF.
+
+Non-parsing content (truncated/invalid JSON, or JSON without a ``cells``
+array) yields NULL from ``from_json`` — surfaced as ``valid = false``
+rather than silently dropped, mirroring the engine's try_cast posture
+(sources.py S1/S2: a value the engine cannot read is a flagged fact).
+
+Reference parity: the reference reads tabular containers only
+(src/data_profiler/readers/*); notebook extraction is part of this
+engine's code-corpus mandate. Scale shape: the explode emits cell-sized
+rows (cells are small); whole-notebook content never reaches a shuffle —
+rollups group on ids/cell_type only.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    ArrayType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+# minimal nbformat-4 surface: cell_type + source. Everything else in the
+# notebook JSON (outputs, metadata, execution_count) is intentionally not
+# projected — from_json prunes unrequested fields, so giant base64 image
+# outputs are never materialized.
+NOTEBOOK_SCHEMA = StructType(
+    [
+        StructField(
+            "cells",
+            ArrayType(
+                StructType(
+                    [
+                        StructField("cell_type", StringType()),
+                        StructField("source", ArrayType(StringType())),
+                    ]
+                )
+            ),
+        )
+    ]
+)
+
+
+def notebook_cells(
+    df: DataFrame,
+    content_col: str = "content",
+    id_cols: list[str] | None = None,
+) -> DataFrame:
+    """(id..., cell_idx, cell_type, source) — one row per notebook cell,
+    1-based cell order, source lines joined verbatim (nbformat stores
+    source as a list of line strings that already carry their newlines).
+    Invalid notebooks emit no rows here; see :func:`notebook_census` for
+    the validity census."""
+    ids = [F.col(x) for x in (id_cols or [])]
+    parsed = df.select(
+        *ids, F.from_json(F.col(content_col), NOTEBOOK_SCHEMA).alias("nb")
+    )
+    return parsed.select(
+        *ids, F.posexplode("nb.cells").alias("pos", "cell")
+    ).select(
+        *ids,
+        (F.col("pos") + 1).cast("long").alias("cell_idx"),
+        F.col("cell.cell_type").alias("cell_type"),
+        F.concat_ws("", F.col("cell.source")).alias("source"),
+    )
+
+
+def notebook_census(
+    df: DataFrame,
+    content_col: str = "content",
+    id_cols: list[str] | None = None,
+) -> DataFrame:
+    """Per-notebook census in ONE projection (no explode, no shuffle):
+    validity, cell counts by type, and total code characters — the
+    numbers a corpus builder reads before deciding script conversion."""
+    ids = [F.col(x) for x in (id_cols or [])]
+    nb = F.from_json(F.col(content_col), NOTEBOOK_SCHEMA)
+    cells = nb["cells"]
+    code = F.filter(cells, lambda c: c["cell_type"] == F.lit("code"))
+    md = F.filter(cells, lambda c: c["cell_type"] == F.lit("markdown"))
+    code_chars = F.aggregate(
+        code,
+        F.lit(0).cast("long"),
+        lambda acc, c: acc
+        + F.coalesce(F.length(F.concat_ws("", c["source"])), F.lit(0)).cast("long"),
+    )
+    valid = cells.isNotNull()
+    return df.select(
+        *ids,
+        valid.alias("valid"),
+        F.when(valid, F.size(cells).cast("long")).alias("n_cells"),
+        F.when(valid, F.size(code).cast("long")).alias("n_code_cells"),
+        F.when(valid, F.size(md).cast("long")).alias("n_markdown_cells"),
+        F.when(valid, code_chars).alias("code_chars"),
+    )
+
+
+def notebook_to_script(
+    df: DataFrame,
+    content_col: str = "content",
+    id_cols: list[str] | None = None,
+    markdown_prefix: str = "# ",
+) -> DataFrame:
+    """(id..., script) — the StarCoder-style script conversion: code cells
+    verbatim in order, markdown cells line-prefixed as comments, joined by
+    blank lines. One projection (array transforms); NULL for invalid
+    notebooks."""
+    ids = [F.col(x) for x in (id_cols or [])]
+    nb = F.from_json(F.col(content_col), NOTEBOOK_SCHEMA)
+    kept = F.filter(
+        nb["cells"],
+        lambda c: c["cell_type"].isin("code", "markdown"),
+    )
+    rendered = F.transform(
+        kept,
+        lambda c: F.when(
+            c["cell_type"] == "code", F.concat_ws("", c["source"])
+        ).otherwise(
+            F.concat(
+                F.lit(markdown_prefix),
+                # exact string replace (not regex) — engine-portable
+                F.replace(
+                    F.concat_ws("", c["source"]),
+                    F.lit("\n"),
+                    F.lit("\n" + markdown_prefix),
+                ),
+            )
+        ),
+    )
+    return df.select(*ids, F.array_join(rendered, "\n\n").alias("script"))

@@ -4315,3 +4315,121 @@ def complexity_census_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
          .alias("content"),
     )
     return complexity_census(code, "lang", "content")
+
+
+# ---------------------------------------------------------------------------
+# Jupyter-notebook extraction (operators/notebooks.py). Both engines build
+# IDENTICAL nbformat-4 JSON blobs from documents (pure-ASCII sources, a
+# deliberately invalid blob every 17th doc), then extract: per-cell rows,
+# per-notebook census, and the StarCoder-style script conversion. Spark
+# parses with from_json (JVM, pruned schema — giant outputs never
+# materialize); DuckDB with json_transform behind a json_valid guard
+# (from_json yields NULL for corrupt input, DuckDB would throw).
+# ---------------------------------------------------------------------------
+_NB_JSON_SQL = """CASE WHEN doc_id % 17 = 0 THEN 'not a notebook'
+    ELSE '{"nbformat":4,"cells":[{"cell_type":"code","source":["x = '
+         || CAST(doc_id AS VARCHAR)
+         || '\\n","y = x + 1"]},{"cell_type":"markdown","source":["# doc '
+         || CAST(doc_id AS VARCHAR) || '"]}'
+         || CASE WHEN doc_id % 4 = 0
+                 THEN ',{"cell_type":"code","source":["print(x)"]}'
+                 ELSE '' END
+         || ']}' END"""
+
+_NB_CELLS_SQL = (
+    "CASE WHEN json_valid(content) THEN json_transform("
+    "json_extract(content, '$.cells'),"
+    " '[{\"cell_type\":\"VARCHAR\",\"source\":[\"VARCHAR\"]}]') END"
+)
+
+
+def _nb_spark(df: DataFrame) -> DataFrame:
+    did = F.col("doc_id")
+    return df.select(
+        "doc_id",
+        F.when(did % 17 == 0, F.lit("not a notebook"))
+        .otherwise(
+            F.concat(
+                F.lit('{"nbformat":4,"cells":[{"cell_type":"code","source":["x = '),
+                did.cast("string"),
+                F.lit('\\n","y = x + 1"]},{"cell_type":"markdown","source":["# doc '),
+                did.cast("string"),
+                F.lit('"]}'),
+                F.when(
+                    did % 4 == 0,
+                    F.lit(',{"cell_type":"code","source":["print(x)"]}'),
+                ).otherwise(""),
+                F.lit("]}"),
+            )
+        )
+        .alias("content"),
+    )
+
+
+@register(
+    "notebook_cells_documents",
+    f"""WITH nb AS (SELECT doc_id, {_NB_JSON_SQL} AS content FROM documents)
+       SELECT doc_id, CAST(c.i AS BIGINT) AS cell_idx,
+              c.x.cell_type AS cell_type,
+              array_to_string(c.x.source, '') AS source
+       FROM (SELECT doc_id,
+                    unnest(list_transform({_NB_CELLS_SQL},
+                           (x, i) -> {{'x': x, 'i': i}})) AS c
+             FROM nb)""",
+)
+def notebook_cells_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One row per notebook cell (1-based order, source lines rejoined);
+    invalid notebooks emit nothing here — the census carries them."""
+    from data_profiler_spark.operators.notebooks import notebook_cells
+
+    nb = _nb_spark(load(spark, sf_dir, "documents"))
+    return notebook_cells(nb, "content", ["doc_id"])
+
+
+@register(
+    "notebook_census_documents",
+    f"""WITH nb AS (SELECT doc_id, {_NB_JSON_SQL} AS content FROM documents),
+       p AS (SELECT doc_id, {_NB_CELLS_SQL} AS cells FROM nb)
+       SELECT doc_id, cells IS NOT NULL AS valid,
+              CASE WHEN cells IS NOT NULL THEN CAST(len(cells) AS BIGINT) END AS n_cells,
+              CASE WHEN cells IS NOT NULL THEN CAST(len(list_filter(cells,
+                   x -> x.cell_type = 'code')) AS BIGINT) END AS n_code_cells,
+              CASE WHEN cells IS NOT NULL THEN CAST(len(list_filter(cells,
+                   x -> x.cell_type = 'markdown')) AS BIGINT) END AS n_markdown_cells,
+              CASE WHEN cells IS NOT NULL THEN CAST(coalesce(list_sum(
+                   list_transform(list_filter(cells, x -> x.cell_type = 'code'),
+                                  x -> length(array_to_string(x.source, '')))), 0)
+                   AS BIGINT) END AS code_chars
+       FROM p""",
+)
+def notebook_census_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-notebook validity + cell-type census in one projection — no
+    explode, no shuffle; parse failures are flagged facts, not drops."""
+    from data_profiler_spark.operators.notebooks import notebook_census
+
+    nb = _nb_spark(load(spark, sf_dir, "documents"))
+    return notebook_census(nb, "content", ["doc_id"])
+
+
+@register(
+    "notebook_script_documents",
+    f"""WITH nb AS (SELECT doc_id, {_NB_JSON_SQL} AS content FROM documents),
+       p AS (SELECT doc_id, {_NB_CELLS_SQL} AS cells FROM nb)
+       SELECT doc_id,
+              CASE WHEN cells IS NOT NULL THEN array_to_string(list_transform(
+                   list_filter(cells, x -> x.cell_type IN ('code', 'markdown')),
+                   x -> CASE WHEN x.cell_type = 'code'
+                             THEN array_to_string(x.source, '')
+                             ELSE '# ' || replace(array_to_string(x.source, ''),
+                                                  chr(10), chr(10) || '# ') END),
+                   chr(10) || chr(10)) END AS script
+       FROM p""",
+)
+def notebook_script_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """StarCoder-style notebook→script conversion: code cells verbatim,
+    markdown as comment lines, blank-line joined — the form a training
+    pipeline tokenizes."""
+    from data_profiler_spark.operators.notebooks import notebook_to_script
+
+    nb = _nb_spark(load(spark, sf_dir, "documents"))
+    return notebook_to_script(nb, "content", ["doc_id"])

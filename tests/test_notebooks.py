@@ -1,0 +1,81 @@
+"""Jupyter-notebook extraction: cells, census, script conversion."""
+
+from __future__ import annotations
+
+import json
+
+NB = {
+    "nbformat": 4,
+    "nbformat_minor": 5,
+    "metadata": {"kernelspec": {"language": "python", "name": "python3"}},
+    "cells": [
+        {
+            "cell_type": "markdown",
+            "metadata": {},
+            "source": ["# Title\n", "intro line"],
+        },
+        {
+            "cell_type": "code",
+            "execution_count": 1,
+            "metadata": {},
+            # giant outputs must be pruned by the schema, never parsed
+            "outputs": [
+                {"output_type": "display_data", "data": {"image/png": "A" * 10000}}
+            ],
+            "source": ["x = 1\n", "print(x)"],
+        },
+        {"cell_type": "raw", "metadata": {}, "source": ["raw text"]},
+        {"cell_type": "code", "metadata": {}, "outputs": [], "source": []},
+    ],
+}
+
+
+def _df(spark):
+    rows = [
+        ("nb1", json.dumps(NB)),
+        ("bad", "{truncated"),
+        ("nocells", '{"nbformat": 4}'),
+    ]
+    return spark.createDataFrame(rows, "path string, content string")
+
+
+def test_notebook_cells(spark):
+    from data_profiler_spark.operators.notebooks import notebook_cells
+
+    rows = notebook_cells(_df(spark), "content", ["path"]).collect()
+    by_idx = {(r["path"], r["cell_idx"]): r for r in rows}
+    # invalid / cell-less notebooks emit nothing
+    assert {r["path"] for r in rows} == {"nb1"}
+    assert len(rows) == 4
+    assert by_idx[("nb1", 1)]["cell_type"] == "markdown"
+    assert by_idx[("nb1", 1)]["source"] == "# Title\nintro line"
+    assert by_idx[("nb1", 2)]["source"] == "x = 1\nprint(x)"
+    assert by_idx[("nb1", 4)]["source"] == ""
+
+
+def test_notebook_census(spark):
+    from data_profiler_spark.operators.notebooks import notebook_census
+
+    rows = {r["path"]: r.asDict() for r in
+            notebook_census(_df(spark), "content", ["path"]).collect()}
+    assert rows["nb1"]["valid"]
+    assert rows["nb1"]["n_cells"] == 4
+    assert rows["nb1"]["n_code_cells"] == 2
+    assert rows["nb1"]["n_markdown_cells"] == 1
+    assert rows["nb1"]["code_chars"] == len("x = 1\nprint(x)")
+    # parse failure is a flagged fact, not a drop
+    assert not rows["bad"]["valid"] and rows["bad"]["n_cells"] is None
+    assert not rows["nocells"]["valid"]
+
+
+def test_notebook_to_script(spark):
+    from data_profiler_spark.operators.notebooks import notebook_to_script
+
+    rows = {r["path"]: r["script"] for r in
+            notebook_to_script(_df(spark), "content", ["path"]).collect()}
+    script = rows["nb1"]
+    # markdown commented per line, code verbatim, raw cells dropped
+    assert script.startswith("# # Title\n# intro line")
+    assert "x = 1\nprint(x)" in script
+    assert "raw text" not in script
+    assert rows["bad"] is None

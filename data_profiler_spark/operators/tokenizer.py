@@ -1,0 +1,213 @@
+"""Distributed BPE tokenizer training + token-fertility census.
+
+A training-data engine needs tokenizer-aware numbers twice: BEFORE
+training a tokenizer (learn merges from the corpus — Sennrich et al.
+2016 byte-pair encoding, the algorithm behind GPT-2/Llama vocabularies)
+and AFTER (fertility: how many tokens a language costs per character —
+the UniMax/NLLB sampling input).
+
+Scale shape — the whole trick is that BPE never iterates over the
+corpus: ONE corpus-scale shuffle builds the word-TYPE frequency table
+(``word_freqs``), and every merge round after that runs over the
+vocabulary-sized type table (100k-ish rows at any corpus size). Per
+round: one explode+groupBy over adjacent symbol pairs (map-side
+combined, 8-byte-ish keys), a driver collect of the single best pair
+(one row), and one array fold applying the merge — then a
+``localCheckpoint`` so 50 rounds don't build a 50-deep lineage (the
+PageRank pattern, operators/graph.py). Per-row Python never runs;
+encoding uses an Arrow-batched pandas_udf that encodes each distinct
+word once per batch.
+
+Reference parity: the reference has no tokenizer surface (tabular
+profiling only) — training-data extension per the round brief.
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import pandas as pd
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def word_freqs(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """(word, freq) over whitespace-split tokens — the ONE corpus-scale
+    shuffle in BPE training. Map-side combine shrinks the exchange to the
+    word-type count per partition."""
+    w = F.explode(F.split(F.trim(F.col(text_col)), r"\s+")).alias("word")
+    return (
+        df.select(w)
+        .where(F.col("word") != "")
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("freq"))
+    )
+
+
+def _symbols(word: Column) -> Column:
+    """Single-character symbol array. The zero-width lookahead split also
+    matches at end-of-string under Spark's limit=-1 semantics, leaving a
+    trailing '' — filtered explicitly."""
+    return F.filter(F.split(word, "(?!^)"), lambda x: x != F.lit(""))
+
+
+def _adjacent_pairs(s: Column) -> Column:
+    """array<struct<l,r>> of adjacent symbol pairs (empty for 1-symbol
+    words). transform-with-index keeps field names deterministic."""
+    return F.transform(
+        F.slice(s, 1, F.size(s) - 1),
+        lambda x, i: F.struct(x.alias("l"), F.element_at(s, i + 2).alias("r")),
+    )
+
+
+def _apply_merge(s: Column, left: str, right: str) -> Column:
+    """Greedy left-to-right merge of adjacent (left, right) into one
+    symbol — an array fold; after replacing the tail, the merged symbol
+    participates in the next comparison, exactly the reference greedy
+    semantics."""
+    merged = left + right
+    return F.aggregate(
+        s,
+        F.array().cast("array<string>"),
+        lambda acc, x: F.when(
+            (F.size(acc) > 0)
+            & (F.element_at(acc, -1) == F.lit(left))
+            & (x == F.lit(right)),
+            F.concat(F.slice(acc, 1, F.size(acc) - 1), F.array(F.lit(merged))),
+        ).otherwise(F.concat(acc, F.array(x))),
+    )
+
+
+def pair_counts(words: DataFrame) -> DataFrame:
+    """(l, r, pair_count) — frequency-weighted adjacent symbol-pair counts
+    over a (word, freq) table with single-character symbols (i.e. BPE
+    round 1). Exposed separately because it is the SQL-expressible kernel
+    the oracle pins; ``bpe_train`` runs the same plan per round."""
+    s = _symbols(F.col("word"))
+    p = words.select(F.col("freq"), F.explode(_adjacent_pairs(s)).alias("p"))
+    return p.groupBy(F.col("p.l").alias("l"), F.col("p.r").alias("r")).agg(
+        F.sum("freq").alias("pair_count")
+    )
+
+
+def bpe_train(
+    df: DataFrame,
+    text_col: str = "text",
+    num_merges: int = 50,
+    min_freq: int = 2,
+) -> DataFrame:
+    """Learn ``num_merges`` BPE merges; returns a DataFrame
+    (rank, left, right, pair_count) in merge order. Deterministic ties:
+    highest count, then lexicographic (left, right). Stops early when no
+    pair reaches ``min_freq``."""
+    spark = df.sparkSession
+    wf = word_freqs(df, text_col)
+    syms = wf.select("freq", _symbols(F.col("word")).alias("s")).localCheckpoint()
+    merges: list[tuple] = []
+    for rank in range(num_merges):
+        pc = syms.select("freq", F.explode(_adjacent_pairs(F.col("s"))).alias("p"))
+        best = (
+            pc.groupBy(F.col("p.l").alias("l"), F.col("p.r").alias("r"))
+            .agg(F.sum("freq").alias("pair_count"))
+            .orderBy(F.desc("pair_count"), F.asc("l"), F.asc("r"))
+            .limit(1)
+            .collect()
+        )
+        if not best or best[0]["pair_count"] < min_freq:
+            break
+        left, right, cnt = best[0]["l"], best[0]["r"], best[0]["pair_count"]
+        merges.append((rank, left, right, int(cnt)))
+        nxt = syms.select("freq", _apply_merge(F.col("s"), left, right).alias("s"))
+        # localCheckpoint per round: without it, round k's plan nests k
+        # aggregate folds and the optimizer re-derives everything
+        old, syms = syms, nxt.localCheckpoint()
+        old.unpersist()
+    out = spark.createDataFrame(
+        merges, "rank long, left string, right string, pair_count long"
+    )
+    syms.unpersist()
+    return out
+
+
+def bpe_encode_counts(
+    df: DataFrame,
+    text_col: str,
+    id_cols: list[str],
+    merges: list[tuple],
+) -> DataFrame:
+    """(id..., n_tokens) — token count per row under the learned merge
+    list (rank-ordered greedy application, the standard BPE encoder).
+    Arrow-batched mapInPandas; each DISTINCT word in a batch is encoded
+    once and reused, so the cost scales with type count, not token count.
+    ``merges`` is a plain list of (rank, left, right[, ...]) tuples —
+    collect the ``bpe_train`` result and pass it in (vocabulary-sized,
+    broadcast by closure capture)."""
+    ranks = {(m[1], m[2]): m[0] for m in merges}
+    out_schema = ", ".join(f"{c} string" for c in id_cols) + ", n_tokens long"
+
+    def _encode_word(word: str, cache: dict) -> int:
+        got = cache.get(word)
+        if got is not None:
+            return got
+        syms = list(word)
+        while len(syms) > 1:
+            best_rank, best_i = None, None
+            for i in range(len(syms) - 1):
+                r = ranks.get((syms[i], syms[i + 1]))
+                if r is not None and (best_rank is None or r < best_rank):
+                    best_rank, best_i = r, i
+            if best_rank is None:
+                break
+            syms[best_i : best_i + 2] = [syms[best_i] + syms[best_i + 1]]
+        cache[word] = len(syms)
+        return len(syms)
+
+    def _gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        cache: dict = {}
+        for pdf in batches:
+            counts = [
+                sum(_encode_word(w, cache) for w in str(t).split()) if t is not None else 0
+                for t in pdf[text_col]
+            ]
+            out = pdf[id_cols].astype(str).copy()
+            out["n_tokens"] = pd.Series(counts, dtype="int64")
+            yield out
+
+    return df.select(*id_cols, text_col).mapInPandas(_gen, out_schema)
+
+
+def token_fertility(
+    df: DataFrame,
+    group_col: str = "lang",
+    text_col: str = "text",
+) -> DataFrame:
+    """Per-group token-fertility census from the engine's counting
+    columns (operators/text.py): whitespace tokens, BPE-ish regex tokens
+    and characters, plus the two ratios sampling policies read
+    (tokens/100 chars, chars/word). Exact integer sums; ratios derived
+    once — order/partitioning-independent."""
+    from data_profiler_spark.operators.text import (
+        bpe_token_count,
+        whitespace_token_count,
+    )
+
+    t = F.col(text_col)
+    base = df.select(
+        F.col(group_col),
+        whitespace_token_count(t).alias("ws"),
+        bpe_token_count(t).alias("bpe"),
+        F.length(t).cast("long").alias("chars"),
+    )
+    return base.groupBy(group_col).agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("ws").alias("n_ws_tokens"),
+        F.sum("bpe").alias("n_bpe_tokens"),
+        F.sum("chars").alias("n_chars"),
+        F.round(
+            F.try_divide(F.sum("bpe").cast("double") * 100.0, F.sum("chars").cast("double")),
+            10,
+        ).alias("bpe_per_100_chars"),
+        F.round(
+            F.try_divide(F.sum("chars").cast("double"), F.sum("ws").cast("double")), 10
+        ).alias("chars_per_ws_token"),
+    )

@@ -4433,3 +4433,102 @@ def notebook_script_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     nb = _nb_spark(load(spark, sf_dir, "documents"))
     return notebook_to_script(nb, "content", ["doc_id"])
+
+
+# ---------------------------------------------------------------------------
+# BPE tokenizer plane (operators/tokenizer.py): the SQL-expressible kernel
+# (round-1 adjacent-pair counts over the word-type table) is oracle-pinned;
+# the full iterative trainer is rows-only (driver-coordinated argmax per
+# round has no SQL twin) and golden-tested against a pure-Python reference
+# in test_tokenizer.py. Fertility census twins the engine's counting
+# regexes exactly.
+# ---------------------------------------------------------------------------
+@register(
+    "bpe_pair_counts_documents",
+    """WITH words AS (
+         SELECT word, CAST(count(*) AS BIGINT) AS freq FROM (
+           SELECT unnest(regexp_split_to_array(trim(text), '\\s+')) AS word
+           FROM documents WHERE length(trim(text)) > 0
+         ) WHERE word <> '' GROUP BY word),
+       pairs AS (
+         SELECT substr(word, CAST(i AS INT), 1) AS l,
+                substr(word, CAST(i AS INT) + 1, 1) AS r,
+                freq
+         FROM words, unnest(generate_series(1, length(word) - 1)) AS t(i)),
+       counts AS (
+         SELECT l, r, CAST(SUM(freq) AS BIGINT) AS pair_count
+         FROM pairs GROUP BY 1, 2)
+       SELECT l, r, pair_count FROM
+         (SELECT *, row_number() OVER (ORDER BY pair_count DESC, l, r) AS rnk
+          FROM counts)
+       WHERE rnk <= 20""",
+)
+def bpe_pair_counts_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE round-1 kernel: frequency-weighted adjacent character-pair
+    counts over the word-TYPE table (the one corpus-scale shuffle), top-20
+    with deterministic ties."""
+    from pyspark.sql import Window
+
+    from data_profiler_spark.operators.tokenizer import pair_counts, word_freqs
+
+    docs = load(spark, sf_dir, "documents")
+    pc = pair_counts(word_freqs(docs, "text"))
+    w = Window.orderBy(F.desc("pair_count"), F.asc("l"), F.asc("r"))
+    return (
+        pc.withColumn("rnk", F.row_number().over(w))
+        .where(F.col("rnk") <= 20)
+        .select("l", "r", "pair_count")
+    )
+
+
+@register("bpe_merges_documents")
+def bpe_merges_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full BPE training, 12 merge rounds over the documents corpus —
+    iterative (per-round driver argmax), so rows-only at the gate;
+    merge-sequence equality vs a pure-Python reference is pytest-pinned
+    (test_tokenizer.py)."""
+    from data_profiler_spark.operators.tokenizer import bpe_train
+
+    docs = load(spark, sf_dir, "documents")
+    return bpe_train(docs, "text", num_merges=12)
+
+
+def _fertility_oracle() -> str:
+    from data_profiler_spark.operators.text import BPE_RE
+
+    n_ws = (
+        "CASE WHEN length(trim(text)) = 0 THEN 0 "
+        "ELSE len(regexp_split_to_array(trim(text), '\\s+')) END"
+    )
+    n_bpe = f"len(regexp_extract_all(text, '{BPE_RE}'))"
+    return f"""WITH base AS (
+         SELECT {_CODE_LANG_SQL} AS lang,
+                CAST({n_ws} AS BIGINT) AS ws,
+                CAST({n_bpe} AS BIGINT) AS bpe,
+                CAST(length(text) AS BIGINT) AS chars
+         FROM documents)
+       SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
+              CAST(SUM(ws) AS BIGINT) AS n_ws_tokens,
+              CAST(SUM(bpe) AS BIGINT) AS n_bpe_tokens,
+              CAST(SUM(chars) AS BIGINT) AS n_chars,
+              round(CAST(SUM(bpe) AS DOUBLE) * 100.0 / SUM(chars), 10)
+                AS bpe_per_100_chars,
+              round(CAST(SUM(chars) AS DOUBLE) / SUM(ws), 10)
+                AS chars_per_ws_token
+       FROM base GROUP BY 1"""
+
+
+@register("token_fertility_documents", _fertility_oracle())
+def token_fertility_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-fertility census per language — the sampling-policy input
+    (tokens per 100 chars, chars per word); exact integer sums, ratios
+    derived once."""
+    from data_profiler_spark.operators.tokenizer import token_fertility
+
+    did = F.col("doc_id")
+    docs = load(spark, sf_dir, "documents").select(
+        F.when(did % 3 == 0, F.lit("python")).when(did % 3 == 1, F.lit("java"))
+         .otherwise(F.lit("go")).alias("lang"),
+        "text",
+    )
+    return token_fertility(docs, "lang", "text")

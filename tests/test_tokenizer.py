@@ -1,0 +1,127 @@
+"""BPE tokenizer training vs a pure-Python reference; fertility census."""
+
+from __future__ import annotations
+
+from collections import Counter
+
+
+# ---------------------------------------------------------------------------
+# pure-Python BPE reference (Sennrich et al. 2016, greedy, ties by
+# (count desc, left asc, right asc) — the engine's documented order)
+# ---------------------------------------------------------------------------
+def _ref_bpe(word_freqs: dict[str, int], num_merges: int, min_freq: int = 2):
+    syms = {w: list(w) for w in word_freqs}
+    merges = []
+    for rank in range(num_merges):
+        pc: Counter = Counter()
+        for w, f in word_freqs.items():
+            s = syms[w]
+            for i in range(len(s) - 1):
+                pc[(s[i], s[i + 1])] += f
+        if not pc:
+            break
+        (left, right), cnt = min(
+            pc.items(), key=lambda kv: (-kv[1], kv[0][0], kv[0][1])
+        )
+        if cnt < min_freq:
+            break
+        merges.append((rank, left, right, cnt))
+        for w in syms:
+            s = syms[w]
+            out = []
+            for x in s:
+                if out and out[-1] == left and x == right:
+                    out[-1] = left + right
+                else:
+                    out.append(x)
+            syms[w] = out
+    return merges, syms
+
+
+CORPUS = [
+    "low low low low low",
+    "lower lower newest newest",
+    "newest newest newest newest",
+    "widest widest widest",
+    "new new newer lowest",
+]
+
+
+def test_bpe_train_matches_reference(spark):
+    from data_profiler_spark.operators.tokenizer import bpe_train
+
+    df = spark.createDataFrame([(t,) for t in CORPUS], "text string")
+    got = [
+        (r["rank"], r["left"], r["right"], r["pair_count"])
+        for r in bpe_train(df, "text", num_merges=10).orderBy("rank").collect()
+    ]
+    wf: Counter = Counter(w for t in CORPUS for w in t.split())
+    want, _ = _ref_bpe(dict(wf), 10)
+    assert got == want
+    assert len(got) >= 5  # the corpus genuinely supports several merges
+
+
+def test_pair_counts_round1(spark):
+    from data_profiler_spark.operators.tokenizer import pair_counts, word_freqs
+
+    df = spark.createDataFrame([("ab ab abc",)], "text string")
+    rows = {(r["l"], r["r"]): r["pair_count"]
+            for r in pair_counts(word_freqs(df, "text")).collect()}
+    # word TYPES: ab(freq 2) + abc(freq 1) -> (a,b): 2+1, (b,c): 1
+    assert rows == {("a", "b"): 3, ("b", "c"): 1}
+
+
+def test_bpe_encode_counts(spark):
+    from data_profiler_spark.operators.tokenizer import (
+        bpe_encode_counts,
+        bpe_train,
+    )
+
+    df = spark.createDataFrame([(t,) for t in CORPUS], "text string")
+    merges = [
+        (r["rank"], r["left"], r["right"])
+        for r in bpe_train(df, "text", num_merges=10).orderBy("rank").collect()
+    ]
+    docs = spark.createDataFrame(
+        [("d1", "low lower"), ("d2", "newest"), ("d3", ""), ("d4", "zzz")],
+        "id string, text string",
+    )
+    got = {r["id"]: r["n_tokens"]
+           for r in bpe_encode_counts(docs, "text", ["id"], merges).collect()}
+
+    # encode with the same reference greedy-by-rank algorithm
+    ranks = {(left, right): rank for rank, left, right in merges}
+
+    def enc(word: str) -> int:
+        s = list(word)
+        while len(s) > 1:
+            cand = [(ranks[(s[i], s[i + 1])], i) for i in range(len(s) - 1)
+                    if (s[i], s[i + 1]) in ranks]
+            if not cand:
+                break
+            _, i = min(cand)
+            s[i : i + 2] = [s[i] + s[i + 1]]
+        return len(s)
+
+    assert got["d1"] == enc("low") + enc("lower")
+    assert got["d2"] == enc("newest")
+    assert got["d3"] == 0
+    assert got["d4"] == enc("zzz")  # unseen word: falls back to chars/partial
+
+
+def test_token_fertility(spark):
+    from data_profiler_spark.operators.tokenizer import token_fertility
+
+    rows = [
+        ("python", "def f(x): return x+1"),
+        ("python", "import os"),
+        ("go", "func main() {}"),
+    ]
+    df = spark.createDataFrame(rows, "lang string, text string")
+    out = {r["lang"]: r.asDict() for r in token_fertility(df).collect()}
+    assert out["python"]["n_docs"] == 2
+    assert out["python"]["n_ws_tokens"] == 4 + 2
+    assert out["go"]["n_chars"] == len("func main() {}")
+    # ratios derive from the sums exactly
+    py = out["python"]
+    assert py["chars_per_ws_token"] == round(py["n_chars"] / py["n_ws_tokens"], 10)

@@ -645,6 +645,33 @@ def q_winnow_clones(spark: SparkSession, sf_dir: str, code_files: str):
     print(f"[bench] winnow_clones pairs_emitted={n}", file=sys.stderr)
 
 
+def q_bpe_train(spark: SparkSession, sf_dir: str, code_files: str):
+    """Distributed BPE training over the 600k-file corpus: one
+    corpus-scale token shuffle builds the word-type table, then 12
+    vocabulary-sized merge rounds (pair-count groupBy + one-row driver
+    argmax + array-fold apply, localCheckpoint per round). The measured
+    quantity is the corpus scan + the per-round machinery."""
+    from data_profiler_spark.operators.tokenizer import bpe_train
+
+    df = spark.read.parquet(code_files)
+    return bpe_train(df, "content", num_merges=12).collect()
+
+
+def q_code_structure(spark: SparkSession, sf_dir: str, code_files: str):
+    """Structural validation block over the 600k-file corpus: the
+    well-formedness census (conflict markers / mojibake / bracket
+    imbalance — exact char arithmetic) and the cyclomatic/nesting census,
+    each ONE narrow codegen scan whose shuffle carries only the lang key."""
+    from data_profiler_spark.operators.code_metrics import (
+        complexity_census,
+        malformed_census,
+    )
+
+    df = spark.read.parquet(code_files)
+    malformed_census(df, "lang", "content").collect()
+    return complexity_census(df, "lang", "content").collect()
+
+
 BENCH_QUERIES = {
     "profile_lineitem": q_profile_lineitem,
     "preflight_5pct": q_preflight,
@@ -668,6 +695,8 @@ BENCH_QUERIES = {
     "semantic_decon_1m": q_semantic_decon,
     "secret_scan": q_secret_scan,
     "code_shape": q_code_shape,
+    "code_structure": q_code_structure,
+    "bpe_train_12": q_bpe_train,
     "winnow_clones": q_winnow_clones,
     "import_pagerank": q_import_pagerank,
     "media_features": q_media_features,

@@ -170,3 +170,47 @@ def test_plan_audit_all_green(spark):
 
     failures = plan_audit.audit(spark, "/root/testdata/sf0.001")
     assert failures == []
+
+
+def test_structural_census_plan_hygiene(spark):
+    """Well-formedness + complexity censuses: single codegen scan, no
+    Python eval, and the exchange carries only the small key/agg columns
+    (content is projected away before the shuffle)."""
+    from data_profiler_spark.operators.code_metrics import (
+        complexity_census,
+        malformed_census,
+    )
+
+    df = spark.createDataFrame(
+        [("python", "if a: {}\n")], "lang string, content string"
+    )
+    for out in (malformed_census(df), complexity_census(df)):
+        plan = _plan(out)
+        assert "EvalPython" not in plan
+        assert plan.count("Exchange") <= 2  # partial agg + final agg exchange
+        post = plan.split("Exchange", 1)[0]  # above the exchange: final agg side
+        assert "content" not in post
+
+
+def test_notebook_census_no_explode(spark):
+    """The per-notebook census is one projection: no explode (Generate),
+    no shuffle, no Python."""
+    from data_profiler_spark.operators.notebooks import notebook_census
+
+    df = spark.createDataFrame([("p", "{}")], "path string, content string")
+    plan = _plan(notebook_census(df, "content", ["path"]))
+    assert "EvalPython" not in plan
+    assert "Generate" not in plan
+    assert "Exchange" not in plan
+
+
+def test_bpe_pair_counts_shuffles_types_not_corpus(spark):
+    """BPE round-1 kernel: the only corpus-width shuffle is the word-type
+    groupBy (map-side combined); the pair groupBy runs over the type
+    table. Both aggregations must show partial_ merge (map-side combine)."""
+    from data_profiler_spark.operators.tokenizer import pair_counts, word_freqs
+
+    df = spark.createDataFrame([("a ab abc",)], "text string")
+    plan = _plan(pair_counts(word_freqs(df, "text")))
+    assert "EvalPython" not in plan
+    assert "partial_count" in plan and "partial_sum" in plan

@@ -37,7 +37,10 @@ def build_datasheet(
 ) -> dict:
     """Compute the datasheet dict. ``lang_col``: use an existing language
     column; None runs the engine's n-gram ``lang_id`` over the text."""
+    from data_profiler_spark.operators.code_metrics import wf_signals
+
     t = F.col(text_col)
+    _wf = wf_signals(t)  # structural sanity, same single scan as the stats
     toks = whitespace_token_count(t)
     stats = df.select(
         F.count(F.lit(1)).alias("n_docs"),
@@ -51,6 +54,9 @@ def build_datasheet(
             "n_low_quality"
         ),
         F.sum((t.isNull() | (F.length(t) == 0)).cast("long")).alias("n_empty"),
+        F.sum(_wf["has_conflict_markers"].cast("long")).alias("n_conflict"),
+        F.sum((_wf["n_replacement_chars"] > 0).cast("long")).alias("n_mojibake"),
+        F.sum((t.isNotNull() & ~_wf["well_formed"]).cast("long")).alias("n_malformed"),
     ).collect()[0]
 
     lang = F.col(lang_col) if lang_col else lang_id(t)
@@ -99,6 +105,12 @@ def build_datasheet(
             "n_duplicate_docs": dup["n_duplicate_rows"],
             "duplicate_ratio": dup["duplicate_ratio"],
         },
+        "structure": {
+            "n_conflict_markers": stats["n_conflict"],
+            "n_mojibake": stats["n_mojibake"],
+            "n_malformed": stats["n_malformed"],
+            "share_malformed": share(stats["n_malformed"]),
+        },
         "privacy": [
             {"rule": r["rule"], "n_docs": r["n_docs"], "n_matches": r["n_matches"]}
             for r in findings
@@ -135,6 +147,12 @@ def datasheet_markdown(sheet: dict) -> str:
         f"- distinct texts: {d['n_distinct_texts']:,}",
         f"- duplicate documents (extra copies): {d['n_duplicate_docs']:,} "
         f"({d['duplicate_ratio']:.4%})",
+        "",
+        "## Structural sanity",
+        f"- merge-conflict markers: {sheet['structure']['n_conflict_markers']:,}",
+        f"- mojibake (U+FFFD): {sheet['structure']['n_mojibake']:,}",
+        f"- malformed overall: {sheet['structure']['n_malformed']:,} "
+        f"({sheet['structure']['share_malformed']:.4%})",
         "",
         "## Privacy / secret findings",
     ]

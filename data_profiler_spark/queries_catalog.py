@@ -4532,3 +4532,44 @@ def token_fertility_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
         "text",
     )
     return token_fertility(docs, "lang", "text")
+
+
+# ---------------------------------------------------------------------------
+# cross-repo boilerplate census (operators/code_metrics.py
+# boilerplate_census): repo r holds docs [25r, 25r+24] (synthetic
+# membership, same trick as repo_similarity); every 5th doc carries the
+# identical planted boilerplate so one fingerprint spans many repos.
+# ---------------------------------------------------------------------------
+@register(
+    "boilerplate_census_documents",
+    """WITH code AS (
+         SELECT doc_id, doc_id // 25 AS repo,
+                CASE WHEN doc_id % 5 = 0
+                     THEN 'MIT License: Permission is hereby granted, free of charge'
+                     ELSE text END AS content
+         FROM documents),
+       s1 AS (
+         SELECT md5(content) AS fp, repo, CAST(count(*) AS BIGINT) AS c,
+                CAST(min(doc_id) AS BIGINT) AS ex
+         FROM code GROUP BY 1, 2)
+       SELECT fp, CAST(SUM(c) AS BIGINT) AS n_copies,
+              CAST(COUNT(*) AS BIGINT) AS n_repos,
+              CAST(MIN(ex) AS BIGINT) AS exemplar
+       FROM s1 GROUP BY fp HAVING COUNT(*) >= 3""",
+)
+def boilerplate_census_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-repo duplicated contents (≥3 distinct repos): the training-
+    weight-distortion census; content collapses to md5 before any
+    shuffle, two map-side-combined small-key exchanges, no Expand."""
+    from data_profiler_spark.operators.code_metrics import boilerplate_census
+
+    did = F.col("doc_id")
+    code = load(spark, sf_dir, "documents").select(
+        "doc_id",
+        (did / 25).cast("long").alias("repo"),
+        F.when(
+            did % 5 == 0,
+            F.lit("MIT License: Permission is hereby granted, free of charge"),
+        ).otherwise(F.col("text")).alias("content"),
+    )
+    return boilerplate_census(code, "repo", "content", exemplar_col="doc_id")

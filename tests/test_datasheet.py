@@ -50,3 +50,20 @@ def test_datasheet_lang_id_fallback_and_render(spark):
     import json as _json
 
     assert _json.loads(js)["corpus"]["n_docs"] == 6
+
+
+def test_datasheet_structure_section(spark):
+    rows = [
+        (1, "clean text with words", "en"),
+        (2, "a = 1\n<<<<<<< HEAD\nb = 2\n=======\nb = 3\n>>>>>>> x\n", "en"),
+        (3, "caf�� mojibake", "en"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string, lang string")
+    sheet = build_datasheet(df, "doc_id", "text", lang_col="lang")
+    s = sheet["structure"]
+    assert s["n_conflict_markers"] == 1
+    assert s["n_mojibake"] == 1
+    assert s["n_malformed"] == 2
+    assert s["share_malformed"] == round(2 / 3, 6)
+    md = datasheet_markdown(sheet)
+    assert "## Structural sanity" in md and "merge-conflict markers: 1" in md

@@ -284,3 +284,29 @@ def test_streaming_sessions_append_withholds_open_tail(spark, tmp_path):
     sess = streaming.streaming_sessions(stream, "user", "ts", gap="30 minutes", watermark="1 minute")
     streaming.run_available_now(sess, "tail_tbl", str(tmp_path / "ckpt2"), "append")
     assert spark.table("tail_tbl").count() == 0
+
+
+def test_streaming_well_formed_check(spark, tmp_path):
+    """WellFormedCheck is a RowCheck like any other: the streaming
+    windowed-verdict path evaluates it per window unchanged."""
+    import datetime as dt
+
+    from data_profiler_spark.operators.constraints import WellFormedCheck
+    from data_profiler_spark.streaming import run_available_now, windowed_violations
+
+    t0 = dt.datetime(2026, 1, 1, 0, 0, 0)
+    rows = [
+        (t0, "clean text"),
+        (t0 + dt.timedelta(seconds=10), "x\n<<<<<<< HEAD\na\n=======\nb\n>>>>>>> y\n"),
+        (t0 + dt.timedelta(minutes=5), "also clean"),
+    ]
+    src = str(tmp_path / "src")
+    spark.createDataFrame(rows, "ts timestamp, content string").write.parquet(src)
+    stream = spark.readStream.schema("ts timestamp, content string").parquet(src)
+    out = windowed_violations(stream, [WellFormedCheck("content")], "ts")
+    run_available_now(out, "wf_stream", str(tmp_path / "ckpt"))
+    got = spark.table("wf_stream").collect()
+    by_win = {(r["window_start"].minute, r["check"]): r for r in got}
+    assert by_win[(0, "well_formed:content")]["violation_count"] == 1
+    assert not by_win[(0, "well_formed:content")]["pass"]
+    assert by_win[(5, "well_formed:content")]["pass"]

@@ -90,6 +90,7 @@ def suggest_suite(
     # SecretFreeCheck so a future leak fails the suite
     freetext_cols = [c for c in string_cols if c not in member_cols]
     if freetext_cols:
+        from data_profiler_spark.operators.code_metrics import wf_signals
         from data_profiler_spark.operators.privacy import ALL_RULES
 
         for c in freetext_cols:
@@ -99,6 +100,12 @@ def suggest_suite(
             aggs.append(
                 F.sum(F.when(F.col(c).isNotNull() & hit, 1).otherwise(0))
                 .alias(f"{c}__secret_hits")
+            )
+            # structurally clean today → pin it (same combined job)
+            ok = wf_signals(F.col(c))["well_formed"]
+            aggs.append(
+                F.sum(F.when(F.col(c).isNotNull() & ~ok, 1).otherwise(0))
+                .alias(f"{c}__wf_bad")
             )
     extra = df.agg(*aggs).collect()[0] if aggs else {}
 
@@ -152,6 +159,14 @@ def suggest_suite(
                 spec_checks.append(
                     {"type": "secret_free", "column": c, "ruleset": "all"}
                 )
+            # structurally well-formed free text today → pin that too
+            if (extra[f"{c}__wf_bad"] or 0) == 0 and r["count"] > 0:
+                from data_profiler_spark.operators.constraints import (
+                    WellFormedCheck,
+                )
+
+                suite.row_checks.append(WellFormedCheck(c))
+                spec_checks.append({"type": "well_formed", "column": c})
             # length envelope (null-tolerant expression)
             if r["max_len"] is not None:
                 lo_len = max(0, math.floor(r["min_len"] * (1.0 - margin)))

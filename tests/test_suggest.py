@@ -139,3 +139,24 @@ def test_suggest_secret_free_for_clean_free_text(spark):
     )
     _, spec2 = suggest_suite(dirty)
     assert not [s for s in spec2["checks"] if s["type"] == "secret_free"]
+
+
+def test_suggest_well_formed_for_clean_free_text(spark):
+    from data_profiler_spark.suggest import suggest_suite
+
+    clean = spark.createDataFrame(
+        [(i, f"clean body text number {i} with variety {i*7}") for i in range(60)],
+        "id long, body string",
+    )
+    _, spec = suggest_suite(clean)
+    assert [s for s in spec["checks"] if s["type"] == "well_formed"] == [
+        {"type": "well_formed", "column": "body"}
+    ]
+
+    conflict = "x\n<<<<<<< HEAD\na\n=======\nb\n>>>>>>> y\n"
+    dirty = spark.createDataFrame(
+        [(i, conflict if i == 3 else f"body text {i} v{i*3}") for i in range(60)],
+        "id long, body string",
+    )
+    _, spec2 = suggest_suite(dirty)
+    assert not [s for s in spec2["checks"] if s["type"] == "well_formed"]

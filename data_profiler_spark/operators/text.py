@@ -382,3 +382,49 @@ def redact_pii(
         counts.append(F.regexp_count(cur, F.lit(pat)).cast("long").alias(f"n_redacted_{k}"))
         cur = F.regexp_replace(cur, pat, f"[{k.upper()}]")
     return df.select(*out_cols, *counts, cur.alias(f"{text_col}_redacted"))
+
+
+def compression_ratio(
+    df: DataFrame,
+    text_col: str,
+    id_cols: list[str],
+    level: int = 6,
+) -> DataFrame:
+    """(id..., n_chars, compressed_bytes, compression_ratio) — zlib
+    compressibility as a quality signal (RedPajama-v2 ships it as a
+    published signal: near-1 ratios are high-entropy blobs/minified
+    output, very high ratios are templated repetition; both are poor
+    training text). Arrow-batched mapInPandas — compression is inherently
+    per-payload CPU, so the batch loop IS the vectorized form; output is
+    id-sized, payload never shuffles. No SQL twin (DuckDB has no zlib) —
+    pytest pins known-compressibility fixtures."""
+    import zlib
+    from typing import Iterator
+
+    import pandas as pd
+
+    out_schema = ", ".join(f"{c} string" for c in id_cols) + (
+        ", n_chars long, compressed_bytes long, compression_ratio double"
+    )
+
+    def _gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            texts = pdf[text_col]
+            n = [len(t) if isinstance(t, str) else 0 for t in texts]
+            cb = [
+                len(zlib.compress(t.encode("utf-8", "surrogatepass"), level))
+                if isinstance(t, str)
+                else 0
+                for t in texts
+            ]
+            out = pdf[id_cols].astype(str).copy()
+            out["n_chars"] = pd.Series(n, dtype="int64")
+            out["compressed_bytes"] = pd.Series(cb, dtype="int64")
+            # empty/NULL text has no meaningful ratio (zlib's 8-byte empty
+            # stream would read as 0.0 and pollute ratio distributions)
+            out["compression_ratio"] = [
+                round(a / b, 10) if a and b else None for a, b in zip(n, cb)
+            ]
+            yield out
+
+    return df.select(*id_cols, text_col).mapInPandas(_gen, out_schema)

@@ -4573,3 +4573,64 @@ def boilerplate_census_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).otherwise(F.col("text")).alias("content"),
     )
     return boilerplate_census(code, "repo", "content", exemplar_col="doc_id")
+
+
+# ---------------------------------------------------------------------------
+# extension-vs-declared-language verification (operators/code_metrics.py
+# lang_mismatch_census): path synthesized on doc_id%4 (py/java/go/txt),
+# declared lang on doc_id%3 — guaranteed disagreements plus unknown-ext
+# rows that must NOT count as mismatches.
+# ---------------------------------------------------------------------------
+def _mismatch_oracle() -> str:
+    from data_profiler_spark.operators.code_metrics import expected_lang_sql
+
+    exp = expected_lang_sql("path")
+    return f"""WITH code AS (
+         SELECT 'src/f' || CAST(doc_id AS VARCHAR) ||
+                CASE doc_id % 4 WHEN 0 THEN '.py' WHEN 1 THEN '.java'
+                     WHEN 2 THEN '.go' ELSE '.txt' END AS path,
+                {_CODE_LANG_SQL} AS lang
+         FROM documents),
+       b AS (SELECT lang,
+                    CASE WHEN {exp} IS NOT NULL THEN 1 ELSE 0 END AS known,
+                    CASE WHEN {exp} IS NOT NULL AND {exp} <> lower(lang)
+                         THEN 1 ELSE 0 END AS bad
+             FROM code)
+       SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_files,
+              CAST(SUM(known) AS BIGINT) AS n_known_ext,
+              CAST(SUM(bad) AS BIGINT) AS n_mismatched,
+              round(CAST(SUM(bad) AS DOUBLE) / nullif(SUM(known), 0), 10)
+                AS mismatch_frac
+       FROM b GROUP BY 1"""
+
+
+@register("lang_mismatch_census_documents", _mismatch_oracle())
+def lang_mismatch_census_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Metadata-vs-ground-truth verification: declared lang against the
+    path extension's implied language; unknown extensions carry no
+    verdict. One codegen scan, key-only shuffle."""
+    from data_profiler_spark.operators.code_metrics import lang_mismatch_census
+
+    did = F.col("doc_id")
+    mod4 = did % 4
+    code = load(spark, sf_dir, "documents").select(
+        F.concat(
+            F.lit("src/f"), did.cast("string"),
+            F.when(mod4 == 0, F.lit(".py")).when(mod4 == 1, F.lit(".java"))
+             .when(mod4 == 2, F.lit(".go")).otherwise(F.lit(".txt")),
+        ).alias("path"),
+        F.when(did % 3 == 0, F.lit("python")).when(did % 3 == 1, F.lit("java"))
+         .otherwise(F.lit("go")).alias("lang"),
+    )
+    return lang_mismatch_census(code, "path", "lang")
+
+
+@register("compression_ratio_documents")
+def compression_ratio_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """zlib compressibility per document (RedPajama-v2 quality signal) —
+    Arrow-batched; rows-only at the gate (DuckDB has no zlib), fixture
+    behavior pinned in test_text.py."""
+    from data_profiler_spark.operators.text import compression_ratio
+
+    docs = load(spark, sf_dir, "documents")
+    return compression_ratio(docs, "text", ["doc_id"])

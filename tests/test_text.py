@@ -161,3 +161,26 @@ def test_redact_pii_progressive(spark):
     assert "[IPV4]" in out[2]["text_redacted"] and "[UUID]" in out[2]["text_redacted"]
     assert out[3]["text_redacted"] == "no pii here at all"
     assert all(out[3][f"n_redacted_{k}"] == 0 for k in ("url", "email", "uuid", "ipv4"))
+
+
+def test_compression_ratio_signal(spark):
+    from data_profiler_spark.operators.text import compression_ratio
+
+    rows = [
+        ("rep", "abcabcabc" * 200),           # highly repetitive -> high ratio
+        ("rand", "kq9x!Zp2@Lm7#Vw4$Tn8%" * 3),  # high entropy -> low ratio
+        ("empty", ""),
+        ("none", None),
+    ]
+    df = spark.createDataFrame(rows, "id string, text string")
+    out = {r["id"]: r.asDict()
+           for r in compression_ratio(df, "text", ["id"]).collect()}
+    assert out["rep"]["compression_ratio"] > 10
+    assert out["rand"]["compression_ratio"] < out["rep"]["compression_ratio"]
+    assert out["rep"]["n_chars"] == 1800
+    assert out["empty"]["compression_ratio"] is None  # no bytes, no verdict
+    assert out["none"]["n_chars"] == 0
+    # plan: payload never reaches a shuffle (id-sized output, no Exchange)
+    plan = compression_ratio(df, "text", ["id"])._jdf.queryExecution() \
+        .executedPlan().toString()
+    assert "Exchange" not in plan

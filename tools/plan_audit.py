@@ -338,6 +338,39 @@ def build_audits(spark, sf):
     audits["perplexity_score"] = (
         score_perplexity(docs, "doc_id", "text", lm, method="map"), 0, True,
     )
+    # structural/tokenizer plane (round-3 tail): censuses shuffle only the
+    # lang key (partial+final agg); the notebook census is a pure
+    # projection; BPE's two aggregations both map-side combine; the
+    # boilerplate census replaces count_distinct's Expand with a second
+    # small-key aggregation (2 exchanges by design); compression ratio is
+    # an Arrow pass whose id-sized output never shuffles
+    from data_profiler_spark.operators.code_metrics import (
+        boilerplate_census,
+        complexity_census,
+        lang_mismatch_census,
+        malformed_census,
+    )
+    from data_profiler_spark.operators.notebooks import notebook_census
+    from data_profiler_spark.operators.text import compression_ratio
+    from data_profiler_spark.operators.tokenizer import pair_counts, word_freqs
+
+    code = docs.select(
+        F.lit("python").alias("lang"),
+        F.concat(F.lit("src/f"), F.col("doc_id").cast("string"), F.lit(".py"))
+        .alias("path"),
+        F.col("text").alias("content"),
+        (F.col("doc_id") % 20).alias("repo"),
+    )
+    audits["well_formed_census"] = (malformed_census(code), 1, False)
+    audits["complexity_census"] = (complexity_census(code), 1, False)
+    audits["lang_mismatch_census"] = (lang_mismatch_census(code), 1, False)
+    audits["boilerplate_census"] = (boilerplate_census(code, "repo"), 2, False)
+    audits["notebook_census"] = (notebook_census(docs, "text", ["doc_id"]), 0, False)
+    audits["bpe_pair_counts"] = (pair_counts(word_freqs(docs, "text")), 2, False)
+    audits["compression_ratio"] = (
+        compression_ratio(docs, "text", ["doc_id"]), 0, True,
+    )
+
     if "Join" in _plan(asof_df):
         raise AssertionError("asof_join plan grew a join node")
     return audits

@@ -8,6 +8,13 @@ module turns them into rows without any Python-side JSON parsing:
 ``F.from_json`` evaluates in the JVM inside the same scan as every other
 content operator, so a 100 TB corpus pays one projection, not a UDF.
 
+nbformat stores ``source`` in TWO spec-valid forms — a list of line
+strings (each carrying its newline) or one plain string (common in
+tool-exported notebooks). Spark schemas cannot union types, so every
+reader here parses BOTH shapes (two from_json projections over the same
+scan; PERMISSIVE mode nulls only the mismatched field) and merges them
+per cell — neither form is silently dropped.
+
 Non-parsing content (truncated/invalid JSON, or JSON without a ``cells``
 array) yields NULL from ``from_json`` — surfaced as ``valid = false``
 rather than silently dropped, mirroring the engine's try_cast posture
@@ -22,34 +29,45 @@ rollups group on ids/cell_type only.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
-from pyspark.sql.types import (
-    ArrayType,
-    StringType,
-    StructField,
-    StructType,
-)
 
-# minimal nbformat-4 surface: cell_type + source. Everything else in the
-# notebook JSON (outputs, metadata, execution_count) is intentionally not
-# projected — from_json prunes unrequested fields, so giant base64 image
-# outputs are never materialized.
-NOTEBOOK_SCHEMA = StructType(
-    [
-        StructField(
-            "cells",
-            ArrayType(
-                StructType(
-                    [
-                        StructField("cell_type", StringType()),
-                        StructField("source", ArrayType(StringType())),
-                    ]
-                )
-            ),
-        )
-    ]
+# minimal nbformat-4 surface: cell_type + source, in both spec-valid
+# source shapes. Everything else in the notebook JSON (outputs, metadata,
+# execution_count) is intentionally not projected — from_json prunes
+# unrequested fields, so giant base64 image outputs are never
+# materialized.
+_SCHEMA_LINES = (
+    "struct<cells: array<struct<cell_type: string, source: array<string>>>>"
 )
+_SCHEMA_TEXT = "struct<cells: array<struct<cell_type: string, source: string>>>"
+
+
+def notebook_cells_col(content: Column) -> Column:
+    """array<struct<cell_type, source>> with ``source`` flattened to one
+    string whichever nbformat shape the JSON used; NULL for content that
+    does not parse as a notebook.
+
+    The line-list parse wins when it succeeds (the string-schema parse of
+    an ARRAY source yields the raw JSON text, never NULL — so precedence,
+    not symmetric coalesce). Both parses see the same JSON, hence the
+    same cell order/count; the string form is fetched positionally."""
+    a = F.from_json(content, _SCHEMA_LINES)["cells"]
+    b = F.from_json(content, _SCHEMA_TEXT)["cells"]
+    return F.when(
+        a.isNotNull(),
+        F.transform(
+            a,
+            lambda c, i: F.struct(
+                c["cell_type"].alias("cell_type"),
+                F.when(
+                    c["source"].isNotNull(), F.concat_ws("", c["source"])
+                )
+                .otherwise(F.element_at(b, i + 1)["source"])
+                .alias("source"),
+            ),
+        ),
+    )
 
 
 def notebook_cells(
@@ -58,21 +76,20 @@ def notebook_cells(
     id_cols: list[str] | None = None,
 ) -> DataFrame:
     """(id..., cell_idx, cell_type, source) — one row per notebook cell,
-    1-based cell order, source lines joined verbatim (nbformat stores
-    source as a list of line strings that already carry their newlines).
-    Invalid notebooks emit no rows here; see :func:`notebook_census` for
-    the validity census."""
+    1-based cell order, source flattened to a single string (both
+    nbformat shapes). Invalid notebooks emit no rows here; see
+    :func:`notebook_census` for the validity census."""
     ids = [F.col(x) for x in (id_cols or [])]
     parsed = df.select(
-        *ids, F.from_json(F.col(content_col), NOTEBOOK_SCHEMA).alias("nb")
+        *ids, notebook_cells_col(F.col(content_col)).alias("cells")
     )
     return parsed.select(
-        *ids, F.posexplode("nb.cells").alias("pos", "cell")
+        *ids, F.posexplode("cells").alias("pos", "cell")
     ).select(
         *ids,
         (F.col("pos") + 1).cast("long").alias("cell_idx"),
         F.col("cell.cell_type").alias("cell_type"),
-        F.concat_ws("", F.col("cell.source")).alias("source"),
+        F.col("cell.source").alias("source"),
     )
 
 
@@ -85,15 +102,14 @@ def notebook_census(
     validity, cell counts by type, and total code characters — the
     numbers a corpus builder reads before deciding script conversion."""
     ids = [F.col(x) for x in (id_cols or [])]
-    nb = F.from_json(F.col(content_col), NOTEBOOK_SCHEMA)
-    cells = nb["cells"]
+    cells = notebook_cells_col(F.col(content_col))
     code = F.filter(cells, lambda c: c["cell_type"] == F.lit("code"))
     md = F.filter(cells, lambda c: c["cell_type"] == F.lit("markdown"))
     code_chars = F.aggregate(
         code,
         F.lit(0).cast("long"),
         lambda acc, c: acc
-        + F.coalesce(F.length(F.concat_ws("", c["source"])), F.lit(0)).cast("long"),
+        + F.coalesce(F.length(c["source"]), F.lit(0)).cast("long"),
     )
     valid = cells.isNotNull()
     return df.select(
@@ -117,21 +133,20 @@ def notebook_to_script(
     blank lines. One projection (array transforms); NULL for invalid
     notebooks."""
     ids = [F.col(x) for x in (id_cols or [])]
-    nb = F.from_json(F.col(content_col), NOTEBOOK_SCHEMA)
     kept = F.filter(
-        nb["cells"],
+        notebook_cells_col(F.col(content_col)),
         lambda c: c["cell_type"].isin("code", "markdown"),
     )
     rendered = F.transform(
         kept,
-        lambda c: F.when(
-            c["cell_type"] == "code", F.concat_ws("", c["source"])
-        ).otherwise(
+        lambda c: F.when(c["cell_type"] == "code", c["source"]).otherwise(
             F.concat(
                 F.lit(markdown_prefix),
-                # exact string replace (not regex) — engine-portable
+                # exact string replace (not regex) — engine-portable; a
+                # trailing newline is stripped FIRST so it does not render
+                # as a dangling comment marker
                 F.replace(
-                    F.concat_ws("", c["source"]),
+                    F.regexp_replace(c["source"], r"\n$", ""),
                     F.lit("\n"),
                     F.lit("\n" + markdown_prefix),
                 ),

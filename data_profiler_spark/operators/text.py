@@ -403,7 +403,13 @@ def compression_ratio(
 
     import pandas as pd
 
-    out_schema = ", ".join(f"{c} string" for c in id_cols) + (
+    # id columns keep their own dtypes (coercing to string would turn NULL
+    # ids into the literal 'None' and force casts at every join-back)
+    id_schema = ", ".join(
+        f"{f.name} {f.dataType.simpleString()}"
+        for f in df.select(*id_cols).schema.fields
+    )
+    out_schema = id_schema + (
         ", n_chars long, compressed_bytes long, compression_ratio double"
     )
 
@@ -417,7 +423,7 @@ def compression_ratio(
                 else 0
                 for t in texts
             ]
-            out = pdf[id_cols].astype(str).copy()
+            out = pdf[id_cols].copy()
             out["n_chars"] = pd.Series(n, dtype="int64")
             out["compressed_bytes"] = pd.Series(cb, dtype="int64")
             # empty/NULL text has no meaningful ratio (zlib's 8-byte empty

@@ -143,7 +143,12 @@ def bpe_encode_counts(
     collect the ``bpe_train`` result and pass it in (vocabulary-sized,
     broadcast by closure capture)."""
     ranks = {(m[1], m[2]): m[0] for m in merges}
-    out_schema = ", ".join(f"{c} string" for c in id_cols) + ", n_tokens long"
+    # id columns keep their own dtypes (string coercion would corrupt NULL
+    # ids into 'None' and break join-backs on typed keys)
+    out_schema = ", ".join(
+        f"{f.name} {f.dataType.simpleString()}"
+        for f in df.select(*id_cols).schema.fields
+    ) + ", n_tokens long"
 
     def _encode_word(word: str, cache: dict) -> int:
         got = cache.get(word)
@@ -169,7 +174,7 @@ def bpe_encode_counts(
                 sum(_encode_word(w, cache) for w in str(t).split()) if t is not None else 0
                 for t in pdf[text_col]
             ]
-            out = pdf[id_cols].astype(str).copy()
+            out = pdf[id_cols].copy()
             out["n_tokens"] = pd.Series(counts, dtype="int64")
             yield out
 

@@ -4319,27 +4319,44 @@ def complexity_census_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # ---------------------------------------------------------------------------
 # Jupyter-notebook extraction (operators/notebooks.py). Both engines build
-# IDENTICAL nbformat-4 JSON blobs from documents (pure-ASCII sources, a
-# deliberately invalid blob every 17th doc), then extract: per-cell rows,
-# per-notebook census, and the StarCoder-style script conversion. Spark
-# parses with from_json (JVM, pruned schema — giant outputs never
-# materialize); DuckDB with json_transform behind a json_valid guard
-# (from_json yields NULL for corrupt input, DuckDB would throw).
+# IDENTICAL nbformat-4 JSON blobs from documents — every 6th doc uses the
+# STRING source form (the other spec-valid shape), every 17th is a
+# deliberately invalid blob — then extract: per-cell rows, per-notebook
+# census, and the StarCoder-style script conversion. Spark parses with
+# from_json (JVM, pruned schema — giant outputs never materialize), DuckDB
+# with json_transform behind a json_valid guard; BOTH parse the two source
+# shapes and merge per cell with line-list precedence (verified: both
+# engines null the array-schema parse of a string source, and both yield
+# raw JSON text from the string-schema parse of an array source).
 # ---------------------------------------------------------------------------
 _NB_JSON_SQL = """CASE WHEN doc_id % 17 = 0 THEN 'not a notebook'
-    ELSE '{"nbformat":4,"cells":[{"cell_type":"code","source":["x = '
-         || CAST(doc_id AS VARCHAR)
-         || '\\n","y = x + 1"]},{"cell_type":"markdown","source":["# doc '
+    ELSE '{"nbformat":4,"cells":[{"cell_type":"code","source":'
+         || CASE WHEN doc_id % 6 = 0
+                 THEN '"x = ' || CAST(doc_id AS VARCHAR) || '\\ny = x + 1"'
+                 ELSE '["x = ' || CAST(doc_id AS VARCHAR) || '\\n","y = x + 1"]' END
+         || '},{"cell_type":"markdown","source":["# doc '
          || CAST(doc_id AS VARCHAR) || '"]}'
          || CASE WHEN doc_id % 4 = 0
                  THEN ',{"cell_type":"code","source":["print(x)"]}'
                  ELSE '' END
          || ']}' END"""
 
+_NB_A = (
+    "json_transform(json_extract(content, '$.cells'),"
+    " '[{\"cell_type\":\"VARCHAR\",\"source\":[\"VARCHAR\"]}]')"
+)
+_NB_B = (
+    "json_transform(json_extract(content, '$.cells'),"
+    " '[{\"cell_type\":\"VARCHAR\",\"source\":\"VARCHAR\"}]')"
+)
+# merged cells: array<struct<cell_type, source>> with source flattened to
+# one string whichever shape the JSON used (line-list precedence — the
+# mirror of notebooks.notebook_cells_col)
 _NB_CELLS_SQL = (
-    "CASE WHEN json_valid(content) THEN json_transform("
-    "json_extract(content, '$.cells'),"
-    " '[{\"cell_type\":\"VARCHAR\",\"source\":[\"VARCHAR\"]}]') END"
+    f"CASE WHEN json_valid(content) AND {_NB_A} IS NOT NULL THEN "
+    f"list_transform({_NB_A}, (x, i) -> {{'cell_type': x.cell_type, "
+    f"'source': coalesce(CASE WHEN x.source IS NOT NULL "
+    f"THEN array_to_string(x.source, '') END, {_NB_B}[i].source)}}) END"
 )
 
 
@@ -4350,9 +4367,16 @@ def _nb_spark(df: DataFrame) -> DataFrame:
         F.when(did % 17 == 0, F.lit("not a notebook"))
         .otherwise(
             F.concat(
-                F.lit('{"nbformat":4,"cells":[{"cell_type":"code","source":["x = '),
-                did.cast("string"),
-                F.lit('\\n","y = x + 1"]},{"cell_type":"markdown","source":["# doc '),
+                F.lit('{"nbformat":4,"cells":[{"cell_type":"code","source":'),
+                F.when(
+                    did % 6 == 0,
+                    F.concat(F.lit('"x = '), did.cast("string"),
+                             F.lit('\\ny = x + 1"')),
+                ).otherwise(
+                    F.concat(F.lit('["x = '), did.cast("string"),
+                             F.lit('\\n","y = x + 1"]')),
+                ),
+                F.lit('},{"cell_type":"markdown","source":["# doc '),
                 did.cast("string"),
                 F.lit('"]}'),
                 F.when(
@@ -4370,16 +4394,16 @@ def _nb_spark(df: DataFrame) -> DataFrame:
     "notebook_cells_documents",
     f"""WITH nb AS (SELECT doc_id, {_NB_JSON_SQL} AS content FROM documents)
        SELECT doc_id, CAST(c.i AS BIGINT) AS cell_idx,
-              c.x.cell_type AS cell_type,
-              array_to_string(c.x.source, '') AS source
+              c.x.cell_type AS cell_type, c.x.source AS source
        FROM (SELECT doc_id,
                     unnest(list_transform({_NB_CELLS_SQL},
                            (x, i) -> {{'x': x, 'i': i}})) AS c
              FROM nb)""",
 )
 def notebook_cells_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """One row per notebook cell (1-based order, source lines rejoined);
-    invalid notebooks emit nothing here — the census carries them."""
+    """One row per notebook cell (1-based order, both nbformat source
+    shapes flattened); invalid notebooks emit nothing here — the census
+    carries them."""
     from data_profiler_spark.operators.notebooks import notebook_cells
 
     nb = _nb_spark(load(spark, sf_dir, "documents"))
@@ -4398,7 +4422,7 @@ def notebook_cells_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
                    x -> x.cell_type = 'markdown')) AS BIGINT) END AS n_markdown_cells,
               CASE WHEN cells IS NOT NULL THEN CAST(coalesce(list_sum(
                    list_transform(list_filter(cells, x -> x.cell_type = 'code'),
-                                  x -> length(array_to_string(x.source, '')))), 0)
+                                  x -> coalesce(length(x.source), 0))), 0)
                    AS BIGINT) END AS code_chars
        FROM p""",
 )
@@ -4418,17 +4442,17 @@ def notebook_census_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
        SELECT doc_id,
               CASE WHEN cells IS NOT NULL THEN array_to_string(list_transform(
                    list_filter(cells, x -> x.cell_type IN ('code', 'markdown')),
-                   x -> CASE WHEN x.cell_type = 'code'
-                             THEN array_to_string(x.source, '')
-                             ELSE '# ' || replace(array_to_string(x.source, ''),
-                                                  chr(10), chr(10) || '# ') END),
+                   x -> CASE WHEN x.cell_type = 'code' THEN x.source
+                             ELSE '# ' || replace(regexp_replace(x.source,
+                                  '\\n$', ''), chr(10), chr(10) || '# ') END),
                    chr(10) || chr(10)) END AS script
        FROM p""",
 )
 def notebook_script_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     """StarCoder-style notebook→script conversion: code cells verbatim,
-    markdown as comment lines, blank-line joined — the form a training
-    pipeline tokenizes."""
+    markdown as comment lines (trailing newline stripped before
+    prefixing), blank-line joined — the form a training pipeline
+    tokenizes."""
     from data_profiler_spark.operators.notebooks import notebook_to_script
 
     nb = _nb_spark(load(spark, sf_dir, "documents"))
@@ -4582,9 +4606,9 @@ def boilerplate_census_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
 # rows that must NOT count as mismatches.
 # ---------------------------------------------------------------------------
 def _mismatch_oracle() -> str:
-    from data_profiler_spark.operators.code_metrics import expected_lang_sql
+    from data_profiler_spark.operators.code_metrics import _ext_lang_ok_sql
 
-    exp = expected_lang_sql("path")
+    ok = _ext_lang_ok_sql("path", "lang")
     return f"""WITH code AS (
          SELECT 'src/f' || CAST(doc_id AS VARCHAR) ||
                 CASE doc_id % 4 WHEN 0 THEN '.py' WHEN 1 THEN '.java'
@@ -4592,8 +4616,8 @@ def _mismatch_oracle() -> str:
                 {_CODE_LANG_SQL} AS lang
          FROM documents),
        b AS (SELECT lang,
-                    CASE WHEN {exp} IS NOT NULL THEN 1 ELSE 0 END AS known,
-                    CASE WHEN {exp} IS NOT NULL AND {exp} <> lower(lang)
+                    CASE WHEN {ok} IS NOT NULL THEN 1 ELSE 0 END AS known,
+                    CASE WHEN {ok} IS NOT NULL AND NOT ({ok})
                          THEN 1 ELSE 0 END AS bad
              FROM code)
        SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_files,

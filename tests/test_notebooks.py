@@ -30,9 +30,21 @@ NB = {
 }
 
 
+# nbformat also allows source as ONE plain string (tool-exported
+# notebooks) — spec-valid, must not be dropped
+NB_STR = {
+    "nbformat": 4,
+    "cells": [
+        {"cell_type": "code", "source": "x = 1\nprint(x)"},
+        {"cell_type": "markdown", "source": "# Title\ntrailing newline\n"},
+    ],
+}
+
+
 def _df(spark):
     rows = [
         ("nb1", json.dumps(NB)),
+        ("nbstr", json.dumps(NB_STR)),
         ("bad", "{truncated"),
         ("nocells", '{"nbformat": 4}'),
     ]
@@ -45,12 +57,15 @@ def test_notebook_cells(spark):
     rows = notebook_cells(_df(spark), "content", ["path"]).collect()
     by_idx = {(r["path"], r["cell_idx"]): r for r in rows}
     # invalid / cell-less notebooks emit nothing
-    assert {r["path"] for r in rows} == {"nb1"}
-    assert len(rows) == 4
+    assert {r["path"] for r in rows} == {"nb1", "nbstr"}
+    assert len(rows) == 6
     assert by_idx[("nb1", 1)]["cell_type"] == "markdown"
     assert by_idx[("nb1", 1)]["source"] == "# Title\nintro line"
     assert by_idx[("nb1", 2)]["source"] == "x = 1\nprint(x)"
     assert by_idx[("nb1", 4)]["source"] == ""
+    # string-form source (the other spec-valid shape) is NOT dropped
+    assert by_idx[("nbstr", 1)]["source"] == "x = 1\nprint(x)"
+    assert by_idx[("nbstr", 2)]["source"] == "# Title\ntrailing newline\n"
 
 
 def test_notebook_census(spark):
@@ -63,6 +78,10 @@ def test_notebook_census(spark):
     assert rows["nb1"]["n_code_cells"] == 2
     assert rows["nb1"]["n_markdown_cells"] == 1
     assert rows["nb1"]["code_chars"] == len("x = 1\nprint(x)")
+    # string-form notebook: full code content counted, not zero
+    assert rows["nbstr"]["valid"]
+    assert rows["nbstr"]["n_code_cells"] == 1
+    assert rows["nbstr"]["code_chars"] == len("x = 1\nprint(x)")
     # parse failure is a flagged fact, not a drop
     assert not rows["bad"]["valid"] and rows["bad"]["n_cells"] is None
     assert not rows["nocells"]["valid"]
@@ -79,3 +98,8 @@ def test_notebook_to_script(spark):
     assert "x = 1\nprint(x)" in script
     assert "raw text" not in script
     assert rows["bad"] is None
+    # string-form cells convert too; a trailing markdown newline must not
+    # leave a dangling comment marker
+    assert "x = 1\nprint(x)" in rows["nbstr"]
+    assert "# # Title\n# trailing newline" in rows["nbstr"]
+    assert not rows["nbstr"].endswith("# ")

@@ -125,3 +125,15 @@ def test_token_fertility(spark):
     # ratios derive from the sums exactly
     py = out["python"]
     assert py["chars_per_ws_token"] == round(py["n_chars"] / py["n_ws_tokens"], 10)
+
+
+def test_bpe_encode_preserves_id_dtype(spark):
+    from data_profiler_spark.operators.tokenizer import bpe_encode_counts
+
+    docs = spark.createDataFrame(
+        [(1, "a b"), (None, "c")], "doc_id long, text string"
+    )
+    out = bpe_encode_counts(docs, "text", ["doc_id"], [])
+    assert dict(out.dtypes)["doc_id"] == "bigint"
+    got = {r["doc_id"]: r["n_tokens"] for r in out.collect()}
+    assert got == {1: 2, None: 1}  # NULL id stays NULL, not 'None'

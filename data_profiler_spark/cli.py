@@ -141,6 +141,18 @@ def build_parser() -> argparse.ArgumentParser:
     pds.add_argument("--quality-threshold", type=float, default=0.3)
     pds.add_argument("--out", help="write the markdown datasheet to this file")
 
+    pcc = sub.add_parser(
+        "code-census",
+        help="code-corpus structure report: well-formedness, complexity, "
+        "extension-vs-lang agreement, cross-repo boilerplate (JSON)",
+    )
+    pcc.add_argument("path")
+    pcc.add_argument("--content-col", default="content")
+    pcc.add_argument("--lang-col", default="lang")
+    pcc.add_argument("--path-col", default="path")
+    pcc.add_argument("--repo-col", help="repo column enables the boilerplate census")
+    pcc.add_argument("--min-repos", type=int, default=3)
+
     pc = sub.add_parser(
         "curate",
         help="training-data curation: length -> lang -> quality -> dedup; "
@@ -770,6 +782,51 @@ def main(argv: list[str] | None = None) -> int:
                 with open(args.out, "w") as fh:
                     fh.write(md)
             _emit(args, md if args.output != "json" else datasheet_json(sheet))
+            return EXIT_OK
+
+        if args.command == "code-census":
+            from pyspark.sql import functions as F
+
+            from data_profiler_spark.operators.code_metrics import (
+                boilerplate_census,
+                complexity_census,
+                lang_mismatch_census,
+                malformed_census,
+            )
+
+            spark = _spark(args)
+            if not os.path.exists(args.path):
+                return EXIT_FILE_NOT_FOUND
+            df = sources.read(spark, args.path)
+            rep = {
+                "report_type": "code_census",
+                "source": args.path,
+                "well_formedness": [
+                    r.asDict()
+                    for r in malformed_census(df, args.lang_col, args.content_col)
+                    .orderBy(args.lang_col).collect()
+                ],
+                "complexity": [
+                    r.asDict()
+                    for r in complexity_census(df, args.lang_col, args.content_col)
+                    .orderBy(args.lang_col).collect()
+                ],
+            }
+            if args.path_col in df.columns:
+                rep["lang_mismatch"] = [
+                    r.asDict()
+                    for r in lang_mismatch_census(df, args.path_col, args.lang_col)
+                    .orderBy("lang").collect()
+                ]
+            if args.repo_col:
+                rep["boilerplate"] = [
+                    r.asDict()
+                    for r in boilerplate_census(
+                        df, args.repo_col, args.content_col,
+                        min_repos=args.min_repos,
+                    ).orderBy(F.desc("n_copies"), "fp").limit(100).collect()
+                ]
+            _emit(args, json.dumps(rep, indent=2, sort_keys=True, default=str))
             return EXIT_OK
 
         if args.command == "curate":

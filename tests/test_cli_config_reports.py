@@ -691,3 +691,29 @@ def test_cli_validate_well_formed(spark, tmp_path, capsys):
     out = json.loads(capsys.readouterr().out)
     assert out["n_failed"] == 1
     assert rc != EXIT_OK
+
+
+def test_cli_code_census(spark, tmp_path, capsys):
+    import pandas as pd
+
+    data = tmp_path / "corpus.parquet"
+    pd.DataFrame(
+        {
+            "repo": ["r1", "r2", "r3", "r1"],
+            "path": ["a.py", "b.py", "c.md", "d.py"],
+            "lang": ["python", "python", "python", "python"],
+            "content": ["if x:\n    pass\n"] * 3 + ["y = 1\n"],
+        }
+    ).to_parquet(data)
+    rc = main(["code-census", str(data), "--repo-col", "repo"])
+    out = json.loads(capsys.readouterr().out)
+    assert rc == EXIT_OK
+    assert out["report_type"] == "code_census"
+    wf = out["well_formedness"][0]
+    assert wf["lang"] == "python" and wf["n_files"] == 4 and wf["n_malformed"] == 0
+    assert out["complexity"][0]["max_cyclomatic"] == 2
+    # c.md declared python -> 1 mismatch among 4 known extensions
+    assert out["lang_mismatch"][0]["n_mismatched"] == 1
+    # identical content in 3 repos -> one boilerplate fingerprint
+    assert len(out["boilerplate"]) == 1
+    assert out["boilerplate"][0]["n_repos"] == 3

@@ -76,3 +76,34 @@ def test_spark_submit_py_files_validate_job(tmp_path):
     assert second.returncode == 0, second.stderr[-3000:]
     res2 = json.loads(second.stdout.strip().splitlines()[-1])
     assert res2["buckets_skipped"] == 8 and res2["buckets_run"] == 0
+
+
+def test_scaling_harness_external_load_probes(spark):
+    """The scaling harness's mid-rep external-load detector rests on two
+    primitives: box-wide busy jiffies from /proc/stat and this JVM's
+    process CPU time from the OperatingSystemMXBean. Pin that both are
+    monotone under induced JVM work, and that (busy - own) cannot read our
+    OWN burn as external load — the property the eff-deflation guard needs."""
+    import time as _time
+
+    from tools.scaling_run import _busy_jiffies, _jvm_cpu_s, _own_py_cpu_s
+
+    j0, c0, p0 = _busy_jiffies(), _jvm_cpu_s(spark), _own_py_cpu_s()
+    t0 = _time.perf_counter()
+    # ~a second of real JVM work spread over the local[8] executor threads
+    spark.range(0, 40_000_000, 1, 8).selectExpr(
+        "sum(pmod(xxhash64(id, id + 1, id + 2), 100000)) AS s"  # bounded: no ANSI overflow
+    ).collect()
+    wall = _time.perf_counter() - t0
+    j1, c1, p1 = _busy_jiffies(), _jvm_cpu_s(spark), _own_py_cpu_s()
+
+    assert j1 > j0, "/proc/stat busy jiffies must advance under load"
+    assert c1 > c0, "JVM process CPU time must advance under executor work"
+    hz = __import__("os").sysconf("SC_CLK_TCK")
+    busy_cores = (j1 - j0) / hz / wall
+    own_cores = (c1 - c0) / wall + (p1 - p0) / wall
+    # our own burn must show up in BOTH probes: external = busy - own stays
+    # far below the cores we demonstrably used ourselves
+    assert own_cores > 0.5, f"own JVM burn invisible? own={own_cores:.2f}"
+    ext_cores = max(0.0, busy_cores - own_cores)
+    assert ext_cores < busy_cores, "own CPU must be subtracted from busy"

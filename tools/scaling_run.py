@@ -22,6 +22,60 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
+def _busy_jiffies() -> int:
+    """Aggregate non-idle jiffies across all CPUs from /proc/stat.
+
+    Counts user+nice+system+irq+softirq+steal (idle and iowait excluded).
+    The delta over a timed rep, divided by the clock tick rate and the wall
+    time, is the number of busy cores the WHOLE BOX averaged during the rep
+    — ours plus every external tenant's."""
+    with open("/proc/stat") as f:
+        vals = [int(x) for x in f.readline().split()[1:]]
+    idle = vals[3] + (vals[4] if len(vals) > 4 else 0)
+    return sum(vals) - idle
+
+
+def _jvm_pid(spark) -> int:
+    """PID of THIS Spark JVM, from the public RuntimeMXBean name
+    ("pid@host"). The com.sun.management OperatingSystemMXBean's
+    getProcessCpuTime is NOT reachable over py4j on Java 17 (the
+    implementation class lives in an unexported jdk.management package,
+    so reflective dispatch throws) — /proc/<pid>/stat is."""
+    name = spark.sparkContext._jvm.java.lang.management.ManagementFactory.getRuntimeMXBean().getName()
+    return int(str(name).split("@", 1)[0])
+
+
+def _jvm_cpu_s(spark) -> float:
+    """CPU seconds consumed by THIS Spark JVM (all executor threads), from
+    /proc/<pid>/stat utime+stime. Subtracting our own consumption from the
+    box-wide busy-core figure isolates EXTERNAL load — the quantity the
+    before/after loadavg guards can only guess at."""
+    with open(f"/proc/{_jvm_pid(spark)}/stat") as f:
+        # fields after the parenthesized comm: [0]=state ... [11]=utime [12]=stime
+        parts = f.read().rsplit(") ", 1)[1].split()
+    return (int(parts[11]) + int(parts[12])) / os.sysconf("SC_CLK_TCK")
+
+
+def _own_py_cpu_s() -> float:
+    t = os.times()
+    return t.user + t.system
+
+
+def _jvm_gc_s(spark) -> float:
+    """Cumulative stop-the-world GC seconds of THIS JVM, summed over all
+    collector beans (public java.lang.management API — reachable over py4j,
+    unlike com.sun.management). The per-rep delta separates 'CPU per row
+    inflated by GC' from 'CPU per row inflated by memory-bus stalls' when
+    the wide leg's efficiency drops."""
+    beans = spark.sparkContext._jvm.java.lang.management.ManagementFactory.getGarbageCollectorMXBeans()
+    total_ms = 0
+    for i in range(beans.size()):
+        t = beans.get(i).getCollectionTime()
+        if t > 0:
+            total_ms += t
+    return total_ms / 1000.0
+
+
 def main() -> int:
     os.environ.setdefault("SPARK_GRAFT_PRETOUCH", "1")  # see session.py
     cpus = int(sys.argv[1])
@@ -47,7 +101,20 @@ def main() -> int:
         app_name=f"scaling[{cpus}]",
         master=f"local[{cpus}]",
         shuffle_partitions=max(cpus, 8),
-        extra_conf={"spark.ui.showConsoleProgress": "false"},
+        extra_conf={
+            "spark.ui.showConsoleProgress": "false",
+            # Split the input finely enough that BOTH legs run many task
+            # waves. At the default 128 MB split the 32-thread leg sees only
+            # ~4 waves, so one straggler task stretches the stage by ~25% of
+            # its wall (vs ~6% at 8 threads) — wave-quantization tail that
+            # reads as poor 4N scaling. On the 10^12-file target a stage has
+            # thousands of tasks per executor and this tail amortizes to
+            # zero; a fine split is the honest bench-scale proxy for that.
+            # Same value on every leg — never a per-leg tuning knob.
+            "spark.sql.files.maxPartitionBytes": str(
+                int(os.environ.get("SCALING_MAX_PART_BYTES", 16 * 1024 * 1024))
+            ),
+        },
     )
 
     df = spark.read.parquet(code_files).withColumn(
@@ -126,14 +193,31 @@ def main() -> int:
     # min-of-3 timed reps: the same load defense bench.py uses — a single
     # 1-3 minute pass on this box reliably absorbs an external tenant
     # spike into the measurement (observed 2x swings at identical code).
-    reps, rep_loads = [], []
+    reps, rep_loads, rep_ext_cores, rep_own_cores, rep_gc_s = [], [], [], [], []
     verdicts = ref = None
+    hz = os.sysconf("SC_CLK_TCK")
     for _ in range(3):
         rep_loads.append(round(os.getloadavg()[0], 2))
+        j0, c0, p0, g0 = _busy_jiffies(), _jvm_cpu_s(spark), _own_py_cpu_s(), _jvm_gc_s(spark)
         t0 = time.perf_counter()
         verdicts, ref = run_once("timed")
-        reps.append(time.perf_counter() - t0)
+        wall = time.perf_counter() - t0
+        j1, c1, p1, g1 = _busy_jiffies(), _jvm_cpu_s(spark), _own_py_cpu_s(), _jvm_gc_s(spark)
+        reps.append(wall)
+        # External tenant cores averaged over THIS rep: box-wide busy cores
+        # minus our own JVM + python-driver consumption. This is measured
+        # DURING the timed pass — the before/after loadavg samples the
+        # harness guards use cannot see a spike that starts and decays
+        # mid-rep, and on the wide (4N) leg such a spike DEFLATES apparent
+        # efficiency (the 8-wide leg has 24 idle cores to absorb tenants;
+        # the 32-wide leg has none), which no slowdown-based guard catches.
+        own = (c1 - c0) / wall + (p1 - p0) / wall
+        busy = (j1 - j0) / hz / wall
+        rep_own_cores.append(round(own, 2))
+        rep_ext_cores.append(round(max(0.0, busy - own), 2))
+        rep_gc_s.append(round(g1 - g0, 2))
     suite_sec = min(reps)
+    i_min = reps.index(suite_sec)
 
     # Fingerprints: UNTIMED, from the written sinks (Arrow-batched read).
     # The bit-identity claim is about the persisted result set — what a
@@ -158,6 +242,12 @@ def main() -> int:
                 "suite_sec": round(suite_sec, 3),
                 "suite_sec_reps": [round(x, 3) for x in reps],
                 "loadavg_at_reps": rep_loads,
+                "ext_cores_at_reps": rep_ext_cores,
+                "own_cores_at_reps": rep_own_cores,
+                "ext_cores_at_min": rep_ext_cores[i_min],
+                "own_cores_at_min": rep_own_cores[i_min],
+                "gc_s_at_reps": rep_gc_s,
+                "gc_s_at_min": rep_gc_s[i_min],
                 "rows_per_sec": round(n_rows / suite_sec, 1),
                 "n_violations": len(vio_lines),
                 "n_dup_keys": len(uniq_lines),

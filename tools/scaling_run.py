@@ -97,10 +97,21 @@ def main() -> int:
         run_suite,
     )
 
+    # Shuffle partitions scale PROPORTIONALLY with the leg's cores (same
+    # multiplier on every leg — never a per-leg knob). Hypothesis tested:
+    # at mult=1 a shuffle stage is ONE task wave, so a straggler stretches
+    # the stage (the tail the 16 MB scan split fixes for read stages) and
+    # mult>1 might help the wide leg. Measured (32-thread leg, 24M rows,
+    # ≤0.05 external cores at every rep): mult=1 23.0 s, mult=2 24.2 s,
+    # mult=4 26.4 s — the suite's four FAIR-scheduled concurrent jobs
+    # already interleave their waves, so extra partitions only add
+    # per-task overhead. Default stays 1; the knob remains for re-testing
+    # on other suite shapes.
+    shuffle_mult = int(os.environ.get("SCALING_SHUFFLE_MULT", "1"))
     spark = get_spark(
         app_name=f"scaling[{cpus}]",
         master=f"local[{cpus}]",
-        shuffle_partitions=max(cpus, 8),
+        shuffle_partitions=max(cpus, 8) * shuffle_mult,
         extra_conf={
             "spark.ui.showConsoleProgress": "false",
             # Split the input finely enough that BOTH legs run many task

@@ -234,6 +234,83 @@ def stratified_sample(
     return df.where(band < thresh)
 
 
+def _md5_band(id_col: str, seed: int, m: int = 1_000_000):
+    """``md5(id || ':' || seed) mod m`` — the engine's cross-engine
+    deterministic-draw convention (see :func:`stratified_sample`): the
+    15-hex-digit (60-bit) prefix fits signed int64 on every engine, so
+    DuckDB reproduces the band byte-for-byte."""
+    return F.pmod(
+        F.conv(
+            F.substring(
+                F.md5(
+                    F.concat(
+                        F.col(id_col).cast("string"), F.lit(f":{seed}")
+                    ).cast("binary")
+                ),
+                1,
+                15,
+            ),
+            16,
+            10,
+        ).cast("long"),
+        F.lit(m),
+    )
+
+
+def fim_transform(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    fim_rate: float = 0.5,
+    seed: int = 42,
+    prefix_tok: str = "<fim_prefix>",
+    middle_tok: str = "<fim_middle>",
+    suffix_tok: str = "<fim_suffix>",
+    id_cols: list[str] | None = None,
+) -> DataFrame:
+    """Fill-in-the-middle training transform (Bavarian et al. 2022 /
+    SantaCoder PSM mode): for a deterministic ``fim_rate`` fraction of
+    rows, split the text at two hash-derived cut points and emit
+    ``<fim_prefix>P<fim_suffix>S<fim_middle>M``; the rest pass through
+    verbatim. A code LM trained on this learns infilling — the editor
+    completion case — without any architecture change.
+
+    Everything is a pure function of (id, seed): whether a row is
+    transformed (band(seed) < rate) AND where it is cut (bands seed+1 and
+    seed+2 scaled by the text length with exact integer arithmetic), so
+    re-runs at any partitioning/cluster size produce byte-identical
+    output, and the DuckDB oracle reproduces it exactly (md5-band
+    convention + substring arithmetic — no floats anywhere). Pure narrow
+    codegen expressions: no shuffle, no per-row Python.
+
+    Returns (id_cols..., fim_applied, text) — ``text`` transformed or
+    original; NULL text is never transformed.
+    """
+    m = 1_000_000
+    t = F.col(text_col)
+    ln = F.length(t).cast("long")
+    b1 = _md5_band(id_col, seed + 1, m)
+    b2 = _md5_band(id_col, seed + 2, m)
+    lo, hi = F.least(b1, b2), F.greatest(b1, b2)
+    # exact integer cut points: (band * len) div 10^6 — len is bounded by
+    # 2^43 before band*len can overflow int64, far above any document
+    i1 = F.floor((lo * ln) / F.lit(m)).cast("long")
+    i2 = F.floor((hi * ln) / F.lit(m)).cast("long")
+    prefix = F.substring(t, F.lit(1), i1.cast("int"))
+    middle = F.substring(t, (i1 + 1).cast("int"), (i2 - i1).cast("int"))
+    suffix = F.substring(t, (i2 + 1).cast("int"), (ln - i2).cast("int"))
+    applied = (_md5_band(id_col, seed, m) < F.lit(int(fim_rate * m))) & t.isNotNull()
+    fim = F.concat(
+        F.lit(prefix_tok), prefix, F.lit(suffix_tok), suffix, F.lit(middle_tok), middle
+    )
+    ids = [F.col(x) for x in (id_cols or [id_col])]
+    return df.select(
+        *ids,
+        applied.alias("fim_applied"),
+        F.when(applied, fim).otherwise(t).alias("text"),
+    )
+
+
 _GRAM_P = 1099511628211  # FNV-64 prime: positional multiplier for gram hashes
 
 

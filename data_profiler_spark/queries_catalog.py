@@ -4658,3 +4658,131 @@ def compression_ratio_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load(spark, sf_dir, "documents")
     return compression_ratio(docs, "text", ["doc_id"])
+
+
+# ---------------------------------------------------------------------------
+# Repo-level context assembly (operators/repo_assembly.py): StarCoder2-style
+# training documents — one row per repo, files ordered fan-in-first so a
+# causal LM sees definitions before call sites. The fixture derives a
+# 40-repo corpus where every file imports its repo's hub module, so the
+# hub's fan-in pins the ordering; concatenation is exact string arithmetic
+# reproduced by DuckDB string_agg(... ORDER BY fan_in DESC, path).
+# ---------------------------------------------------------------------------
+_REPO_CODE_SQL = """SELECT 'r' || CAST(doc_id % 40 AS VARCHAR) AS repo,
+         'src/' || (CASE WHEN doc_id < 40 THEN 'hub_' || CAST(doc_id AS VARCHAR)
+                         ELSE 'f' || CAST(doc_id AS VARCHAR) END)
+                || (CASE doc_id % 3 WHEN 0 THEN '.py' WHEN 1 THEN '.java' ELSE '.go' END) AS path,
+         CASE doc_id % 3 WHEN 0 THEN 'python' WHEN 1 THEN 'java' ELSE 'go' END AS lang,
+         (CASE doc_id % 3
+            WHEN 0 THEN 'import hub_' || CAST(doc_id % 40 AS VARCHAR) || chr(10)
+            WHEN 1 THEN 'import com.ex.hub_' || CAST(doc_id % 40 AS VARCHAR) || ';' || chr(10)
+            ELSE 'import "pkg/hub_' || CAST(doc_id % 40 AS VARCHAR) || '"' || chr(10) END)
+           || text AS content
+       FROM documents"""
+
+
+def _repo_code_frame(df: DataFrame) -> DataFrame:
+    did = F.col("doc_id")
+    r = (did % 40).cast("string")
+    stem = F.when(
+        did < 40, F.concat(F.lit("hub_"), did.cast("string"))
+    ).otherwise(F.concat(F.lit("f"), did.cast("string")))
+    ext = (
+        F.when(did % 3 == 0, F.lit(".py"))
+        .when(did % 3 == 1, F.lit(".java"))
+        .otherwise(F.lit(".go"))
+    )
+    imp = (
+        F.when(did % 3 == 0, F.concat(F.lit("import hub_"), r, F.lit("\n")))
+        .when(did % 3 == 1, F.concat(F.lit("import com.ex.hub_"), r, F.lit(";\n")))
+        .otherwise(F.concat(F.lit('import "pkg/hub_'), r, F.lit('"\n')))
+    )
+    return df.select(
+        F.concat(F.lit("r"), r).alias("repo"),
+        F.concat(F.lit("src/"), stem, ext).alias("path"),
+        F.when(did % 3 == 0, F.lit("python")).when(did % 3 == 1, F.lit("java"))
+         .otherwise(F.lit("go")).alias("lang"),
+        F.concat(imp, F.col("text")).alias("content"),
+    )
+
+
+def _repo_context_oracle() -> str:
+    edge_pat = (
+        "CASE lang WHEN 'python' THEN '(?m)^\\s*(?:from|import)\\s+([A-Za-z_][A-Za-z0-9_.]*)'"
+        " WHEN 'java' THEN '(?m)^import\\s+(?:static\\s+)?([A-Za-z_][A-Za-z0-9_.]*)'"
+        " ELSE '(?m)^\\s*import\\s+\"([^\"]+)\"' END"
+    )
+    return f"""WITH code AS ({_REPO_CODE_SQL}),
+       raw_edges AS (
+         SELECT repo, path, unnest(regexp_extract_all(content, {edge_pat}, 1)) AS module
+         FROM code),
+       imports AS (
+         SELECT DISTINCT repo, path AS importer,
+                regexp_extract(module, '([^./:]+)$', 1) AS stem
+         FROM raw_edges),
+       files AS (
+         SELECT repo, path,
+                regexp_extract(path, '([^/]+?)(?:\\.[A-Za-z0-9]+)?$', 1) AS stem,
+                content
+         FROM code),
+       fan AS (
+         SELECT f.repo, f.path, CAST(COUNT(DISTINCT i.importer) AS BIGINT) AS fan_in
+         FROM files f JOIN imports i
+           ON i.repo = f.repo AND i.stem = f.stem AND i.importer <> f.path
+         GROUP BY 1, 2),
+       ordered AS (
+         SELECT c.repo, c.path, coalesce(fan.fan_in, 0) AS fan_in, c.content
+         FROM files c LEFT JOIN fan ON fan.repo = c.repo AND fan.path = c.path)
+       SELECT repo, CAST(COUNT(*) AS BIGINT) AS n_files,
+              CAST(COUNT(*) AS BIGINT) AS n_files_kept,
+              CAST(SUM(length(content)) AS BIGINT) AS total_chars,
+              string_agg('### ' || path || chr(10) || content,
+                         chr(10) || chr(10) ORDER BY fan_in DESC, path) AS context
+       FROM ordered GROUP BY repo"""
+
+
+@register("repo_context_documents", _repo_context_oracle())
+def repo_context_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Repo-level training-document assembly: fan-in-first file order,
+    deterministic concatenation; the one text shuffle is the assembly
+    itself (content never moves before the final repo groupBy)."""
+    from data_profiler_spark.operators.repo_assembly import repo_context
+
+    code = _repo_code_frame(load(spark, sf_dir, "documents"))
+    return repo_context(code)
+
+
+# ---------------------------------------------------------------------------
+# Fill-in-the-middle transform (operators/curation.py): deterministic PSM
+# splits from the cross-engine md5-band convention — byte-identical in
+# DuckDB (exact integer cut points, substring arithmetic, no floats).
+# ---------------------------------------------------------------------------
+@register(
+    "fim_transform_documents",
+    """WITH b AS (
+         SELECT doc_id, text, CAST(length(text) AS BIGINT) AS ln,
+           ('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':42'), 1, 15))::BIGINT % 1000000 AS b0,
+           ('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':43'), 1, 15))::BIGINT % 1000000 AS b1,
+           ('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':44'), 1, 15))::BIGINT % 1000000 AS b2
+         FROM documents),
+       c AS (
+         SELECT doc_id, text, ln,
+                (b0 < 500000 AND text IS NOT NULL) AS fim_applied,
+                (least(b1, b2) * ln) // 1000000 AS i1,
+                (greatest(b1, b2) * ln) // 1000000 AS i2
+         FROM b)
+       SELECT doc_id, fim_applied,
+              CASE WHEN fim_applied THEN
+                '<fim_prefix>' || substr(text, 1, CAST(i1 AS INT))
+                || '<fim_suffix>' || substr(text, CAST(i2 + 1 AS INT), CAST(ln - i2 AS INT))
+                || '<fim_middle>' || substr(text, CAST(i1 + 1 AS INT), CAST(i2 - i1 AS INT))
+              ELSE text END AS text
+       FROM c""",
+)
+def fim_transform_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SantaCoder-style FIM at fim_rate=0.5: membership and cut points are
+    pure functions of (doc_id, seed) — zero shuffle, pure codegen."""
+    from data_profiler_spark.operators.curation import fim_transform
+
+    docs = load(spark, sf_dir, "documents")
+    return fim_transform(docs, "doc_id", "text", fim_rate=0.5, seed=42)

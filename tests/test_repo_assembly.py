@@ -1,0 +1,107 @@
+"""Repo-level context assembly (operators/repo_assembly.py) and the FIM
+transform (operators/curation.py fim_transform): ordering, truncation,
+and the reconstruction invariants the oracle hash cannot see."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from data_profiler_spark.operators.curation import fim_transform
+from data_profiler_spark.operators.repo_assembly import (
+    file_fan_in,
+    repo_context,
+)
+
+
+def _mini_repo(spark):
+    rows = [
+        # repo A: util imported by two siblings, cross-repo import ignored
+        ("A", "src/util.py", "python", "import os\nX = 1\n"),
+        ("A", "src/app.py", "python", "import util\nimport ext_dep\n"),
+        ("A", "src/cli.py", "python", "from util import X\n"),
+        # repo B: its own util — same stem, different repo, one importer
+        ("B", "src/util.py", "python", "Y = 2\n"),
+        ("B", "src/main.py", "python", "import util\n"),
+        # repo C: no resolvable imports at all
+        ("C", "lib/solo.go", "go", 'import "fmt"\n'),
+    ]
+    return spark.createDataFrame(rows, "repo string, path string, lang string, content string")
+
+
+def test_fan_in_counts_distinct_in_repo_importers(spark):
+    fan = {
+        (r["repo"], r["path"]): r["fan_in"]
+        for r in file_fan_in(_mini_repo(spark)).collect()
+    }
+    # resolution stays inside the repo: A's util has 2 importers, B's has 1
+    assert fan[("A", "src/util.py")] == 2
+    assert fan[("B", "src/util.py")] == 1
+    # unresolved imports (os, ext_dep, fmt) and importer files yield no row
+    assert ("A", "src/app.py") not in fan
+    assert ("C", "lib/solo.go") not in fan
+
+
+def test_repo_context_orders_fan_in_first_and_truncates(spark):
+    df = _mini_repo(spark)
+    out = {r["repo"]: r for r in repo_context(df).collect()}
+    a = out["A"]
+    assert a["n_files"] == 3 and a["n_files_kept"] == 3
+    # the imported util renders before both of its importers
+    assert a["context"].index("### src/util.py") < a["context"].index("### src/app.py")
+    assert a["context"].index("### src/util.py") < a["context"].index("### src/cli.py")
+    # fan-in ties (app vs cli, both 0) break by path ascending
+    assert a["context"].index("### src/app.py") < a["context"].index("### src/cli.py")
+    assert a["total_chars"] == sum(
+        len(r["content"]) for r in df.where(F.col("repo") == "A").collect()
+    )
+    # mega-repo guard: keep only the highest-fan-in file, visibly truncated
+    top = {r["repo"]: r for r in repo_context(df, max_files=1).collect()}["A"]
+    assert top["n_files"] == 3 and top["n_files_kept"] == 1
+    assert top["context"].startswith("### src/util.py\n")
+    assert "app.py" not in top["context"]
+
+
+def test_repo_context_deterministic_across_partitionings(spark):
+    df = _mini_repo(spark)
+    one = {r["repo"]: r["context"] for r in repo_context(df.coalesce(1)).collect()}
+    many = {r["repo"]: r["context"] for r in repo_context(df.repartition(7)).collect()}
+    assert one == many
+
+
+def test_fim_reconstruction_and_rate(documents):
+    docs = documents.limit(200)
+    out = fim_transform(docs, "doc_id", "text", fim_rate=0.5, seed=42)
+    joined = {
+        r["doc_id"]: r
+        for r in out.join(
+            docs.select("doc_id", F.col("text").alias("orig")), "doc_id"
+        ).collect()
+    }
+    n_applied = 0
+    for r in joined.values():
+        if not r["fim_applied"]:
+            assert r["text"] == r["orig"]
+            continue
+        n_applied += 1
+        t = r["text"]
+        assert t.startswith("<fim_prefix>")
+        body = t[len("<fim_prefix>"):]
+        prefix, rest = body.split("<fim_suffix>", 1)
+        suffix, middle = rest.split("<fim_middle>", 1)
+        # PSM pieces reassemble the original byte-for-byte
+        assert prefix + middle + suffix == r["orig"]
+    # md5 bands put roughly half the rows in the FIM branch
+    assert 0.3 < n_applied / len(joined) < 0.7
+
+
+def test_fim_membership_stable_under_seed_and_growth(documents):
+    docs = documents.limit(100)
+    a = {r["doc_id"]: r["text"] for r in
+         fim_transform(docs, "doc_id", "text", 0.5, seed=42).collect()}
+    b = {r["doc_id"]: r["text"] for r in
+         fim_transform(documents.limit(200), "doc_id", "text", 0.5, seed=42)
+         .where(F.col("doc_id").isin(*a.keys())).collect()}
+    assert a == b  # growing the corpus never changes an existing row
+    c = {r["doc_id"]: r["text"] for r in
+         fim_transform(docs, "doc_id", "text", 0.5, seed=7).collect()}
+    assert a != c  # the seed actually steers the draw

@@ -672,6 +672,33 @@ def q_code_structure(spark: SparkSession, sf_dir: str, code_files: str):
     return complexity_census(df, "lang", "content").collect()
 
 
+def q_repo_context(spark: SparkSession, sf_dir: str, code_files: str):
+    """Repo-level training-document assembly over the 600k-file corpus
+    (~100 repos): import-edge extraction + stem-resolved fan-in shuffle
+    (repo, stem) keys only, then the assembly groupBy — the ONE place the
+    corpus text crosses the wire, into per-repo sorted concatenations.
+    The corpus's keyword-salad content yields few resolvable edges, so
+    this measures the text-exchange cost, which is the scale term."""
+    from data_profiler_spark.operators.repo_assembly import repo_context
+
+    df = spark.read.parquet(code_files)
+    _force(repo_context(df))
+
+
+def q_fim_transform(spark: SparkSession, sf_dir: str, code_files: str):
+    """Deterministic FIM PSM rewrite of the 600k-file corpus: md5-band
+    membership + integer cut points — zero shuffle, one codegen pass."""
+    from data_profiler_spark.operators.curation import fim_transform
+
+    df = spark.read.parquet(code_files)
+    _force(
+        fim_transform(
+            df, "path", "content", fim_rate=0.5, seed=42,
+            id_cols=["repo", "path"],
+        )
+    )
+
+
 BENCH_QUERIES = {
     "profile_lineitem": q_profile_lineitem,
     "preflight_5pct": q_preflight,
@@ -700,6 +727,8 @@ BENCH_QUERIES = {
     "winnow_clones": q_winnow_clones,
     "import_pagerank": q_import_pagerank,
     "media_features": q_media_features,
+    "repo_context": q_repo_context,
+    "fim_transform": q_fim_transform,
     "curation_e2e": q_curation_e2e,
     "decontamination": q_decontamination,
     "sessions_fd": q_sessions_fd,

@@ -118,48 +118,60 @@ def build_datasheet(
     }
 
 
+def _n(x: int | None) -> str:
+    """Thousands-format a count that is None on an empty corpus (every
+    F.sum over zero rows is NULL)."""
+    return f"{x:,}" if x is not None else "n/a"
+
+
+def _pct(x: float | None, digits: int = 2) -> str:
+    """Percent-format a share that is None on an empty corpus (share()
+    divides by n_docs) — the markdown must render, not TypeError."""
+    return f"{x:.{digits}%}" if x is not None else "n/a"
+
+
 def datasheet_markdown(sheet: dict) -> str:
     c, q, d = sheet["corpus"], sheet["quality"], sheet["duplication"]
     lines = [
         f"# Dataset datasheet{': ' + sheet['source'] if sheet['source'] else ''}",
         "",
         "## Corpus",
-        f"- documents: {c['n_docs']:,}",
-        f"- total characters: {c['total_chars']:,}",
-        f"- total whitespace tokens: {c['total_tokens']:,} "
+        f"- documents: {_n(c['n_docs'])}",
+        f"- total characters: {_n(c['total_chars'])}",
+        f"- total whitespace tokens: {_n(c['total_tokens'])} "
         f"(p50 {c['tokens_p50']}, p95 {c['tokens_p95']})",
-        f"- empty/null documents: {c['n_empty']:,}",
+        f"- empty/null documents: {_n(c['n_empty'])}",
         "",
         "## Language mix",
         "| lang | docs | share |",
         "| --- | --- | --- |",
     ]
     for r in sheet["languages"]:
-        lines.append(f"| {r['lang']} | {r['n_docs']:,} | {r['share']:.2%} |")
+        lines.append(f"| {r['lang']} | {_n(r['n_docs'])} | {_pct(r['share'])} |")
     lines += [
         "",
         "## Quality",
         f"- mean heuristic quality score: {q['mean_score']}",
-        f"- below threshold {q['threshold']}: {q['n_below_threshold']:,} "
-        f"({q['share_below_threshold']:.2%})",
+        f"- below threshold {q['threshold']}: {_n(q['n_below_threshold'])} "
+        f"({_pct(q['share_below_threshold'])})",
         "",
         "## Duplication (exact text)",
-        f"- distinct texts: {d['n_distinct_texts']:,}",
-        f"- duplicate documents (extra copies): {d['n_duplicate_docs']:,} "
-        f"({d['duplicate_ratio']:.4%})",
+        f"- distinct texts: {_n(d['n_distinct_texts'])}",
+        f"- duplicate documents (extra copies): {_n(d['n_duplicate_docs'])} "
+        f"({_pct(d['duplicate_ratio'], 4)})",
         "",
         "## Structural sanity",
-        f"- merge-conflict markers: {sheet['structure']['n_conflict_markers']:,}",
-        f"- mojibake (U+FFFD): {sheet['structure']['n_mojibake']:,}",
-        f"- malformed overall: {sheet['structure']['n_malformed']:,} "
-        f"({sheet['structure']['share_malformed']:.4%})",
+        f"- merge-conflict markers: {_n(sheet['structure']['n_conflict_markers'])}",
+        f"- mojibake (U+FFFD): {_n(sheet['structure']['n_mojibake'])}",
+        f"- malformed overall: {_n(sheet['structure']['n_malformed'])} "
+        f"({_pct(sheet['structure']['share_malformed'], 4)})",
         "",
         "## Privacy / secret findings",
     ]
     if sheet["privacy"]:
         lines += ["| rule | docs | matches |", "| --- | --- | --- |"]
         for r in sheet["privacy"]:
-            lines.append(f"| {r['rule']} | {r['n_docs']:,} | {r['n_matches']:,} |")
+            lines.append(f"| {r['rule']} | {_n(r['n_docs'])} | {_n(r['n_matches'])} |")
     else:
         lines.append("- none detected")
     lines.append("")

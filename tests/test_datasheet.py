@@ -67,3 +67,14 @@ def test_datasheet_structure_section(spark):
     assert s["share_malformed"] == round(2 / 3, 6)
     md = datasheet_markdown(sheet)
     assert "## Structural sanity" in md and "merge-conflict markers: 1" in md
+
+
+def test_datasheet_empty_corpus_renders(spark):
+    """Zero-doc corpus: shares are None (no division) and the markdown
+    renders 'n/a' instead of raising on the percent format specs."""
+    df = spark.createDataFrame([], "doc_id long, text string, lang string")
+    sheet = build_datasheet(df, "doc_id", "text", lang_col="lang")
+    assert sheet["corpus"]["n_docs"] == 0
+    assert sheet["quality"]["share_below_threshold"] is None
+    md = datasheet_markdown(sheet)
+    assert "n/a" in md and "## Corpus" in md

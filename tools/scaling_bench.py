@@ -228,11 +228,14 @@ def main() -> int:
         _log_attempt('rejected: loadavg after a leg')
         return 1
 
-    # Keep-best recording: per-leg minima only ever move DOWN toward the
-    # uncontended floor as more boots are sampled (host noise strictly adds
-    # time), so a higher-efficiency clean measurement is a better-CONVERGED
-    # one, not a luckier one. BENCH.md therefore holds the best clean run;
-    # every attempt, recorded or not, is in SCALING_runs.jsonl for audit.
+    # Keep-best recording: BENCH.md's headline table holds the best clean
+    # accepted run under this protocol; every attempt, recorded or not, is
+    # in SCALING_runs.jsonl for audit. NOTE the asymmetry the audit history
+    # exposed: per-leg minima converge DOWN toward each leg's uncontended
+    # floor as more boots are sampled, and a faster-converged N leg LOWERS
+    # measured efficiency — so the converged cross-run picture (min over
+    # ALL audited clean runs per leg) is the honest steady-state number,
+    # and BENCH.md reports it alongside the accepted headline.
     recorded_eff = None
     bench_path_probe = os.path.join(REPO, "BENCH.md")
     if os.path.exists(bench_path_probe):

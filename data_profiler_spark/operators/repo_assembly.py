@@ -108,32 +108,62 @@ def repo_context(
     partitioning or cluster size.
 
     ``max_files`` keeps the first N files in that same order (mega-repo
-    guard); ``n_files_kept < n_files`` makes the truncation visible."""
+    guard); ``n_files_kept < n_files`` makes the truncation visible.
+
+    Wire contract (plan-pinned in tests/test_repo_assembly.py): file TEXT
+    crosses the wire exactly once — inside the per-repo aggregation
+    buffers of the assembly groupBy. Fan-in is aggregated separately into
+    a per-repo ``map<path, fan_in>`` over key-only exchanges and joined
+    AFTER the text aggregation, on ``repo``, where the aggregated frame
+    is already clustered — ordering is applied by map lookup inside the
+    collected array, so the text never pays a join-side exchange.
+    (A first-cut implementation joined fan-in onto the file rows before
+    the groupBy; that shuffled every content byte twice.)"""
     fan = file_fan_in(df, repo_col, path_col, lang_col, content_col, patterns)
-    files = (
-        df.select(repo_col, path_col, content_col)
-        .join(fan, on=[repo_col, path_col], how="left")
-        .withColumn("fan_in", F.coalesce(F.col("fan_in"), F.lit(0)))
+    # keys unique by construction (fan is grouped by (repo, path)), so
+    # map_from_entries cannot hit duplicate-key errors
+    fan_map = fan.groupBy(repo_col).agg(
+        F.map_from_entries(
+            F.collect_list(F.struct(F.col(path_col), F.col("fan_in")))
+        ).alias("__fan")
     )
     rendered = F.concat(
         F.lit(header), F.col(path_col), F.lit("\n"), F.col(content_col)
     )
-    # array_sort on a struct orders by fields in sequence, ascending —
-    # negated fan_in first gives fan_in DESC, then path ASC breaks ties.
-    item = F.struct(
-        (-F.col("fan_in")).alias("o1"),
-        F.col(path_col).alias("o2"),
-        rendered.alias("t"),
+    agg = (
+        df.select(repo_col, path_col, content_col)
+        .groupBy(repo_col)
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_files"),
+            F.sum(F.length(content_col)).cast("long").alias("total_chars"),
+            F.collect_list(
+                F.struct(F.col(path_col).alias("p"), rendered.alias("t"))
+            ).alias("__items"),
+        )
     )
-    ordered = F.array_sort(F.collect_list(item))
+    joined = agg.join(fan_map, on=[repo_col], how="left")
+    # array_sort on a struct orders by fields in sequence, ascending —
+    # negated fan_in gives fan_in DESC, then path ASC, then the rendered
+    # text as a total-order tie-break for duplicate paths (multi-commit
+    # tables); element_at on the NULL map of a fan-less repo is NULL.
+    keyed = F.transform(
+        F.col("__items"),
+        lambda s: F.struct(
+            (-F.coalesce(F.element_at(F.col("__fan"), s["p"]), F.lit(0))).alias("o1"),
+            s["p"].alias("o2"),
+            s["t"].alias("t"),
+        ),
+    )
+    ordered = F.array_sort(keyed)
     kept = (
         F.slice(ordered, 1, max_files)
         if max_files is not None
         else ordered
     )
-    return files.groupBy(repo_col).agg(
-        F.count(F.lit(1)).cast("long").alias("n_files"),
+    return joined.select(
+        repo_col,
+        "n_files",
         F.size(kept).cast("long").alias("n_files_kept"),
-        F.sum(F.length(content_col)).cast("long").alias("total_chars"),
+        "total_chars",
         F.array_join(F.transform(kept, lambda s: s["t"]), sep).alias("context"),
     )

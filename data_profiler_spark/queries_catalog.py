@@ -4737,7 +4737,8 @@ def _repo_context_oracle() -> str:
               CAST(COUNT(*) AS BIGINT) AS n_files_kept,
               CAST(SUM(length(content)) AS BIGINT) AS total_chars,
               string_agg('### ' || path || chr(10) || content,
-                         chr(10) || chr(10) ORDER BY fan_in DESC, path) AS context
+                         chr(10) || chr(10)
+                         ORDER BY fan_in DESC, path, content) AS context
        FROM ordered GROUP BY repo"""
 
 

@@ -105,3 +105,27 @@ def test_fim_membership_stable_under_seed_and_growth(documents):
     c = {r["doc_id"]: r["text"] for r in
          fim_transform(docs, "doc_id", "text", 0.5, seed=7).collect()}
     assert a != c  # the seed actually steers the draw
+
+
+def test_repo_context_text_crosses_wire_exactly_once(spark):
+    """Scale contract: file content reaches the plan's exchanges only
+    inside the assembly groupBy's per-repo aggregation buffers — no
+    exchange carries a raw content column (the first-cut fan join would
+    have shuffled every content byte a second time), and the fan-in side
+    moves key-sized rows only."""
+    import contextlib
+    import io
+    import re as _re
+
+    df = _mini_repo(spark)
+    out = repo_context(df)
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        out.explain("formatted")
+    formatted = buf.getvalue()
+    blocks = _re.split(r"\n\(\d+\) ", formatted)
+    shuffles = [b for b in blocks if b.startswith("Exchange")]
+    raw_content = [b for b in shuffles if "content#" in b.split("Arguments")[0]]
+    assert not raw_content, formatted
+    buffered = [b for b in shuffles if "buf#" in b.split("Arguments")[0]]
+    assert len(buffered) >= 1, formatted  # text rides the agg buffer once

@@ -371,6 +371,22 @@ def build_audits(spark, sf):
         compression_ratio(docs, "text", ["doc_id"]), 0, True,
     )
 
+    # repo assembly + FIM (round-3 ninth session): fan-in pays key-only
+    # exchanges (imports distinct, resolved distinct, per-file agg, per-repo
+    # map agg) plus the repo-keyed join of the two repo-level frames; file
+    # TEXT crosses only inside the assembly groupBy's aggregation buffers
+    # (pinned by tests/test_repo_assembly.py — no exchange carries a raw
+    # content column). FIM is a pure codegen projection: zero exchanges.
+    from data_profiler_spark.operators.curation import fim_transform
+    from data_profiler_spark.operators.repo_assembly import repo_context
+
+    audits["repo_context"] = (
+        repo_context(code, "repo", "path", "lang", "content"), 6, False,
+    )
+    audits["fim_transform"] = (
+        fim_transform(docs, "doc_id", "text", 0.5, seed=42), 0, False,
+    )
+
     if "Join" in _plan(asof_df):
         raise AssertionError("asof_join plan grew a join node")
     return audits

@@ -213,6 +213,31 @@ def build_parser() -> argparse.ArgumentParser:
         "--redact-out", help="write a redacted copy of the table as parquet here"
     )
 
+    pa = sub.add_parser(
+        "assemble",
+        help="repo-level context assembly: one training document per repo, "
+        "files ordered import-fan-in-first (StarCoder2-style)",
+    )
+    pa.add_argument("path")
+    pa.add_argument("--repo-col", default="repo")
+    pa.add_argument("--path-col", default="path")
+    pa.add_argument("--lang-col", default="lang")
+    pa.add_argument("--content-col", default="content")
+    pa.add_argument("--max-files", type=int, help="mega-repo cap (truncation visible)")
+    pa.add_argument("--out", help="write the per-repo context table as parquet here")
+
+    pf = sub.add_parser(
+        "fim",
+        help="deterministic fill-in-the-middle PSM rewrite (md5-band "
+        "membership + exact integer cut points)",
+    )
+    pf.add_argument("path")
+    pf.add_argument("--id-col", required=True)
+    pf.add_argument("--text-col", required=True)
+    pf.add_argument("--rate", type=float, default=0.5)
+    pf.add_argument("--seed", type=int, default=42)
+    pf.add_argument("--out", help="write the rewritten table as parquet here")
+
     pk = sub.add_parser(
         "pack", help="greedy sequence packing into fixed token budgets"
     )
@@ -996,6 +1021,67 @@ def main(argv: list[str] | None = None) -> int:
             _emit(args, json.dumps(
                 {"report_type": "split", "source": args.path, "seed": args.seed,
                  "fractions": fractions, "counts": counts, "out_dir": args.out_dir},
+                indent=2, sort_keys=True, default=str,
+            ))
+            return EXIT_OK
+
+        if args.command == "assemble":
+            from pyspark.sql import functions as F
+
+            from data_profiler_spark.operators.repo_assembly import repo_context
+
+            spark = _spark(args)
+            if not os.path.exists(args.path):
+                return EXIT_FILE_NOT_FOUND
+            df = sources.read(spark, args.path)
+            ctx = repo_context(
+                df, args.repo_col, args.path_col, args.lang_col,
+                args.content_col, max_files=args.max_files,
+            )
+            if args.out:
+                ctx.write.mode("overwrite").parquet(args.out)
+                summary = spark.read.parquet(args.out)
+            else:
+                summary = ctx
+            stats = summary.select(
+                F.count(F.lit(1)).alias("n_repos"),
+                F.sum("n_files").alias("n_files"),
+                F.sum("n_files_kept").alias("n_files_kept"),
+                F.sum("total_chars").alias("total_chars"),
+            ).collect()[0]
+            _emit(args, json.dumps(
+                {"report_type": "assemble", "source": args.path,
+                 "n_repos": stats["n_repos"], "n_files": stats["n_files"],
+                 "n_files_kept": stats["n_files_kept"],
+                 "total_chars": stats["total_chars"],
+                 "max_files": args.max_files, "out": args.out},
+                indent=2, sort_keys=True, default=str,
+            ))
+            return EXIT_OK
+
+        if args.command == "fim":
+            from pyspark.sql import functions as F
+
+            from data_profiler_spark.operators.curation import fim_transform
+
+            spark = _spark(args)
+            if not os.path.exists(args.path):
+                return EXIT_FILE_NOT_FOUND
+            df = sources.read(spark, args.path)
+            out_df = fim_transform(
+                df, args.id_col, args.text_col, fim_rate=args.rate, seed=args.seed
+            )
+            if args.out:
+                out_df.write.mode("overwrite").parquet(args.out)
+                out_df = spark.read.parquet(args.out)
+            stats = out_df.select(
+                F.count(F.lit(1)).alias("n_rows"),
+                F.sum(F.col("fim_applied").cast("long")).alias("n_fim"),
+            ).collect()[0]
+            _emit(args, json.dumps(
+                {"report_type": "fim", "source": args.path, "rate": args.rate,
+                 "seed": args.seed, "n_rows": stats["n_rows"],
+                 "n_fim": stats["n_fim"], "out": args.out},
                 indent=2, sort_keys=True, default=str,
             ))
             return EXIT_OK

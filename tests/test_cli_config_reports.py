@@ -717,3 +717,33 @@ def test_cli_code_census(spark, tmp_path, capsys):
     # identical content in 3 repos -> one boilerplate fingerprint
     assert len(out["boilerplate"]) == 1
     assert out["boilerplate"][0]["n_repos"] == 3
+
+
+def test_cli_assemble_and_fim(spark, tmp_path, capsys):
+    import pandas as pd
+
+    data = tmp_path / "corpus2.parquet"
+    pd.DataFrame(
+        {
+            "repo": ["r1", "r1", "r2"],
+            "path": ["src/util.py", "src/app.py", "src/solo.py"],
+            "lang": ["python"] * 3,
+            "content": ["X = 1\n", "import util\n", "Z = 3\n"],
+        }
+    ).to_parquet(data)
+    out_dir = tmp_path / "ctx"
+    rc = main(["assemble", str(data), "--out", str(out_dir)])
+    rep = json.loads(capsys.readouterr().out)
+    assert rc == EXIT_OK
+    assert rep["report_type"] == "assemble"
+    assert rep["n_repos"] == 2 and rep["n_files"] == 3 == rep["n_files_kept"]
+    ctx = {r["repo"]: r["context"] for r in
+           spark.read.parquet(str(out_dir)).collect()}
+    # fan-in-first: the imported util renders before its importer
+    assert ctx["r1"].index("### src/util.py") < ctx["r1"].index("### src/app.py")
+
+    rc = main(["fim", str(data), "--id-col", "path", "--text-col", "content",
+               "--rate", "1.0"])
+    rep = json.loads(capsys.readouterr().out)
+    assert rc == EXIT_OK
+    assert rep["n_rows"] == 3 and rep["n_fim"] == 3  # rate 1.0 hits all rows

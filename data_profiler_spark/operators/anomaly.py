@@ -88,7 +88,13 @@ def zscore_anomalies(
         series,
         keys,
         [
-            (S.decimal_sum(value_col) / F.count(F.col(value_col))).alias("mean"),
+            # try_divide: a key group can exist with every value NULL (a
+            # run whose metric was missing) — count is then 0 and plain
+            # division would ANSI-abort; NULL mean → NULL z → no anomaly
+            # rows for that group, the correct verdict.
+            F.try_divide(
+                S.decimal_sum(value_col), F.count(F.col(value_col))
+            ).alias("mean"),
             S.decimal_stddev(value_col).alias("std"),
         ],
     )

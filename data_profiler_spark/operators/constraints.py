@@ -530,11 +530,19 @@ def quality_scorecard(
     ]
     a = df.agg(*aggs)
     total_nulls = sum((F.col(f"__null_{i}") for i in range(len(null_cols))), F.lit(0))
-    completeness = F.lit(1.0) - total_nulls.cast("double") / (
-        F.col("n_rows") * F.lit(len(null_cols))
+    # try_divide: the global agg emits its row even over an EMPTY table
+    # (n_rows = 0), and an empty null_cols list zeroes the completeness
+    # denominator outright — both must yield NULL metrics, not an ANSI
+    # DIVIDE_BY_ZERO abort (the round-2 drift-comparator defect class).
+    completeness = F.lit(1.0) - F.try_divide(
+        total_nulls.cast("double"), F.col("n_rows") * F.lit(len(null_cols))
     )
-    validity = F.col("n_valid").cast("double") / F.col("n_rows")
-    uniqueness = F.col("n_distinct_keys").cast("double") / F.col("n_rows")
+    if not null_cols:
+        completeness = F.when(F.col("n_rows") > 0, F.lit(1.0))
+    validity = F.try_divide(F.col("n_valid").cast("double"), F.col("n_rows"))
+    uniqueness = F.try_divide(
+        F.col("n_distinct_keys").cast("double"), F.col("n_rows")
+    )
     return a.select(
         "n_rows",
         completeness.alias("completeness"),

@@ -537,7 +537,8 @@ def mixture_weights(
     )
     tmap = F.create_map(*[F.lit(x) for kv in target.items() for x in kv])
     tot = F.sum("tokens").over(W.partitionBy())
-    cur = F.col("tokens").cast("double") / tot
+    # try_divide: an all-empty-text corpus zeroes the window total
+    cur = F.try_divide(F.col("tokens").cast("double"), tot)
     tgt = F.coalesce(tmap[F.col("domain")], F.lit(0.0))
     return agg.select(
         "domain",

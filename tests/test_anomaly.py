@@ -107,3 +107,15 @@ def test_checkpoint_metrics_feed_rel_change(spark, tmp_path):
     flagged = rel_change_anomalies(per_run, "run", "violations", max_rel_change=0.5)
     got = flagged.collect()
     assert len(got) == 1 and got[0]["run"] == 1 and got[0]["prev_value"] == 0.0
+
+
+def test_zscore_all_null_group_yields_no_rows_not_error(spark):
+    """ANSI regression: a key group whose metric values are ALL NULL (a
+    run with a missing metric) has count()=0 — the mean must go through
+    try_divide to NULL (=> NULL z => no anomaly rows), not DIVIDE_BY_ZERO."""
+    from data_profiler_spark.operators.anomaly import zscore_anomalies
+
+    rows = [("a", 1.0), ("a", 100.0), ("a", 1.0), ("a", 1.0), ("b", None), ("b", None)]
+    df = spark.createDataFrame(rows, "k string, v double")
+    out = zscore_anomalies(df, "v", keys=["k"], z_thresh=1.0).collect()
+    assert all(r["k"] == "a" for r in out)

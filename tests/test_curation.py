@@ -468,3 +468,18 @@ def test_prefix_fingerprint_prefix_containment(spark):
     assert len(got) == 1
     r = got[0]
     assert (r["n_shared_fps"], r["n_rows_a"], r["n_rows_b"]) == (1, 1, 1)
+
+
+def test_mixture_weights_zero_token_corpus(spark):
+    """ANSI regression: an all-empty-text corpus zeroes the window total;
+    shares must be NULL, not DIVIDE_BY_ZERO."""
+    from pyspark.sql import functions as F
+
+    from data_profiler_spark.operators.curation import mixture_weights
+
+    df = spark.createDataFrame([("en", ""), ("zh", "")], "lang string, text string")
+    out = mixture_weights(
+        df, "lang", F.length("text").cast("long"), {"en": 0.5}
+    ).collect()
+    assert {r["lang"] if "lang" in r else r["domain"] for r in out} == {"en", "zh"}
+    assert all(r["current_share"] is None for r in out)

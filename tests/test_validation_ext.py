@@ -266,3 +266,21 @@ def test_scoped_null_rate_uses_scope_denominator(spark):
     assert v["null_rate:x[grp = 's']"]["pass"]
     assert v["null_rate:x[grp = 's']"]["violation_count"] == 2
     assert not v["tight"]["pass"]
+
+
+def test_quality_scorecard_empty_table_and_no_null_cols(spark):
+    """ANSI regression: the scorecard's global agg emits its row even on
+    an EMPTY table (n_rows=0) and an empty null_cols list zeroes the
+    completeness denominator — both must yield NULL/defined metrics, not
+    a DIVIDE_BY_ZERO abort."""
+    from pyspark.sql import functions as F
+
+    from data_profiler_spark.operators.constraints import quality_scorecard
+
+    empty = spark.createDataFrame([], "id long, v double")
+    row = quality_scorecard(empty, F.col("id"), ["v"], ["v >= 0"]).collect()[0]
+    assert row["n_rows"] == 0 and row["validity"] is None and row["overall"] is None
+
+    df = spark.createDataFrame([(1, 2.0), (2, 3.0)], "id long, v double")
+    row = quality_scorecard(df, F.col("id"), [], ["v >= 0"]).collect()[0]
+    assert row["completeness"] == 1.0 and row["validity"] == 1.0

@@ -7,9 +7,10 @@ pandas UDFs over ``mapInPandas``.
 
 Decode support is per-container-format, not all-or-nothing:
   - REAL: WAV/PCM (stdlib ``wave``) — duration, RMS, peak, zero-crossing
-    rate; 24-bit uncompressed BMP (struct + numpy); non-interlaced 8-bit
-    PNG (stdlib ``zlib`` inflate + numpy reconstruction of all five
-    scanline filters); and baseline JPEG (numpy Huffman + IDCT decoder,
+    rate; 24-bit uncompressed BMP (struct + numpy); PNG — 8/16-bit
+    grayscale/RGB(A)/palette, sequential or Adam7-interlaced (stdlib
+    ``zlib`` inflate + numpy reconstruction of all five scanline
+    filters); and baseline JPEG (numpy Huffman + IDCT decoder,
     ``operators/jpeg.py``) — true dimensions, per-channel means,
     nearest-neighbor resize with re-encode in the same container.
   - CODEC-GATED: MP4/WebP/TIFF and progressive JPEG need libraries absent
@@ -145,20 +146,41 @@ def _png_chunk(typ: bytes, data: bytes) -> bytes:
     )
 
 
-def encode_png(pixels: np.ndarray) -> bytes:
-    """(h, w, 3|4) uint8 RGB(A) or (h, w) grayscale → non-interlaced 8-bit
-    PNG (filter 0 scanlines, one zlib IDAT)."""
+def encode_png(pixels: np.ndarray, interlace: bool = False) -> bytes:
+    """uint8 (8-bit) or uint16 (16-bit, big-endian samples) pixels of
+    shape (h, w[, ch]) → PNG with filter-0 scanlines and one zlib IDAT;
+    ``interlace=True`` writes the Adam7 pass sequence (each pass its own
+    filter-0 scanlines over the strided sub-grid)."""
     import struct
 
-    px = np.asarray(pixels, dtype=np.uint8)
+    arr = np.asarray(pixels)
+    depth = 16 if arr.dtype == np.uint16 else 8
+    px = arr.astype(np.uint16 if depth == 16 else np.uint8)
     if px.ndim == 2:
         px = px[:, :, None]
     h, w, ch = px.shape
     color_type = {1: 0, 2: 4, 3: 2, 4: 6}[ch]  # gray / gray+alpha / RGB / RGBA
-    ihdr = struct.pack(">IIBBBBB", w, h, 8, color_type, 0, 0, 0)
-    raw = np.concatenate(
-        [np.zeros((h, 1), np.uint8), px.reshape(h, w * ch)], axis=1
-    ).tobytes()
+    ihdr = struct.pack(">IIBBBBB", w, h, depth, color_type, 0, 0, int(interlace))
+
+    def _lines(sub: np.ndarray) -> bytes:
+        sh = sub.shape[0]
+        flat = (
+            sub.astype(">u2").reshape(sh, -1).view(np.uint8)
+            if depth == 16
+            else sub.reshape(sh, -1)
+        )
+        return np.concatenate(
+            [np.zeros((sh, 1), np.uint8), flat], axis=1
+        ).tobytes()
+
+    if interlace:
+        raw = b"".join(
+            _lines(px[y0::dy, x0::dx])
+            for x0, y0, dx, dy in _ADAM7
+            if px[y0::dy, x0::dx].size
+        )
+    else:
+        raw = _lines(px)
     return (
         _PNG_SIG
         + _png_chunk(b"IHDR", ihdr)
@@ -167,17 +189,78 @@ def encode_png(pixels: np.ndarray) -> bytes:
     )
 
 
+def _png_unfilter(lines: np.ndarray, bpp: int) -> np.ndarray:
+    """Reconstruct one (sub-)image from its filtered scanlines.
+
+    ``lines``: (h, 1 + stride) uint8 — filter byte + raw bytes per line;
+    ``bpp``: the FILTER distance in BYTES (channels × bytes-per-sample —
+    PNG filters are byte-wise whatever the sample depth, per spec §9).
+    Sub uses a per-byte-lane cumsum (mod 256); Up is a whole-row add;
+    Average and Paeth are inherently sequential in x and loop per pixel
+    unit vectorized across the unit's bytes. Returns (h, stride) uint8."""
+    h, stride = lines.shape[0], lines.shape[1] - 1
+    n_units = stride // bpp
+    out = np.zeros((h, stride), dtype=np.uint8)
+    prev = np.zeros(stride, dtype=np.uint16)
+    for y in range(h):
+        ftype, row = lines[y, 0], lines[y, 1:].astype(np.uint16)
+        if ftype == 0:  # None
+            rec = row
+        elif ftype == 1:  # Sub
+            rec = row.copy()
+            for o in range(bpp):
+                rec[o::bpp] = np.cumsum(row[o::bpp], dtype=np.uint64) & 0xFF
+        elif ftype == 2:  # Up
+            rec = (row + prev) & 0xFF
+        elif ftype in (3, 4):  # Average / Paeth — sequential in x
+            rec = np.zeros(stride, dtype=np.uint16)
+            for x in range(n_units):
+                s = slice(x * bpp, (x + 1) * bpp)
+                left = rec[(x - 1) * bpp : x * bpp] if x else np.zeros(bpp, np.uint16)
+                up = prev[s]
+                if ftype == 3:
+                    pred = (left + up) >> 1
+                else:
+                    ul = (
+                        prev[(x - 1) * bpp : x * bpp] if x else np.zeros(bpp, np.uint16)
+                    )
+                    p = left.astype(np.int32) + up.astype(np.int32) - ul.astype(np.int32)
+                    pa, pb, pc = (
+                        np.abs(p - left.astype(np.int32)),
+                        np.abs(p - up.astype(np.int32)),
+                        np.abs(p - ul.astype(np.int32)),
+                    )
+                    pred = np.where(
+                        (pa <= pb) & (pa <= pc), left, np.where(pb <= pc, up, ul)
+                    ).astype(np.uint16)
+                rec[s] = (row[s] + pred) & 0xFF
+        else:
+            raise NotImplementedError(f"unknown PNG filter type {ftype}")
+        out[y] = rec.astype(np.uint8)
+        prev = rec.astype(np.uint16)
+    return out
+
+
+# Adam7 pass grid: (x_start, y_start, x_step, y_step) per pass, spec §8.2
+_ADAM7 = (
+    (0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8), (2, 0, 4, 4),
+    (0, 2, 2, 4), (1, 0, 2, 2), (0, 1, 1, 2),
+)
+
+
 def decode_png(b: bytes) -> np.ndarray:
-    """Non-interlaced 8-bit PNG (grayscale / RGB / RGBA / palette) →
-    (h, w, ch) uint8.
+    """PNG (grayscale / RGB / RGBA / palette; 8- or 16-bit samples;
+    sequential or Adam7-interlaced) → (h, w, ch) uint8.
 
     Pure stdlib zlib + numpy: chunk walk, one inflate over the concatenated
-    IDATs, then per-scanline reconstruction of all five PNG filters. Sub
-    uses a per-channel cumsum (mod 256); Up is a whole-row add; Average and
-    Paeth are inherently sequential in x and loop per pixel vectorized
-    across channels. 8-bit palette (color_type 3) images filter as 1-byte
-    indices then map through PLTE (+ tRNS alpha when present) — one numpy
-    take. Sub-8-bit palettes, 16-bit, and Adam7 payloads are rejected."""
+    IDATs, then per-scanline filter reconstruction (``_png_unfilter``) —
+    once for a sequential image, once per non-empty pass for Adam7, with
+    each pass's pixels scattered onto the full grid by strided assignment.
+    16-bit samples decode faithfully then reduce to their HIGH byte (the
+    standard fast 16→8 reduction, within 1 of the spec's rounded rescale)
+    for the engine's uniform uint8 feature plane. 8-bit palette (color_type 3)
+    images filter as 1-byte indices then map through PLTE (+ tRNS alpha
+    when present) — one numpy take. Sub-8-bit depths are rejected."""
     import struct
 
     if b[:8] != _PNG_SIG:
@@ -203,56 +286,38 @@ def decode_png(b: bytes) -> np.ndarray:
     w, h, depth, color_type, _comp, _filt, interlace = ihdr
     # palette images carry 1-byte indices per pixel through the filter pass
     channels = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}.get(color_type)
-    if depth != 8 or channels is None or interlace != 0:
+    if depth not in (8, 16) or channels is None or interlace not in (0, 1):
         raise NotImplementedError(
-            "only non-interlaced 8-bit grayscale/RGB(A)/palette PNG is "
-            f"supported (depth={depth}, color_type={color_type}, "
-            f"interlace={interlace})"
+            "only 8/16-bit grayscale/RGB(A)/palette PNG is supported "
+            f"(depth={depth}, color_type={color_type}, interlace={interlace})"
         )
+    if color_type == 3 and depth == 16:
+        raise NotImplementedError("16-bit palette depth is not a legal PNG")
     if color_type == 3 and (plte is None or len(plte) % 3):
         raise NotImplementedError("palette PNG missing a well-formed PLTE chunk")
+    bps = depth // 8
+    bpp = channels * bps
     raw = np.frombuffer(zlib.decompress(b"".join(idat)), dtype=np.uint8)
-    stride = w * channels
-    lines = raw.reshape(h, stride + 1)
-    bpp = channels
-    out = np.zeros((h, stride), dtype=np.uint8)
-    prev = np.zeros(stride, dtype=np.uint16)
-    for y in range(h):
-        ftype, row = lines[y, 0], lines[y, 1:].astype(np.uint16)
-        if ftype == 0:  # None
-            rec = row
-        elif ftype == 1:  # Sub
-            rec = row.copy()
-            for o in range(bpp):
-                rec[o::bpp] = np.cumsum(row[o::bpp], dtype=np.uint64) & 0xFF
-        elif ftype == 2:  # Up
-            rec = (row + prev) & 0xFF
-        elif ftype in (3, 4):  # Average / Paeth — sequential in x
-            rec = np.zeros(stride, dtype=np.uint16)
-            for x in range(w):
-                s = slice(x * bpp, (x + 1) * bpp)
-                left = rec[(x - 1) * bpp : x * bpp] if x else np.zeros(bpp, np.uint16)
-                up = prev[s]
-                if ftype == 3:
-                    pred = (left + up) >> 1
-                else:
-                    ul = (
-                        prev[(x - 1) * bpp : x * bpp] if x else np.zeros(bpp, np.uint16)
-                    )
-                    p = left.astype(np.int32) + up.astype(np.int32) - ul.astype(np.int32)
-                    pa, pb, pc = (
-                        np.abs(p - left.astype(np.int32)),
-                        np.abs(p - up.astype(np.int32)),
-                        np.abs(p - ul.astype(np.int32)),
-                    )
-                    pred = np.where(
-                        (pa <= pb) & (pa <= pc), left, np.where(pb <= pc, up, ul)
-                    ).astype(np.uint16)
-                rec[s] = (row[s] + pred) & 0xFF
-        else:
-            raise NotImplementedError(f"unknown PNG filter type {ftype}")
-        out[y] = rec.astype(np.uint8)
-        prev = rec.astype(np.uint16)
+    if interlace == 0:
+        stride = w * bpp
+        out = _png_unfilter(raw.reshape(h, stride + 1), bpp)
+    else:  # Adam7: seven independently-filtered sub-images
+        full = np.zeros((h, w, bpp), dtype=np.uint8)
+        off = 0
+        for x0, y0, dx, dy in _ADAM7:
+            pw = (w - x0 + dx - 1) // dx
+            ph = (h - y0 + dy - 1) // dy
+            if pw <= 0 or ph <= 0:
+                continue
+            pstride = pw * bpp
+            block = raw[off : off + ph * (pstride + 1)].reshape(ph, pstride + 1)
+            off += ph * (pstride + 1)
+            sub = _png_unfilter(block, bpp).reshape(ph, pw, bpp)
+            full[y0::dy, x0::dx] = sub
+        out = full.reshape(h, w * bpp)
+    if depth == 16:
+        # big-endian sample pairs → high byte (fast 16→8 reduction)
+        out = out.reshape(h, w * channels, 2)[:, :, 0].reshape(h, w * channels)
     if color_type == 3:
         pal = np.frombuffer(plte, dtype=np.uint8).reshape(-1, 3)
         idx = out.reshape(h, w)
@@ -495,7 +560,7 @@ def image_features(df: DataFrame, batch_hint: int = 1024) -> DataFrame:
                     # palette (zlib+numpy), baseline JPEG (numpy
                     # huffman+IDCT). Matching magic does NOT guarantee a
                     # supported sub-format (progressive JPEG,
-                    # 16-bit/interlaced PNG, top-down BMP) —
+                    # sub-8-bit PNG, top-down BMP) —
                     # at 100 TB one such payload must become a decoded=False
                     # row, never an aborted job.
                     try:

@@ -314,11 +314,17 @@ def test_png_unsupported_variants_rejected():
 
     with pytest.raises(NotImplementedError, match="not a PNG"):
         decode_png(b"JFIF....")
-    # 16-bit depth rejected
+    # 16-bit now decodes for real (high-byte reduction)
     ihdr = struct.pack(">IIBBBBB", 2, 2, 16, 2, 0, 0, 0)
     png = (_PNG_SIG + _png_chunk(b"IHDR", ihdr)
            + _png_chunk(b"IDAT", _z.compress(b"\x00" * 26)) + _png_chunk(b"IEND", b""))
-    with pytest.raises(NotImplementedError, match="depth=16"):
+    assert decode_png(png).shape == (2, 2, 3)
+    # 16-bit palette is not a legal PNG — still rejected
+    ihdr = struct.pack(">IIBBBBB", 2, 2, 16, 3, 0, 0, 0)
+    png = (_PNG_SIG + _png_chunk(b"IHDR", ihdr)
+           + _png_chunk(b"PLTE", b"\x00" * 6)
+           + _png_chunk(b"IDAT", _z.compress(b"\x00" * 10)) + _png_chunk(b"IEND", b""))
+    with pytest.raises(NotImplementedError, match="16-bit palette"):
         decode_png(png)
 
 
@@ -351,3 +357,60 @@ def test_decode_image_gray_alpha_png(spark):
     px = decode_image(b)
     assert px.shape == (4, 6, 3)
     assert np.array_equal(px[:, :, 0], gray) and np.array_equal(px[:, :, 2], gray)
+
+
+def test_png_adam7_interlaced_roundtrip():
+    """Adam7: seven independently-filtered passes scatter back onto the
+    full grid — decode(encode(px, interlace=True)) must be pixel-exact,
+    including dimensions that leave some passes empty."""
+    import numpy as np
+
+    from data_profiler_spark.operators.multimodal import decode_png, encode_png
+
+    rng = np.random.default_rng(7)
+    for h, w, ch in [(16, 16, 3), (9, 13, 3), (3, 3, 1), (1, 1, 3), (2, 10, 4)]:
+        px = rng.integers(0, 256, size=(h, w, ch), dtype=np.uint8)
+        if ch == 1:
+            px = px[:, :, 0]
+        dec = decode_png(encode_png(px, interlace=True))
+        assert dec.shape[:2] == (h, w)
+        flat = px if px.ndim == 3 else px[:, :, None]
+        assert np.array_equal(dec, flat)
+
+
+def test_png_16bit_high_byte_and_filters():
+    """16-bit samples: byte-wise filters with bpp = channels*2, decoded
+    output is each sample's high byte."""
+    import numpy as np
+
+    from data_profiler_spark.operators.multimodal import decode_png, encode_png
+
+    rng = np.random.default_rng(11)
+    px16 = rng.integers(0, 65536, size=(7, 5, 3), dtype=np.uint16)
+    dec = decode_png(encode_png(px16))
+    assert dec.shape == (7, 5, 3)
+    assert np.array_equal(dec, (px16 >> 8).astype(np.uint8))
+    # 16-bit + Adam7 combined
+    dec_i = decode_png(encode_png(px16, interlace=True))
+    assert np.array_equal(dec_i, (px16 >> 8).astype(np.uint8))
+
+
+def test_png_sub8bit_still_gated():
+    import struct
+    import zlib as _z
+
+    import numpy as np
+    import pytest
+
+    from data_profiler_spark.operators.multimodal import (
+        _PNG_SIG,
+        _png_chunk,
+        decode_png,
+    )
+
+    ihdr = struct.pack(">IIBBBBB", 4, 4, 4, 0, 0, 0, 0)  # depth 4
+    raw = b"\x00\x12\x34" * 4
+    b = (_PNG_SIG + _png_chunk(b"IHDR", ihdr)
+         + _png_chunk(b"IDAT", _z.compress(raw)) + _png_chunk(b"IEND", b""))
+    with pytest.raises(NotImplementedError):
+        decode_png(b)

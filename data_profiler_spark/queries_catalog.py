@@ -4787,3 +4787,118 @@ def fim_transform_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load(spark, sf_dir, "documents")
     return fim_transform(docs, "doc_id", "text", fim_rate=0.5, seed=42)
+
+
+@register(
+    "clone_census_documents",
+    f"""WITH code AS (SELECT doc_id, {_CODE_LANG_SQL} AS lang,
+                             {_CODE_TEXT_SQL} AS content FROM documents),
+        norm AS (SELECT lang, {{nf}} AS nf FROM code),
+        g AS (SELECT lang, nf, COUNT(*) AS c FROM norm GROUP BY 1, 2)
+        SELECT lang, CAST(SUM(c) AS BIGINT) AS n_files,
+               CAST(COUNT(*) AS BIGINT) AS n_distinct,
+               CAST(SUM(CASE WHEN c >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS clone_groups,
+               CAST(SUM(CASE WHEN c >= 2 THEN c ELSE 0 END) AS BIGINT) AS clone_files,
+               ROUND(CAST(SUM(CASE WHEN c >= 2 THEN c ELSE 0 END) AS DOUBLE)
+                     / CAST(SUM(c) AS DOUBLE), 10) AS clone_ratio,
+               CAST(MAX(c) AS BIGINT) AS max_group
+        FROM g GROUP BY lang""".format(
+        nf=__import__(
+            "data_profiler_spark.operators.code_metrics", fromlist=["type2_normalize_sql"]
+        ).type2_normalize_sql("content")
+    ),
+)
+def clone_census_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Type-2 (identifier/literal-normalized) clone census per language —
+    the CCFinder-style parameterized-clone statistic over the derived code
+    corpus. The oracle groups the normal form itself; Spark groups its md5
+    (16-byte shuffle keys) — identical census, collision-free at any
+    realistic corpus size."""
+    from data_profiler_spark.operators.code_metrics import clone_census
+
+    code = _code_frame_spark(load(spark, sf_dir, "documents"))
+    return clone_census(code, "code_lang", "content")
+
+
+_MANIFEST_SQL_PATH = """CASE doc_id % 3 WHEN 0 THEN 'r/requirements.txt'
+    WHEN 1 THEN 'r/package.json' ELSE 'r/go.mod' END"""
+
+_MANIFEST_SQL_CONTENT = """CASE doc_id % 3
+    WHEN 0 THEN 'lib' || CAST(doc_id % 7 AS VARCHAR) || '==1.0' || chr(10)
+        || '# tools' || chr(10) || 'req-' || CAST(doc_id % 5 AS VARCHAR)
+        || '>=2.0' || chr(10) || '-r base.txt' || chr(10)
+    WHEN 1 THEN CASE WHEN doc_id % 11 = 0 THEN '{broken'
+        ELSE '{"dependencies":{"pkg' || CAST(doc_id % 7 AS VARCHAR)
+            || '":"^1.0","left-pad":"1.0"},"devDependencies":{"dev'
+            || CAST(doc_id % 3 AS VARCHAR) || '":"2","pkg'
+            || CAST(doc_id % 7 AS VARCHAR) || '":"1"}}' END
+    ELSE 'module m' || chr(10) || chr(10) || 'require (' || chr(10)
+        || chr(9) || 'example.com/lib' || CAST(doc_id % 7 AS VARCHAR)
+        || ' v1.2.3' || chr(10) || chr(9) || 'golang.org/x/mod v0.1.0'
+        || chr(10) || ')' || chr(10) || 'require single.dev/x v0.2.0' || chr(10)
+    END"""
+
+
+def _manifest_frame_spark(df: DataFrame) -> DataFrame:
+    did = F.col("doc_id")
+    mod3 = did % 3
+    s = lambda m: (did % m).cast("string")  # noqa: E731
+    path = (
+        F.when(mod3 == 0, F.lit("r/requirements.txt"))
+        .when(mod3 == 1, F.lit("r/package.json"))
+        .otherwise(F.lit("r/go.mod"))
+    )
+    pip = F.concat(
+        F.lit("lib"), s(7), F.lit("==1.0\n# tools\nreq-"), s(5),
+        F.lit(">=2.0\n-r base.txt\n"),
+    )
+    npm = F.when(did % 11 == 0, F.lit("{broken")).otherwise(
+        F.concat(
+            F.lit('{"dependencies":{"pkg'), s(7),
+            F.lit('":"^1.0","left-pad":"1.0"},"devDependencies":{"dev'), s(3),
+            F.lit('":"2","pkg'), s(7), F.lit('":"1"}}'),
+        )
+    )
+    go = F.concat(
+        F.lit("module m\n\nrequire (\n\texample.com/lib"), s(7),
+        F.lit(" v1.2.3\n\tgolang.org/x/mod v0.1.0\n)\nrequire single.dev/x v0.2.0\n"),
+    )
+    content = F.when(mod3 == 0, pip).when(mod3 == 1, npm).otherwise(go)
+    return df.select("doc_id", path.alias("path"), content.alias("content"))
+
+
+@register(
+    "dependency_census_documents",
+    f"""WITH m AS (SELECT doc_id, {_MANIFEST_SQL_PATH} AS path,
+                          {_MANIFEST_SQL_CONTENT} AS content FROM documents),
+        deps AS (
+          SELECT DISTINCT doc_id, 'pip' AS ecosystem,
+                 unnest(regexp_extract_all(content,
+                   '(?m)^[ \t]*([A-Za-z0-9][A-Za-z0-9._-]*)', 1)) AS dep
+          FROM m WHERE doc_id % 3 = 0
+          UNION
+          SELECT DISTINCT doc_id, 'npm' AS ecosystem,
+                 unnest(COALESCE(CASE WHEN json_valid(content)
+                          THEN CAST(json_keys(content, '$.dependencies') AS VARCHAR[])
+                          END, CAST([] AS VARCHAR[]))
+                     || COALESCE(CASE WHEN json_valid(content)
+                          THEN CAST(json_keys(content, '$.devDependencies') AS VARCHAR[])
+                          END, CAST([] AS VARCHAR[]))) AS dep
+          FROM m WHERE doc_id % 3 = 1
+          UNION
+          SELECT DISTINCT doc_id, 'go' AS ecosystem,
+                 unnest(regexp_extract_all(content, '(?m)^\t([A-Za-z0-9.\\-/]+) v', 1)
+                     || regexp_extract_all(content, '(?m)^require ([A-Za-z0-9.\\-/]+) v', 1)) AS dep
+          FROM m WHERE doc_id % 3 = 2)
+        SELECT ecosystem, dep, CAST(COUNT(*) AS BIGINT) AS n_manifests
+        FROM deps GROUP BY 1, 2""",
+)
+def dependency_census_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dependency-manifest census over a synthesized pip/npm/go manifest
+    corpus (deterministic dual-engine derivation from doc_id; every 11th
+    package.json is malformed JSON and contributes zero dependency rows —
+    exercised, not avoided)."""
+    from data_profiler_spark.operators.code_metrics import dependency_census
+
+    m = _manifest_frame_spark(load(spark, sf_dir, "documents"))
+    return dependency_census(m, ["doc_id"], "path", "content")

@@ -50,3 +50,107 @@ def diff_schemas(ref: T.StructType, other: T.StructType) -> dict:
         "compatible": not (added or removed or type_changed),
         "identical": not (added or removed or type_changed or position_changed),
     }
+
+
+# ---------------------------------------------------------------------------
+# schema EVOLUTION compatibility — Iceberg promotion rules
+# ---------------------------------------------------------------------------
+# `diff_schemas` answers "did the schema change"; a validation engine over
+# an evolving Iceberg table also needs "is the change SAFE for existing
+# readers". The Iceberg spec (Schema Evolution: iceberg.apache.org/spec)
+# allows exactly these primitive promotions — int32→int64, float→double,
+# decimal(P,S)→decimal(P',S) with P'≥P — plus adding optional columns;
+# everything else (drops, renames-without-ids, narrowing, scale changes,
+# required additions, nullable→required tightening) breaks some consumer.
+# The verdict model here is the strict-consumer one: a column DROP is
+# flagged breaking even though Iceberg can execute it, because the
+# engine's job is to catch changes that break downstream queries.
+
+_PROMOTIONS: frozenset[tuple[str, str]] = frozenset(
+    {
+        ("tinyint", "smallint"),
+        ("tinyint", "int"),
+        ("tinyint", "bigint"),
+        ("smallint", "int"),
+        ("smallint", "bigint"),
+        ("int", "bigint"),
+        ("float", "double"),
+    }
+)
+
+
+def _decimal_parts(simple: str) -> tuple[int, int] | None:
+    import re
+
+    m = re.fullmatch(r"decimal\((\d+),(\d+)\)", simple)
+    return (int(m.group(1)), int(m.group(2))) if m else None
+
+
+def is_type_promotion(frm: str, to: str) -> bool:
+    """True when ``frm -> to`` (simpleString forms) is an Iceberg-legal
+    widening: the integer/float ladder, or decimal precision growth at
+    identical scale. Spark's tinyint/smallint rungs are included — they
+    read back losslessly at every wider width."""
+    if (frm, to) in _PROMOTIONS:
+        return True
+    df, dt = _decimal_parts(frm), _decimal_parts(to)
+    return df is not None and dt is not None and dt[0] >= df[0] and dt[1] == df[1]
+
+
+def evolution_compatibility(old: T.StructType, new: T.StructType) -> dict:
+    """Classify ``old -> new`` per column and return
+    ``{"changes": [...], "compatible": bool}``. Each change entry is
+    ``{"column", "change", "from", "to", "compatible"}`` with ``change``
+    one of added / added_required / removed / promoted / retyped /
+    nullable_tightened (unchanged columns are omitted). Driver-side over
+    StructType — zero scan cost, same posture as :func:`diff_schemas`."""
+    old_f = {f.name: f for f in old.fields}
+    new_f = {f.name: f for f in new.fields}
+    changes: list[dict] = []
+    for name in sorted(set(old_f) | set(new_f)):
+        o, n = old_f.get(name), new_f.get(name)
+        if o is None:
+            changes.append(
+                {
+                    "column": name,
+                    "change": "added" if n.nullable else "added_required",
+                    "from": None,
+                    "to": n.dataType.simpleString(),
+                    "compatible": bool(n.nullable),
+                }
+            )
+            continue
+        if n is None:
+            changes.append(
+                {
+                    "column": name,
+                    "change": "removed",
+                    "from": o.dataType.simpleString(),
+                    "to": None,
+                    "compatible": False,
+                }
+            )
+            continue
+        ot, nt = o.dataType.simpleString(), n.dataType.simpleString()
+        if ot != nt:
+            promoted = is_type_promotion(ot, nt)
+            changes.append(
+                {
+                    "column": name,
+                    "change": "promoted" if promoted else "retyped",
+                    "from": ot,
+                    "to": nt,
+                    "compatible": promoted,
+                }
+            )
+        if o.nullable and not n.nullable:
+            changes.append(
+                {
+                    "column": name,
+                    "change": "nullable_tightened",
+                    "from": "nullable",
+                    "to": "required",
+                    "compatible": False,
+                }
+            )
+    return {"changes": changes, "compatible": all(c["compatible"] for c in changes)}

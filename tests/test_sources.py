@@ -177,3 +177,53 @@ def test_read_input_path_vs_table(spark, tmp_path):
 
     spark.range(7).createOrReplaceTempView("code_files_view")
     assert read_input(spark, "code_files_view").count() == 7
+
+
+def test_evolution_compatibility_iceberg_promotions():
+    from pyspark.sql import types as T
+
+    from data_profiler_spark.schema_tools import evolution_compatibility, is_type_promotion
+
+    # the Iceberg ladder is one-directional
+    assert is_type_promotion("int", "bigint") and not is_type_promotion("bigint", "int")
+    assert is_type_promotion("float", "double") and not is_type_promotion("double", "float")
+    assert is_type_promotion("decimal(10,2)", "decimal(18,2)")
+    assert not is_type_promotion("decimal(18,2)", "decimal(10,2)")   # narrowing
+    assert not is_type_promotion("decimal(10,2)", "decimal(18,4)")   # scale change
+    assert not is_type_promotion("int", "string")
+
+    old = T.StructType(
+        [
+            T.StructField("a", T.IntegerType()),
+            T.StructField("b", T.FloatType()),
+            T.StructField("c", T.StringType()),
+            T.StructField("d", T.StringType(), nullable=True),
+        ]
+    )
+    new = T.StructType(
+        [
+            T.StructField("a", T.LongType()),                       # promoted
+            T.StructField("b", T.StringType()),                     # retyped
+            T.StructField("d", T.StringType(), nullable=False),     # tightened
+            T.StructField("e", T.StringType(), nullable=True),      # added opt
+            T.StructField("f", T.StringType(), nullable=False),     # added req
+        ]
+    )
+    out = evolution_compatibility(old, new)
+    by = {(c["column"], c["change"]): c["compatible"] for c in out["changes"]}
+    assert by[("a", "promoted")] is True
+    assert by[("b", "retyped")] is False
+    assert by[("c", "removed")] is False
+    assert by[("d", "nullable_tightened")] is False
+    assert by[("e", "added")] is True
+    assert by[("f", "added_required")] is False
+    assert out["compatible"] is False
+
+    # pure widening + optional add is compatible
+    ok = evolution_compatibility(
+        T.StructType([T.StructField("a", T.IntegerType())]),
+        T.StructType(
+            [T.StructField("a", T.LongType()), T.StructField("z", T.StringType())]
+        ),
+    )
+    assert ok["compatible"] is True and len(ok["changes"]) == 2

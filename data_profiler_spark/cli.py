@@ -69,13 +69,18 @@ def build_parser() -> argparse.ArgumentParser:
         "artifact DriftCheck compares against on later runs)",
     )
     psn.add_argument("path")
-    psn.add_argument("--column", required=True)
+    psn.add_argument("--column", default=None)
     psn.add_argument("--group-by", default=None)
     psn.add_argument("--bucket-width", type=float, default=100.0)
     psn.add_argument(
         "--categorical", action="store_true",
         help="value-frequency snapshot (categorical drift) instead of a "
         "numeric histogram",
+    )
+    psn.add_argument(
+        "--schema", action="store_true",
+        help="schema snapshot (zero-row parquet whose footer is the "
+        "contract) for SchemaCompatCheck instead of a histogram",
     )
     psn.add_argument("--out", required=True)
 
@@ -464,6 +469,18 @@ def main(argv: list[str] | None = None) -> int:
             if not os.path.exists(args.path):
                 return EXIT_FILE_NOT_FOUND
             df = sources.read(spark, args.path)
+            if args.schema:
+                df.limit(0).write.mode("overwrite").parquet(args.out)
+                _emit(args, json.dumps({
+                    "report_type": "schema_baseline_snapshot",
+                    "source": args.path,
+                    "out": args.out,
+                    "n_columns": len(df.columns),
+                }, indent=2, sort_keys=True))
+                return EXIT_OK
+            if not args.column:
+                print("snapshot needs --column (or --schema)", file=sys.stderr)
+                return EXIT_USAGE
             if args.categorical:
                 snap = frequency_snapshot(df, args.column, args.group_by)
             else:
@@ -497,6 +514,7 @@ def main(argv: list[str] | None = None) -> int:
                 RegexCheck,
                 RowCountCheck,
                 SchemaCheck,
+                SchemaCompatCheck,
                 SecretFreeCheck,
                 SequenceCheck,
                 UniquenessCheck,
@@ -567,6 +585,18 @@ def main(argv: list[str] | None = None) -> int:
                     )
                 )
                 baselines[name] = None  # loaded after the session exists
+            # schema_compat: {"type": "schema_compat",
+            #                 "baseline": <parquet path written by snapshot --schema>}
+            compat_specs = [
+                s2 for s2 in spec.get("checks", []) if s2["type"] == "schema_compat"
+            ]
+            compat_checks = []
+            for i, s2 in enumerate(compat_specs):
+                cname = f"schema_compat_{i}"
+                compat_checks.append(
+                    SchemaCompatCheck(baseline_name=cname, name=s2.get("name", ""))
+                )
+                baselines[cname] = None
             # freshness: {"type": "freshness", "column", "max_age_seconds",
             #             "as_of" (ISO instant — stamp it at submit time)}
             # schema:    {"type": "schema", "expected": [["col","type"],...],
@@ -583,6 +613,7 @@ def main(argv: list[str] | None = None) -> int:
                     UniquenessCheck(tuple(u)) for u in spec.get("uniqueness", [])
                 ],
                 drift=drift_checks,
+                schema_compat=compat_checks,
                 freshness=[
                     FreshnessCheck(
                         s["column"], float(s["max_age_seconds"]), s["as_of"],
@@ -624,6 +655,8 @@ def main(argv: list[str] | None = None) -> int:
             )
             for i, s in enumerate(drift_specs):
                 baselines[f"drift_{i}"] = spark.read.parquet(s["baseline"])
+            for i, s2 in enumerate(compat_specs):
+                baselines[f"schema_compat_{i}"] = spark.read.parquet(s2["baseline"])
             df = sources.read(spark, args.path)
             if args.scope:
                 df = df.where(args.scope)
@@ -665,7 +698,10 @@ def main(argv: list[str] | None = None) -> int:
             failed = [r for r in verdicts if not r["pass"]]
             drift_failed = [r for r in drift_rows if not r["pass"]]
             extra_failed = []
-            for fam in ("freshness", "schema", "reconciliation", "row_count", "sequence"):
+            for fam in (
+                "freshness", "schema", "schema_compat", "reconciliation",
+                "row_count", "sequence",
+            ):
                 if fam in out:
                     extra_failed += [r for r in out[fam].collect() if not r["pass"]]
             payload = {
@@ -814,7 +850,9 @@ def main(argv: list[str] | None = None) -> int:
 
             from data_profiler_spark.operators.code_metrics import (
                 boilerplate_census,
+                clone_census,
                 complexity_census,
+                dependency_census,
                 lang_mismatch_census,
                 malformed_census,
             )
@@ -836,12 +874,27 @@ def main(argv: list[str] | None = None) -> int:
                     for r in complexity_census(df, args.lang_col, args.content_col)
                     .orderBy(args.lang_col).collect()
                 ],
+                "type2_clones": [
+                    r.asDict()
+                    for r in clone_census(df, args.lang_col, args.content_col)
+                    .orderBy("lang").collect()
+                ],
             }
             if args.path_col in df.columns:
                 rep["lang_mismatch"] = [
                     r.asDict()
                     for r in lang_mismatch_census(df, args.path_col, args.lang_col)
                     .orderBy("lang").collect()
+                ]
+                manifest_ids = (
+                    [args.repo_col, args.path_col] if args.repo_col else [args.path_col]
+                )
+                rep["dependencies"] = [
+                    r.asDict()
+                    for r in dependency_census(
+                        df, manifest_ids, args.path_col, args.content_col
+                    ).orderBy(F.desc("n_manifests"), "ecosystem", "dep")
+                    .limit(100).collect()
                 ]
             if args.repo_col:
                 rep["boilerplate"] = [

@@ -280,6 +280,28 @@ class SchemaCheck:
 
 
 @dataclass(frozen=True)
+class SchemaCompatCheck:
+    """Schema-EVOLUTION compatibility vs a stored baseline schema:
+    classifies every column change under the Iceberg promotion rules
+    (:func:`data_profiler_spark.schema_tools.evolution_compatibility`)
+    and fails on consumer-breaking changes (drops, retypes, narrowing,
+    required additions, nullable tightening) while passing legal
+    widenings (int→bigint, float→double, decimal precision growth).
+
+    The baseline arrives through ``run_suite``'s ``baselines`` dict —
+    either a ``StructType`` or any DataFrame (its ``.schema`` is the
+    contract; the storage form is the zero-row parquet written by
+    ``snapshot --schema``, whose footer carries the full schema at a few
+    hundred bytes). Evaluated driver-side — zero scan cost."""
+
+    baseline_name: str = "schema_baseline"
+    name: str = ""
+
+    def check_name(self) -> str:
+        return self.name or "schema_compat"
+
+
+@dataclass(frozen=True)
 class ReconciliationCheck:
     """Cross-table aggregate reconciliation: ``agg(column)`` on the
     checked table must match ``agg(other_column)`` on the ``other_name``
@@ -340,6 +362,7 @@ class CheckSuite:
     drift: list = field(default_factory=list)
     freshness: list = field(default_factory=list)
     schema_checks: list = field(default_factory=list)
+    schema_compat: list = field(default_factory=list)
     reconciliation: list = field(default_factory=list)
     row_count: list = field(default_factory=list)
     sequence: list = field(default_factory=list)
@@ -698,9 +721,10 @@ def run_suite(
     'uniqueness' (violating key rows), 'referential' (one verdict row per
     referential check), 'drift' (one verdict row per drift check × group,
     computed against the stored baseline snapshots in ``baselines``),
-    'freshness' / 'schema' / 'reconciliation' (one verdict row per check;
-    reconciliation right-hand sides resolve from ``datasets`` first, then
-    from ``parents``)."""
+    'freshness' / 'schema' / 'schema_compat' / 'reconciliation' (one
+    verdict row per check — schema_compat emits one row per classified
+    column change vs its stored baseline schema; reconciliation right-hand
+    sides resolve from ``datasets`` first, then from ``parents``)."""
     from data_profiler_spark.operators.referential import match_rate
 
     out: dict[str, DataFrame] = {}
@@ -859,6 +883,28 @@ def run_suite(
         out["schema"] = df.sparkSession.createDataFrame(
             schema_rows,
             "check string, column string, expected string, actual string, pass boolean",
+        )
+
+    compat_rows = []
+    for ch in suite.schema_compat:
+        from pyspark.sql import types as T
+
+        from data_profiler_spark.schema_tools import evolution_compatibility
+
+        base = (baselines or {})[ch.baseline_name]
+        base_schema = base if isinstance(base, T.StructType) else base.schema
+        res = evolution_compatibility(base_schema, df.schema)
+        if not res["changes"]:
+            compat_rows.append((ch.check_name(), None, "unchanged", None, None, True))
+        for c in res["changes"]:
+            compat_rows.append(
+                (ch.check_name(), c["column"], c["change"], c["from"], c["to"], c["compatible"])
+            )
+    if compat_rows:
+        out["schema_compat"] = df.sparkSession.createDataFrame(
+            compat_rows,
+            "check string, column string, change string, "
+            "from_type string, to_type string, pass boolean",
         )
 
     seq = None

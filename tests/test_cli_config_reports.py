@@ -717,6 +717,11 @@ def test_cli_code_census(spark, tmp_path, capsys):
     # identical content in 3 repos -> one boilerplate fingerprint
     assert len(out["boilerplate"]) == 1
     assert out["boilerplate"][0]["n_repos"] == 3
+    # three structurally identical files form one type-2 clone group
+    t2 = out["type2_clones"][0]
+    assert t2["clone_groups"] == 1 and t2["clone_files"] == 3 and t2["max_group"] == 3
+    # no manifest basenames in this corpus -> empty dependency census
+    assert out["dependencies"] == []
 
 
 def test_cli_assemble_and_fim(spark, tmp_path, capsys):
@@ -747,3 +752,45 @@ def test_cli_assemble_and_fim(spark, tmp_path, capsys):
     rep = json.loads(capsys.readouterr().out)
     assert rc == EXIT_OK
     assert rep["n_rows"] == 3 and rep["n_fim"] == 3  # rate 1.0 hits all rows
+
+
+def test_cli_snapshot_schema_then_validate_compat(spark, tmp_path, capsys):
+    """Schema-contract loop: `snapshot --schema` stores the zero-row
+    parquet contract; `validate` with a schema_compat check classifies the
+    current table against it. Same table -> pass; a table that dropped and
+    retyped columns -> failing verdict rows, exit 1."""
+    import json as _json
+
+    from pyspark.sql import functions as F
+
+    base = str(tmp_path / "orders_schema")
+    rc = main([
+        "snapshot", "/root/testdata/sf0.001/orders.parquet",
+        "--schema", "--out", base,
+    ])
+    snap_out = _json.loads(capsys.readouterr().out)
+    assert rc == EXIT_OK and snap_out["n_columns"] > 0
+
+    suite = tmp_path / "suite_schema.json"
+    suite.write_text(_json.dumps({
+        "checks": [{"type": "schema_compat", "baseline": base}],
+        "key_cols": ["o_orderkey"],
+    }))
+    rc = main([
+        "validate", "/root/testdata/sf0.001/orders.parquet", "--suite", str(suite),
+    ])
+    out = _json.loads(capsys.readouterr().out)
+    assert rc == EXIT_OK and out["n_other_failed"] == 0
+
+    # an evolved table: o_orderpriority dropped, o_totalprice retyped
+    evolved = str(tmp_path / "orders_evolved")
+    spark.read.parquet("/root/testdata/sf0.001/orders.parquet") \
+        .drop("o_orderpriority") \
+        .withColumn("o_totalprice", F.col("o_totalprice").cast("string")) \
+        .write.parquet(evolved)
+    rc = main(["validate", evolved, "--suite", str(suite)])
+    out = _json.loads(capsys.readouterr().out)
+    assert rc == EXIT_ERROR
+    changes = {r["column"]: r["change"] for r in out["other_failed"]}
+    assert changes.get("o_orderpriority") == "removed"
+    assert changes.get("o_totalprice") == "retyped"

@@ -284,3 +284,34 @@ def test_quality_scorecard_empty_table_and_no_null_cols(spark):
     df = spark.createDataFrame([(1, 2.0), (2, 3.0)], "id long, v double")
     row = quality_scorecard(df, F.col("id"), [], ["v >= 0"]).collect()[0]
     assert row["completeness"] == 1.0 and row["validity"] == 1.0
+
+
+def test_schema_compat_check_in_suite(spark, tmp_path):
+    from pyspark.sql import functions as F
+
+    from data_profiler_spark.operators.constraints import (
+        CheckSuite,
+        SchemaCompatCheck,
+        run_suite,
+    )
+
+    old = spark.createDataFrame(
+        [(1, 1.5, "x")], "a int, b float, c string"
+    )
+    # a promoted (int->bigint, legal), b retyped (float->string, breaking),
+    # c removed (breaking), d added nullable (legal)
+    new = spark.createDataFrame(
+        [(1, "s", "d")], "a bigint, b string, d string"
+    )
+    suite = CheckSuite(schema_compat=[SchemaCompatCheck(baseline_name="base")])
+    out = run_suite(new, suite, partition_col=F.lit(0), baselines={"base": old})
+    rows = {r["column"]: r.asDict() for r in out["schema_compat"].collect()}
+    assert rows["a"]["change"] == "promoted" and rows["a"]["pass"]
+    assert rows["b"]["change"] == "retyped" and not rows["b"]["pass"]
+    assert rows["c"]["change"] == "removed" and not rows["c"]["pass"]
+    assert rows["d"]["change"] == "added" and rows["d"]["pass"]
+
+    # identical schema -> single explicit pass row, never an empty frame
+    same = run_suite(old, suite, partition_col=F.lit(0), baselines={"base": old})
+    only = same["schema_compat"].collect()
+    assert len(only) == 1 and only[0]["change"] == "unchanged" and only[0]["pass"]

@@ -697,6 +697,15 @@ def main(argv: list[str] | None = None) -> int:
             drift_rows = out["drift"].collect() if "drift" in out else []
             failed = [r for r in verdicts if not r["pass"]]
             drift_failed = [r for r in drift_rows if not r["pass"]]
+            # uniqueness emits violating KEY rows, not pass/fail verdicts —
+            # count distributed (the violation set can be huge at scale),
+            # sample 100 for the report, and any row fails the run
+            n_dup_keys = out["uniqueness"].count() if "uniqueness" in out else 0
+            dup_sample = (
+                [r.asDict() for r in out["uniqueness"].limit(100).collect()]
+                if n_dup_keys
+                else []
+            )
             extra_failed = []
             for fam in (
                 "freshness", "schema", "schema_compat", "reconciliation",
@@ -716,10 +725,16 @@ def main(argv: list[str] | None = None) -> int:
                 "drift_failed": [r.asDict() for r in drift_failed[:100]],
                 "n_other_failed": len(extra_failed),
                 "other_failed": [r.asDict() for r in extra_failed[:100]],
+                "n_duplicate_keys": n_dup_keys,
+                "duplicate_keys": dup_sample,
                 "violations_out": args.violations_out,
             }
             _emit(args, json.dumps(payload, indent=2, sort_keys=True, default=str))
-            return EXIT_OK if not (failed or drift_failed or extra_failed) else EXIT_ERROR
+            return (
+                EXIT_OK
+                if not (failed or drift_failed or extra_failed or n_dup_keys)
+                else EXIT_ERROR
+            )
 
         if args.command == "diff":
             from data_profiler_spark.operators.diff import diff_summary, table_diff

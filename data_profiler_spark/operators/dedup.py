@@ -375,6 +375,12 @@ def minhash_near_duplicates(
 
     Candidate generation is probabilistic; verification is exact, so output
     ⊆ jaccard_pairs(...) with recall ≈ 1-(1-t^r)^b."""
+    if bands <= 0 or num_hashes % bands != 0:
+        # a silent remainder would ignore the tail signature slots and
+        # quietly change the recall curve the caller computed from (b, r)
+        raise ValueError(
+            f"bands must divide num_hashes ({num_hashes} % {bands} != 0)"
+        )
     rows_per_band = num_hashes // bands
     # ONE token/shingle pipeline feeds both the signature pass and the
     # exact verifier (cached; recomputing it was the single biggest cost of

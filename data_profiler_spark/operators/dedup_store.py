@@ -168,6 +168,10 @@ class MinHashBandStore:
         bands: int = 16,
         seed: int = 42,
     ) -> None:
+        if bands <= 0 or num_hashes % bands != 0:
+            # a silent remainder would drop tail signature slots from every
+            # band bucket this store ever writes
+            raise ValueError(f"bands must divide num_hashes ({num_hashes} % {bands} != 0)")
         self.spark = spark
         self.path = path.rstrip("/")
         self.params = {"k": k, "num_hashes": num_hashes, "bands": bands, "seed": seed}
@@ -294,8 +298,18 @@ def neardup_new_batch(
     bucket self-join (same rule as lsh_candidate_pairs), ordered so only
     min-id survivors suppress later ids.
     """
+    from pyspark.sql import types as T
+
     from data_profiler_spark.operators.dedup import minhash_signatures
 
+    id_type = batch.schema[id_col].dataType
+    if not isinstance(id_type, (T.ByteType, T.ShortType, T.IntegerType, T.LongType)):
+        # the store schema pins id to long; a string id would otherwise die
+        # mid-job on the ANSI cast below instead of failing at the API edge
+        raise ValueError(
+            f"{id_col} must be an integral column for MinHashBandStore "
+            f"(got {id_type.simpleString()}); map ids upstream"
+        )
     p = store.params
     sigs = minhash_signatures(
         batch, id_col, text_col, k=p["k"], num_hashes=p["num_hashes"], seed=p["seed"]

@@ -89,12 +89,21 @@ def match_rate(
         F.count(F.lit(1)).alias("distinct_child"),
         F.sum(F.when(F.col("__hit").isNull(), 1).otherwise(0)).alias("orphan_count"),
     )
-    rate = F.lit(1.0) - F.col("orphan_count") / F.col("distinct_child")
+    # empty child (zero non-null keys): orphan sum is NULL and the ratio is
+    # 0/0 — referential integrity holds vacuously, so the verdict is an
+    # explicit pass with match_rate 1.0, never a NULL row a caller's
+    # `not pass` check would misread as a failure
+    orph = F.coalesce(F.col("orphan_count"), F.lit(0))
+    rate = F.coalesce(
+        F.lit(1.0)
+        - F.try_divide(orph.cast("double"), F.col("distinct_child").cast("double")),
+        F.lit(1.0),
+    )
     return agg.select(
         "distinct_child",
-        "orphan_count",
+        orph.alias("orphan_count"),
         rate.alias("match_rate"),
-        ((F.col("orphan_count") == 0) | (rate >= F.lit(min_match_rate))).alias("is_valid"),
+        ((orph == 0) | (rate >= F.lit(min_match_rate))).alias("is_valid"),
     )
 
 

@@ -794,3 +794,39 @@ def test_cli_snapshot_schema_then_validate_compat(spark, tmp_path, capsys):
     changes = {r["column"]: r["change"] for r in out["other_failed"]}
     assert changes.get("o_orderpriority") == "removed"
     assert changes.get("o_totalprice") == "retyped"
+
+
+def test_cli_validate_uniqueness_violations_fail_the_run(tmp_path, capsys):
+    """A uniqueness spec whose keys have duplicates must fail the run and
+    surface the violating keys — lineitem's l_orderkey repeats per line."""
+    import json as _json
+
+    suite = tmp_path / "suite_uniq.json"
+    suite.write_text(_json.dumps({
+        "checks": [],
+        "uniqueness": [["l_orderkey"]],
+        "key_cols": ["l_orderkey"],
+    }))
+    rc = main([
+        "validate", "/root/testdata/sf0.001/lineitem.parquet",
+        "--suite", str(suite),
+    ])
+    out = _json.loads(capsys.readouterr().out)
+    assert rc == EXIT_ERROR
+    assert out["n_duplicate_keys"] > 0
+    assert len(out["duplicate_keys"]) > 0
+    assert out["duplicate_keys"][0]["dup_cnt"] >= 2
+
+    # unique key -> still exit 0 with an explicit zero
+    suite2 = tmp_path / "suite_uniq2.json"
+    suite2.write_text(_json.dumps({
+        "checks": [],
+        "uniqueness": [["o_orderkey"]],
+        "key_cols": ["o_orderkey"],
+    }))
+    rc = main([
+        "validate", "/root/testdata/sf0.001/orders.parquet",
+        "--suite", str(suite2),
+    ])
+    out = _json.loads(capsys.readouterr().out)
+    assert rc == EXIT_OK and out["n_duplicate_keys"] == 0

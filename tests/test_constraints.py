@@ -217,3 +217,22 @@ def test_secret_free_check_custom_rules_and_scope(spark):
     r = verdicts.collect()[0]
     assert r["violation_count"] == 1  # 'b' is out of scope
     assert [x["k"] for x in violations.collect()] == ["a"]
+
+
+def test_match_rate_empty_child_vacuous_pass(spark):
+    """Zero non-null child keys: referential integrity holds vacuously —
+    explicit pass with match_rate 1.0, never NULL verdict fields a
+    `not pass` consumer would misread as failure."""
+    from data_profiler_spark.operators.referential import match_rate
+
+    child = spark.createDataFrame([], "fk long")
+    parent = spark.createDataFrame([(1,), (2,)], "pk long")
+    r = match_rate(child, "fk", parent, "pk").collect()[0]
+    assert r["distinct_child"] == 0
+    assert r["orphan_count"] == 0
+    assert r["match_rate"] == 1.0
+    assert r["is_valid"] is True
+
+    allnull = spark.createDataFrame([(None,), (None,)], "fk long")
+    r2 = match_rate(allnull, "fk", parent, "pk").collect()[0]
+    assert r2["is_valid"] is True and r2["match_rate"] == 1.0

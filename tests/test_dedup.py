@@ -485,3 +485,14 @@ def test_span_dedup_text_crosses_wire_exactly_once(spark):
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "partial_min" in plan  # map-side combine before the winner exchange
     assert "BatchEvalPython" not in plan  # Arrow-batched UDFs only
+
+
+def test_minhash_rejects_indivisible_bands(spark, documents):
+    import pytest as _pytest
+
+    from data_profiler_spark.operators.dedup import minhash_near_duplicates
+
+    with _pytest.raises(ValueError, match="must divide"):
+        minhash_near_duplicates(
+            documents, "doc_id", "text", num_hashes=64, bands=12
+        )

@@ -119,3 +119,26 @@ def test_minhash_store_replay_same_run_id(spark, tmp_path):
     first = _ids(neardup_new_batch(r1, "id", "text", store, run_id="r1"))
     replay = _ids(neardup_new_batch(r1, "id", "text", store, run_id="r1"))
     assert first == replay == [1]
+
+
+def test_band_store_rejects_indivisible_bands(spark, tmp_path):
+    import pytest as _pytest
+
+    from data_profiler_spark.operators.dedup_store import MinHashBandStore
+
+    with _pytest.raises(ValueError, match="must divide"):
+        MinHashBandStore(spark, str(tmp_path / "s"), num_hashes=64, bands=12)
+
+
+def test_neardup_rejects_non_integral_ids(spark, tmp_path):
+    import pytest as _pytest
+
+    from data_profiler_spark.operators.dedup_store import (
+        MinHashBandStore,
+        neardup_new_batch,
+    )
+
+    store = MinHashBandStore(spark, str(tmp_path / "s2"))
+    df = spark.createDataFrame([("a", "text here")], "doc_id string, text string")
+    with _pytest.raises(ValueError, match="integral"):
+        neardup_new_batch(df, "doc_id", "text", store, run_id="r1")

@@ -672,6 +672,17 @@ def q_code_structure(spark: SparkSession, sf_dir: str, code_files: str):
     return complexity_census(df, "lang", "content").collect()
 
 
+def q_clone_census(spark: SparkSession, sf_dir: str, code_files: str):
+    """Type-2 (identifier/literal-normalized) clone census over the
+    600k-file corpus: four codegen regexp_replace passes build the
+    token-class normal form in one shuffle-free projection; the census
+    shuffles (lang, 16-byte md5) keys twice. Content never moves."""
+    from data_profiler_spark.operators.code_metrics import clone_census
+
+    df = spark.read.parquet(code_files)
+    return clone_census(df, "lang", "content").collect()
+
+
 def q_repo_context(spark: SparkSession, sf_dir: str, code_files: str):
     """Repo-level training-document assembly over the 600k-file corpus
     (~100 repos): import-edge extraction + stem-resolved fan-in shuffle
@@ -723,6 +734,7 @@ BENCH_QUERIES = {
     "secret_scan": q_secret_scan,
     "code_shape": q_code_shape,
     "code_structure": q_code_structure,
+    "clone_census": q_clone_census,
     "bpe_train_12": q_bpe_train,
     "winnow_clones": q_winnow_clones,
     "import_pagerank": q_import_pagerank,

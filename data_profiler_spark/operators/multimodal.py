@@ -248,9 +248,20 @@ _ADAM7 = (
 )
 
 
+def _png_bits_to_samples(lines: np.ndarray, w: int, depth: int) -> np.ndarray:
+    """(h, nbytes) filtered scanline bytes → (h, w) sample values for
+    sub-8-bit depths: unpack bits MSB-first (the PNG packing order), keep
+    the first w*depth bits of each row (the tail bits of the last byte are
+    padding), regroup ``depth`` bits per sample."""
+    h = lines.shape[0]
+    bits = np.unpackbits(lines, axis=1)[:, : w * depth]
+    weights = (1 << np.arange(depth - 1, -1, -1)).astype(np.uint8)
+    return (bits.reshape(h, w, depth) * weights).sum(axis=2).astype(np.uint8)
+
+
 def decode_png(b: bytes) -> np.ndarray:
-    """PNG (grayscale / RGB / RGBA / palette; 8- or 16-bit samples;
-    sequential or Adam7-interlaced) → (h, w, ch) uint8.
+    """PNG (grayscale / RGB / RGBA / palette; 1/2/4-bit gray+palette or
+    8/16-bit samples; sequential or Adam7-interlaced) → (h, w, ch) uint8.
 
     Pure stdlib zlib + numpy: chunk walk, one inflate over the concatenated
     IDATs, then per-scanline filter reconstruction (``_png_unfilter``) —
@@ -260,7 +271,9 @@ def decode_png(b: bytes) -> np.ndarray:
     standard fast 16→8 reduction, within 1 of the spec's rounded rescale)
     for the engine's uniform uint8 feature plane. 8-bit palette (color_type 3)
     images filter as 1-byte indices then map through PLTE (+ tRNS alpha
-    when present) — one numpy take. Sub-8-bit depths are rejected."""
+    when present) — one numpy take. Sub-8-bit depths (1/2/4, legal only
+    for grayscale/palette) filter at the spec's 1-byte unit then unpack
+    MSB-first bits per scanline (per pass under Adam7)."""
     import struct
 
     if b[:8] != _PNG_SIG:
@@ -286,35 +299,66 @@ def decode_png(b: bytes) -> np.ndarray:
     w, h, depth, color_type, _comp, _filt, interlace = ihdr
     # palette images carry 1-byte indices per pixel through the filter pass
     channels = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}.get(color_type)
-    if depth not in (8, 16) or channels is None or interlace not in (0, 1):
+    sub8 = depth in (1, 2, 4) and color_type in (0, 3)  # spec-legal sub-8-bit
+    if (depth not in (8, 16) and not sub8) or channels is None or interlace not in (0, 1):
         raise NotImplementedError(
-            "only 8/16-bit grayscale/RGB(A)/palette PNG is supported "
-            f"(depth={depth}, color_type={color_type}, interlace={interlace})"
+            "only 1/2/4-bit gray+palette and 8/16-bit grayscale/RGB(A)/"
+            f"palette PNG is supported (depth={depth}, "
+            f"color_type={color_type}, interlace={interlace})"
         )
     if color_type == 3 and depth == 16:
         raise NotImplementedError("16-bit palette depth is not a legal PNG")
     if color_type == 3 and (plte is None or len(plte) % 3):
         raise NotImplementedError("palette PNG missing a well-formed PLTE chunk")
-    bps = depth // 8
-    bpp = channels * bps
     raw = np.frombuffer(zlib.decompress(b"".join(idat)), dtype=np.uint8)
-    if interlace == 0:
-        stride = w * bpp
-        out = _png_unfilter(raw.reshape(h, stride + 1), bpp)
-    else:  # Adam7: seven independently-filtered sub-images
-        full = np.zeros((h, w, bpp), dtype=np.uint8)
-        off = 0
-        for x0, y0, dx, dy in _ADAM7:
-            pw = (w - x0 + dx - 1) // dx
-            ph = (h - y0 + dy - 1) // dy
-            if pw <= 0 or ph <= 0:
-                continue
-            pstride = pw * bpp
-            block = raw[off : off + ph * (pstride + 1)].reshape(ph, pstride + 1)
-            off += ph * (pstride + 1)
-            sub = _png_unfilter(block, bpp).reshape(ph, pw, bpp)
-            full[y0::dy, x0::dx] = sub
-        out = full.reshape(h, w * bpp)
+    if sub8:
+        # sub-8-bit rows pack ceil(w*depth/8) bytes, filter at bpp=1 (the
+        # spec rounds the filter unit up to one byte), then unpack bits
+        # MSB-first per scanline — per pass for Adam7, whose sub-images
+        # each repack from their own bit 0
+        if interlace == 0:
+            nbytes = (w * depth + 7) // 8
+            out = _png_bits_to_samples(
+                _png_unfilter(raw.reshape(h, nbytes + 1), 1), w, depth
+            )
+        else:
+            full = np.zeros((h, w), dtype=np.uint8)
+            off = 0
+            for x0, y0, dx, dy in _ADAM7:
+                pw = (w - x0 + dx - 1) // dx
+                ph = (h - y0 + dy - 1) // dy
+                if pw <= 0 or ph <= 0:
+                    continue
+                pbytes = (pw * depth + 7) // 8
+                block = raw[off : off + ph * (pbytes + 1)].reshape(ph, pbytes + 1)
+                off += ph * (pbytes + 1)
+                full[y0::dy, x0::dx] = _png_bits_to_samples(
+                    _png_unfilter(block, 1), pw, depth
+                )
+            out = full
+        if color_type == 0:
+            # exact spec rescale: 255/(2^d - 1) is integral for d=1,2,4
+            out = out * np.uint8(255 // ((1 << depth) - 1))
+    else:
+        bps = depth // 8
+        bpp = channels * bps
+        if interlace == 0:
+            stride = w * bpp
+            out = _png_unfilter(raw.reshape(h, stride + 1), bpp)
+        else:  # Adam7: seven independently-filtered sub-images
+            full = np.zeros((h, w, bpp), dtype=np.uint8)
+            off = 0
+            for x0, y0, dx, dy in _ADAM7:
+                pw = (w - x0 + dx - 1) // dx
+                ph = (h - y0 + dy - 1) // dy
+                if pw <= 0 or ph <= 0:
+                    continue
+                pstride = pw * bpp
+                block = raw[off : off + ph * (pstride + 1)].reshape(ph, pstride + 1)
+                off += ph * (pstride + 1)
+                sub = _png_unfilter(block, bpp).reshape(ph, pw, bpp)
+                full[y0::dy, x0::dx] = sub
+            out = full.reshape(h, w * bpp)
     if depth == 16:
         # big-endian sample pairs → high byte (fast 16→8 reduction)
         out = out.reshape(h, w * channels, 2)[:, :, 0].reshape(h, w * channels)
@@ -556,11 +600,11 @@ def image_features(df: DataFrame, batch_hint: int = 1024) -> DataFrame:
                 entropy = float(-(p * np.log2(p)).sum()) if arr.size else 0.0
                 pixels = None
                 if _is_decodable_image(b):
-                    # REAL decode: BMP (struct+numpy), PNG incl. 8-bit
-                    # palette (zlib+numpy), baseline JPEG (numpy
-                    # huffman+IDCT). Matching magic does NOT guarantee a
-                    # supported sub-format (progressive JPEG,
-                    # sub-8-bit PNG, top-down BMP) —
+                    # REAL decode: BMP (struct+numpy), PNG at every
+                    # spec-legal depth incl. sub-8-bit and palette
+                    # (zlib+numpy), baseline JPEG (numpy huffman+IDCT).
+                    # Matching magic does NOT guarantee a supported
+                    # sub-format (progressive JPEG, top-down BMP) —
                     # at 100 TB one such payload must become a decoded=False
                     # row, never an aborted job.
                     try:

@@ -395,7 +395,9 @@ def test_png_16bit_high_byte_and_filters():
     assert np.array_equal(dec_i, (px16 >> 8).astype(np.uint8))
 
 
-def test_png_sub8bit_still_gated():
+def test_png_4bit_decodes_and_illegal_sub8_rgb_gated():
+    """Sub-8-bit gray decodes for real now; a 4-bit RGB header (illegal
+    per the PNG spec — sub-8 is gray/palette only) still raises."""
     import struct
     import zlib as _z
 
@@ -408,9 +410,112 @@ def test_png_sub8bit_still_gated():
         decode_png,
     )
 
-    ihdr = struct.pack(">IIBBBBB", 4, 4, 4, 0, 0, 0, 0)  # depth 4
+    ihdr = struct.pack(">IIBBBBB", 4, 4, 4, 0, 0, 0, 0)  # 4x4, depth 4, gray
     raw = b"\x00\x12\x34" * 4
     b = (_PNG_SIG + _png_chunk(b"IHDR", ihdr)
          + _png_chunk(b"IDAT", _z.compress(raw)) + _png_chunk(b"IEND", b""))
+    dec = decode_png(b)
+    assert dec.shape == (4, 4, 1)
+    assert np.array_equal(dec[0, :, 0], np.array([1, 2, 3, 4]) * 17)
+
+    bad_ihdr = struct.pack(">IIBBBBB", 4, 4, 4, 2, 0, 0, 0)  # depth 4 RGB
+    bad = (_PNG_SIG + _png_chunk(b"IHDR", bad_ihdr)
+           + _png_chunk(b"IDAT", _z.compress(raw)) + _png_chunk(b"IEND", b""))
     with pytest.raises(NotImplementedError):
-        decode_png(b)
+        decode_png(bad)
+
+
+# ---------------------------------------------------------------------------
+# sub-8-bit PNG (1/2/4-bit grayscale + palette)
+# ---------------------------------------------------------------------------
+def _build_sub8_png(samples, depth, color_type, plte=None, trns=None, interlace=0):
+    """Hand-assemble a spec-valid sub-8-bit PNG: pack `depth`-bit samples
+    MSB-first per scanline (per Adam7 pass when interlaced), filter 0."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    from data_profiler_spark.operators.multimodal import _ADAM7, _png_chunk, _PNG_SIG
+
+    samples = np.asarray(samples, dtype=np.uint8)
+    h, w = samples.shape
+
+    def pack_rows(block):
+        bh, bw = block.shape
+        bits = np.unpackbits(block[:, :, None], axis=2)[:, :, 8 - depth :]
+        flat = bits.reshape(bh, bw * depth)
+        pad = (-flat.shape[1]) % 8
+        if pad:
+            flat = np.concatenate(
+                [flat, np.zeros((bh, pad), dtype=np.uint8)], axis=1
+            )
+        rows = np.packbits(flat, axis=1)
+        return b"".join(b"\x00" + r.tobytes() for r in rows)
+
+    if interlace == 0:
+        raw = pack_rows(samples)
+    else:
+        raw = b""
+        for x0, y0, dx, dy in _ADAM7:
+            sub = samples[y0::dy, x0::dx]
+            if sub.size:
+                raw += pack_rows(sub)
+    ihdr = struct.pack(">IIBBBBB", w, h, depth, color_type, 0, 0, interlace)
+    body = _png_chunk(b"IHDR", ihdr)
+    if plte is not None:
+        body += _png_chunk(b"PLTE", plte)
+    if trns is not None:
+        body += _png_chunk(b"tRNS", trns)
+    body += _png_chunk(b"IDAT", zlib.compress(raw)) + _png_chunk(b"IEND", b"")
+    return _PNG_SIG + body
+
+
+def test_png_1bit_grayscale():
+    import numpy as np
+
+    from data_profiler_spark.operators.multimodal import decode_png
+
+    # 10 wide so the last scanline byte carries 2 padding bits
+    samples = (np.indices((5, 10)).sum(axis=0) % 2).astype(np.uint8)
+    dec = decode_png(_build_sub8_png(samples, 1, 0))
+    assert dec.shape == (5, 10, 1)
+    assert np.array_equal(dec[:, :, 0], samples * 255)
+
+
+def test_png_2bit_grayscale_scaling():
+    import numpy as np
+
+    from data_profiler_spark.operators.multimodal import decode_png
+
+    samples = np.array([[0, 1, 2, 3, 0], [3, 2, 1, 0, 2]], dtype=np.uint8)
+    dec = decode_png(_build_sub8_png(samples, 2, 0))
+    # exact spec rescale 255/3 = 85
+    assert np.array_equal(dec[:, :, 0], samples * 85)
+
+
+def test_png_4bit_palette_with_alpha():
+    import numpy as np
+
+    from data_profiler_spark.operators.multimodal import decode_png
+
+    pal = bytes([255, 0, 0, 0, 255, 0, 0, 0, 255])  # R, G, B entries
+    trns = bytes([128])  # first entry half-transparent
+    samples = np.array([[0, 1, 2], [2, 1, 0]], dtype=np.uint8)
+    dec = decode_png(_build_sub8_png(samples, 4, 3, plte=pal, trns=trns))
+    assert dec.shape == (2, 3, 4)
+    assert tuple(dec[0, 0]) == (255, 0, 0, 128)
+    assert tuple(dec[0, 1]) == (0, 255, 0, 255)
+    assert tuple(dec[1, 0]) == (0, 0, 255, 255)
+
+
+def test_png_sub8_adam7_interlaced():
+    import numpy as np
+
+    from data_profiler_spark.operators.multimodal import decode_png
+
+    # 9x9 4-bit grayscale exercises every Adam7 pass incl. odd tails
+    rng = np.random.default_rng(7)
+    samples = rng.integers(0, 16, size=(9, 9), dtype=np.uint8)
+    dec = decode_png(_build_sub8_png(samples, 4, 0, interlace=1))
+    assert np.array_equal(dec[:, :, 0], samples * 17)

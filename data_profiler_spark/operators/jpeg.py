@@ -391,16 +391,480 @@ def encode_jpeg(
 
 
 # ---------------------------------------------------------------------------
+# Progressive encoder (T.81 Annex G, Huffman). 4:4:4 only; libjpeg-style
+# scan script: spectral selection + successive approximation on both DC
+# (Al 1→0) and AC (luma Al 2→1→0, chroma 1→0), so a round-trip exercises
+# every progressive decode path — DC/AC first and refinement, EOB runs
+# with buffered correction bits, ZRL-in-refinement. AC scans use custom
+# fixed-length Huffman tables because the standard Annex K tables carry no
+# EOBn symbols (r<<4 for r>0): first scans need the full (run, size 0-10)
+# alphabet at 8 bits, refinement scans the (run, size 0-1) alphabet at 6.
+# ---------------------------------------------------------------------------
+_AC_PROG_FIRST_VALS = [(r << 4) | s for s in range(11) for r in range(16)]
+_AC_PROG_FIRST_BITS = [0, 0, 0, 0, 0, 0, 0, 176, 0, 0, 0, 0, 0, 0, 0, 0]
+_AC_PROG_REFINE_VALS = [(r << 4) | s for s in range(2) for r in range(16)]
+_AC_PROG_REFINE_BITS = [0, 0, 0, 0, 0, 32, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0]
+
+# (component indices, Ss, Se, Ah, Al) — luma=0, chroma=1,2
+_PROG_SCRIPT = [
+    ([0, 1, 2], 0, 0, 0, 1),  # DC first, approximated
+    ([0], 1, 5, 0, 2),        # luma low AC band, first
+    ([1], 1, 63, 0, 1),       # chroma AC, first
+    ([2], 1, 63, 0, 1),
+    ([0], 6, 63, 0, 2),       # luma high AC band, first
+    ([0], 1, 63, 2, 1),       # luma AC refine Al 2→1
+    ([0, 1, 2], 0, 0, 1, 0),  # DC refine
+    ([1], 1, 63, 1, 0),       # chroma AC refine
+    ([2], 1, 63, 1, 0),
+    ([0], 1, 63, 1, 0),       # luma AC refine Al 1→0
+]
+
+
+def _quantized_blocks(plane: np.ndarray, qz: np.ndarray) -> np.ndarray:
+    """(H, W) float plane (H, W multiples of 8) → (bh, bw, 64) int64
+    zigzag-ordered quantized DCT coefficients — the same per-block math as
+    the baseline encoder, vectorized over all blocks."""
+    H, W = plane.shape
+    bh, bw = H // 8, W // 8
+    blocks = plane.reshape(bh, 8, bw, 8).transpose(0, 2, 1, 3) - 128.0
+    d = np.einsum("ij,xyjk,lk->xyil", _DCT, blocks, _DCT)
+    z = d.reshape(bh, bw, 64)[:, :, _ZIGZAG]
+    return np.round(z / qz[None, None, :]).astype(np.int64)
+
+
+class _ProgScanWriter:
+    """Entropy writer for one progressive scan (own EOB-run state)."""
+
+    def __init__(self, table: dict) -> None:
+        self.bw = _BitWriter()
+        self.table = table
+        self.eobrun = 0
+        self.bebits: list[int] = []  # correction bits buffered with the run
+
+    def sym(self, symbol: int) -> None:
+        code, ln = self.table[symbol]
+        self.bw.write(code, ln)
+
+    def flush_eobrun(self) -> None:
+        if self.eobrun > 0:
+            nbits = self.eobrun.bit_length() - 1
+            self.sym(nbits << 4)
+            if nbits:
+                self.bw.write(self.eobrun - (1 << nbits), nbits)
+            self.eobrun = 0
+        for bit in self.bebits:
+            self.bw.write(bit, 1)
+        self.bebits = []
+
+    def done(self) -> bytes:
+        self.flush_eobrun()
+        self.bw.flush()
+        return bytes(self.bw.out)
+
+
+def _encode_dc_scan(coefs: list, cis: list, ah: int, al: int) -> bytes:
+    bw = _BitWriter()
+    enc_dc = (_encode_table(*_DC_LUMA), _encode_table(*_DC_CHROMA))
+    pred = {ci: 0 for ci in cis}
+    bh, bwid = coefs[0].shape[:2]
+    for by in range(bh):
+        for bx in range(bwid):
+            for ci in cis:
+                v = int(coefs[ci][by, bx, 0]) >> al
+                if ah == 0:
+                    s, bits_v = _magnitude(v - pred[ci])
+                    pred[ci] = v
+                    code, ln = enc_dc[ci > 0][s]
+                    bw.write(code, ln)
+                    if s:
+                        bw.write(bits_v, s)
+                else:
+                    bw.write(v & 1, 1)
+    bw.flush()
+    return bytes(bw.out)
+
+
+def _encode_ac_first_scan(blocks: np.ndarray, ss: int, se: int, al: int) -> bytes:
+    w = _ProgScanWriter(_encode_table(_AC_PROG_FIRST_BITS, _AC_PROG_FIRST_VALS))
+    bh, bwid = blocks.shape[:2]
+    for by in range(bh):
+        for bx in range(bwid):
+            band = blocks[by, bx]
+            r = 0
+            for k in range(ss, se + 1):
+                v = int(band[k])
+                t = abs(v) >> al
+                if t == 0:
+                    r += 1
+                    continue
+                w.flush_eobrun()
+                while r > 15:
+                    w.sym(0xF0)
+                    r -= 16
+                s, bits_v = _magnitude(t if v > 0 else -t)
+                w.sym((r << 4) | s)
+                w.bw.write(bits_v, s)
+                r = 0
+            if r > 0:
+                w.eobrun += 1
+                if w.eobrun == 0x7FFF:
+                    w.flush_eobrun()
+    return w.done()
+
+
+def _encode_ac_refine_scan(blocks: np.ndarray, ss: int, se: int, al: int) -> bytes:
+    """Mirror of G.1.2.3 refinement decoding: newly significant coefficients
+    (abs>>Al == 1) code as (run, 1) + sign; already-significant ones append
+    one correction bit, buffered until the next emitted symbol; trailing
+    zeros fold into the EOB run with their buffered bits."""
+    w = _ProgScanWriter(_encode_table(_AC_PROG_REFINE_BITS, _AC_PROG_REFINE_VALS))
+    bh, bwid = blocks.shape[:2]
+    for by in range(bh):
+        for bx in range(bwid):
+            band = blocks[by, bx]
+            absv = [abs(int(band[k])) >> al for k in range(64)]
+            eob = ss - 1
+            for k in range(ss, se + 1):
+                if absv[k] == 1:
+                    eob = k
+            r = 0
+            br: list[int] = []
+            for k in range(ss, se + 1):
+                t = absv[k]
+                if t == 0:
+                    r += 1
+                    continue
+                while r > 15 and k <= eob:
+                    w.flush_eobrun()
+                    w.sym(0xF0)
+                    r -= 16
+                    for bit in br:
+                        w.bw.write(bit, 1)
+                    br = []
+                if t > 1:
+                    br.append(t & 1)
+                    continue
+                w.flush_eobrun()
+                w.sym((r << 4) | 1)
+                w.bw.write(1 if int(band[k]) > 0 else 0, 1)
+                for bit in br:
+                    w.bw.write(bit, 1)
+                br = []
+                r = 0
+            if r > 0 or br:
+                w.eobrun += 1
+                w.bebits.extend(br)
+                if w.eobrun == 0x7FFF:
+                    w.flush_eobrun()
+    return w.done()
+
+
+def encode_jpeg_progressive(pixels: np.ndarray, quality: int = 85) -> bytes:
+    """(h, w, 3) uint8 RGB (or (h, w) grayscale) → progressive JFIF bytes
+    (4:4:4, the default scan script above). Quantizes the SAME coefficients
+    as the baseline encoder at equal quality, so decoding either container
+    yields bit-identical pixels — the round-trip test pins exactly that."""
+    px = np.asarray(pixels, dtype=np.uint8)
+    if px.ndim == 2:
+        px = np.repeat(px[:, :, None], 3, axis=2)
+    h, w = px.shape[:2]
+    if h == 0 or w == 0:
+        raise ValueError("empty image")
+    r, g, b = (px[:, :, i].astype(np.float64) for i in range(3))
+    y = 0.299 * r + 0.587 * g + 0.114 * b
+    cb = -0.168736 * r - 0.331264 * g + 0.5 * b + 128.0
+    cr = 0.5 * r - 0.418688 * g - 0.081312 * b + 128.0
+    ph, pw = -h % 8, -w % 8
+    planes = [np.pad(p, ((0, ph), (0, pw)), mode="edge") for p in (y, cb, cr)]
+    ql, qc = _quality_tables(quality)
+    ql_z, qc_z = ql[_ZIGZAG], qc[_ZIGZAG]
+    coefs = [
+        _quantized_blocks(p, q) for p, q in zip(planes, (ql_z, qc_z, qc_z))
+    ]
+
+    def seg(marker: int, payload: bytes) -> bytes:
+        return bytes([0xFF, marker]) + struct.pack(">H", len(payload) + 2) + payload
+
+    out = bytearray(b"\xff\xd8")
+    out += seg(0xE0, b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00")
+    out += seg(
+        0xDB, bytes([0]) + bytes(ql_z.tolist()) + bytes([1]) + bytes(qc_z.tolist())
+    )
+    out += seg(
+        0xC2,
+        struct.pack(">BHHB", 8, h, w, 3)
+        + bytes([1, 0x11, 0, 2, 0x11, 1, 3, 0x11, 1]),
+    )
+    for tc_th, (bits, vals) in (
+        (0x00, _DC_LUMA),
+        (0x01, _DC_CHROMA),
+        (0x12, (_AC_PROG_FIRST_BITS, _AC_PROG_FIRST_VALS)),
+        (0x13, (_AC_PROG_REFINE_BITS, _AC_PROG_REFINE_VALS)),
+    ):
+        out += seg(0xC4, bytes([tc_th]) + bytes(bits) + bytes(vals))
+    for cis, ss, se, ah, al in _PROG_SCRIPT:
+        if ss == 0:
+            comp_spec = b"".join(
+                bytes([ci + 1, (0x00 if ci == 0 else 0x10)]) for ci in cis
+            )
+            entropy = _encode_dc_scan(coefs, cis, ah, al)
+        else:
+            ta = 0x02 if ah == 0 else 0x03
+            comp_spec = bytes([cis[0] + 1, ta])
+            fn = _encode_ac_first_scan if ah == 0 else _encode_ac_refine_scan
+            entropy = fn(coefs[cis[0]], ss, se, al)
+        out += seg(
+            0xDA,
+            bytes([len(cis)]) + comp_spec + bytes([ss, se, (ah << 4) | al]),
+        )
+        out += entropy
+    out += b"\xff\xd9"
+    return bytes(out)
+
+
+# ---------------------------------------------------------------------------
+# Progressive decoding (T.81 Annex G, Huffman): scans accumulate DCT
+# coefficients — DC/AC, first/refinement — and pixels materialize once at
+# EOI. Coefficient arrays are sized by the INTERLEAVED block grid (the
+# superset); non-interleaved scans iterate the spec's ceil-dimension block
+# counts, so files whose components do not fill the MCU grid decode
+# correctly and the padding blocks stay zero (cropped at reconstruction).
+# ---------------------------------------------------------------------------
+class _ProgressiveState:
+    def __init__(self, frame: tuple) -> None:
+        h, w, comps = frame
+        for c in comps:
+            if not (1 <= c["h"] <= 2 and 1 <= c["v"] <= 2):
+                raise NotImplementedError("sampling factors beyond 2x2 unsupported")
+        self.frame = frame
+        self.hmax = max(c["h"] for c in comps)
+        self.vmax = max(c["v"] for c in comps)
+        self.mcux = -(-w // (8 * self.hmax))
+        self.mcuy = -(-h // (8 * self.vmax))
+        self.coefs: list[np.ndarray] = []
+        self.nb: list[tuple[int, int]] = []  # spec non-interleaved (nbh, nbw)
+        for c in comps:
+            grid = (self.mcuy * c["v"], self.mcux * c["h"])
+            self.coefs.append(np.zeros((grid[0], grid[1], 64), dtype=np.int32))
+            cw = -(-w * c["h"] // self.hmax)
+            ch = -(-h * c["v"] // self.vmax)
+            self.nb.append((-(-ch // 8), -(-cw // 8)))
+        self.any_scan = False
+
+    # -- one SOS segment -----------------------------------------------------
+    def decode_scan(
+        self,
+        b: bytes,
+        pos: int,
+        order: list[int],
+        scan: dict,
+        huff_dc: dict,
+        huff_ac: dict,
+        ss: int,
+        se: int,
+        ah: int,
+        al: int,
+        restart_interval: int,
+    ) -> int:
+        h, w, comps = self.frame
+        by_id = {c["id"]: ci for ci, c in enumerate(comps)}
+        cis = [by_id[cid] for cid in order]
+        reader = _BitReader(b, pos)
+        try:
+            if ss == 0:
+                if se != 0:
+                    raise NotImplementedError("DC scan must have Se=0")
+                self._dc_scan(reader, cis, scan, huff_dc, ah, al, restart_interval)
+            else:
+                if len(cis) != 1:
+                    raise NotImplementedError("AC scans are single-component")
+                ci = cis[0]
+                ta = scan[comps[ci]["id"]][1]
+                self._ac_scan(
+                    reader, ci, huff_ac[ta], ss, se, ah, al, restart_interval
+                )
+        except _MarkerHit as mh:
+            raise NotImplementedError(
+                f"entropy stream ended early at marker 0x{mh.marker:02x}"
+            ) from None
+        self.any_scan = True
+        # resync: discard padding bits, step over stray RSTs to the next marker
+        p = reader.pos
+        while p + 1 < len(b):
+            if b[p] == 0xFF and b[p + 1] != 0x00:
+                if 0xD0 <= b[p + 1] <= 0xD7:
+                    p += 2
+                    continue
+                break
+            p += 1
+        return p
+
+    def _dc_scan(self, reader, cis, scan, huff_dc, ah, al, ri) -> None:
+        h, w, comps = self.frame
+        pred = {ci: 0 for ci in cis}
+        count = 0
+
+        def one_block(ci: int, brow: int, bcol: int) -> None:
+            coef = self.coefs[ci][brow, bcol]
+            if ah == 0:
+                td = scan[comps[ci]["id"]][0]
+                s = reader.symbol(huff_dc[td])
+                pred[ci] += _extend(reader.receive(s), s)
+                coef[0] = pred[ci] << al
+            else:  # refinement: one appended bit per block
+                coef[0] |= reader.bit() << al
+
+        if len(cis) > 1:  # interleaved MCU order
+            for my in range(self.mcuy):
+                for mx in range(self.mcux):
+                    if ri and count and count % ri == 0:
+                        reader.restart()
+                        pred.update({ci: 0 for ci in cis})
+                    for ci in cis:
+                        c = comps[ci]
+                        for by in range(c["v"]):
+                            for bx in range(c["h"]):
+                                one_block(ci, my * c["v"] + by, mx * c["h"] + bx)
+                    count += 1
+        else:  # non-interleaved: spec block counts in raster order
+            ci = cis[0]
+            nbh, nbw = self.nb[ci]
+            for brow in range(nbh):
+                for bcol in range(nbw):
+                    if ri and count and count % ri == 0:
+                        reader.restart()
+                        pred[ci] = 0
+                    one_block(ci, brow, bcol)
+                    count += 1
+
+    def _ac_scan(self, reader, ci, act, ss, se, ah, al, ri) -> None:
+        nbh, nbw = self.nb[ci]
+        eobrun = 0
+        count = 0
+        for brow in range(nbh):
+            for bcol in range(nbw):
+                if ri and count and count % ri == 0:
+                    reader.restart()
+                    eobrun = 0
+                coef = self.coefs[ci][brow, bcol]
+                if ah == 0:
+                    eobrun = self._ac_first_block(reader, act, coef, ss, se, al, eobrun)
+                else:
+                    eobrun = self._ac_refine_block(reader, act, coef, ss, se, al, eobrun)
+                count += 1
+        # a correct stream's final EOB run ends exactly at the last block
+
+    @staticmethod
+    def _ac_first_block(reader, act, coef, ss, se, al, eobrun) -> int:
+        if eobrun > 0:
+            return eobrun - 1
+        k = ss
+        while k <= se:
+            rs = reader.symbol(act)
+            r, s = rs >> 4, rs & 0x0F
+            if s == 0:
+                if r == 15:  # ZRL: sixteen zeros
+                    k += 16
+                    continue
+                eobrun = (1 << r) - 1
+                if r:
+                    eobrun += reader.receive(r)
+                break
+            k += r
+            if k > se:
+                raise NotImplementedError("AC index overflow in progressive scan")
+            coef[k] = _extend(reader.receive(s), s) << al
+            k += 1
+        return eobrun
+
+    @staticmethod
+    def _ac_refine_block(reader, act, coef, ss, se, al, eobrun) -> int:
+        """T.81 G.1.2.3 / G.2 refinement: newly significant coefficients
+        arrive as ±1<<Al; every already-nonzero coefficient passed over
+        carries one appended correction bit."""
+        p1 = 1 << al
+        k = ss
+
+        def correct(kk: int) -> None:
+            if reader.bit() and (abs(int(coef[kk])) & p1) == 0:
+                coef[kk] += p1 if coef[kk] > 0 else -p1
+
+        if eobrun == 0:
+            while k <= se:
+                rs = reader.symbol(act)
+                r, s = rs >> 4, rs & 0x0F
+                newval = 0
+                if s == 0:
+                    if r < 15:
+                        eobrun = 1 << r
+                        if r:
+                            eobrun += reader.receive(r)
+                        break
+                    # r == 15: ZRL — skip 16 zero-history coefficients
+                else:
+                    if s != 1:
+                        raise NotImplementedError(
+                            "refinement scan carries s>1 coefficient"
+                        )
+                    newval = p1 if reader.bit() else -p1
+                while k <= se:
+                    if coef[k] != 0:
+                        correct(k)
+                    else:
+                        if r == 0:
+                            break
+                        r -= 1
+                    k += 1
+                if s and k <= se:
+                    coef[k] = newval
+                k += 1
+        if eobrun > 0:
+            while k <= se:
+                if coef[k] != 0:
+                    correct(k)
+                k += 1
+            eobrun -= 1
+        return eobrun
+
+    # -- EOI: dequantize + IDCT + upsample + color-convert -------------------
+    def reconstruct(self, qt: dict) -> np.ndarray:
+        h, w, comps = self.frame
+        full = []
+        for ci, c in enumerate(comps):
+            z = self.coefs[ci].astype(np.float64) * qt[c["tq"]][None, None, :]
+            nat = np.zeros_like(z)
+            nat[:, :, _ZIGZAG] = z
+            gh, gw = nat.shape[0], nat.shape[1]
+            blocks = nat.reshape(gh, gw, 8, 8)
+            px = np.einsum("ji,xyjk,kl->xyil", _DCT, blocks, _DCT) + 128.0
+            plane = px.transpose(0, 2, 1, 3).reshape(gh * 8, gw * 8)
+            plane = plane.repeat(self.vmax // c["v"], axis=0).repeat(
+                self.hmax // c["h"], axis=1
+            )
+            full.append(plane[:h, :w])
+        if len(full) == 1:
+            y = np.clip(full[0], 0, 255)
+            return np.repeat(y[:, :, None], 3, axis=2).astype(np.uint8)
+        y, cb, cr = full[0], full[1] - 128.0, full[2] - 128.0
+        r = y + 1.402 * cr
+        g = y - 0.344136 * cb - 0.714136 * cr
+        bl = y + 1.772 * cb
+        return np.clip(np.stack([r, g, bl], axis=2), 0, 255).astype(np.uint8)
+
+
+# ---------------------------------------------------------------------------
 # Decoder
 # ---------------------------------------------------------------------------
 def decode_jpeg(b: bytes) -> np.ndarray:
-    """Baseline JFIF bytes → (h, w, 3) uint8 RGB."""
+    """Baseline or progressive JFIF bytes → (h, w, 3) uint8 RGB."""
     if b[:2] != b"\xff\xd8":
         raise NotImplementedError("not a JPEG payload")
     qt: dict[int, np.ndarray] = {}
     huff_dc: dict[int, dict] = {}
     huff_ac: dict[int, dict] = {}
     frame = None
+    progressive = False
+    prog: _ProgressiveState | None = None
     restart_interval = 0
     pos = 2
     while pos + 2 <= len(b):
@@ -410,7 +874,7 @@ def decode_jpeg(b: bytes) -> np.ndarray:
         pos += 2
         if marker in (0x01, 0xD8) or 0xD0 <= marker <= 0xD7:
             continue
-        if marker == 0xD9:  # EOI before SOS
+        if marker == 0xD9:  # EOI
             break
         (seglen,) = struct.unpack_from(">H", b, pos)
         payload = b[pos + 2 : pos + seglen]
@@ -431,7 +895,7 @@ def decode_jpeg(b: bytes) -> np.ndarray:
                 vals = list(payload[i + 17 : i + 17 + nv])
                 (huff_dc if tc == 0 else huff_ac)[th] = _decode_table(bits, vals)
                 i += 17 + nv
-        elif marker == 0xC0 or marker == 0xC1:  # baseline / extended sequential
+        elif marker in (0xC0, 0xC1, 0xC2):  # baseline / ext. sequential / progressive
             prec, h, w, nc = struct.unpack_from(">BHHB", payload, 0)
             if prec != 8:
                 raise NotImplementedError("only 8-bit precision is supported")
@@ -442,10 +906,13 @@ def decode_jpeg(b: bytes) -> np.ndarray:
                     {"id": cid, "h": hv >> 4, "v": hv & 0x0F, "tq": tq}
                 )
             frame = (h, w, comps)
-        elif marker in (0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
+            progressive = marker == 0xC2
+            if progressive:
+                prog = _ProgressiveState(frame)
+        elif marker in (0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
             raise NotImplementedError(
-                "only baseline sequential JPEG is supported (progressive/"
-                "arithmetic/hierarchical payloads need a codec library)"
+                "only baseline and progressive Huffman JPEG are supported "
+                "(arithmetic/hierarchical/lossless payloads need a codec library)"
             )
         elif marker == 0xDD:
             (restart_interval,) = struct.unpack_from(">H", payload, 0)
@@ -454,13 +921,26 @@ def decode_jpeg(b: bytes) -> np.ndarray:
                 raise NotImplementedError("SOS before SOF")
             ns = payload[0]
             scan = {}
+            order = []
             for si in range(ns):
                 cs, tdta = payload[1 + 2 * si], payload[2 + 2 * si]
                 scan[cs] = (tdta >> 4, tdta & 0x0F)
-            return _decode_scan(
-                b, pos + seglen, frame, qt, huff_dc, huff_ac, scan, restart_interval
+                order.append(cs)
+            if not progressive:
+                return _decode_scan(
+                    b, pos + seglen, frame, qt, huff_dc, huff_ac, scan,
+                    restart_interval,
+                )
+            ss, se = payload[1 + 2 * ns], payload[2 + 2 * ns]
+            ahal = payload[3 + 2 * ns]
+            pos = prog.decode_scan(
+                b, pos + seglen, order, scan, huff_dc, huff_ac,
+                ss, se, ahal >> 4, ahal & 0x0F, restart_interval,
             )
+            continue
         pos += seglen
+    if progressive and prog is not None and prog.any_scan:
+        return prog.reconstruct(qt)
     raise NotImplementedError("no scan data (SOS) found")
 
 

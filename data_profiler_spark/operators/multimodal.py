@@ -10,10 +10,10 @@ Decode support is per-container-format, not all-or-nothing:
     rate; 24-bit uncompressed BMP (struct + numpy); PNG — 8/16-bit
     grayscale/RGB(A)/palette, sequential or Adam7-interlaced (stdlib
     ``zlib`` inflate + numpy reconstruction of all five scanline
-    filters); and baseline JPEG (numpy Huffman + IDCT decoder,
-    ``operators/jpeg.py``) — true dimensions, per-channel means,
+    filters); and baseline + progressive JPEG (numpy Huffman + IDCT
+    decoder, ``operators/jpeg.py``) — true dimensions, per-channel means,
     nearest-neighbor resize with re-encode in the same container.
-  - CODEC-GATED: MP4/WebP/TIFF and progressive JPEG need libraries absent
+  - CODEC-GATED: MP4/WebP/TIFF need libraries absent
     from this container — those paths raise ``NotImplementedError`` (or
     fall back to a clearly labeled deterministic fake for the feature
     plumbing), and light up unchanged on a cluster image that ships
@@ -604,7 +604,7 @@ def image_features(df: DataFrame, batch_hint: int = 1024) -> DataFrame:
                     # spec-legal depth incl. sub-8-bit and palette
                     # (zlib+numpy), baseline JPEG (numpy huffman+IDCT).
                     # Matching magic does NOT guarantee a supported
-                    # sub-format (progressive JPEG, top-down BMP) —
+                    # sub-format (arithmetic-coded JPEG, top-down BMP) —
                     # at 100 TB one such payload must become a decoded=False
                     # row, never an aborted job.
                     try:
@@ -649,7 +649,7 @@ def resize_images(df: DataFrame, target_w: int, target_h: int) -> DataFrame:
     """Image resize over mapInPandas. REAL for BMP, PNG and baseline JPEG
     payloads (decode → nearest-neighbor index map → re-encode in the same
     container, pure numpy; palette PNGs re-encode as truecolor PNG);
-    payloads no codec here can decode (WebP/TIFF, progressive JPEG, ...)
+    payloads no codec here can decode (WebP/TIFF, arithmetic JPEG, ...)
     come back with ``payload = NULL`` — at 100 TB a partial failure must
     surface as null rows a caller can count/filter, never as an aborted
     1000-executor job."""

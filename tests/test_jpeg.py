@@ -114,11 +114,13 @@ def test_grayscale_input_promoted():
     assert np.abs(out[:, :, 0].astype(int) - out[:, :, 2].astype(int)).max() <= 3
 
 
-def test_rejects_progressive_sof2():
+def test_rejects_arithmetic_sof9():
+    """Progressive (SOF2) decodes for real now; arithmetic-coded frames
+    (SOF9) remain honestly gated."""
     b = bytearray(encode_jpeg(_gradient(16, 16)))
     i = b.find(b"\xff\xc0")
-    b[i + 1] = 0xC2  # flip SOF0 -> SOF2 (progressive)
-    with pytest.raises(NotImplementedError, match="baseline"):
+    b[i + 1] = 0xC9  # flip SOF0 -> SOF9 (arithmetic sequential)
+    with pytest.raises(NotImplementedError, match="arithmetic"):
         decode_jpeg(bytes(b))
 
 
@@ -176,3 +178,83 @@ def test_image_features_progressive_jpeg_falls_back(spark):
     resized = {r["media_id"]: r["payload"] for r in resize_images(media, 8, 8).collect()}
     assert resized[1] is None  # undecodable -> null payload, not an abort
     assert resized[2] is not None
+
+
+# ---------------------------------------------------------------------------
+# progressive (SOF2) encode/decode
+# ---------------------------------------------------------------------------
+def _test_img(h, w, seed=3):
+    import numpy as np
+
+    rng = np.random.default_rng(seed)
+    yy, xx = np.mgrid[0:h, 0:w]
+    base = (xx * 7 + yy * 3) % 256
+    noise = rng.integers(0, 60, size=(h, w, 3))
+    return np.clip(base[:, :, None] + noise, 0, 255).astype(np.uint8)
+
+
+def test_progressive_roundtrip_bit_identical_to_baseline():
+    """The progressive encoder quantizes the SAME coefficients as the
+    baseline encoder, so decoding either container must yield the SAME
+    pixels — successive approximation reassembles every coefficient bit."""
+    import numpy as np
+
+    from data_profiler_spark.operators.jpeg import (
+        decode_jpeg,
+        encode_jpeg,
+        encode_jpeg_progressive,
+    )
+
+    px = _test_img(24, 17)  # non-multiple-of-8 dims exercise edge blocks
+    base = decode_jpeg(encode_jpeg(px, quality=85, subsampling="4:4:4"))
+    prog_bytes = encode_jpeg_progressive(px, quality=85)
+    assert prog_bytes[:2] == b"\xff\xd8" and b"\xff\xc2" in prog_bytes
+    prog = decode_jpeg(prog_bytes)
+    assert np.array_equal(base, prog)
+
+
+def test_progressive_flat_and_noisy_extremes():
+    """A flat image is one long EOB run per AC scan; a max-noise image
+    forces dense coefficients, ZRLs and refinement correction bits."""
+    import numpy as np
+
+    from data_profiler_spark.operators.jpeg import (
+        decode_jpeg,
+        encode_jpeg,
+        encode_jpeg_progressive,
+    )
+
+    flat = np.full((16, 16, 3), 77, dtype=np.uint8)
+    assert np.array_equal(
+        decode_jpeg(encode_jpeg(flat, quality=70, subsampling="4:4:4")),
+        decode_jpeg(encode_jpeg_progressive(flat, quality=70)),
+    )
+
+    rng = np.random.default_rng(11)
+    noisy = rng.integers(0, 256, size=(19, 26, 3), dtype=np.uint8).astype(np.uint8)
+    assert np.array_equal(
+        decode_jpeg(encode_jpeg(noisy, quality=92, subsampling="4:4:4")),
+        decode_jpeg(encode_jpeg_progressive(noisy, quality=92)),
+    )
+
+
+def test_progressive_quality_sweep_and_grayscale():
+    import numpy as np
+
+    from data_profiler_spark.operators.jpeg import (
+        decode_jpeg,
+        encode_jpeg,
+        encode_jpeg_progressive,
+    )
+
+    px = _test_img(13, 21, seed=9)
+    for q in (30, 60, 95):
+        assert np.array_equal(
+            decode_jpeg(encode_jpeg(px, quality=q, subsampling="4:4:4")),
+            decode_jpeg(encode_jpeg_progressive(px, quality=q)),
+        ), q
+    gray = px[:, :, 0]
+    assert np.array_equal(
+        decode_jpeg(encode_jpeg(gray, quality=80, subsampling="4:4:4")),
+        decode_jpeg(encode_jpeg_progressive(gray, quality=80)),
+    )

@@ -53,8 +53,8 @@ def test_image_features_schema_and_determinism(spark, media):
 
 def test_resize_undecodable_yields_null_payload(spark, media):
     """Round-3 robustness: an undecodable payload becomes a NULL-payload
-    row (countable/filterable), never an aborted job — one progressive
-    JPEG must not kill a 1000-executor resize pass."""
+    row (countable/filterable), never an aborted job — one WebP must
+    not kill a 1000-executor resize pass."""
     df = resize_images(media, 64, 64)
     assert df.schema.simpleString() == "struct<media_id:bigint,payload:binary>"
     rows = df.collect()

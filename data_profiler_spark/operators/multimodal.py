@@ -516,12 +516,16 @@ def synth_png_media(spark: SparkSession, n_rows: int) -> DataFrame:
 
 
 def synth_jpeg_media(spark: SparkSession, n_rows: int) -> DataFrame:
-    """REAL baseline JPEG payloads (same pixel recipe, JFIF container,
-    alternating 4:4:4 / 4:2:0 subsampling to exercise both decode paths)."""
-    from data_profiler_spark.operators.jpeg import encode_jpeg
+    """REAL JPEG payloads (same pixel recipe, JFIF container) cycling
+    baseline 4:4:4 / baseline 4:2:0 / progressive — every decode path the
+    codec supports appears in the corpus."""
+    from data_profiler_spark.operators.jpeg import encode_jpeg, encode_jpeg_progressive
 
     def enc(px: np.ndarray) -> bytes:
-        sub = "4:2:0" if (px.shape[0] + px.shape[1]) % 2 else "4:4:4"
+        kind = (px.shape[0] + px.shape[1]) % 3
+        if kind == 2:
+            return encode_jpeg_progressive(px, quality=90)
+        sub = "4:2:0" if kind else "4:4:4"
         return encode_jpeg(px, quality=90, subsampling=sub)
 
     return _synth_image_media(spark, n_rows, enc, "image/jpeg")

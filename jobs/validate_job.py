@@ -60,6 +60,8 @@ def main() -> int:
         NullRateCheck,
         RangeCheck,
         RegexCheck,
+        SecretFreeCheck,
+        WellFormedCheck,
     )
 
     spark = SparkSession.builder.appName("data-profiler-validate").getOrCreate()
@@ -84,7 +86,45 @@ def main() -> int:
         "expression": lambda s: ExpressionCheck(
             s["predicate"], s.get("name", ""), s.get("where", ""),
         ),
+        "secret_free": lambda s: SecretFreeCheck(
+            s["column"], s.get("ruleset", "all"),
+            tuple(sorted((s.get("rules") or {}).items())),
+            s.get("name", ""), s.get("where", ""),
+        ),
+        "well_formed": lambda s: WellFormedCheck(
+            s["column"],
+            int(s.get("max_replacement_chars", 0)),
+            float(s.get("max_bracket_imbalance", 0.2)),
+            int(s.get("min_brackets", 8)),
+            s.get("name", ""), s.get("where", ""),
+        ),
     }
+    # the checkpointed job runs ROW checks (+ --uniqueness-keys); whole-table
+    # families belong to `data-profiler-spark validate`. Dropping a spec
+    # entry must never be silent: table-level families warn, unknown types
+    # are an error (a typo'd check that validates nothing is a false green).
+    _TABLE_LEVEL = {
+        "drift", "freshness", "schema", "schema_compat", "row_count",
+        "sequence", "reconcile",
+    }
+    skipped = [s["type"] for s in spec.get("checks", []) if s["type"] in _TABLE_LEVEL]
+    unknown = sorted(
+        {
+            s["type"]
+            for s in spec.get("checks", [])
+            if s["type"] not in mk and s["type"] not in _TABLE_LEVEL
+        }
+    )
+    if unknown:
+        print(f"unknown check types in suite spec: {unknown}", file=sys.stderr)
+        return 2
+    if skipped:
+        print(
+            f"note: table-level checks {sorted(set(skipped))} are not run by "
+            "the checkpointed job — run `data-profiler-spark validate` for "
+            "those families",
+            file=sys.stderr,
+        )
     suite = CheckSuite(
         row_checks=[mk[s["type"]](s) for s in spec.get("checks", []) if s["type"] in mk]
     )

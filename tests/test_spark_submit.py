@@ -107,3 +107,27 @@ def test_scaling_harness_external_load_probes(spark):
     assert own_cores > 0.5, f"own JVM burn invisible? own={own_cores:.2f}"
     ext_cores = max(0.0, busy_cores - own_cores)
     assert ext_cores < busy_cores, "own CPU must be subtracted from busy"
+
+
+def test_validate_job_rejects_unknown_check_types(tmp_path):
+    """A typo'd check type must be a loud exit-2, never a silently
+    smaller suite that validates nothing and reports green."""
+    import json
+    import subprocess
+    import sys
+
+    suite = tmp_path / "bad_suite.json"
+    suite.write_text(json.dumps({
+        "checks": [{"type": "nul_rate", "column": "repo"}],  # typo
+    }))
+    proc = subprocess.run(
+        [sys.executable, "jobs/validate_job.py",
+         "--input", "/root/testdata/sf0.001/orders.parquet",
+         "--suite", str(suite),
+         "--checkpoint-dir", str(tmp_path / "ckpt"),
+         "--bucket-col", "o_orderkey"],
+        capture_output=True, text=True, cwd="/root/repo", timeout=300,
+    )
+    assert proc.returncode == 2
+    assert "unknown check types" in proc.stderr
+    assert "nul_rate" in proc.stderr

@@ -606,6 +606,16 @@ def main(argv: list[str] | None = None) -> int:
             #             "other_path" (parquet/csv/json to compare with),
             #             "other_agg", "other_column", "rel_tol"}
             checks = spec.get("checks", [])
+            # a typo'd type must be a usage error, never a silently smaller
+            # suite that validates nothing and reports green
+            _known = set(mk) | {
+                "drift", "schema_compat", "freshness", "schema", "sequence",
+                "row_count", "reconcile",
+            }
+            _unknown = sorted({s["type"] for s in checks if s["type"] not in _known})
+            if _unknown:
+                print(f"unknown check types in suite spec: {_unknown}", file=sys.stderr)
+                return EXIT_USAGE
             rec_specs = [s for s in checks if s["type"] == "reconcile"]
             suite = CheckSuite(
                 row_checks=[mk[s["type"]](s) for s in checks if s["type"] in mk],

@@ -830,3 +830,17 @@ def test_cli_validate_uniqueness_violations_fail_the_run(tmp_path, capsys):
     ])
     out = _json.loads(capsys.readouterr().out)
     assert rc == EXIT_OK and out["n_duplicate_keys"] == 0
+
+
+def test_cli_validate_rejects_unknown_check_types(tmp_path, capsys):
+    import json as _json
+
+    suite = tmp_path / "typo_suite.json"
+    suite.write_text(_json.dumps({
+        "checks": [{"type": "nul_rate", "column": "o_orderkey"}],
+        "key_cols": ["o_orderkey"],
+    }))
+    rc = main([
+        "validate", "/root/testdata/sf0.001/orders.parquet", "--suite", str(suite),
+    ])
+    assert rc == EXIT_USAGE

@@ -434,3 +434,73 @@ def compression_ratio(
             yield out
 
     return df.select(*id_cols, text_col).mapInPandas(_gen, out_schema)
+
+
+# ---------------------------------------------------------------------------
+# exact character-level Shannon entropy — the oracle-twin form
+# ---------------------------------------------------------------------------
+def _log2_12(v: int) -> str:
+    """log2(v) rounded to 12 decimals as a STRING — the single driver-side
+    source both engines consume."""
+    import math
+
+    return f"{math.log2(v):.12f}"
+
+
+def _log2_e12(v: int) -> int:
+    """log2(v) scaled by 10^12 as an exact int64 (parsed from the 12-decimal
+    string so the integer is exactly the table value, no float re-round)."""
+    whole, frac = _log2_12(v).split(".")
+    return int(whole) * 10**12 + int(frac)
+
+
+def log2_e12_values_sql(max_v: int) -> str:
+    rows = ", ".join(
+        f"({v}, CAST({_log2_e12(v)} AS BIGINT))" for v in range(1, max_v + 1)
+    )
+    return f"(VALUES {rows}) t(v, l12)"
+
+
+def char_entropy_exact(
+    df: DataFrame, id_col: str, text_col: str, max_len: int = 1024
+) -> DataFrame:
+    """(id, n_chars, entropy_numer_e12) — character-level Shannon entropy
+    in an EXACT int64 representation:
+
+        entropy_bits = entropy_numer_e12 / 10^12 / n_chars
+        entropy_numer_e12 = n·log2e12(n) − Σ_c c·log2e12(c)
+
+    where log2e12(v) = round(log2(v)·10^12) is a driver-built integer
+    table injected into both engines. The whole pipeline is int64
+    multiply/sum — no floats, no decimals, no casts — so the DuckDB twin
+    is equal by construction (cross-engine ulp drift lives in float
+    expressions and decimal↔double conversions; measured: DuckDB's
+    DECIMAL→DOUBLE is not correctly rounded, and Spark's decimal
+    precision-loss rules round live digits away). Magnitudes are safe by
+    a wide margin: terms ≤ max_len·log2(max_len)·10^12 ≈ 10^16 « 2^63.
+    A document longer than ``max_len`` surfaces as NULL (lookup miss),
+    never a silent wrong number."""
+    spark = df.sparkSession
+    tbl = spark.createDataFrame(
+        [(v, _log2_e12(v)) for v in range(1, max_len + 1)], "v long, l12 long"
+    )
+    chars = (
+        df.select(
+            F.col(id_col).alias("__id"),
+            F.explode(F.split(F.col(text_col), "")).alias("ch"),
+        )
+        .where(F.col("ch") != "")
+    )
+    counts = chars.groupBy("__id", "ch").agg(F.count(F.lit(1)).alias("c"))
+    terms = counts.join(F.broadcast(tbl), counts["c"] == tbl["v"], "left").select(
+        "__id", "c", (F.col("c") * F.col("l12")).alias("t")
+    )
+    agg = terms.groupBy("__id").agg(
+        F.sum("c").cast("long").alias("n_chars"),
+        F.sum("t").cast("long").alias("s"),
+    )
+    return agg.join(F.broadcast(tbl), agg["n_chars"] == tbl["v"], "left").select(
+        F.col("__id").alias(id_col),
+        "n_chars",
+        (F.col("n_chars") * F.col("l12") - F.col("s")).alias("entropy_numer_e12"),
+    )

@@ -4902,3 +4902,36 @@ def dependency_census_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     m = _manifest_frame_spark(load(spark, sf_dir, "documents"))
     return dependency_census(m, ["doc_id"], "path", "content")
+
+
+@register(
+    "char_entropy_documents",
+    """WITH t AS (SELECT * FROM {vals}),
+       chars AS (SELECT doc_id, unnest(string_split(text, '')) AS ch
+                 FROM documents WHERE text IS NOT NULL),
+       counts AS (SELECT doc_id, ch, COUNT(*) AS c FROM chars
+                  WHERE ch != '' GROUP BY 1, 2),
+       terms AS (SELECT doc_id, c, c * t.l12 AS tt
+                 FROM counts LEFT JOIN t ON counts.c = t.v),
+       agg AS (SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_chars,
+                      CAST(SUM(tt) AS BIGINT) AS s
+               FROM terms GROUP BY 1)
+       SELECT doc_id, n_chars,
+              n_chars * t.l12 - s AS entropy_numer_e12
+       FROM agg LEFT JOIN t ON agg.n_chars = t.v""".format(
+        vals=__import__(
+            "data_profiler_spark.operators.text", fromlist=["log2_e12_values_sql"]
+        ).log2_e12_values_sql(1024)
+    ),
+)
+def char_entropy_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Character-level Shannon entropy per document in the EXACT int64
+    representation (entropy_bits = entropy_numer_e12 / 1e12 / n_chars):
+    integer multiplies and sums only — equal to the DuckDB twin by
+    construction (see operators/text.py char_entropy_exact; float
+    expressions and decimal<->double casts are where cross-engine ulp
+    drift lives)."""
+    from data_profiler_spark.operators.text import char_entropy_exact
+
+    docs = load(spark, sf_dir, "documents")
+    return char_entropy_exact(docs, "doc_id", "text")

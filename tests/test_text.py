@@ -184,3 +184,35 @@ def test_compression_ratio_signal(spark):
     plan = compression_ratio(df, "text", ["id"])._jdf.queryExecution() \
         .executedPlan().toString()
     assert "Exchange" not in plan
+
+
+def test_char_entropy_exact_int64_form(spark):
+    import math
+    from collections import Counter
+
+    from data_profiler_spark.operators.text import char_entropy_exact
+
+    rows = [
+        (1, "aabbccdd"),
+        (2, "aaaaaaaa"),        # single symbol -> exactly zero entropy
+        (3, "the quick brown fox jumps"),
+        (4, None),               # no rows emitted
+        (5, "x" * 30),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc_id"]: r for r in char_entropy_exact(df, "doc_id", "text", max_len=64).collect()}
+    assert 4 not in out
+    assert out[2]["entropy_numer_e12"] == 0 and out[5]["entropy_numer_e12"] == 0
+    for did, text in [(1, rows[0][1]), (3, rows[2][1])]:
+        n = len(text)
+        got = out[did]["entropy_numer_e12"] / 1e12 / n
+        counts = Counter(text)
+        want = -sum((c / n) * math.log2(c / n) for c in counts.values())
+        assert out[did]["n_chars"] == n
+        # table rounds each log2 to 12 decimals -> agreement to ~1e-11
+        assert abs(got - want) < 1e-9, (did, got, want)
+
+    # a doc longer than the table surfaces as NULL, never a wrong number
+    long_df = spark.createDataFrame([(9, "ab" * 40)], "doc_id long, text string")
+    r = char_entropy_exact(long_df, "doc_id", "text", max_len=16).collect()[0]
+    assert r["entropy_numer_e12"] is None

@@ -82,6 +82,11 @@ def build_parser() -> argparse.ArgumentParser:
         help="schema snapshot (zero-row parquet whose footer is the "
         "contract) for SchemaCompatCheck instead of a histogram",
     )
+    psn.add_argument(
+        "--profile", action="store_true",
+        help="column-profile snapshot (approx-mode profile_table parquet) "
+        "for ProfileDriftCheck instead of a histogram",
+    )
     psn.add_argument("--out", required=True)
 
     pv = sub.add_parser("validate", help="run a constraint suite from JSON spec")
@@ -469,6 +474,17 @@ def main(argv: list[str] | None = None) -> int:
             if not os.path.exists(args.path):
                 return EXIT_FILE_NOT_FOUND
             df = sources.read(spark, args.path)
+            if args.profile:
+                from data_profiler_spark.operators.profile import profile_table
+
+                profile_table(df, exact=False).write.mode("overwrite").parquet(args.out)
+                _emit(args, json.dumps({
+                    "report_type": "profile_baseline_snapshot",
+                    "source": args.path,
+                    "out": args.out,
+                    "n_columns": len(df.columns),
+                }, indent=2, sort_keys=True))
+                return EXIT_OK
             if args.schema:
                 df.limit(0).write.mode("overwrite").parquet(args.out)
                 _emit(args, json.dumps({
@@ -512,6 +528,7 @@ def main(argv: list[str] | None = None) -> int:
                 RangeCheck,
                 ReconciliationCheck,
                 RegexCheck,
+                ProfileDriftCheck,
                 RowCountCheck,
                 SchemaCheck,
                 SchemaCompatCheck,
@@ -597,6 +614,31 @@ def main(argv: list[str] | None = None) -> int:
                     SchemaCompatCheck(baseline_name=cname, name=s2.get("name", ""))
                 )
                 baselines[cname] = None
+            # profile_drift: {"type": "profile_drift",
+            #                 "baseline": <parquet written by snapshot --profile>,
+            #                 "max_null_ratio_delta", "max_unique_ratio_delta",
+            #                 "max_mean_rel_delta", "max_row_count_rel_delta"}
+            pdrift_specs = [
+                s2 for s2 in spec.get("checks", []) if s2["type"] == "profile_drift"
+            ]
+            pdrift_checks = []
+            for i, s2 in enumerate(pdrift_specs):
+                pname = f"profile_drift_{i}"
+                pdrift_checks.append(
+                    ProfileDriftCheck(
+                        baseline_name=pname,
+                        max_null_ratio_delta=float(s2.get("max_null_ratio_delta", 0.05)),
+                        max_unique_ratio_delta=float(s2.get("max_unique_ratio_delta", 0.10)),
+                        max_mean_rel_delta=float(s2.get("max_mean_rel_delta", 0.25)),
+                        max_row_count_rel_delta=(
+                            float(s2["max_row_count_rel_delta"])
+                            if s2.get("max_row_count_rel_delta") is not None
+                            else None
+                        ),
+                        name=s2.get("name", ""),
+                    )
+                )
+                baselines[pname] = None
             # freshness: {"type": "freshness", "column", "max_age_seconds",
             #             "as_of" (ISO instant — stamp it at submit time)}
             # schema:    {"type": "schema", "expected": [["col","type"],...],
@@ -609,8 +651,8 @@ def main(argv: list[str] | None = None) -> int:
             # a typo'd type must be a usage error, never a silently smaller
             # suite that validates nothing and reports green
             _known = set(mk) | {
-                "drift", "schema_compat", "freshness", "schema", "sequence",
-                "row_count", "reconcile",
+                "drift", "schema_compat", "profile_drift", "freshness",
+                "schema", "sequence", "row_count", "reconcile",
             }
             _unknown = sorted({s["type"] for s in checks if s["type"] not in _known})
             if _unknown:
@@ -624,6 +666,7 @@ def main(argv: list[str] | None = None) -> int:
                 ],
                 drift=drift_checks,
                 schema_compat=compat_checks,
+                profile_drift=pdrift_checks,
                 freshness=[
                     FreshnessCheck(
                         s["column"], float(s["max_age_seconds"]), s["as_of"],
@@ -667,6 +710,8 @@ def main(argv: list[str] | None = None) -> int:
                 baselines[f"drift_{i}"] = spark.read.parquet(s["baseline"])
             for i, s2 in enumerate(compat_specs):
                 baselines[f"schema_compat_{i}"] = spark.read.parquet(s2["baseline"])
+            for i, s2 in enumerate(pdrift_specs):
+                baselines[f"profile_drift_{i}"] = spark.read.parquet(s2["baseline"])
             df = sources.read(spark, args.path)
             if args.scope:
                 df = df.where(args.scope)
@@ -718,8 +763,8 @@ def main(argv: list[str] | None = None) -> int:
             )
             extra_failed = []
             for fam in (
-                "freshness", "schema", "schema_compat", "reconciliation",
-                "row_count", "sequence",
+                "freshness", "schema", "schema_compat", "profile_drift",
+                "reconciliation", "row_count", "sequence",
             ):
                 if fam in out:
                     extra_failed += [r for r in out[fam].collect() if not r["pass"]]

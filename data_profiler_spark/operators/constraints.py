@@ -302,6 +302,27 @@ class SchemaCompatCheck:
 
 
 @dataclass(frozen=True)
+class ProfileDriftCheck:
+    """Column-profile drift vs a stored ``profile_table`` snapshot (the
+    parquet written by ``snapshot --profile``): per-column null-ratio /
+    unique-ratio / mean / row-count movement verdicts via
+    :func:`data_profiler_spark.operators.drift.profile_drift`. The
+    baseline arrives through ``run_suite``'s ``baselines`` dict. The
+    current profile is computed in approx mode (HLL distincts — the scale
+    path), matching how the snapshot side writes it."""
+
+    baseline_name: str = "profile_baseline"
+    max_null_ratio_delta: float = 0.05
+    max_unique_ratio_delta: float = 0.10
+    max_mean_rel_delta: float = 0.25
+    max_row_count_rel_delta: float | None = None
+    name: str = ""
+
+    def check_name(self) -> str:
+        return self.name or "profile_drift"
+
+
+@dataclass(frozen=True)
 class ReconciliationCheck:
     """Cross-table aggregate reconciliation: ``agg(column)`` on the
     checked table must match ``agg(other_column)`` on the ``other_name``
@@ -363,6 +384,7 @@ class CheckSuite:
     freshness: list = field(default_factory=list)
     schema_checks: list = field(default_factory=list)
     schema_compat: list = field(default_factory=list)
+    profile_drift: list = field(default_factory=list)
     reconciliation: list = field(default_factory=list)
     row_count: list = field(default_factory=list)
     sequence: list = field(default_factory=list)
@@ -721,7 +743,8 @@ def run_suite(
     'uniqueness' (violating key rows), 'referential' (one verdict row per
     referential check), 'drift' (one verdict row per drift check × group,
     computed against the stored baseline snapshots in ``baselines``),
-    'freshness' / 'schema' / 'schema_compat' / 'reconciliation' (one
+    'freshness' / 'schema' / 'schema_compat' / 'profile_drift' /
+    'reconciliation' (one
     verdict row per check — schema_compat emits one row per classified
     column change vs its stored baseline schema; reconciliation right-hand
     sides resolve from ``datasets`` first, then from ``parents``)."""
@@ -906,6 +929,25 @@ def run_suite(
             "check string, column string, change string, "
             "from_type string, to_type string, pass boolean",
         )
+
+
+    pdrift = None
+    for ch in suite.profile_drift:
+        from data_profiler_spark.operators.drift import profile_drift
+        from data_profiler_spark.operators.profile import profile_table
+
+        base = (baselines or {})[ch.baseline_name]
+        cur = profile_table(df, exact=False)
+        v = profile_drift(
+            cur, base,
+            max_null_ratio_delta=ch.max_null_ratio_delta,
+            max_unique_ratio_delta=ch.max_unique_ratio_delta,
+            max_mean_rel_delta=ch.max_mean_rel_delta,
+            max_row_count_rel_delta=ch.max_row_count_rel_delta,
+        ).select(F.lit(ch.check_name()).alias("check"), "*")
+        pdrift = v if pdrift is None else pdrift.unionByName(v)
+    if pdrift is not None:
+        out["profile_drift"] = pdrift.orderBy("check", "column", "metric")
 
     seq = None
     for ch in suite.sequence:

@@ -460,3 +460,104 @@ def benford_first_digit(df: DataFrame, column: str) -> DataFrame:
         )
         .withColumn("abs_dev", F.abs(F.col("obs_share") - F.col("exp_share")))
     )
+
+
+
+# ---------------------------------------------------------------------------
+# profile-level drift — stored profile snapshot vs the live table
+# ---------------------------------------------------------------------------
+def profile_drift(
+    current: DataFrame,
+    baseline: DataFrame,
+    max_null_ratio_delta: float = 0.05,
+    max_unique_ratio_delta: float = 0.10,
+    max_mean_rel_delta: float = 0.25,
+    max_row_count_rel_delta: float | None = None,
+) -> DataFrame:
+    """Per-column metric-movement verdicts between two ``profile_table``
+    frames: (column, metric, baseline, current, delta, pass) — one row per
+    checked metric plus a failing ``present`` row for any column that
+    exists on only one side (the metric-level sibling of
+    ``schema_tools.evolution_compatibility``; use both — a column can keep
+    its type while its null rate quietly triples).
+
+    Deltas: null_ratio and unique_ratio compare ABSOLUTE movement (both
+    are already scale-free in [0,1]); mean and row count compare RELATIVE
+    movement |cur−base| / |base| (a zero baseline passes only a zero
+    current — try_divide NULL coalesces to the fail branch, never a
+    crash). Inputs are column-count-sized profile frames, so every join
+    here is trivially broadcast — the scan cost lives in producing the
+    profiles, not comparing them."""
+    b = baseline.select(
+        F.col("column"),
+        F.col("null_ratio").alias("b_null"),
+        F.col("unique_ratio").alias("b_uniq"),
+        F.col("mean").alias("b_mean"),
+        F.col("total_count").cast("double").alias("b_rows"),
+    )
+    c = current.select(
+        F.col("column"),
+        F.col("null_ratio").alias("c_null"),
+        F.col("unique_ratio").alias("c_uniq"),
+        F.col("mean").alias("c_mean"),
+        F.col("total_count").cast("double").alias("c_rows"),
+    )
+    j = b.join(c, "column", "full_outer")
+    both = F.col("b_null").isNotNull() & F.col("c_null").isNotNull()
+
+    def abs_metric(name: str, bcol: str, ccol: str, thr: float):
+        delta = F.abs(F.col(ccol) - F.col(bcol))
+        return F.struct(
+            F.lit(name).alias("metric"),
+            F.col(bcol).alias("baseline"),
+            F.col(ccol).alias("current"),
+            delta.alias("delta"),
+            F.coalesce(delta <= F.lit(thr), F.lit(False)).alias("pass"),
+        )
+
+    def rel_metric(name: str, bcol: str, ccol: str, thr: float):
+        rel = F.try_divide(F.abs(F.col(ccol) - F.col(bcol)), F.abs(F.col(bcol)))
+        ok = F.coalesce(
+            rel <= F.lit(thr),
+            (F.col(bcol) == 0.0) & (F.col(ccol) == 0.0),
+            F.lit(False),
+        )
+        return F.struct(
+            F.lit(name).alias("metric"),
+            F.col(bcol).alias("baseline"),
+            F.col(ccol).alias("current"),
+            rel.alias("delta"),
+            ok.alias("pass"),
+        )
+
+    metrics = [
+        abs_metric("null_ratio", "b_null", "c_null", max_null_ratio_delta),
+        abs_metric("unique_ratio", "b_uniq", "c_uniq", max_unique_ratio_delta),
+        rel_metric("mean", "b_mean", "c_mean", max_mean_rel_delta),
+    ]
+    if max_row_count_rel_delta is not None:
+        metrics.append(
+            rel_metric("row_count", "b_rows", "c_rows", max_row_count_rel_delta)
+        )
+    present = F.struct(
+        F.lit("present").alias("metric"),
+        F.when(F.col("b_null").isNotNull(), F.lit(1.0)).alias("baseline"),
+        F.when(F.col("c_null").isNotNull(), F.lit(1.0)).alias("current"),
+        F.lit(None).cast("double").alias("delta"),
+        F.lit(False).alias("pass"),
+    )
+    rows = F.when(both, F.array(*metrics)).otherwise(F.array(present))
+    out = j.select("column", F.explode(rows).alias("m")).select(
+        "column",
+        F.col("m.metric").alias("metric"),
+        F.col("m.baseline").alias("baseline"),
+        F.col("m.current").alias("current"),
+        F.col("m.delta").alias("delta"),
+        F.col("m.pass").alias("pass"),
+    )
+    # a mean on a non-numeric column is NULL on both sides: nothing moved,
+    # and a NULL-vs-NULL comparison must read as pass, not silent fail
+    return out.where(
+        ~((F.col("metric") == "mean")
+          & F.col("baseline").isNull() & F.col("current").isNull())
+    )

@@ -844,3 +844,41 @@ def test_cli_validate_rejects_unknown_check_types(tmp_path, capsys):
         "validate", "/root/testdata/sf0.001/orders.parquet", "--suite", str(suite),
     ])
     assert rc == EXIT_USAGE
+
+
+def test_cli_snapshot_profile_then_validate_drift(spark, tmp_path, capsys):
+    """Profile-contract loop: `snapshot --profile` stores the column
+    profile; a profile_drift check passes against the same table and
+    fails when the live table's metrics moved."""
+    import json as _json
+
+    from pyspark.sql import functions as F
+
+    base = str(tmp_path / "orders_profile")
+    rc = main([
+        "snapshot", "/root/testdata/sf0.001/orders.parquet",
+        "--profile", "--out", base,
+    ])
+    snap_out = _json.loads(capsys.readouterr().out)
+    assert rc == EXIT_OK and snap_out["n_columns"] > 0
+
+    suite = tmp_path / "suite_profile.json"
+    suite.write_text(_json.dumps({
+        "checks": [{"type": "profile_drift", "baseline": base}],
+        "key_cols": ["o_orderkey"],
+    }))
+    rc = main([
+        "validate", "/root/testdata/sf0.001/orders.parquet", "--suite", str(suite),
+    ])
+    out = _json.loads(capsys.readouterr().out)
+    assert rc == EXIT_OK and out["n_other_failed"] == 0
+
+    drifted = str(tmp_path / "orders_drifted")
+    spark.read.parquet("/root/testdata/sf0.001/orders.parquet") \
+        .withColumn("o_totalprice", F.col("o_totalprice") * 100) \
+        .write.parquet(drifted)
+    rc = main(["validate", drifted, "--suite", str(suite)])
+    out = _json.loads(capsys.readouterr().out)
+    assert rc == EXIT_ERROR
+    failed = {(r["column"], r["metric"]) for r in out["other_failed"]}
+    assert ("o_totalprice", "mean") in failed

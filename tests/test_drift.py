@@ -454,3 +454,61 @@ def test_embedding_drift_detects_translation(spark):
     ).collect()[0]
     assert s["centroid_cosine"] < 1.0
     assert abs(s["max_abs_shift"] - 0.5) < 1e-6
+
+
+def test_profile_drift_verdicts(spark):
+    """Same table vs its own profile: every metric passes; a perturbed
+    table (nulls injected, numeric scaled, column dropped, column added)
+    fails exactly the moved metrics."""
+    from pyspark.sql import functions as F
+
+    from data_profiler_spark.operators.drift import profile_drift
+    from data_profiler_spark.operators.profile import profile_table
+
+    base_df = spark.read.parquet("/root/testdata/sf0.001/orders.parquet")
+    base = profile_table(base_df, exact=False)
+
+    same = profile_drift(profile_table(base_df, exact=False), base)
+    assert all(r["pass"] for r in same.collect())
+
+    drifted_df = (
+        base_df.withColumn(
+            "o_totalprice",
+            F.when(F.col("o_orderkey") % 2 == 0, None).otherwise(
+                F.col("o_totalprice") * 10
+            ),
+        )
+        .drop("o_orderpriority")
+        .withColumn("brand_new", F.lit("x"))
+    )
+    v = {
+        (r["column"], r["metric"]): r
+        for r in profile_drift(profile_table(drifted_df, exact=False), base).collect()
+    }
+    assert not v[("o_totalprice", "null_ratio")]["pass"]   # ~half now NULL
+    assert not v[("o_totalprice", "mean")]["pass"]         # scaled 10x
+    assert not v[("o_orderpriority", "present")]["pass"]   # dropped
+    assert not v[("brand_new", "present")]["pass"]         # unexpected new
+    assert v[("o_orderkey", "null_ratio")]["pass"]
+    assert v[("o_orderkey", "mean")]["pass"]
+    # string columns carry no mean row (NULL vs NULL is not drift)
+    assert ("o_orderstatus", "mean") not in v
+
+
+def test_profile_drift_check_in_suite(spark):
+    from pyspark.sql import functions as F
+
+    from data_profiler_spark.operators.constraints import (
+        CheckSuite,
+        ProfileDriftCheck,
+        run_suite,
+    )
+    from data_profiler_spark.operators.profile import profile_table
+
+    df = spark.read.parquet("/root/testdata/sf0.001/orders.parquet")
+    base = profile_table(df, exact=False)
+    suite = CheckSuite(profile_drift=[ProfileDriftCheck(baseline_name="p")])
+    out = run_suite(df, suite, partition_col=F.lit(0), baselines={"p": base})
+    rows = out["profile_drift"].collect()
+    assert rows and all(r["pass"] for r in rows)
+    assert {r["check"] for r in rows} == {"profile_drift"}

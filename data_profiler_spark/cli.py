@@ -784,12 +784,18 @@ def main(argv: list[str] | None = None) -> int:
                 "duplicate_keys": dup_sample,
                 "violations_out": args.violations_out,
             }
-            _emit(args, json.dumps(payload, indent=2, sort_keys=True, default=str))
-            return (
+            rc_val = (
                 EXIT_OK
                 if not (failed or drift_failed or extra_failed or n_dup_keys)
                 else EXIT_ERROR
             )
+            if args.output in ("html", "html-ydata"):
+                from data_profiler_spark.html_report import validation_report_html
+
+                _emit(args, validation_report_html(payload))
+                return rc_val
+            _emit(args, json.dumps(payload, indent=2, sort_keys=True, default=str))
+            return rc_val
 
         if args.command == "diff":
             from data_profiler_spark.operators.diff import diff_summary, table_diff

@@ -341,3 +341,54 @@ def scan_report_html(
             )
         body.append("</table>")
     return _page(f"Scan: {source}", "\n".join(body))
+
+
+def validation_report_html(payload: dict) -> str:
+    """Standalone HTML for a `validate` run: verdict cards, then one table
+    per failure family (row checks, drift, uniqueness key sample, other
+    families). Rendered from the SAME payload dict the JSON mode emits —
+    one source of truth, two serializations."""
+    n_failed = payload.get("n_failed", 0)
+    n_drift = payload.get("n_drift_failed", 0)
+    n_other = payload.get("n_other_failed", 0)
+    n_dup = payload.get("n_duplicate_keys", 0)
+    clean = not (n_failed or n_drift or n_other or n_dup)
+    cards = [
+        ("verdict", "PASS" if clean else "FAIL"),
+        ("row checks", f"{payload.get('n_verdicts', 0):,}"),
+        ("failed", f"{n_failed:,}"),
+        ("drift failed", f"{n_drift:,}"),
+        ("other failed", f"{n_other:,}"),
+        ("duplicate keys", f"{n_dup:,}"),
+    ]
+    body = [
+        "<h1>Validation report</h1>"
+        f"<div class='src'>{_esc(payload.get('source', ''))}"
+        + (f" &middot; scope: <code>{_esc(payload['scope'])}</code>"
+           if payload.get("scope") else "")
+        + "</div>",
+        _summary_cards(cards),
+    ]
+
+    def table(title: str, rows: list[dict]) -> None:
+        if not rows:
+            return
+        cols = list(rows[0].keys())
+        body.append(f"<h2>{_esc(title)}</h2><table><tr>"
+                    + "".join(f"<th>{_esc(c)}</th>" for c in cols) + "</tr>")
+        for r in rows[:100]:
+            body.append(
+                "<tr>" + "".join(f"<td>{_esc(r.get(c))}</td>" for c in cols) + "</tr>"
+            )
+        body.append("</table>")
+
+    table("Failed row checks (sample)", payload.get("failed", []))
+    table("Failed drift checks", payload.get("drift_failed", []))
+    table("Other failed checks", payload.get("other_failed", []))
+    table("Duplicate keys (sample)", payload.get("duplicate_keys", []))
+    if payload.get("violations_out"):
+        body.append(
+            "<p>Full violation rows quarantined at "
+            f"<code>{_esc(payload['violations_out'])}</code></p>"
+        )
+    return _page(f"Validation: {payload.get('source', '')}", "\n".join(body))

@@ -882,3 +882,25 @@ def test_cli_snapshot_profile_then_validate_drift(spark, tmp_path, capsys):
     assert rc == EXIT_ERROR
     failed = {(r["column"], r["metric"]) for r in out["other_failed"]}
     assert ("o_totalprice", "mean") in failed
+
+
+def test_cli_validate_html_output(tmp_path, capsys):
+    import json as _json
+
+    suite = tmp_path / "suite_html.json"
+    suite.write_text(_json.dumps({
+        "checks": [
+            {"type": "range", "column": "o_totalprice", "max": 0.0},  # all fail
+        ],
+        "uniqueness": [["o_orderkey"]],
+        "key_cols": ["o_orderkey"],
+    }))
+    rc = main([
+        "--output", "html",
+        "validate", "/root/testdata/sf0.001/orders.parquet", "--suite", str(suite),
+    ])
+    out = capsys.readouterr().out
+    assert rc == EXIT_ERROR
+    assert out.startswith("<!DOCTYPE html>")
+    assert ">FAIL<" in out and "Failed row checks" in out
+    assert "range:o_totalprice" in out

@@ -733,6 +733,59 @@ def main(argv: list[str] | None = None) -> int:
                 }
                 _emit(args, json.dumps(payload, indent=2, sort_keys=True, default=str))
                 return EXIT_OK
+            if args.checkpoint_dir:
+                # resumable path: per-bucket manifests via CheckpointedValidation
+                # (the spark-submit job's engine) — runs the per-bucket
+                # families (row checks + uniqueness) only
+                from data_profiler_spark.checkpoint import CheckpointedValidation
+
+                if (
+                    drift_checks or compat_checks or pdrift_checks
+                    or suite.freshness or suite.schema_checks or suite.sequence
+                    or suite.row_count or suite.reconciliation
+                ):
+                    print(
+                        "--checkpoint-dir runs the per-bucket families (row "
+                        "checks + uniqueness) only; run table-level checks "
+                        "in a separate non-checkpointed suite",
+                        file=sys.stderr,
+                    )
+                    return EXIT_USAGE
+                uniq_sets = [list(u) for u in spec.get("uniqueness", [])]
+                if len(uniq_sets) > 1:
+                    print(
+                        "checkpointed validation supports one uniqueness key set",
+                        file=sys.stderr,
+                    )
+                    return EXIT_USAGE
+                bucket = (
+                    args.partition_col or spec.get("partition_col") or df.columns[0]
+                )
+                try:
+                    cv = CheckpointedValidation(
+                        spark,
+                        args.checkpoint_dir,
+                        CheckSuite(row_checks=suite.row_checks),
+                        bucket_col=bucket,
+                        content_col=spec.get("content_col"),
+                        key_cols=spec.get("key_cols", []),
+                        uniqueness_keys=uniq_sets[0] if uniq_sets else [],
+                    )
+                except ValueError as e:
+                    print(str(e), file=sys.stderr)
+                    return EXIT_USAGE
+                res = cv.run(df)
+                summ = cv.summary()
+                payload = {
+                    "report_type": "validation_checkpointed",
+                    "source": args.path,
+                    "checkpoint_dir": args.checkpoint_dir,
+                    **res,
+                    **summ,
+                }
+                _emit(args, json.dumps(payload, indent=2, sort_keys=True, default=str))
+                return EXIT_OK if summ.get("failed_checks", 0) == 0 else EXIT_ERROR
+
             part = args.partition_col or spec.get("partition_col") or df.columns[0]
             out = run_suite(
                 df, suite, partition_col=F.pmod(F.hash(part), F.lit(64)),

@@ -904,3 +904,49 @@ def test_cli_validate_html_output(tmp_path, capsys):
     assert out.startswith("<!DOCTYPE html>")
     assert ">FAIL<" in out and "Failed row checks" in out
     assert "range:o_totalprice" in out
+
+
+def test_cli_validate_checkpoint_dir_resumes(tmp_path, capsys):
+    """--checkpoint-dir was parsed but inert; now it routes through
+    CheckpointedValidation: first run commits bucket manifests, a re-run
+    skips them (buckets_skipped > 0), and table-level checks are refused
+    loudly rather than silently dropped."""
+    import json as _json
+
+    suite = tmp_path / "suite_ckpt.json"
+    suite.write_text(_json.dumps({
+        "checks": [{"type": "range", "column": "o_totalprice", "min": 0.0}],
+        "partition_col": "o_orderstatus",
+        "key_cols": ["o_orderkey"],
+    }))
+    ckpt = str(tmp_path / "ckpt")
+    rc = main([
+        "validate", "/root/testdata/sf0.001/orders.parquet",
+        "--suite", str(suite), "--checkpoint-dir", ckpt,
+    ])
+    out = _json.loads(capsys.readouterr().out)
+    assert rc == EXIT_OK
+    assert out["report_type"] == "validation_checkpointed"
+    assert out["buckets"] > 0 and out["failed_checks"] == 0
+
+    rc = main([
+        "validate", "/root/testdata/sf0.001/orders.parquet",
+        "--suite", str(suite), "--checkpoint-dir", ckpt,
+    ])
+    out2 = _json.loads(capsys.readouterr().out)
+    assert rc == EXIT_OK and out2.get("buckets_skipped", 0) > 0
+
+    # table-level checks cannot silently vanish under checkpointing
+    suite2 = tmp_path / "suite_ckpt_bad.json"
+    suite2.write_text(_json.dumps({
+        "checks": [
+            {"type": "range", "column": "o_totalprice", "min": 0.0},
+            {"type": "row_count", "min_rows": 1},
+        ],
+        "key_cols": ["o_orderkey"],
+    }))
+    rc = main([
+        "validate", "/root/testdata/sf0.001/orders.parquet",
+        "--suite", str(suite2), "--checkpoint-dir", str(tmp_path / "ckpt2"),
+    ])
+    assert rc == EXIT_USAGE

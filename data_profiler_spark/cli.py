@@ -46,9 +46,12 @@ def build_parser() -> argparse.ArgumentParser:
     pg = sub.add_parser("group", help="grouped stats")
     pg.add_argument("path")
     pg.add_argument("--by", required=True, help="comma-separated key columns")
-    pg.add_argument("--stats", choices=["count", "basic", "full"], default="count")
-    pg.add_argument("--max-groups", type=int, default=10)  # cli/main.py:290-295
-    pg.add_argument("--on-exceed", choices=["warn", "skip", "sample", "limit"], default="skip")
+    # defaults resolve AFTER the config layers: flag > config > reference
+    # default (cli/main.py:290-295) — a config-file stats_level/max_groups
+    # was previously parsed and then ignored
+    pg.add_argument("--stats", choices=["count", "basic", "full"], default=None)
+    pg.add_argument("--max-groups", type=int, default=None)
+    pg.add_argument("--on-exceed", choices=["warn", "skip", "sample", "limit"], default=None)
 
     pr = sub.add_parser("relationships", help="discover FKs across files")
     pr.add_argument("paths", nargs="+")
@@ -261,10 +264,25 @@ def build_parser() -> argparse.ArgumentParser:
     return p
 
 
-def _spark(args):
+def _spark(args, cfg=None):
     from data_profiler_spark import get_spark
 
-    return get_spark(app_name="cli", master=args.master)
+    if cfg is None:
+        return get_spark(app_name="cli", master=args.master)
+    # the H10 config layer's Spark tuning reaches the session for real:
+    # CLI --master > config master > env default; shuffle partitions, AQE
+    # and the broadcast threshold ride extra_conf
+    sp = cfg.spark
+    return get_spark(
+        app_name="cli",
+        master=args.master or sp.master,
+        shuffle_partitions=sp.shuffle_partitions,
+        extra_conf={
+            "spark.sql.adaptive.enabled": str(bool(sp.aqe)).lower(),
+            "spark.sql.autoBroadcastJoinThreshold":
+                f"{int(sp.broadcast_threshold_mb)}m",
+        },
+    )
 
 
 def _emit(args, payload: str) -> None:
@@ -293,7 +311,7 @@ def main(argv: list[str] | None = None) -> int:
                 profile_report_markdown,
             )
 
-            spark = _spark(args)
+            spark = _spark(args, cfg)
             for path in args.paths:
                 if not os.path.exists(path):
                     print(f"not found: {path}", file=sys.stderr)
@@ -386,7 +404,7 @@ def main(argv: list[str] | None = None) -> int:
             from data_profiler_spark.operators.grouping import group_table
             from data_profiler_spark.reports import df_to_markdown, grouping_report_json
 
-            spark = _spark(args)
+            spark = _spark(args, cfg)
             if not os.path.exists(args.path):
                 return EXIT_FILE_NOT_FOUND
             df = sources.read(spark, args.path)
@@ -394,9 +412,13 @@ def main(argv: list[str] | None = None) -> int:
                 res = group_table(
                     df,
                     args.by.split(","),
-                    level=args.stats,
-                    max_groups=args.max_groups,
-                    on_exceed=args.on_exceed,
+                    level=args.stats or cfg.grouping.stats_level,
+                    max_groups=(
+                        args.max_groups
+                        if args.max_groups is not None
+                        else cfg.grouping.max_groups
+                    ),
+                    on_exceed=args.on_exceed or cfg.grouping.on_exceed,
                     include_null_groups=cfg.grouping.include_null_groups,
                     salted=cfg.grouping.salted,
                 )
@@ -425,7 +447,7 @@ def main(argv: list[str] | None = None) -> int:
             )
             from data_profiler_spark.reports import graph_report_json
 
-            spark = _spark(args)
+            spark = _spark(args, cfg)
             tables = {}
             for path in args.paths:
                 if not os.path.exists(path):
@@ -452,7 +474,7 @@ def main(argv: list[str] | None = None) -> int:
         if args.command == "suggest":
             from data_profiler_spark.suggest import suggest_spec_json
 
-            spark = _spark(args)
+            spark = _spark(args, cfg)
             if not os.path.exists(args.path):
                 return EXIT_FILE_NOT_FOUND
             df = sources.read(spark, args.path)
@@ -470,7 +492,7 @@ def main(argv: list[str] | None = None) -> int:
                 histogram_snapshot,
             )
 
-            spark = _spark(args)
+            spark = _spark(args, cfg)
             if not os.path.exists(args.path):
                 return EXIT_FILE_NOT_FOUND
             df = sources.read(spark, args.path)
@@ -539,7 +561,7 @@ def main(argv: list[str] | None = None) -> int:
                 run_suite,
             )
 
-            spark = _spark(args)
+            spark = _spark(args, cfg)
             if not os.path.exists(args.path):
                 return EXIT_FILE_NOT_FOUND
             if not os.path.exists(args.suite):
@@ -853,7 +875,7 @@ def main(argv: list[str] | None = None) -> int:
         if args.command == "diff":
             from data_profiler_spark.operators.diff import diff_summary, table_diff
 
-            spark = _spark(args)
+            spark = _spark(args, cfg)
             for p in (args.left_path, args.right_path):
                 if not os.path.exists(p):
                     return EXIT_FILE_NOT_FOUND
@@ -887,7 +909,7 @@ def main(argv: list[str] | None = None) -> int:
         if args.command == "dedup":
             from data_profiler_spark.operators import dedup as dd
 
-            spark = _spark(args)
+            spark = _spark(args, cfg)
             if not os.path.exists(args.path):
                 return EXIT_FILE_NOT_FOUND
             df = sources.read(spark, args.path)
@@ -928,7 +950,7 @@ def main(argv: list[str] | None = None) -> int:
         if args.command == "text":
             from data_profiler_spark.operators.text import text_profile
 
-            spark = _spark(args)
+            spark = _spark(args, cfg)
             if not os.path.exists(args.path):
                 return EXIT_FILE_NOT_FOUND
             df = sources.read(spark, args.path)
@@ -955,7 +977,7 @@ def main(argv: list[str] | None = None) -> int:
                 datasheet_markdown,
             )
 
-            spark = _spark(args)
+            spark = _spark(args, cfg)
             if not os.path.exists(args.path):
                 return EXIT_FILE_NOT_FOUND
             df = sources.read(spark, args.path)
@@ -986,7 +1008,7 @@ def main(argv: list[str] | None = None) -> int:
                 malformed_census,
             )
 
-            spark = _spark(args)
+            spark = _spark(args, cfg)
             if not os.path.exists(args.path):
                 return EXIT_FILE_NOT_FOUND
             df = sources.read(spark, args.path)
@@ -1043,7 +1065,7 @@ def main(argv: list[str] | None = None) -> int:
                 curation_funnel,
             )
 
-            spark = _spark(args)
+            spark = _spark(args, cfg)
             if not os.path.exists(args.path):
                 return EXIT_FILE_NOT_FOUND
             df = sources.read(spark, args.path)
@@ -1077,7 +1099,7 @@ def main(argv: list[str] | None = None) -> int:
 
             from data_profiler_spark.operators.curation import ngram_contamination
 
-            spark = _spark(args)
+            spark = _spark(args, cfg)
             for pth in (args.path, args.eval_path):
                 if not os.path.exists(pth):
                     print(f"not found: {pth}", file=sys.stderr)
@@ -1125,7 +1147,7 @@ def main(argv: list[str] | None = None) -> int:
                 scan_summary,
             )
 
-            spark = _spark(args)
+            spark = _spark(args, cfg)
             if not os.path.exists(args.path):
                 print(f"not found: {args.path}", file=sys.stderr)
                 return EXIT_FILE_NOT_FOUND
@@ -1182,7 +1204,7 @@ def main(argv: list[str] | None = None) -> int:
         if args.command == "split":
             from data_profiler_spark.operators.curation import deterministic_split
 
-            spark = _spark(args)
+            spark = _spark(args, cfg)
             if not os.path.exists(args.path):
                 return EXIT_FILE_NOT_FOUND
             try:
@@ -1212,7 +1234,7 @@ def main(argv: list[str] | None = None) -> int:
 
             from data_profiler_spark.operators.repo_assembly import repo_context
 
-            spark = _spark(args)
+            spark = _spark(args, cfg)
             if not os.path.exists(args.path):
                 return EXIT_FILE_NOT_FOUND
             df = sources.read(spark, args.path)
@@ -1246,7 +1268,7 @@ def main(argv: list[str] | None = None) -> int:
 
             from data_profiler_spark.operators.curation import fim_transform
 
-            spark = _spark(args)
+            spark = _spark(args, cfg)
             if not os.path.exists(args.path):
                 return EXIT_FILE_NOT_FOUND
             df = sources.read(spark, args.path)
@@ -1274,7 +1296,7 @@ def main(argv: list[str] | None = None) -> int:
             from data_profiler_spark.operators.curation import pack_sequences
             from data_profiler_spark.operators.text import bpe_token_count
 
-            spark = _spark(args)
+            spark = _spark(args, cfg)
             if not os.path.exists(args.path):
                 return EXIT_FILE_NOT_FOUND
             if bool(args.text_col) == bool(args.token_col):

@@ -24,7 +24,8 @@ class ProfileConfig:
 
 @dataclass
 class GroupingConfig:
-    max_groups: int = 100  # config default (CLI default is 10 — cli/main.py:290-295)
+    max_groups: int = 100  # reference config default (config/schema.py); an
+    # explicit `group --max-groups` flag still overrides this layer
     on_exceed: str = "warn"
     include_null_groups: bool = True
     stats_level: str = "count"

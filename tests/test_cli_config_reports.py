@@ -950,3 +950,21 @@ def test_cli_validate_checkpoint_dir_resumes(tmp_path, capsys):
         "--suite", str(suite2), "--checkpoint-dir", str(tmp_path / "ckpt2"),
     ])
     assert rc == EXIT_USAGE
+
+
+def test_cli_group_honors_config_file_settings(tmp_path, capsys):
+    """The H10 config layer reaches the group command for real: a
+    config-file max_groups trips the cardinality guard with no CLI flag
+    (both were previously parsed and then ignored)."""
+    import json as _json
+
+    cfgf = tmp_path / "cfg.json"
+    cfgf.write_text(_json.dumps({"grouping": {"max_groups": 3, "on_exceed": "skip"}}))
+    rc = main([
+        "--config", str(cfgf),
+        "group", "/root/testdata/sf0.001/orders.parquet",
+        "--by", "o_orderpriority",  # 5 distinct values > 3
+    ])
+    assert rc == EXIT_CARDINALITY
+    out = _json.loads(capsys.readouterr().out)
+    assert out["skipped"] is True

@@ -680,6 +680,49 @@ def main(argv: list[str] | None = None) -> int:
             if _unknown:
                 print(f"unknown check types in suite spec: {_unknown}", file=sys.stderr)
                 return EXIT_USAGE
+            # unknown KEYS are the same false-green class as unknown types:
+            # a typo'd threshold ("max_nul_ratio") silently reverts to its
+            # default and the suite validates nothing it claimed to
+            _top_known = {"checks", "uniqueness", "key_cols", "partition_col",
+                          "content_col"}
+            _top_bad = sorted(set(spec) - _top_known)
+            if _top_bad:
+                print(f"unknown top-level keys in suite spec: {_top_bad}",
+                      file=sys.stderr)
+                return EXIT_USAGE
+            _check_keys = {
+                "null_rate": {"column", "max_null_ratio"},
+                "range": {"column", "min", "max"},
+                "regex": {"column", "pattern"},
+                "membership": {"column", "allowed"},
+                "expression": {"predicate"},
+                "secret_free": {"column", "ruleset", "rules"},
+                "well_formed": {"column", "max_replacement_chars",
+                                "max_bracket_imbalance", "min_brackets"},
+                "drift": {"column", "group_by", "bucket_width", "baseline",
+                          "max_psi", "max_ks", "max_jsd", "max_w1",
+                          "categorical"},
+                "schema_compat": {"baseline"},
+                "profile_drift": {"baseline", "max_null_ratio_delta",
+                                  "max_unique_ratio_delta", "max_mean_rel_delta",
+                                  "max_row_count_rel_delta"},
+                "freshness": {"column", "max_age_seconds", "as_of"},
+                "schema": {"expected", "allow_extra"},
+                "sequence": {"group", "column", "start"},
+                "row_count": {"min_rows", "max_rows"},
+                "reconcile": {"agg", "column", "other_path", "other_agg",
+                              "other_column", "rel_tol"},
+            }
+            for c_spec in checks:
+                extra = sorted(
+                    set(c_spec) - _check_keys[c_spec["type"]] - {"type", "name", "where"}
+                )
+                if extra:
+                    print(
+                        f"unknown keys {extra} in {c_spec['type']} check spec",
+                        file=sys.stderr,
+                    )
+                    return EXIT_USAGE
             rec_specs = [s for s in checks if s["type"] == "reconcile"]
             suite = CheckSuite(
                 row_checks=[mk[s["type"]](s) for s in checks if s["type"] in mk],

@@ -968,3 +968,31 @@ def test_cli_group_honors_config_file_settings(tmp_path, capsys):
     assert rc == EXIT_CARDINALITY
     out = _json.loads(capsys.readouterr().out)
     assert out["skipped"] is True
+
+
+def test_cli_validate_rejects_unknown_spec_keys(tmp_path, capsys):
+    """A typo'd threshold key silently reverting to its default is the
+    same false-green class as a typo'd type — both exit 2 now."""
+    import json as _json
+
+    suite = tmp_path / "typo_key.json"
+    suite.write_text(_json.dumps({
+        "checks": [{"type": "null_rate", "column": "o_orderkey",
+                    "max_nul_ratio": 0.5}],  # typo'd threshold
+        "key_cols": ["o_orderkey"],
+    }))
+    rc = main([
+        "validate", "/root/testdata/sf0.001/orders.parquet", "--suite", str(suite),
+    ])
+    assert rc == EXIT_USAGE
+
+    suite2 = tmp_path / "typo_top.json"
+    suite2.write_text(_json.dumps({
+        "checks": [],
+        "uniquness": [["o_orderkey"]],  # typo'd family
+        "key_cols": ["o_orderkey"],
+    }))
+    rc = main([
+        "validate", "/root/testdata/sf0.001/orders.parquet", "--suite", str(suite2),
+    ])
+    assert rc == EXIT_USAGE

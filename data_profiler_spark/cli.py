@@ -839,6 +839,13 @@ def main(argv: list[str] | None = None) -> int:
                 except ValueError as e:
                     print(str(e), file=sys.stderr)
                     return EXIT_USAGE
+                if args.violations_out:
+                    print(
+                        "note: --violations-out is ignored under "
+                        "--checkpoint-dir; violation rows land under "
+                        f"{args.checkpoint_dir}/results/violations/",
+                        file=sys.stderr,
+                    )
                 res = cv.run(df)
                 summ = cv.summary()
                 payload = {

@@ -371,6 +371,31 @@ def build_audits(spark, sf):
         compression_ratio(docs, "text", ["doc_id"]), 0, True,
     )
 
+    # session-10 censuses: clone census shuffles (lang, md5) twice
+    # (fingerprint count + per-lang rollup); dependency census shuffles the
+    # distinct (id, eco, dep) then the (eco, dep) rollup; exact entropy
+    # shuffles (id, ch) counts then the per-id agg — content/text never
+    # crosses the wire in any of them (the normalization / extraction /
+    # char explode happen map-side before the first exchange)
+    from data_profiler_spark.operators.code_metrics import (
+        clone_census,
+        dependency_census,
+    )
+    from data_profiler_spark.operators.text import char_entropy_exact
+
+    audits["clone_census"] = (clone_census(code), 2, False)
+    manifests = docs.select(
+        "doc_id",
+        F.lit("requirements.txt").alias("path"),
+        F.col("text").alias("content"),
+    )
+    audits["dependency_census"] = (
+        dependency_census(manifests, ["doc_id"]), 2, False,
+    )
+    audits["char_entropy_exact"] = (
+        char_entropy_exact(docs, "doc_id", "text"), 2, False,
+    )
+
     # repo assembly + FIM (round-3 ninth session): fan-in pays key-only
     # exchanges (imports distinct, resolved distinct, per-file agg, per-repo
     # map agg) plus the repo-keyed join of the two repo-level frames; file

@@ -41,6 +41,10 @@ _EXT_FORMAT = {
     ".json": "json",
     ".jsonl": "json",
     ".ndjson": "json",
+    # beyond the reference (csv/parquet/json only): ORC is a first-class
+    # lake format Spark reads natively — footer stats, pushdown and column
+    # pruning work exactly as for parquet
+    ".orc": "orc",
 }
 
 # extension point mirroring ReaderFactory.register_reader (factory.py:58-66)
@@ -150,6 +154,8 @@ def read(
         df = _reinfer_string_columns(df)
     elif fmt == "parquet":
         df = spark.read.options(**{k: str(v) for k, v in options.items()}).parquet(path)
+    elif fmt == "orc":
+        df = spark.read.options(**{k: str(v) for k, v in options.items()}).orc(path)
     elif fmt == "json":
         multi = not is_jsonl(path)
         df = (

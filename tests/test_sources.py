@@ -227,3 +227,18 @@ def test_evolution_compatibility_iceberg_promotions():
         ),
     )
     assert ok["compatible"] is True and len(ok["changes"]) == 2
+
+
+def test_read_orc(spark, tmp_path):
+    """ORC rides the same dispatch as parquet (native Spark reader —
+    pushdown/pruning/footer stats included); the reference reads only
+    csv/parquet/json."""
+    from data_profiler_spark import sources
+
+    p = str(tmp_path / "t.orc")
+    spark.read.parquet("/root/testdata/sf0.001/nation.parquet").write.orc(p)
+    df = sources.read(spark, p)
+    assert df.count() == spark.read.parquet("/root/testdata/sf0.001/nation.parquet").count()
+    assert sources.detect_format(p) == "orc"
+    proj = sources.read(spark, p, columns=["n_name"])
+    assert proj.columns == ["n_name"]

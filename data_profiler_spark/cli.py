@@ -1105,6 +1105,11 @@ def main(argv: list[str] | None = None) -> int:
                         min_repos=args.min_repos,
                     ).orderBy(F.desc("n_copies"), "fp").limit(100).collect()
                 ]
+            if args.output in ("html", "html-ydata"):
+                from data_profiler_spark.html_report import code_census_report_html
+
+                _emit(args, code_census_report_html(rep))
+                return EXIT_OK
             _emit(args, json.dumps(rep, indent=2, sort_keys=True, default=str))
             return EXIT_OK
 

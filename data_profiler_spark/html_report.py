@@ -392,3 +392,46 @@ def validation_report_html(payload: dict) -> str:
             f"<code>{_esc(payload['violations_out'])}</code></p>"
         )
     return _page(f"Validation: {payload.get('source', '')}", "\n".join(body))
+
+
+def code_census_report_html(rep: dict) -> str:
+    """Standalone HTML for a `code-census` run — same dict as the JSON
+    mode. One summary card row, then one table per census section."""
+    wf = rep.get("well_formedness", [])
+    n_files = sum(r.get("n_files", 0) for r in wf)
+    n_malformed = sum(r.get("n_malformed", 0) for r in wf)
+    clones = rep.get("type2_clones", [])
+    n_clone_files = sum(r.get("clone_files", 0) for r in clones)
+    cards = [
+        ("files", f"{n_files:,}"),
+        ("languages", f"{len(wf):,}"),
+        ("malformed", f"{n_malformed:,}"),
+        ("type-2 clone files", f"{n_clone_files:,}"),
+        ("boilerplate fps", f"{len(rep.get('boilerplate', [])):,}"),
+        ("dependencies", f"{len(rep.get('dependencies', [])):,}"),
+    ]
+    body = [
+        "<h1>Code-corpus census</h1>"
+        f"<div class='src'>{_esc(rep.get('source', ''))}</div>",
+        _summary_cards(cards),
+    ]
+
+    def table(title: str, rows: list[dict]) -> None:
+        if not rows:
+            return
+        cols = list(rows[0].keys())
+        body.append(f"<h2>{_esc(title)}</h2><table><tr>"
+                    + "".join(f"<th>{_esc(c)}</th>" for c in cols) + "</tr>")
+        for r in rows[:100]:
+            body.append(
+                "<tr>" + "".join(f"<td>{_esc(r.get(c))}</td>" for c in cols) + "</tr>"
+            )
+        body.append("</table>")
+
+    table("Well-formedness", wf)
+    table("Complexity", rep.get("complexity", []))
+    table("Type-2 clones", clones)
+    table("Extension vs declared language", rep.get("lang_mismatch", []))
+    table("Dependencies (top)", rep.get("dependencies", []))
+    table("Cross-repo boilerplate (top)", rep.get("boilerplate", []))
+    return _page(f"Code census: {rep.get('source', '')}", "\n".join(body))

@@ -996,3 +996,21 @@ def test_cli_validate_rejects_unknown_spec_keys(tmp_path, capsys):
         "validate", "/root/testdata/sf0.001/orders.parquet", "--suite", str(suite2),
     ])
     assert rc == EXIT_USAGE
+
+
+def test_cli_code_census_html(spark, tmp_path, capsys):
+    import pandas as pd
+
+    data = tmp_path / "corpus_html.parquet"
+    pd.DataFrame(
+        {
+            "path": ["a.py", "b.py"],
+            "lang": ["python", "python"],
+            "content": ["x = 1\n", "y = 2\n"],
+        }
+    ).to_parquet(data)
+    rc = main(["--output", "html", "code-census", str(data)])
+    out = capsys.readouterr().out
+    assert rc == EXIT_OK
+    assert out.startswith("<!DOCTYPE html>")
+    assert "Code-corpus census" in out and "Type-2 clones" in out

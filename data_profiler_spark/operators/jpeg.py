@@ -462,13 +462,23 @@ class _ProgScanWriter:
         return bytes(self.bw.out)
 
 
-def _encode_dc_scan(coefs: list, cis: list, ah: int, al: int) -> bytes:
+def _emit_rst(bw: _BitWriter, n: int) -> None:
+    bw.flush()
+    bw.out += bytes([0xFF, 0xD0 + (n % 8)])
+
+
+def _encode_dc_scan(coefs: list, cis: list, ah: int, al: int, ri: int = 0) -> bytes:
     bw = _BitWriter()
     enc_dc = (_encode_table(*_DC_LUMA), _encode_table(*_DC_CHROMA))
     pred = {ci: 0 for ci in cis}
     bh, bwid = coefs[0].shape[:2]
+    count = 0
     for by in range(bh):
         for bx in range(bwid):
+            if ri and count and count % ri == 0:
+                _emit_rst(bw, count // ri - 1)
+                pred.update({ci: 0 for ci in cis})
+            count += 1
             for ci in cis:
                 v = int(coefs[ci][by, bx, 0]) >> al
                 if ah == 0:
@@ -484,11 +494,18 @@ def _encode_dc_scan(coefs: list, cis: list, ah: int, al: int) -> bytes:
     return bytes(bw.out)
 
 
-def _encode_ac_first_scan(blocks: np.ndarray, ss: int, se: int, al: int) -> bytes:
+def _encode_ac_first_scan(
+    blocks: np.ndarray, ss: int, se: int, al: int, ri: int = 0
+) -> bytes:
     w = _ProgScanWriter(_encode_table(_AC_PROG_FIRST_BITS, _AC_PROG_FIRST_VALS))
     bh, bwid = blocks.shape[:2]
+    count = 0
     for by in range(bh):
         for bx in range(bwid):
+            if ri and count and count % ri == 0:
+                w.flush_eobrun()
+                _emit_rst(w.bw, count // ri - 1)
+            count += 1
             band = blocks[by, bx]
             r = 0
             for k in range(ss, se + 1):
@@ -512,15 +529,22 @@ def _encode_ac_first_scan(blocks: np.ndarray, ss: int, se: int, al: int) -> byte
     return w.done()
 
 
-def _encode_ac_refine_scan(blocks: np.ndarray, ss: int, se: int, al: int) -> bytes:
+def _encode_ac_refine_scan(
+    blocks: np.ndarray, ss: int, se: int, al: int, ri: int = 0
+) -> bytes:
     """Mirror of G.1.2.3 refinement decoding: newly significant coefficients
     (abs>>Al == 1) code as (run, 1) + sign; already-significant ones append
     one correction bit, buffered until the next emitted symbol; trailing
     zeros fold into the EOB run with their buffered bits."""
     w = _ProgScanWriter(_encode_table(_AC_PROG_REFINE_BITS, _AC_PROG_REFINE_VALS))
     bh, bwid = blocks.shape[:2]
+    count = 0
     for by in range(bh):
         for bx in range(bwid):
+            if ri and count and count % ri == 0:
+                w.flush_eobrun()
+                _emit_rst(w.bw, count // ri - 1)
+            count += 1
             band = blocks[by, bx]
             absv = [abs(int(band[k])) >> al for k in range(64)]
             eob = ss - 1
@@ -559,7 +583,9 @@ def _encode_ac_refine_scan(blocks: np.ndarray, ss: int, se: int, al: int) -> byt
     return w.done()
 
 
-def encode_jpeg_progressive(pixels: np.ndarray, quality: int = 85) -> bytes:
+def encode_jpeg_progressive(
+    pixels: np.ndarray, quality: int = 85, restart_interval: int = 0
+) -> bytes:
     """(h, w, 3) uint8 RGB (or (h, w) grayscale) → progressive JFIF bytes
     (4:4:4, the default scan script above). Quantizes the SAME coefficients
     as the baseline encoder at equal quality, so decoding either container
@@ -602,17 +628,19 @@ def encode_jpeg_progressive(pixels: np.ndarray, quality: int = 85) -> bytes:
         (0x13, (_AC_PROG_REFINE_BITS, _AC_PROG_REFINE_VALS)),
     ):
         out += seg(0xC4, bytes([tc_th]) + bytes(bits) + bytes(vals))
+    if restart_interval:
+        out += seg(0xDD, struct.pack(">H", restart_interval))
     for cis, ss, se, ah, al in _PROG_SCRIPT:
         if ss == 0:
             comp_spec = b"".join(
                 bytes([ci + 1, (0x00 if ci == 0 else 0x10)]) for ci in cis
             )
-            entropy = _encode_dc_scan(coefs, cis, ah, al)
+            entropy = _encode_dc_scan(coefs, cis, ah, al, restart_interval)
         else:
             ta = 0x02 if ah == 0 else 0x03
             comp_spec = bytes([cis[0] + 1, ta])
             fn = _encode_ac_first_scan if ah == 0 else _encode_ac_refine_scan
-            entropy = fn(coefs[cis[0]], ss, se, al)
+            entropy = fn(coefs[cis[0]], ss, se, al, restart_interval)
         out += seg(
             0xDA,
             bytes([len(cis)]) + comp_spec + bytes([ss, se, (ah << 4) | al]),

@@ -258,3 +258,22 @@ def test_progressive_quality_sweep_and_grayscale():
         decode_jpeg(encode_jpeg(gray, quality=80, subsampling="4:4:4")),
         decode_jpeg(encode_jpeg_progressive(gray, quality=80)),
     )
+
+
+def test_progressive_restart_markers_roundtrip():
+    """Restart intervals in progressive scans (DRI + RSTn every Ri units,
+    predictor/EOB-run resets) decode bit-identically — the decoder's
+    progressive restart paths exercised end-to-end."""
+    import numpy as np
+
+    from data_profiler_spark.operators.jpeg import (
+        decode_jpeg,
+        encode_jpeg,
+        encode_jpeg_progressive,
+    )
+
+    px = _test_img(24, 24, seed=5)
+    base = decode_jpeg(encode_jpeg(px, quality=80, subsampling="4:4:4"))
+    b = encode_jpeg_progressive(px, quality=80, restart_interval=2)
+    assert b"\xff\xdd" in b and b"\xff\xd0" in b  # DRI + at least one RST0
+    assert np.array_equal(base, decode_jpeg(b))

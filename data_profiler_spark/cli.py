@@ -92,6 +92,21 @@ def build_parser() -> argparse.ArgumentParser:
     )
     psn.add_argument("--out", required=True)
 
+    ppub = sub.add_parser(
+        "publish",
+        help="validated publish: write to staging, run the suite over the "
+        "WRITTEN parquet, atomically promote to --out only on pass "
+        "(failing staging is left in place for forensics)",
+    )
+    ppub.add_argument("path")
+    ppub.add_argument("--suite", required=True, help="JSON suite spec file")
+    ppub.add_argument("--out", required=True)
+    ppub.add_argument("--partition-col", default=None)
+    ppub.add_argument(
+        "--partition-by", default=None,
+        help="comma-separated partition columns for the written layout",
+    )
+
     pv = sub.add_parser("validate", help="run a constraint suite from JSON spec")
     pv.add_argument("path")
     pv.add_argument("--suite", required=True, help="JSON suite spec file")
@@ -287,6 +302,57 @@ def _spark(args, cfg=None):
 
 def _emit(args, payload: str) -> None:
     sys.stdout.write(payload + "\n")
+
+
+
+def _row_check_builders():
+    """Spec type -> row-check constructor (shared by validate and publish)."""
+    from data_profiler_spark.operators.constraints import (
+        ExpressionCheck,
+        MembershipCheck,
+        NullRateCheck,
+        RangeCheck,
+        RegexCheck,
+        SecretFreeCheck,
+        WellFormedCheck,
+    )
+
+    return {
+        "null_rate": lambda s: NullRateCheck(
+            s["column"], s.get("max_null_ratio", 0.0),
+            s.get("name", ""), s.get("where", ""),
+        ),
+        "range": lambda s: RangeCheck(
+            s["column"], s.get("min"), s.get("max"),
+            s.get("name", ""), s.get("where", ""),
+        ),
+        "regex": lambda s: RegexCheck(
+            s["column"], s["pattern"], s.get("name", ""), s.get("where", ""),
+        ),
+        "membership": lambda s: MembershipCheck(
+            s["column"], tuple(s["allowed"]),
+            s.get("name", ""), s.get("where", ""),
+        ),
+        "expression": lambda s: ExpressionCheck(
+            s["predicate"], s.get("name", ""), s.get("where", ""),
+        ),
+        # {"type": "secret_free", "column", "ruleset": secrets|pii|all,
+        #  "rules": {name: pattern} override}
+        "secret_free": lambda s: SecretFreeCheck(
+            s["column"], s.get("ruleset", "all"),
+            tuple(sorted((s.get("rules") or {}).items())),
+            s.get("name", ""), s.get("where", ""),
+        ),
+        # {"type": "well_formed", "column", "max_replacement_chars",
+        #  "max_bracket_imbalance", "min_brackets"}
+        "well_formed": lambda s: WellFormedCheck(
+            s["column"],
+            int(s.get("max_replacement_chars", 0)),
+            float(s.get("max_bracket_imbalance", 0.2)),
+            int(s.get("min_brackets", 8)),
+            s.get("name", ""), s.get("where", ""),
+        ),
+    }
 
 
 def main(argv: list[str] | None = None) -> int:
@@ -537,6 +603,61 @@ def main(argv: list[str] | None = None) -> int:
             }, indent=2, sort_keys=True))
             return EXIT_OK
 
+        if args.command == "publish":
+            from data_profiler_spark.operators.constraints import (
+                CheckSuite,
+                UniquenessCheck,
+            )
+            from data_profiler_spark.publish import validated_publish
+
+            spark = _spark(args, cfg)
+            if not os.path.exists(args.path):
+                return EXIT_FILE_NOT_FOUND
+            if not os.path.exists(args.suite):
+                return EXIT_FILE_NOT_FOUND
+            with open(args.suite) as fh:
+                spec = json.load(fh)
+            mk = _row_check_builders()
+            bad = sorted({c["type"] for c in spec.get("checks", []) if c["type"] not in mk})
+            if bad:
+                print(
+                    f"publish gates on row checks + uniqueness; unsupported "
+                    f"types in spec: {bad} (validate baseline-dependent "
+                    "families separately before publishing)",
+                    file=sys.stderr,
+                )
+                return EXIT_USAGE
+            suite = CheckSuite(
+                row_checks=[mk[c["type"]](c) for c in spec.get("checks", [])],
+                uniqueness=[
+                    UniquenessCheck(tuple(u)) for u in spec.get("uniqueness", [])
+                ],
+            )
+            df = sources.read(spark, args.path)
+            from pyspark.sql import functions as F
+
+            part = args.partition_col or spec.get("partition_col") or df.columns[0]
+            try:
+                rep = validated_publish(
+                    df,
+                    suite,
+                    args.out,
+                    partition_col=F.pmod(F.hash(part), F.lit(64)),
+                    content_col=spec.get("content_col"),
+                    key_cols=spec.get("key_cols", []),
+                    write_partition_by=(
+                        args.partition_by.split(",") if args.partition_by else None
+                    ),
+                )
+            except ValueError as e:
+                print(str(e), file=sys.stderr)
+                return EXIT_USAGE
+            _emit(args, json.dumps(
+                {"report_type": "publish", "source": args.path, **rep},
+                indent=2, sort_keys=True, default=str,
+            ))
+            return EXIT_OK if rep["published"] else EXIT_ERROR
+
         if args.command == "validate":
             from pyspark.sql import functions as F
 
@@ -568,42 +689,7 @@ def main(argv: list[str] | None = None) -> int:
                 return EXIT_FILE_NOT_FOUND
             with open(args.suite) as fh:
                 spec = json.load(fh)
-            mk = {
-                "null_rate": lambda s: NullRateCheck(
-                    s["column"], s.get("max_null_ratio", 0.0),
-                    s.get("name", ""), s.get("where", ""),
-                ),
-                "range": lambda s: RangeCheck(
-                    s["column"], s.get("min"), s.get("max"),
-                    s.get("name", ""), s.get("where", ""),
-                ),
-                "regex": lambda s: RegexCheck(
-                    s["column"], s["pattern"], s.get("name", ""), s.get("where", ""),
-                ),
-                "membership": lambda s: MembershipCheck(
-                    s["column"], tuple(s["allowed"]),
-                    s.get("name", ""), s.get("where", ""),
-                ),
-                "expression": lambda s: ExpressionCheck(
-                    s["predicate"], s.get("name", ""), s.get("where", ""),
-                ),
-                # {"type": "secret_free", "column", "ruleset": secrets|pii|all,
-                #  "rules": {name: pattern} override}
-                "secret_free": lambda s: SecretFreeCheck(
-                    s["column"], s.get("ruleset", "all"),
-                    tuple(sorted((s.get("rules") or {}).items())),
-                    s.get("name", ""), s.get("where", ""),
-                ),
-                # {"type": "well_formed", "column", "max_replacement_chars",
-                #  "max_bracket_imbalance", "min_brackets"}
-                "well_formed": lambda s: WellFormedCheck(
-                    s["column"],
-                    int(s.get("max_replacement_chars", 0)),
-                    float(s.get("max_bracket_imbalance", 0.2)),
-                    int(s.get("min_brackets", 8)),
-                    s.get("name", ""), s.get("where", ""),
-                ),
-            }
+            mk = _row_check_builders()
             # drift spec: {"type": "drift", "column", "group_by", "bucket_width",
             #              "baseline": <parquet path of a histogram_snapshot>,
             #              "max_psi", "max_ks", "max_jsd", "max_w1"}

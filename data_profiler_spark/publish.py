@@ -1,0 +1,105 @@
+"""Validated publish — write, validate the WRITTEN bytes, then promote.
+
+The pipeline-gate pattern (Deequ's "verification before publish", dbt's
+build-then-test): downstream consumers must never observe a dataset that
+has not passed its constraint suite. The unit of atomicity is a
+DIRECTORY RENAME on the destination filesystem (atomic on HDFS within a
+directory; effectively atomic for local FS), so a reader either sees the
+previous state of ``dest`` or the fully-validated new one — never a
+half-written or failing dataset.
+
+Order matters and is the point of this module: the suite runs over the
+parquet AS WRITTEN to staging (re-read from disk), not over the input
+plan — a validation of the logical plan would miss writer-side issues
+(type coercions, partition pruning bugs, a truncated write). On failure
+the staging directory is LEFT IN PLACE for forensics and ``dest`` is
+untouched.
+
+Reference parity: the reference validates in place and has no publish
+step (core/profiler.py run loop); this is engine surface for the
+north-rule deployment story, sharing `run_suite` and the `_HadoopFS`
+rename primitive the checkpoint manifests already rely on.
+"""
+
+from __future__ import annotations
+
+import uuid
+
+from pyspark.sql import DataFrame
+
+from data_profiler_spark.checkpoint import _HadoopFS
+from data_profiler_spark.operators.constraints import CheckSuite, run_suite
+
+
+def validated_publish(
+    df: DataFrame,
+    suite: CheckSuite,
+    dest: str,
+    partition_col=None,
+    content_col: str | None = None,
+    key_cols: list[str] | None = None,
+    baselines: dict | None = None,
+    parents: dict | None = None,
+    write_partition_by: list[str] | None = None,
+) -> dict:
+    """Write ``df`` to ``<dest>.staging.<token>``, run ``suite`` over the
+    re-read staged parquet, and atomically rename it to ``dest`` iff every
+    verdict passes. Returns a report dict:
+
+        {"published": bool, "dest", "staging", "n_failed",
+         "failed": [...sample...], "n_duplicate_keys", "n_rows"}
+
+    ``dest`` must not already exist (publish is create-only — versioned
+    paths or an orchestrator-level swap handle republish). A failing suite
+    leaves staging in place and ``dest`` absent."""
+    from pyspark.sql import functions as F
+
+    spark = df.sparkSession
+    fs = _HadoopFS(spark, dest)
+    if fs.listdir(dest) or fs._fs.exists(fs._jpath(dest)):
+        raise ValueError(f"publish destination already exists: {dest}")
+    staging = f"{dest}.staging.{uuid.uuid4().hex[:8]}"
+
+    writer = df.write.mode("error")
+    if write_partition_by:
+        writer = writer.partitionBy(*write_partition_by)
+    writer.parquet(staging)
+
+    staged = spark.read.parquet(staging)
+    part = partition_col if partition_col is not None else F.lit(0)
+    out = run_suite(
+        staged,
+        suite,
+        partition_col=part,
+        content_col=content_col,
+        key_cols=key_cols,
+        baselines=baselines,
+        parents=parents,
+    )
+    verdicts = out["verdicts"].collect() if "verdicts" in out else []
+    failed = [r.asDict() for r in verdicts if not r["pass"]]
+    n_dup = out["uniqueness"].count() if "uniqueness" in out else 0
+    extra_failed: list[dict] = []
+    for fam in (
+        "drift", "freshness", "schema", "schema_compat", "profile_drift",
+        "row_count", "sequence", "reconciliation",
+    ):
+        if fam in out:
+            extra_failed += [
+                r.asDict() for r in out[fam].collect() if not r["pass"]
+            ]
+    ok = not (failed or extra_failed or n_dup)
+    report = {
+        "published": ok,
+        "dest": dest,
+        "staging": staging,
+        "n_rows": staged.count(),
+        "n_failed": len(failed) + len(extra_failed),
+        "failed": (failed + extra_failed)[:100],
+        "n_duplicate_keys": n_dup,
+    }
+    if ok:
+        if not fs._fs.rename(fs._jpath(staging), fs._jpath(dest)):
+            raise OSError(f"rename {staging} -> {dest} failed")
+        report["staging"] = None
+    return report

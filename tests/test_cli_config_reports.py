@@ -1014,3 +1014,51 @@ def test_cli_code_census_html(spark, tmp_path, capsys):
     assert rc == EXIT_OK
     assert out.startswith("<!DOCTYPE html>")
     assert "Code-corpus census" in out and "Type-2 clones" in out
+
+
+def test_cli_publish_gate(spark, tmp_path, capsys):
+    """Validated publish: a passing suite promotes staging to --out
+    atomically; a failing suite leaves --out absent and staging in place
+    for forensics; an existing destination is refused."""
+    import json as _json
+    import os as _os
+
+    ok_suite = tmp_path / "pub_ok.json"
+    ok_suite.write_text(_json.dumps({
+        "checks": [{"type": "range", "column": "o_totalprice", "min": 0.0}],
+        "uniqueness": [["o_orderkey"]],
+        "key_cols": ["o_orderkey"],
+    }))
+    dest = str(tmp_path / "published")
+    rc = main([
+        "publish", "/root/testdata/sf0.001/orders.parquet",
+        "--suite", str(ok_suite), "--out", dest,
+    ])
+    out = _json.loads(capsys.readouterr().out)
+    assert rc == EXIT_OK and out["published"] is True
+    assert _os.path.isdir(dest) and out["staging"] is None
+    assert spark.read.parquet(dest).count() == out["n_rows"]
+
+    # republishing over an existing dest is refused
+    rc = main([
+        "publish", "/root/testdata/sf0.001/orders.parquet",
+        "--suite", str(ok_suite), "--out", dest,
+    ])
+    capsys.readouterr()
+    assert rc == EXIT_USAGE
+
+    bad_suite = tmp_path / "pub_bad.json"
+    bad_suite.write_text(_json.dumps({
+        "checks": [{"type": "range", "column": "o_totalprice", "max": 0.0}],
+        "key_cols": ["o_orderkey"],
+    }))
+    dest2 = str(tmp_path / "published2")
+    rc = main([
+        "publish", "/root/testdata/sf0.001/orders.parquet",
+        "--suite", str(bad_suite), "--out", dest2,
+    ])
+    out = _json.loads(capsys.readouterr().out)
+    assert rc == EXIT_ERROR and out["published"] is False
+    assert not _os.path.exists(dest2)          # consumers never saw it
+    assert _os.path.isdir(out["staging"])      # forensics intact
+    assert out["n_failed"] > 0

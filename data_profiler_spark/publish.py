@@ -88,6 +88,10 @@ def validated_publish(
             extra_failed += [
                 r.asDict() for r in out[fam].collect() if not r["pass"]
             ]
+    if "referential" in out:  # verdict column is is_valid, not pass
+        extra_failed += [
+            r.asDict() for r in out["referential"].collect() if not r["is_valid"]
+        ]
     ok = not (failed or extra_failed or n_dup)
     report = {
         "published": ok,

@@ -315,3 +315,34 @@ def test_schema_compat_check_in_suite(spark, tmp_path):
     same = run_suite(old, suite, partition_col=F.lit(0), baselines={"base": old})
     only = same["schema_compat"].collect()
     assert len(only) == 1 and only[0]["change"] == "unchanged" and only[0]["pass"]
+
+
+def test_validated_publish_gates_on_referential(spark, tmp_path):
+    """A broken FK must block publish: the referential family's verdict
+    column is is_valid (not pass) and the gate must read it."""
+    from data_profiler_spark.operators.constraints import (
+        CheckSuite,
+        ReferentialCheck,
+    )
+    from data_profiler_spark.publish import validated_publish
+
+    child = spark.createDataFrame([(1, 10), (2, 99)], "id long, fk long")
+    parent = spark.createDataFrame([(10,)], "pk long")
+    suite = CheckSuite(
+        referential=[ReferentialCheck(("fk",), "parent", ("pk",), min_match_rate=0.99)]
+    )
+    dest = str(tmp_path / "pub_ref")
+    rep = validated_publish(
+        child, suite, dest, parents={"parent": (parent, ("pk",))}
+    )
+    assert rep["published"] is False and rep["n_failed"] == 1
+    import os as _os
+
+    assert not _os.path.exists(dest)
+
+    # with the orphan removed the same suite publishes
+    ok = validated_publish(
+        child.where("fk = 10"), suite, str(tmp_path / "pub_ref2"),
+        parents={"parent": (parent, ("pk",))},
+    )
+    assert ok["published"] is True

@@ -103,6 +103,7 @@ def main() -> int:
     runs: dict[str, list[float]] = {}
     loads: dict[str, list[float]] = {}
     errors: dict[str, str] = {}
+    quality: dict[str, dict] = {}
     only = {q for q in os.environ.get("SPARK_GRAFT_BENCH_ONLY", "").split(",") if q}
     for name, fn in BENCH_QUERIES.items():
         if only and name not in only:
@@ -113,12 +114,17 @@ def main() -> int:
             loads[name].append(round(os.getloadavg()[0], 2))
             t0 = time.perf_counter()
             try:
-                fn(spark, sf_dir, code_files)
+                ret = fn(spark, sf_dir, code_files)
             except Exception as exc:  # noqa: BLE001 — one bad query (or a
                 # transient disk-full on this shared box) must not void the
                 # whole artifact; the error is recorded and the suite goes on
                 errors[name] = f"{type(exc).__name__}: {exc}"[:500]
                 break
+            # queries may return quality metrics (pairs emitted, recall vs
+            # seeded ground truth) — deterministic across reps, so last wins;
+            # they belong IN the artifact, not on stderr (VERDICT r3 #3)
+            if isinstance(ret, dict) and ret:
+                quality[name] = ret
             runs[name].append(round(time.perf_counter() - t0, 4))
             # each run stands alone: operator-internal caches must not tax
             # or subsidize the runs/queries that follow
@@ -145,6 +151,8 @@ def main() -> int:
         "rows_validated_per_sec": round(n_code_rows / suite_sec, 1) if suite_sec else None,
         "cpus": cpus,
     }
+    if quality:
+        result["quality"] = quality
     if errors:
         result["errors"] = errors
     print(json.dumps(result))

@@ -217,11 +217,14 @@ def q_minhash_dedup_full(spark: SparkSession, sf_dir: str, code_files: str):
             f"truth_pairs={n_truth} recall={recall}",
             file=sys.stderr,
         )
+        # returned dict lands in the artifact's "quality" block (bench.py) —
+        # a wall time without its recall is not a defensible dedup number
+        return {"pairs_emitted": n_found, "truth_pairs": n_truth, "recall": recall}
     finally:
         found.unpersist()
 
 
-q_minhash_dedup_full.bench_reps = 1
+q_minhash_dedup_full.bench_reps = 2
 
 
 EMB_ROWS_PER_SF = 10_000_000  # sf0.1 ≡ 1M vectors, dim 64
@@ -643,6 +646,7 @@ def q_winnow_clones(spark: SparkSession, sf_dir: str, code_files: str):
     n = pairs.count()
     release_caches(spark)
     print(f"[bench] winnow_clones pairs_emitted={n}", file=sys.stderr)
+    return {"pairs_emitted": n}
 
 
 def q_bpe_train(spark: SparkSession, sf_dir: str, code_files: str):

@@ -75,17 +75,18 @@ def build_parser() -> argparse.ArgumentParser:
     psn.add_argument("--column", default=None)
     psn.add_argument("--group-by", default=None)
     psn.add_argument("--bucket-width", type=float, default=100.0)
-    psn.add_argument(
+    psn_mode = psn.add_mutually_exclusive_group()
+    psn_mode.add_argument(
         "--categorical", action="store_true",
         help="value-frequency snapshot (categorical drift) instead of a "
         "numeric histogram",
     )
-    psn.add_argument(
+    psn_mode.add_argument(
         "--schema", action="store_true",
         help="schema snapshot (zero-row parquet whose footer is the "
         "contract) for SchemaCompatCheck instead of a histogram",
     )
-    psn.add_argument(
+    psn_mode.add_argument(
         "--profile", action="store_true",
         help="column-profile snapshot (approx-mode profile_table parquet) "
         "for ProfileDriftCheck instead of a histogram",
@@ -303,6 +304,51 @@ def _spark(args, cfg=None):
 def _emit(args, payload: str) -> None:
     sys.stdout.write(payload + "\n")
 
+
+
+# suite-spec strictness (shared by validate and publish): a typo'd threshold
+# key ("max_nul_ratio") silently reverting to its default is the same
+# false-green class as a typo'd type — the suite validates nothing it claimed
+_SPEC_TOP_KEYS = {"checks", "uniqueness", "key_cols", "partition_col", "content_col"}
+_SPEC_CHECK_KEYS = {
+    "null_rate": {"column", "max_null_ratio"},
+    "range": {"column", "min", "max"},
+    "regex": {"column", "pattern"},
+    "membership": {"column", "allowed"},
+    "expression": {"predicate"},
+    "secret_free": {"column", "ruleset", "rules"},
+    "well_formed": {"column", "max_replacement_chars",
+                    "max_bracket_imbalance", "min_brackets"},
+    "drift": {"column", "group_by", "bucket_width", "baseline",
+              "max_psi", "max_ks", "max_jsd", "max_w1", "categorical"},
+    "schema_compat": {"baseline"},
+    "profile_drift": {"baseline", "max_null_ratio_delta",
+                      "max_unique_ratio_delta", "max_mean_rel_delta",
+                      "max_row_count_rel_delta"},
+    "freshness": {"column", "max_age_seconds", "as_of"},
+    "schema": {"expected", "allow_extra"},
+    "sequence": {"group", "column", "start"},
+    "row_count": {"min_rows", "max_rows"},
+    "reconcile": {"agg", "column", "other_path", "other_agg",
+                  "other_column", "rel_tol"},
+}
+
+
+def _spec_key_errors(spec: dict) -> list[str]:
+    """Unknown-key findings for a suite spec (unknown TYPES are the caller's
+    gate — each command accepts a different type subset)."""
+    errs = []
+    top_bad = sorted(set(spec) - _SPEC_TOP_KEYS)
+    if top_bad:
+        errs.append(f"unknown top-level keys in suite spec: {top_bad}")
+    for c_spec in spec.get("checks", []):
+        allowed = _SPEC_CHECK_KEYS.get(c_spec.get("type"))
+        if allowed is None:
+            continue
+        extra = sorted(set(c_spec) - allowed - {"type", "name", "where"})
+        if extra:
+            errs.append(f"unknown keys {extra} in {c_spec['type']} check spec")
+    return errs
 
 
 def _row_check_builders():
@@ -583,7 +629,12 @@ def main(argv: list[str] | None = None) -> int:
                 }, indent=2, sort_keys=True))
                 return EXIT_OK
             if not args.column:
-                print("snapshot needs --column (or --schema)", file=sys.stderr)
+                print(
+                    "snapshot needs --column for histogram/categorical "
+                    "baselines (or --schema / --profile for whole-table "
+                    "snapshots)",
+                    file=sys.stderr,
+                )
                 return EXIT_USAGE
             if args.categorical:
                 snap = frequency_snapshot(df, args.column, args.group_by)
@@ -626,6 +677,11 @@ def main(argv: list[str] | None = None) -> int:
                     "families separately before publishing)",
                     file=sys.stderr,
                 )
+                return EXIT_USAGE
+            _key_errs = _spec_key_errors(spec)
+            if _key_errs:
+                for _e in _key_errs:
+                    print(_e, file=sys.stderr)
                 return EXIT_USAGE
             suite = CheckSuite(
                 row_checks=[mk[c["type"]](c) for c in spec.get("checks", [])],
@@ -766,49 +822,12 @@ def main(argv: list[str] | None = None) -> int:
             if _unknown:
                 print(f"unknown check types in suite spec: {_unknown}", file=sys.stderr)
                 return EXIT_USAGE
-            # unknown KEYS are the same false-green class as unknown types:
-            # a typo'd threshold ("max_nul_ratio") silently reverts to its
-            # default and the suite validates nothing it claimed to
-            _top_known = {"checks", "uniqueness", "key_cols", "partition_col",
-                          "content_col"}
-            _top_bad = sorted(set(spec) - _top_known)
-            if _top_bad:
-                print(f"unknown top-level keys in suite spec: {_top_bad}",
-                      file=sys.stderr)
+            # unknown KEYS: shared strictness gate (see _spec_key_errors)
+            _key_errs = _spec_key_errors(spec)
+            if _key_errs:
+                for _e in _key_errs:
+                    print(_e, file=sys.stderr)
                 return EXIT_USAGE
-            _check_keys = {
-                "null_rate": {"column", "max_null_ratio"},
-                "range": {"column", "min", "max"},
-                "regex": {"column", "pattern"},
-                "membership": {"column", "allowed"},
-                "expression": {"predicate"},
-                "secret_free": {"column", "ruleset", "rules"},
-                "well_formed": {"column", "max_replacement_chars",
-                                "max_bracket_imbalance", "min_brackets"},
-                "drift": {"column", "group_by", "bucket_width", "baseline",
-                          "max_psi", "max_ks", "max_jsd", "max_w1",
-                          "categorical"},
-                "schema_compat": {"baseline"},
-                "profile_drift": {"baseline", "max_null_ratio_delta",
-                                  "max_unique_ratio_delta", "max_mean_rel_delta",
-                                  "max_row_count_rel_delta"},
-                "freshness": {"column", "max_age_seconds", "as_of"},
-                "schema": {"expected", "allow_extra"},
-                "sequence": {"group", "column", "start"},
-                "row_count": {"min_rows", "max_rows"},
-                "reconcile": {"agg", "column", "other_path", "other_agg",
-                              "other_column", "rel_tol"},
-            }
-            for c_spec in checks:
-                extra = sorted(
-                    set(c_spec) - _check_keys[c_spec["type"]] - {"type", "name", "where"}
-                )
-                if extra:
-                    print(
-                        f"unknown keys {extra} in {c_spec['type']} check spec",
-                        file=sys.stderr,
-                    )
-                    return EXIT_USAGE
             rec_specs = [s for s in checks if s["type"] == "reconcile"]
             suite = CheckSuite(
                 row_checks=[mk[s["type"]](s) for s in checks if s["type"] in mk],

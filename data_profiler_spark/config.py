@@ -25,8 +25,14 @@ class ProfileConfig:
 @dataclass
 class GroupingConfig:
     max_groups: int = 100  # reference config default (config/schema.py); an
-    # explicit `group --max-groups` flag still overrides this layer
-    on_exceed: str = "warn"
+    # explicit `group --max-groups` flag still overrides this layer.
+    # Intentional divergence: the reference CLI's argparse default (10) always
+    # clobbers its config layer (loader.py:283 — args.max_groups is never
+    # None), making config max_groups unreachable from the CLI; we keep the
+    # config layer reachable and default it to the reference's config value.
+    on_exceed: str = "skip"  # reference cardinality_action default
+    # (config/loader.py:335) — a bare invocation skips output on
+    # high-cardinality keys exactly like the reference
     include_null_groups: bool = True
     stats_level: str = "count"
     salted: bool = False

@@ -34,6 +34,7 @@ def pagerank(
     dst: str = "dst",
     damping: float = 0.85,
     iterations: int = 10,
+    deterministic: bool = False,
 ) -> DataFrame:
     """(node, rank) — PageRank with teleport ``1-damping``, ``iterations``
     fixed power-iteration rounds, uniform init. Parallel edges count with
@@ -48,12 +49,24 @@ def pagerank(
     dangling/N). ``localCheckpoint(eager)`` per round keeps the plan flat
     (10 rounds of lazy self-reference would otherwise double the DAG per
     round).
+
+    ``deterministic=True`` makes every float reduction an ORDERED left fold
+    (per-dst contributions sorted by src, dangling mass sorted by node, both
+    via sort_array + ``F.aggregate`` from 0.0) so the result is bit-identical
+    run to run and to any engine that folds the same IEEE doubles in the same
+    order — the property the driver's DuckDB hash oracle needs. Edges are
+    pre-aggregated to (src, dst, multiplicity) first, so per-dst groups are
+    node-count-sized, not edge-count-sized; use it for graphs whose node
+    count is aggregate-small (event-type graphs, per-language module
+    graphs), and the default partial-agg float sum for everything bigger.
     """
     if not 0.0 <= damping < 1.0:
         raise ValueError(f"damping must be in [0, 1) (got {damping})")
     if iterations < 1:
         raise ValueError(f"iterations must be >= 1 (got {iterations})")
     e = edges.select(F.col(src).alias("s"), F.col(dst).alias("d"))
+    if deterministic:
+        return _pagerank_ordered(e, damping, iterations)
     nodes = (
         e.select(F.col("s").alias("node"))
         .unionByName(e.select(F.col("d").alias("node")))
@@ -89,6 +102,77 @@ def pagerank(
             )
             .groupBy(F.col("d").alias("node"))
             .agg(F.sum("share").alias("contrib"))
+        )
+        ranks = (
+            base.join(contrib, "node", "left")
+            .join(F.broadcast(n_frame))
+            .join(F.broadcast(dangling))
+            .select(
+                "node",
+                "outdeg",
+                (
+                    (F.lit(1.0) - F.lit(damping)) / F.col("n")
+                    + F.lit(damping)
+                    * (
+                        F.coalesce(F.col("contrib"), F.lit(0.0))
+                        + F.col("dangling") / F.col("n")
+                    )
+                ).alias("rank"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    return ranks.select("node", "rank")
+
+
+def _pagerank_ordered(e: DataFrame, damping: float, iterations: int) -> DataFrame:
+    """Ordered-fold twin of the main loop (see ``deterministic=True``).
+
+    Float discipline, mirrored exactly by the DuckDB oracle in
+    queries_catalog.pagerank_event_transitions:
+      - edge multiplicities and out-degrees stay exact int64 until one final
+        cast to double
+      - per-edge contribution is ``rank / outdeg * cnt`` (left-assoc IEEE)
+      - per-dst sum is a left fold from literal 0.0 over contributions
+        sorted by src; dangling mass is the same fold sorted by node
+      - new rank is ``(1.0 - damping)/n + damping*(contrib + dangling/n)``
+        with (1.0 - damping) computed in double (0.85 → 0.15000000000000002)
+    """
+    e2 = e.groupBy("s", "d").agg(F.count(F.lit(1)).alias("cnt"))
+    nodes = (
+        e2.select(F.col("s").alias("node"))
+        .unionByName(e2.select(F.col("d").alias("node")))
+        .distinct()
+    )
+    outdeg = e2.groupBy(F.col("s").alias("node")).agg(F.sum("cnt").alias("outdeg"))
+    base = (
+        nodes.join(outdeg, "node", "left")
+        .select("node", F.coalesce("outdeg", F.lit(0)).alias("outdeg"))
+        .localCheckpoint(eager=True)
+    )
+    n_frame = base.agg(F.count(F.lit(1)).cast("double").alias("n")).localCheckpoint(
+        eager=True
+    )
+    e3 = (
+        e2.join(base.select(F.col("node").alias("s"), F.col("outdeg").alias("od")), "s")
+        .select("s", "d", F.col("cnt").cast("double").alias("cntd"),
+                F.col("od").cast("double").alias("outd"))
+        .localCheckpoint(eager=True)
+    )
+    ranks = base.join(F.broadcast(n_frame)).select(
+        "node", "outdeg", (F.lit(1.0) / F.col("n")).alias("rank")
+    )
+    fold = lambda arr, field: F.aggregate(  # noqa: E731
+        F.sort_array(arr), F.lit(0.0), lambda acc, x: acc + x[field]
+    )
+    for _ in range(iterations):
+        dangling = ranks.where(F.col("outdeg") == 0).agg(
+            fold(F.collect_list(F.struct("node", "rank")), "rank").alias("dangling")
+        )
+        contrib = (
+            e3.join(ranks.select(F.col("node").alias("s"), "rank"), "s")
+            .select("s", "d", (F.col("rank") / F.col("outd") * F.col("cntd")).alias("cv"))
+            .groupBy(F.col("d").alias("node"))
+            .agg(fold(F.collect_list(F.struct("s", "cv")), "cv").alias("contrib"))
         )
         ranks = (
             base.join(contrib, "node", "left")

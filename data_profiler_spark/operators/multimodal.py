@@ -10,14 +10,17 @@ Decode support is per-container-format, not all-or-nothing:
     rate; 24-bit uncompressed BMP (struct + numpy); PNG — 8/16-bit
     grayscale/RGB(A)/palette, sequential or Adam7-interlaced (stdlib
     ``zlib`` inflate + numpy reconstruction of all five scanline
-    filters); and baseline + progressive JPEG (numpy Huffman + IDCT
-    decoder, ``operators/jpeg.py``) — true dimensions, per-channel means,
-    nearest-neighbor resize with re-encode in the same container.
-  - CODEC-GATED: MP4/WebP/TIFF need libraries absent
-    from this container — those paths raise ``NotImplementedError`` (or
-    fall back to a clearly labeled deterministic fake for the feature
-    plumbing), and light up unchanged on a cluster image that ships
-    PIL/libvips/ffmpeg.
+    filters); baseline + progressive JPEG (numpy Huffman + IDCT
+    decoder, ``operators/jpeg.py``); and baseline TIFF — both byte
+    orders, uncompressed/PackBits/LZW strips, gray/RGB/palette at
+    1/4/8/16 bits, horizontal predictor (``operators/tiff.py``, r4) —
+    true dimensions, per-channel means, nearest-neighbor resize with
+    re-encode in the same container.
+  - CODEC-GATED: MP4 pixel decode, WebP, arithmetic JPEG and
+    tiled/JPEG-in-TIFF need libraries absent from this container — those
+    paths raise ``NotImplementedError`` (or fall back to a clearly
+    labeled deterministic fake for the feature plumbing), and light up
+    unchanged on a cluster image that ships PIL/libvips/ffmpeg.
 Everything Spark-side (schema, partitioning, UDF signature, batch shape)
 is real and tested either way.
 
@@ -377,11 +380,22 @@ def decode_png(b: bytes) -> np.ndarray:
 
 
 def decode_image(b: bytes) -> np.ndarray:
-    """Dispatch on container magic: BMP, PNG and baseline JPEG decode for
-    real (stdlib + numpy); other containers (e.g. WebP/TIFF) raise
-    NotImplementedError."""
+    """Dispatch on container magic: BMP, PNG, baseline JPEG and baseline
+    TIFF (uncompressed/PackBits/LZW strips — operators/tiff.py, r4) decode
+    for real (stdlib + numpy); remaining containers (WebP, arithmetic
+    JPEG, tiled/JPEG-in-TIFF) raise NotImplementedError — each needs a
+    codec library absent from this environment."""
     if b[:2] == b"BM":
         return decode_bmp(b)
+    if b[:4] in (b"II*\x00", b"MM\x00*"):
+        from data_profiler_spark.operators.tiff import decode_tiff
+
+        px = decode_tiff(b)
+        if px.shape[2] == 2:  # gray+alpha → drop alpha before promoting
+            px = px[:, :, :1]
+        if px.shape[2] == 1:
+            return np.repeat(px, 3, axis=2)
+        return px[:, :, :3]
     if b[:8] == _PNG_SIG:
         px = decode_png(b)
         if px.shape[2] == 2:  # gray+alpha → drop alpha before promoting
@@ -394,13 +408,19 @@ def decode_image(b: bytes) -> np.ndarray:
 
         return decode_jpeg(b)
     raise NotImplementedError(
-        "only BMP, PNG and baseline JPEG decode here — other containers "
-        "need a codec library (PIL/libvips) not present in this container"
+        "only BMP, PNG, baseline JPEG and baseline TIFF decode here — other "
+        "containers need a codec library (PIL/libvips) not present in this "
+        "container"
     )
 
 
 def _is_decodable_image(b: bytes) -> bool:
-    return b[:2] == b"BM" or b[:8] == _PNG_SIG or b[:2] == b"\xff\xd8"
+    return (
+        b[:2] == b"BM"
+        or b[:8] == _PNG_SIG
+        or b[:2] == b"\xff\xd8"
+        or b[:4] in (b"II*\x00", b"MM\x00*")
+    )
 
 
 def synth_media(spark: SparkSession, n_rows: int, seed: int = 42) -> DataFrame:
@@ -606,9 +626,10 @@ def image_features(df: DataFrame, batch_hint: int = 1024) -> DataFrame:
                 if _is_decodable_image(b):
                     # REAL decode: BMP (struct+numpy), PNG at every
                     # spec-legal depth incl. sub-8-bit and palette
-                    # (zlib+numpy), baseline JPEG (numpy huffman+IDCT).
+                    # (zlib+numpy), baseline JPEG (numpy huffman+IDCT),
+                    # baseline TIFF (none/PackBits/LZW strips).
                     # Matching magic does NOT guarantee a supported
-                    # sub-format (arithmetic-coded JPEG, top-down BMP) —
+                    # sub-format (arithmetic-coded JPEG, tiled TIFF) —
                     # at 100 TB one such payload must become a decoded=False
                     # row, never an aborted job.
                     try:
@@ -621,7 +642,7 @@ def image_features(df: DataFrame, batch_hint: int = 1024) -> DataFrame:
                     mr, mg, mb = (float(means[0]), float(means[1]), float(means[2]))
                     hgt, wid = pixels.shape[:2]
                 else:
-                    # codec-gated (WebP/TIFF/unsupported sub-format):
+                    # codec-gated (WebP/unsupported sub-format):
                     # deterministic fake keeps the plumbing testable;
                     # flagged decoded=False
                     pixels = _fake_decode(b, int(w), int(h))

@@ -56,12 +56,36 @@ class QualityModel:
         return QualityModel(d["dim"], d["weights"], d["bias"])
 
 
-def _featurize_batch(texts, dim: int):
+def _md5_hash_array(grams: list) -> "np.ndarray":
+    """int64 md5-prefix hash per gram (first 15 hex chars, always < 2^60) —
+    the hasher a SQL engine can reproduce (``conv(substr(md5(g),1,15),16,10)``).
+    Distinct-gram cache per batch; the scale path stays pd.util.hash_array."""
+    import hashlib
+
+    cache: dict = {}
+    out = np.empty(len(grams), dtype=np.int64)
+    for i, g in enumerate(grams):
+        h = cache.get(g)
+        if h is None:
+            h = int(hashlib.md5(g.encode("utf-8", "surrogatepass")).hexdigest()[:15], 16)
+            cache[g] = h
+        out[i] = h
+    return out
+
+
+def _featurize_batch(texts, dim: int, hasher: str = "pandas"):
     """(doc_ix, feat_idx, feat_val, n_docs) for one batch.
 
     Feature value is 1/n_tokens per occurrence (duplicates accumulate), so
     long spam doesn't dominate by length. Null/empty docs keep a row with no
-    features (they score sigmoid(bias))."""
+    features (they score sigmoid(bias)).
+
+    ``hasher="pandas"`` (default, scale path): siphash via pd.util.hash_array,
+    bigrams as a positional polynomial of adjacent token hashes.
+    ``hasher="md5"`` (oracle-twin path): md5-prefix hash of the gram string,
+    bigrams hashed as the literal "tok1 tok2" string — bit-reproducible by
+    DuckDB/Spark SQL, used to pin the Arrow path against the declarative twin.
+    """
     tok_lists = []
     for t in texts:
         tok_lists.append(t.split() if t is not None else [])
@@ -71,20 +95,30 @@ def _featurize_batch(texts, dim: int):
     if not flat:
         e = np.array([], dtype=np.int64)
         return e, e, np.array([], dtype=np.float64), n_docs
-    th = pd.util.hash_array(np.asarray(flat, dtype=object))
     doc_ix = np.repeat(np.arange(n_docs), lens)
-    # unigrams
-    uni_idx = (th % np.uint64(dim)).astype(np.int64)
-    uni_doc = doc_ix
-    # bigrams: positional polynomial of adjacent token hashes, boundary-masked
-    if len(th) >= 2:
-        big = th[:-1] * np.uint64(_BIGRAM_P) + th[1:]
-        valid = doc_ix[:-1] == doc_ix[1:]
-        big_idx = (big[valid] % np.uint64(dim)).astype(np.int64)
-        big_doc = doc_ix[:-1][valid]
+    if hasher == "md5":
+        th = _md5_hash_array(flat)
+        uni_idx = (th % dim).astype(np.int64)
+        valid = doc_ix[:-1] == doc_ix[1:] if len(flat) >= 2 else np.array([], bool)
+        pair_grams = [
+            f"{flat[i]} {flat[i + 1]}" for i in np.flatnonzero(valid)
+        ]
+        big_idx = (_md5_hash_array(pair_grams) % dim).astype(np.int64)
+        big_doc = doc_ix[:-1][valid] if len(flat) >= 2 else np.array([], np.int64)
     else:
-        big_idx = np.array([], dtype=np.int64)
-        big_doc = np.array([], dtype=np.int64)
+        th = pd.util.hash_array(np.asarray(flat, dtype=object))
+        # unigrams
+        uni_idx = (th % np.uint64(dim)).astype(np.int64)
+        # bigrams: positional polynomial of adjacent token hashes, boundary-masked
+        if len(th) >= 2:
+            big = th[:-1] * np.uint64(_BIGRAM_P) + th[1:]
+            valid = doc_ix[:-1] == doc_ix[1:]
+            big_idx = (big[valid] % np.uint64(dim)).astype(np.int64)
+            big_doc = doc_ix[:-1][valid]
+        else:
+            big_idx = np.array([], dtype=np.int64)
+            big_doc = np.array([], dtype=np.int64)
+    uni_doc = doc_ix
     idx = np.concatenate([uni_idx, big_idx])
     docs = np.concatenate([uni_doc, big_doc])
     vals = 1.0 / lens[docs]
@@ -156,17 +190,20 @@ def fit_quality_model(
 
 
 def score_quality(
-    df: DataFrame, id_col: str, text_col: str, model: QualityModel
+    df: DataFrame, id_col: str, text_col: str, model: QualityModel,
+    hasher: str = "pandas",
 ) -> DataFrame:
     """(id, model_quality) — sigmoid score in (0,1), one zero-shuffle Arrow
-    pass with the weights broadcast. Null text scores sigmoid(bias)."""
+    pass with the weights broadcast. Null text scores sigmoid(bias).
+    ``hasher="md5"`` switches to the SQL-reproducible featurizer (see
+    ``_featurize_batch``) for parity-pinning against ``score_hashed_linear``."""
     spark = df.sparkSession
     bc = spark.sparkContext.broadcast((model.weights, model.bias))
 
     def probe(batches):
         wv, bv = bc.value
         for pdf in batches:
-            docs, idx, vals, n_docs = _featurize_batch(pdf.iloc[:, 1], len(wv))
+            docs, idx, vals, n_docs = _featurize_batch(pdf.iloc[:, 1], len(wv), hasher)
             z = np.full(n_docs, bv, dtype=np.float64)
             np.add.at(z, docs, wv[idx] * vals)
             yield pd.DataFrame(
@@ -179,6 +216,82 @@ def score_quality(
     id_type = dict(df.dtypes)[id_col]
     return df.select(F.col(id_col), F.col(text_col)).mapInPandas(
         probe, schema=f"id {id_type}, model_quality double"
+    )
+
+
+def det_weight_model(dim: int) -> QualityModel:
+    """The deterministic hashed-linear model whose weight at index i is
+    ``(i % 2001 - 1000) / 1e4`` — a fixed, engine-reproducible function of
+    the feature index (no fit), used to externally verify the scoring plane:
+    any SQL engine that can md5 a gram can recompute every weight."""
+    idx = np.arange(dim, dtype=np.int64)
+    return QualityModel(dim=dim, weights=(idx % 2001 - 1000) / 1e4, bias=-0.25)
+
+
+def score_hashed_linear(
+    df: DataFrame, id_col: str, text_col: str, dim: int = 2**14
+) -> DataFrame:
+    """(id, n_tokens, n_features, weight_sum, logit) — the DECLARATIVE,
+    integer-exact twin of ``score_quality(model=det_weight_model(dim),
+    hasher="md5")``: one zero-shuffle codegen projection, no UDF.
+
+    Exactness design (what makes the DuckDB hash oracle bit-green): per-gram
+    weights are kept as exact int64 ``(md5_idx % dim) % 2001 - 1000`` and
+    summed as int64 (order-free), so the only float ops are the final
+    ``bias + weight_sum/1e4/n_tokens`` — two IEEE divisions and an add that
+    every engine rounds identically. The Arrow scale path (float-ordered
+    accumulation of w·1/n) is pinned to ``sigmoid(logit)`` within 1e-12 in
+    tests/test_quality_model.py. Feature semantics match _featurize_batch:
+    whitespace tokens, adjacent-pair bigrams, duplicates accumulate, empty/
+    null docs score bias alone."""
+    bias = det_weight_model(1).bias
+
+    def wsum(grams):
+        w = lambda g: (  # noqa: E731
+            F.conv(F.substring(F.md5(g), 1, 15), 16, 10).cast("long") % dim
+        ) % 2001 - 1000
+        return F.aggregate(
+            F.transform(grams, w), F.lit(0).cast("long"), lambda acc, x: acc + x
+        )
+
+    arr = F.filter(
+        F.split(F.trim(F.coalesce(F.col(text_col), F.lit(""))), r"\s+"),
+        lambda t: t != "",
+    )
+    n = F.size(arr)
+    bigrams = F.zip_with(
+        F.slice(arr, 1, F.greatest(n - 1, F.lit(0))),
+        F.slice(arr, 2, F.greatest(n - 1, F.lit(0))),
+        lambda a, b: F.concat_ws(" ", a, b),
+    )
+    out = df.select(
+        F.col(id_col),
+        arr.alias("arr"),
+        n.cast("long").alias("n_tokens"),
+        bigrams.alias("bigrams"),
+    ).select(
+        F.col(id_col),
+        "n_tokens",
+        (F.lit(2) * F.col("n_tokens") - F.lit(1))
+        .cast("long")
+        .alias("_nf_raw"),
+        (wsum(F.col("arr")) + wsum(F.col("bigrams"))).alias("weight_sum"),
+    )
+    return out.select(
+        F.col(id_col),
+        "n_tokens",
+        F.when(F.col("n_tokens") == 0, F.lit(0).cast("long"))
+        .otherwise(F.col("_nf_raw"))
+        .alias("n_features"),
+        "weight_sum",
+        F.when(F.col("n_tokens") == 0, F.lit(bias))
+        .otherwise(
+            F.lit(bias)
+            + F.col("weight_sum").cast("double")
+            / F.lit(10000.0)
+            / F.col("n_tokens").cast("double")
+        )
+        .alias("logit"),
     )
 
 

@@ -1,0 +1,375 @@
+"""Baseline TIFF 6.0 codec — stdlib + numpy, no image library.
+
+Closes the r3 codec gate's TIFF entry (VERDICT r3 #5): ``decode_tiff``
+handles the baseline profile a crawler actually meets in code repos —
+both byte orders (II/MM), single-IFD striped images, Compression 1
+(none), 32773 (PackBits) and 5 (TIFF-variant LZW, with the early
+code-width change and horizontal Predictor 2), Photometric 0/1
+(bilevel/gray at 1/4/8/16 bits), 2 (RGB/RGBA 8/16-bit) and 3 (palette
+via ColorMap), PlanarConfiguration 1 (chunky). ``encode_tiff`` writes
+the same profile so round-trip tests need no external fixtures —
+mirroring the PNG/JPEG codec posture (operators/multimodal.py,
+operators/jpeg.py).
+
+Out of scope (format-validation rejections, not stubs): tiled TIFFs,
+planar configuration 2, JPEG/Deflate-in-TIFF compression, floating-point
+samples. Each raises NotImplementedError naming the gate.
+
+Like the PNG path, 16-bit samples decode faithfully then reduce to their
+HIGH byte for the engine's uniform uint8 feature plane.
+
+Public spec: TIFF 6.0 (Adobe, 1992); PackBits = Apple RLE (TIFF 6.0
+§9); TIFF LZW = §13 incl. the early-change quirk.
+"""
+
+from __future__ import annotations
+
+import struct
+
+import numpy as np
+
+_TYPE_SIZE = {1: 1, 2: 1, 3: 2, 4: 4, 5: 8, 6: 1, 7: 1, 8: 2, 9: 4, 10: 8, 11: 4, 12: 8}
+
+
+def _read_entries(b: bytes, le: bool) -> dict[int, list[int]]:
+    e = "<" if le else ">"
+    (ifd_off,) = struct.unpack_from(e + "I", b, 4)
+    (n,) = struct.unpack_from(e + "H", b, ifd_off)
+    tags: dict[int, list[int]] = {}
+    for i in range(n):
+        off = ifd_off + 2 + 12 * i
+        tag, typ, count = struct.unpack_from(e + "HHI", b, off)
+        size = _TYPE_SIZE.get(typ, 1) * count
+        if size <= 4:
+            raw = b[off + 8 : off + 8 + size]
+        else:
+            (voff,) = struct.unpack_from(e + "I", b, off + 8)
+            raw = b[voff : voff + size]
+        if typ == 3:
+            vals = list(struct.unpack(e + f"{count}H", raw))
+        elif typ == 4:
+            vals = list(struct.unpack(e + f"{count}I", raw))
+        elif typ == 1:
+            vals = list(raw)
+        else:  # rationals etc. — none load-bearing for baseline decode
+            vals = []
+        tags[tag] = vals
+    return tags
+
+
+def _packbits_decode(buf: bytes, expected: int) -> bytes:
+    out = bytearray()
+    i, n = 0, len(buf)
+    while i < n and len(out) < expected:
+        c = buf[i]
+        i += 1
+        if c < 128:  # literal run of c+1 bytes
+            out += buf[i : i + c + 1]
+            i += c + 1
+        elif c > 128:  # repeat next byte 257-c times
+            out += buf[i : i + 1] * (257 - c)
+            i += 1
+        # c == 128: no-op
+    return bytes(out[:expected])
+
+
+def _packbits_encode(row: bytes) -> bytes:
+    """Greedy PackBits: replicate runs >= 3, literals otherwise."""
+    out = bytearray()
+    i, n = 0, len(row)
+    while i < n:
+        run = 1
+        while i + run < n and run < 128 and row[i + run] == row[i]:
+            run += 1
+        if run >= 3:
+            out += bytes([257 - run, row[i]])
+            i += run
+            continue
+        lit_start = i
+        i += run
+        while i < n and i - lit_start < 128:
+            run = 1
+            while i + run < n and run < 128 and row[i + run] == row[i]:
+                run += 1
+            if run >= 3:
+                break
+            i += run
+        # a 2-byte step can overshoot the 128-byte literal cap — 129
+        # literals would encode header byte 128, the PackBits NO-OP
+        if i - lit_start > 128:
+            i = lit_start + 128
+        out += bytes([i - lit_start - 1]) + row[lit_start:i]
+    return bytes(out)
+
+
+def _lzw_decode(buf: bytes) -> bytes:
+    """TIFF-variant LZW (spec §13): 8-bit data, Clear=256, EOI=257, code
+    width grows 9→12 ONE CODE EARLY (when the table holds 2^w - 1)."""
+    CLEAR, EOI = 256, 257
+    out = bytearray()
+    data = int.from_bytes(buf, "big")
+    nbits_total = len(buf) * 8
+    pos = 0
+    width = 9
+    table: list[bytes] = []
+    prev: bytes | None = None
+
+    def reset():
+        nonlocal table, width, prev
+        table = [bytes([i]) for i in range(256)] + [b"", b""]
+        width = 9
+        prev = None
+
+    reset()
+    while pos + width <= nbits_total:
+        shift = nbits_total - pos - width
+        code = (data >> shift) & ((1 << width) - 1)
+        pos += width
+        if code == CLEAR:
+            reset()
+            continue
+        if code == EOI:
+            break
+        if prev is None:
+            entry = table[code]
+        elif code < len(table):
+            entry = table[code]
+            table.append(prev + entry[:1])
+        elif code == len(table):  # KwKwK case
+            entry = prev + prev[:1]
+            table.append(entry)
+        else:
+            raise NotImplementedError("corrupt LZW stream: code beyond table")
+        out += entry
+        prev = entry
+        if len(table) == (1 << width) - 1 and width < 12:  # early change
+            width += 1
+    return bytes(out)
+
+
+def _lzw_encode(data: bytes) -> bytes:
+    """TIFF-variant LZW encoder (round-trip twin of ``_lzw_decode``)."""
+    CLEAR, EOI = 256, 257
+    out_bits: list[tuple[int, int]] = []  # (code, width)
+    table: dict[bytes, int] = {bytes([i]): i for i in range(256)}
+    next_code = 258
+    width = 9
+    out_bits.append((CLEAR, width))
+    w = b""
+    for byte in data:
+        c = bytes([byte])
+        if w + c in table:
+            w += c
+            continue
+        out_bits.append((table[w], width))
+        table[w + c] = next_code
+        next_code += 1
+        # the DECODER (spec early change) bumps width when ITS table
+        # reaches 2^w - 1; the decoder's table trails this encoder's by
+        # exactly one append (it adds nothing on the first data code), so
+        # the encoder bumps one entry later — when next_code hits 2^w
+        if next_code == (1 << width) and width < 12:
+            width += 1
+        if next_code > 4093:  # table nearly full: clear (spec-recommended)
+            out_bits.append((CLEAR, width))
+            table = {bytes([i]): i for i in range(256)}
+            next_code = 258
+            width = 9
+        w = c
+    if w:
+        out_bits.append((table[w], width))
+    out_bits.append((EOI, width))
+    acc = 0
+    nbits = 0
+    for code, cw in out_bits:
+        acc = (acc << cw) | code
+        nbits += cw
+    pad = (-nbits) % 8
+    acc <<= pad
+    return acc.to_bytes((nbits + pad) // 8, "big")
+
+
+def decode_tiff(b: bytes) -> np.ndarray:
+    """TIFF payload → (h, w, channels) uint8 (see module docstring for the
+    supported baseline profile)."""
+    if b[:4] not in (b"II*\x00", b"MM\x00*"):
+        raise NotImplementedError("not a TIFF payload")
+    le = b[:2] == b"II"
+    t = _read_entries(b, le)
+    if 322 in t or 323 in t:
+        raise NotImplementedError("tiled TIFF needs a codec library here")
+    if t.get(284, [1])[0] != 1:
+        raise NotImplementedError("planar configuration 2 not supported")
+    w = t[256][0]
+    h = t[257][0]
+    spp = t.get(277, [1])[0]
+    bits_list = t.get(258, [1] * spp) or [1] * spp
+    if len(set(bits_list)) != 1:
+        raise NotImplementedError("mixed per-sample bit depths")
+    bits = bits_list[0]
+    comp = t.get(259, [1])[0]
+    photo = t.get(262, [1])[0]
+    predictor = t.get(317, [1])[0]
+    offsets = t[273]
+    counts = t[279]
+    rows_per_strip = t.get(278, [h])[0] or h
+    if bits not in (1, 4, 8, 16):
+        raise NotImplementedError(f"{bits}-bit samples unsupported")
+    if photo not in (0, 1, 2, 3):
+        raise NotImplementedError(f"photometric {photo} unsupported")
+
+    row_bits = w * spp * bits
+    row_bytes = (row_bits + 7) // 8
+    raw = bytearray()
+    for si, (off, cnt) in enumerate(zip(offsets, counts)):
+        strip = bytes(b[off : off + cnt])
+        nrows = min(rows_per_strip, h - si * rows_per_strip)
+        if comp == 1:
+            raw += strip[: nrows * row_bytes]
+        elif comp == 32773:
+            raw += _packbits_decode(strip, nrows * row_bytes)
+        elif comp == 5:
+            raw += _lzw_decode(strip)[: nrows * row_bytes]
+        else:
+            raise NotImplementedError(
+                f"TIFF compression {comp} needs a codec library here"
+            )
+    arr8 = np.frombuffer(bytes(raw[: h * row_bytes]), dtype=np.uint8).reshape(
+        h, row_bytes
+    )
+    if bits == 8:
+        px = arr8.reshape(h, w, spp).copy()
+        if predictor == 2:
+            px = np.cumsum(px.astype(np.uint32), axis=1).astype(np.uint8)
+    elif bits == 16:
+        dt = "<u2" if le else ">u2"
+        px16 = (
+            np.frombuffer(bytes(raw[: h * row_bytes]), dtype=dt)
+            .reshape(h, w, spp)
+            .astype(np.uint16)
+        )
+        if predictor == 2:
+            px16 = np.cumsum(px16.astype(np.uint32), axis=1).astype(np.uint16)
+        px = (px16 >> 8).astype(np.uint8)
+    else:  # 1- or 4-bit: unpack MSB-first, one sample per element
+        if predictor == 2:
+            raise NotImplementedError("predictor 2 on sub-8-bit samples")
+        bits_arr = np.unpackbits(arr8, axis=1)[:, : w * spp * bits]
+        weights = (1 << np.arange(bits - 1, -1, -1)).astype(np.uint8)
+        px = (
+            (bits_arr.reshape(h, w * spp, bits) * weights).sum(axis=2)
+            .astype(np.uint8)
+            .reshape(h, w, spp)
+        )
+        # scale to full 8-bit range (1-bit: 0/255; 4-bit: x*17)
+        px = px * np.uint8(255 // ((1 << bits) - 1))
+    if photo == 0:  # WhiteIsZero → invert to the usual BlackIsZero plane
+        px = (255 - px.astype(np.int16)).astype(np.uint8)
+    if photo == 3:
+        cmap = t.get(320)
+        if not cmap:
+            raise NotImplementedError("palette TIFF missing ColorMap")
+        n = len(cmap) // 3
+        pal = (np.array(cmap, dtype=np.uint32).reshape(3, n).T >> 8).astype(np.uint8)
+        if bits not in (1, 4, 8):
+            raise NotImplementedError("palette depth must be 1/4/8 bits")
+        idx = px[:, :, 0]
+        if bits != 8:  # undo the range scaling applied above
+            idx = idx // np.uint8(255 // ((1 << bits) - 1))
+        return pal[idx]
+    return px
+
+
+def encode_tiff(
+    px: np.ndarray, compression: str = "none", predictor: bool = False
+) -> bytes:
+    """(h, w) or (h, w, ch) uint8 → little-endian single-strip-per-64-rows
+    baseline TIFF. ``compression``: none | packbits | lzw. ``predictor``
+    applies horizontal differencing (tag 317=2, LZW/none only)."""
+    if px.ndim == 2:
+        px = px[:, :, None]
+    h, w, spp = px.shape
+    photo = 1 if spp == 1 else 2
+    comp_tag = {"none": 1, "packbits": 32773, "lzw": 5}[compression]
+    rows_per_strip = 64
+    body = px
+    if predictor:
+        body = np.diff(
+            np.concatenate([np.zeros((h, 1, spp), px.dtype), px], axis=1).astype(
+                np.int16
+            ),
+            axis=1,
+        ).astype(np.uint8)
+    strips = []
+    for y0 in range(0, h, rows_per_strip):
+        chunk = body[y0 : y0 + rows_per_strip].tobytes()
+        if compression == "packbits":
+            chunk = _packbits_encode(chunk)
+        elif compression == "lzw":
+            chunk = _lzw_encode(chunk)
+        strips.append(chunk)
+
+    entries = []  # (tag, type, count, value_or_bytes)
+    n_strips = len(strips)
+
+    header_size = 8
+    # layout: header | strip data | [bits array if spp>2] | IFD
+    data_off = header_size
+    strip_offsets = []
+    pos = data_off
+    for s in strips:
+        strip_offsets.append(pos)
+        pos += len(s)
+    extra = b""
+    bits_off = None
+    if spp > 2:
+        bits_off = pos
+        extra = struct.pack(f"<{spp}H", *([8] * spp))
+        pos += len(extra)
+    ifd_off = pos
+
+    def entry(tag, typ, count, val):
+        return struct.pack("<HHI", tag, typ, count) + val
+
+    def short_val(v):
+        return struct.pack("<HH", v, 0)
+
+    def long_val(v):
+        return struct.pack("<I", v)
+
+    entries.append(entry(256, 4, 1, long_val(w)))
+    entries.append(entry(257, 4, 1, long_val(h)))
+    if spp > 2:
+        entries.append(entry(258, 3, spp, long_val(bits_off)))
+    else:
+        entries.append(entry(258, 3, spp, struct.pack("<HH", 8, 8 if spp == 2 else 0)))
+    entries.append(entry(259, 3, 1, short_val(comp_tag)))
+    entries.append(entry(262, 3, 1, short_val(photo)))
+    if n_strips == 1:
+        entries.append(entry(273, 4, 1, long_val(strip_offsets[0])))
+        entries.append(entry(279, 4, 1, long_val(len(strips[0]))))
+    else:
+        # offset arrays appended after the IFD
+        pass
+    entries.append(entry(277, 3, 1, short_val(spp)))
+    entries.append(entry(278, 4, 1, long_val(rows_per_strip)))
+    if predictor:
+        entries.append(entry(317, 3, 1, short_val(2)))
+
+    if n_strips > 1:
+        n_fixed = len(entries) + 2  # + the two strip-array entries
+        ifd_size = 2 + 12 * n_fixed + 4
+        arr1_off = ifd_off + ifd_size
+        arr2_off = arr1_off + 4 * n_strips
+        entries.append(entry(273, 4, n_strips, long_val(arr1_off)))
+        entries.append(entry(279, 4, n_strips, long_val(arr2_off)))
+        tail = struct.pack(f"<{n_strips}I", *strip_offsets) + struct.pack(
+            f"<{n_strips}I", *[len(s) for s in strips]
+        )
+    else:
+        tail = b""
+
+    entries.sort(key=lambda e: struct.unpack_from("<H", e)[0])
+    ifd = struct.pack("<H", len(entries)) + b"".join(entries) + struct.pack("<I", 0)
+    header = b"II*\x00" + struct.pack("<I", ifd_off)
+    return header + b"".join(strips) + extra + ifd + tail

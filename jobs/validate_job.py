@@ -104,8 +104,8 @@ def main() -> int:
     # entry must never be silent: table-level families warn, unknown types
     # are an error (a typo'd check that validates nothing is a false green).
     _TABLE_LEVEL = {
-        "drift", "freshness", "schema", "schema_compat", "row_count",
-        "sequence", "reconcile",
+        "drift", "freshness", "schema", "schema_compat", "profile_drift",
+        "row_count", "sequence", "reconcile",
     }
     skipped = [s["type"] for s in spec.get("checks", []) if s["type"] in _TABLE_LEVEL]
     unknown = sorted(

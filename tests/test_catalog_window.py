@@ -1,0 +1,45 @@
+"""Driver-gate window invariants (round 4 rotation).
+
+The external correctness gate checks exactly ``list(QUERIES)[:50]``; these
+pins make the rotation's guarantees explicit so a future registration or
+reorder cannot silently eject an entry from (or duplicate one into) the
+externally-verified window.
+"""
+
+from data_profiler_spark.queries_catalog import (
+    DRIVER_GATE_WINDOW,
+    ORACLES,
+    PRIOR_DRIVER_GATED,
+    QUERIES,
+    _R4_WINDOW,
+)
+
+
+def test_window_is_exactly_the_r4_list():
+    assert list(QUERIES)[:DRIVER_GATE_WINDOW] == _R4_WINDOW
+
+
+def test_window_entries_all_have_oracles():
+    head = list(QUERIES)[:DRIVER_GATE_WINDOW]
+    assert [k for k in head if k not in ORACLES] == []
+
+
+def test_window_spends_no_budget_on_prior_gated_entries():
+    head = set(list(QUERIES)[:DRIVER_GATE_WINDOW])
+    assert head & PRIOR_DRIVER_GATED == set()
+
+
+def test_rotation_loses_nothing_and_duplicates_nothing():
+    names = list(QUERIES)
+    assert len(names) == len(set(names))
+    # every oracle key still resolves to a registered query
+    assert set(ORACLES) <= set(names)
+    # prior-gated §2 surface is all still registered (stays covered by
+    # compare_oracle + test_oracle_dtypes behind the window)
+    assert PRIOR_DRIVER_GATED <= set(names)
+
+
+def test_newly_oracled_former_rows_only_entries_are_in_window():
+    head = list(QUERIES)[:DRIVER_GATE_WINDOW]
+    assert "pagerank_event_transitions" in head
+    assert "quality_model_scores_documents" in head

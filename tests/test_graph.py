@@ -49,6 +49,27 @@ def test_pagerank_all_dangling_uniform(spark):
     assert got["b"] == pytest.approx(got["c"], abs=1e-15)
 
 
+def test_pagerank_deterministic_matches_default_and_naive(spark):
+    # the ordered-fold twin (driver-oracle mode) computes the same ranks as
+    # both the float-sum production loop (to ulp accumulation) and the
+    # sequential naive reference — on the graph with every edge case the
+    # default-path test uses (dangling, self-loop, parallel edge)
+    edges = [
+        ("a", "b"), ("a", "c"), ("b", "c"), ("c", "a"),
+        ("d", "c"), ("e", "c"), ("f", "c"), ("c", "dangling"),
+        ("g", "g"), ("a", "b"),
+    ]
+    df = spark.createDataFrame(edges, "src string, dst string")
+    det = {r["node"]: r["rank"] for r in pagerank(df, deterministic=True).collect()}
+    want = _naive_pagerank(edges)
+    assert set(det) == set(want)
+    for k in want:
+        assert det[k] == pytest.approx(want[k], abs=1e-12), k
+    # bit-identical across runs (the property the hash oracle needs)
+    det2 = {r["node"]: r["rank"] for r in pagerank(df, deterministic=True).collect()}
+    assert det == det2
+
+
 def test_pagerank_validates_params(spark):
     df = spark.createDataFrame([("a", "b")], "src string, dst string")
     with pytest.raises(ValueError):

@@ -175,3 +175,63 @@ def test_unigram_lm_roundtrip_bytes(spark):
     m2 = UnigramLM.from_bytes(m.to_bytes())
     assert np.array_equal(m2.tokens, m.tokens) and np.array_equal(m2.logp, m.logp)
     assert m2.oov_logp == m.oov_logp and m2.total_tokens == m.total_tokens
+
+
+def test_score_hashed_linear_pins_arrow_md5_path(spark, documents):
+    """The declarative integer-exact twin (the driver-oracle form) and the
+    Arrow scale path given the SAME md5 featurizer + the deterministic
+    index-function weights must agree: sigmoid(twin logit) == Arrow
+    model_quality within float-accumulation-order tolerance."""
+    import math
+
+    from data_profiler_spark.operators.quality import (
+        det_weight_model,
+        score_hashed_linear,
+        score_quality,
+    )
+
+    dim = 2**14
+    twin = {
+        r["doc_id"]: r
+        for r in score_hashed_linear(documents, "doc_id", "text", dim=dim).collect()
+    }
+    arrow = {
+        r["id"]: r["model_quality"]
+        for r in score_quality(
+            documents, "doc_id", "text", det_weight_model(dim), hasher="md5"
+        ).collect()
+    }
+    assert set(twin) == set(arrow) and len(twin) > 0
+    for k, t in twin.items():
+        want = 1.0 / (1.0 + math.exp(-t["logit"]))
+        assert abs(arrow[k] - want) < 1e-12, k
+
+
+def test_score_hashed_linear_hand_computed(spark):
+    """Weights are a pure function of the md5 index — recompute one doc's
+    weight_sum in pure Python and pin n_tokens/n_features/logit."""
+    import hashlib
+
+    from data_profiler_spark.operators.quality import score_hashed_linear
+
+    dim = 2**14
+    text = "alpha beta alpha"
+    df = spark.createDataFrame([(1, text), (2, None), (3, "  ")],
+                               "doc_id long, text string")
+    got = {r["doc_id"]: r for r in
+           score_hashed_linear(df, "doc_id", "text", dim=dim).collect()}
+
+    def w(g):
+        return (int(hashlib.md5(g.encode()).hexdigest()[:15], 16) % dim) % 2001 - 1000
+
+    toks = text.split()
+    ws = sum(w(t) for t in toks) + sum(
+        w(f"{a} {b}") for a, b in zip(toks, toks[1:])
+    )
+    assert got[1]["n_tokens"] == 3 and got[1]["n_features"] == 5
+    assert got[1]["weight_sum"] == ws
+    assert got[1]["logit"] == -0.25 + ws / 10000.0 / 3.0
+    # null and whitespace-only docs: no features, logit == bias exactly
+    for k in (2, 3):
+        assert got[k]["n_tokens"] == 0 and got[k]["weight_sum"] == 0
+        assert got[k]["logit"] == -0.25

@@ -1,0 +1,152 @@
+"""Baseline TIFF codec (operators/tiff.py): byte-codec and image
+round-trips, spec edge cases, decode_image dispatch. Same posture as the
+PNG/JPEG codec tests — self-generated fixtures, no image library."""
+
+from __future__ import annotations
+
+import struct
+
+import numpy as np
+import pytest
+
+from data_profiler_spark.operators.tiff import (
+    _lzw_decode,
+    _lzw_encode,
+    _packbits_decode,
+    _packbits_encode,
+    decode_tiff,
+    encode_tiff,
+)
+
+RNG = np.random.default_rng(42)
+
+
+def test_packbits_roundtrip_and_cases():
+    cases = [
+        b"",
+        b"a" * 1000,  # long replicate runs (>128 chunking)
+        bytes(RNG.integers(0, 256, 4096, dtype=np.uint8)),  # literal-heavy
+        bytes(RNG.integers(0, 2, 4096, dtype=np.uint8)),  # short runs, the
+        # 2-byte-step overshoot that once emitted the 128 no-op header
+        b"ab" * 200,
+    ]
+    for data in cases:
+        assert _packbits_decode(_packbits_encode(data), len(data)) == data
+
+
+def test_lzw_roundtrip_incl_width_changes():
+    # > 254 distinct emissions forces the 9→10 bit early change; 20k of
+    # low-entropy bytes walks through 10→11→12 and a table clear
+    cases = [
+        b"",
+        b"TOBEORNOTTOBEORTOBEORNOT",  # classic KwKwK exercise
+        bytes(RNG.integers(0, 256, 3000, dtype=np.uint8)),
+        bytes(RNG.integers(0, 5, 60000, dtype=np.uint8)),
+    ]
+    for data in cases:
+        assert _lzw_decode(_lzw_encode(data)) == data
+
+
+@pytest.mark.parametrize("comp", ["none", "packbits", "lzw"])
+@pytest.mark.parametrize("ch", [1, 3])
+def test_image_roundtrip(comp, ch):
+    for shape in [(1, 1), (64, 64), (130, 65)]:  # single + multi strip
+        px = RNG.integers(0, 256, (*shape, ch), dtype=np.uint8)
+        got = decode_tiff(encode_tiff(px, compression=comp))
+        assert got.shape == px.shape
+        assert np.array_equal(got, px)
+
+
+@pytest.mark.parametrize("comp", ["none", "lzw"])
+def test_horizontal_predictor_roundtrip(comp):
+    px = RNG.integers(0, 256, (70, 40, 3), dtype=np.uint8)
+    b = encode_tiff(px, compression=comp, predictor=True)
+    assert np.array_equal(decode_tiff(b), px)
+
+
+def test_big_endian_and_bilevel_and_palette():
+    # hand-built MM (big-endian) 2x2 8-bit grayscale, uncompressed
+    w = h = 2
+    pix = bytes([0, 64, 128, 255])
+    ifd_off = 8 + len(pix)
+    entries = [
+        (256, 3, 1, w << 16), (257, 3, 1, h << 16), (258, 3, 1, 8 << 16),
+        (259, 3, 1, 1 << 16), (262, 3, 1, 1 << 16), (273, 4, 1, 8),
+        (277, 3, 1, 1 << 16), (278, 4, 1, h), (279, 4, 1, len(pix)),
+    ]
+    ifd = struct.pack(">H", len(entries))
+    for tag, typ, cnt, val in entries:
+        ifd += struct.pack(">HHII", tag, typ, cnt, val)
+    ifd += struct.pack(">I", 0)
+    b = b"MM\x00*" + struct.pack(">I", ifd_off) + pix + ifd
+    got = decode_tiff(b)
+    assert got.shape == (2, 2, 1)
+    assert got.flatten().tolist() == [0, 64, 128, 255]
+
+    # bilevel WhiteIsZero (photometric 0): 1-bit samples invert
+    entries_bl = [e for e in entries]
+    entries_bl[2] = (258, 3, 1, 1 << 16)  # 1 bit
+    entries_bl[4] = (262, 3, 1, 0)  # WhiteIsZero
+    entries_bl[8] = (279, 4, 1, 2)
+    pix_bl = bytes([0b01000000, 0b10000000])  # rows: [0,1] / [1,0]
+    ifd2 = struct.pack(">H", len(entries_bl))
+    for tag, typ, cnt, val in entries_bl:
+        ifd2 += struct.pack(">HHII", tag, typ, cnt, val)
+    ifd2 += struct.pack(">I", 0)
+    b2 = b"MM\x00*" + struct.pack(">I", 8 + len(pix_bl)) + pix_bl + ifd2
+    got2 = decode_tiff(b2)
+    # WhiteIsZero: sample 0 → white (255), sample 1 (scaled 255) → 0
+    assert got2.flatten().tolist() == [255, 0, 0, 255]
+
+
+def test_sixteen_bit_reduces_to_high_byte():
+    w = h = 2
+    vals = [0, 0x1234, 0x8000, 0xFFFF]
+    pix = struct.pack("<4H", *vals)
+    ifd_off = 8 + len(pix)
+    entries = [
+        (256, 3, 1, w), (257, 3, 1, h), (258, 3, 1, 16), (259, 3, 1, 1),
+        (262, 3, 1, 1), (273, 4, 1, 8), (277, 3, 1, 1), (278, 4, 1, h),
+        (279, 4, 1, len(pix)),
+    ]
+    ifd = struct.pack("<H", len(entries))
+    for tag, typ, cnt, val in entries:
+        ifd += struct.pack("<HHII", tag, typ, cnt, val)
+    ifd += struct.pack("<I", 0)
+    b = b"II*\x00" + struct.pack("<I", ifd_off) + pix + ifd
+    got = decode_tiff(b)
+    assert got.flatten().tolist() == [v >> 8 for v in vals]
+
+
+def test_unsupported_subformats_raise_not_implemented():
+    px = RNG.integers(0, 256, (4, 4, 1), dtype=np.uint8)
+    good = bytearray(encode_tiff(px))
+    with pytest.raises(NotImplementedError):
+        decode_tiff(b"RIFF....WEBP")
+    # flip the compression tag to Deflate (8): format-validation rejection
+    import re
+
+    b = bytes(good)
+    # compression entry: tag 259 little-endian in the IFD
+    i = b.find(struct.pack("<HH", 259, 3))
+    assert i > 0
+    bad = b[: i + 8] + struct.pack("<HH", 8, 0) + b[i + 12 :]
+    with pytest.raises(NotImplementedError):
+        decode_tiff(bad)
+    assert re is not None  # keep import local-use explicit
+
+
+def test_decode_image_dispatches_tiff():
+    from data_profiler_spark.operators.multimodal import (
+        _is_decodable_image,
+        decode_image,
+    )
+
+    px = RNG.integers(0, 256, (6, 5, 3), dtype=np.uint8)
+    b = encode_tiff(px, compression="lzw")
+    assert _is_decodable_image(b)
+    assert np.array_equal(decode_image(b), px)
+    gray = RNG.integers(0, 256, (6, 5, 1), dtype=np.uint8)
+    got = decode_image(encode_tiff(gray, compression="packbits"))
+    assert got.shape == (6, 5, 3)  # gray promoted to the uniform RGB plane
+    assert np.array_equal(got[:, :, 0:1], gray)

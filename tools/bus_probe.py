@@ -1,0 +1,90 @@
+#!/usr/bin/env python
+"""STREAM-triad-style memory-bandwidth probe: quantifies the single-box
+ceiling that bends the 32-thread leg of the scaling bench (VERDICT r3 #2).
+
+Runs ``a[:] = b + s*c`` (the STREAM triad) in W concurrent PROCESSES
+(numpy releases the GIL, but separate processes also rule out allocator /
+refcount contention), arrays sized far beyond LLC so every element streams
+from DRAM. Reports aggregate GB/s at each width. STREAM convention: 3
+moved bytes per element per pass (read b, read c, write a); with
+write-allocate traffic real DRAM bytes are ~4/3 higher — the CONVENTION is
+fine because the scaling argument only needs the RATIO between widths:
+if aggregate GB/s stops growing between 16 and 32 threads, a 32-thread
+leg of any bandwidth-bound job cannot scale past the bus no matter how
+parallel the plan is, while a real 4N-executor cluster brings 4 separate
+buses.
+
+Usage: python tools/bus_probe.py [widths...]   (default: 1 8 16 32)
+Prints one JSON line:
+  {"metric": "stream_triad_GBps", "widths": {"1": ..., "8": ...},
+   "elems_per_proc": N, "reps": R, "loadavg_before": L}
+"""
+
+from __future__ import annotations
+
+import json
+import multiprocessing as mp
+import os
+import sys
+import time
+
+ELEMS = int(os.environ.get("BUS_PROBE_ELEMS", 4_000_000))  # 3×30.5 MB/proc
+REPS = int(os.environ.get("BUS_PROBE_REPS", 12))
+
+
+def _triad_worker(width_barrier, out_q, elems: int, reps: int) -> None:
+    import numpy as np
+
+    rng = np.random.default_rng(0)
+    b = rng.random(elems)
+    c = rng.random(elems)
+    a = np.empty_like(b)
+    s = 3.0
+    # warm-up pass: page-touch all three arrays before the timed window
+    np.add(b, s * c, out=a)
+    width_barrier.wait()
+    t0 = time.perf_counter()
+    for _ in range(reps):
+        np.add(b, s * c, out=a)  # a = b + s*c, no temporaries beyond s*c
+    dt = time.perf_counter() - t0
+    out_q.put(dt)
+
+
+def measure(width: int, elems: int = ELEMS, reps: int = REPS) -> float:
+    """Aggregate triad GB/s with ``width`` concurrent worker processes."""
+    barrier = mp.Barrier(width)
+    q: mp.Queue = mp.Queue()
+    procs = [
+        mp.Process(target=_triad_worker, args=(barrier, q, elems, reps))
+        for _ in range(width)
+    ]
+    for p in procs:
+        p.start()
+    durations = [q.get() for _ in procs]
+    for p in procs:
+        p.join()
+    # aggregate rate over the window in which ALL streams were active:
+    # bytes moved by everyone / slowest worker's duration (the barrier
+    # aligns starts, so the slowest duration spans the contended window)
+    total_bytes = 3 * 8 * elems * reps * width
+    return total_bytes / max(durations) / 1e9
+
+
+def main() -> int:
+    widths = [int(x) for x in sys.argv[1:]] or [1, 8, 16, 32]
+    load = round(os.getloadavg()[0], 2)
+    result = {
+        "metric": "stream_triad_GBps",
+        "widths": {},
+        "elems_per_proc": ELEMS,
+        "reps": REPS,
+        "loadavg_before": load,
+    }
+    for w in widths:
+        result["widths"][str(w)] = round(measure(w), 2)
+    print(json.dumps(result))
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

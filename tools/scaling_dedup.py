@@ -1,19 +1,27 @@
 #!/usr/bin/env python
-"""Scaling-efficiency evidence for the DEDUP plane: the paragraph-level
-exact dedup (the heaviest text-shuffling operator) at N vs 4N parallelism
+"""Scaling-efficiency evidence for the DEDUP plane at N vs 4N parallelism
 on identical input, fresh JVM per leg, with the same corruption guards as
 tools/scaling_bench.py (settle-before-leg, idle requirement, 4N-faster and
 efficiency<=1.05 plausibility, bit-identical output fingerprints).
 
+Two operators (VERDICT r3 #6 added the second):
+  default            — paragraph-level exact dedup (the heaviest
+                       text-shuffling operator)
+  SCALING_OP=minhash — MinHash+LSH near-dup pair mining over the seeded
+                       2%-twin corpus, with RECALL vs ground truth asserted
+                       EQUAL across widths (the LSH plane's analogue of the
+                       bit-identical-output invariant) plus an exact
+                       pair-set fingerprint
+
 Usage:
-  python tools/scaling_dedup.py [n_rows]          # orchestrate both legs
-  python tools/scaling_dedup.py --leg CPUS PATH   # one leg (internal)
+  python tools/scaling_dedup.py [n_rows]             # orchestrate both legs
+  python tools/scaling_dedup.py --leg CPUS PATH      # one paragraph leg
+  python tools/scaling_dedup.py --leg-minhash CPUS CORPUS TRUTH
 
 The fingerprint is order-independent and content-exact: row count plus the
-exact integer sum of xxhash64(id, text) over the deduplicated output
-(decimal(38,0) accumulation — no overflow, no float). The north-rule
-invariant transfers: the same input must produce the same surviving
-paragraphs at every cluster size.
+exact integer sum of xxhash64 over the output rows (decimal(38,0)
+accumulation — no overflow, no float). The north-rule invariant transfers:
+the same input must produce the same output set at every cluster size.
 """
 
 from __future__ import annotations
@@ -87,17 +95,104 @@ def leg(cpus: int, code_files: str) -> int:
     return 0
 
 
+def leg_minhash(cpus: int, corpus: str, truth_path: str) -> int:
+    """One minhash-LSH leg: near-dup pairs over the seeded corpus, recall
+    vs ground truth, exact pair-set fingerprint. Same tmpfs-shuffle and
+    warm-up methodology as the paragraph leg."""
+    os.environ.setdefault("SPARK_GRAFT_PRETOUCH", "1")
+    from pyspark.sql import functions as F
+
+    from data_profiler_spark import get_spark
+    from data_profiler_spark.operators.dedup import (
+        minhash_near_duplicates,
+        release_caches,
+    )
+
+    spark = get_spark(
+        app_name=f"scaling-minhash[{cpus}]",
+        master=f"local[{cpus}]",
+        shuffle_partitions=max(cpus, 8),
+        extra_conf={
+            "spark.ui.showConsoleProgress": "false",
+            "spark.local.dir": f"/dev/shm/spark_scaling_dedup_{cpus}",
+        },
+    )
+    df = spark.read.parquet(corpus)
+    n_rows = df.count()
+    truth = spark.read.parquet(truth_path)
+    n_truth = truth.count()
+
+    def pairs_of(frame):
+        p = minhash_near_duplicates(frame, "doc_id", "text", k=3, threshold=0.5)
+        return p.select(
+            F.least("id_a", "id_b").alias("doc_id_a"),
+            F.greatest("id_a", "id_b").alias("doc_id_b"),
+        ).distinct()
+
+    # untimed warm-up on a slice: codegen compile + JIT paid up front
+    pairs_of(df.limit(50_000)).count()
+    release_caches(spark)
+    t0 = time.monotonic()
+    found = pairs_of(df)
+    fp = found.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.xxhash64("doc_id_a", "doc_id_b").cast("decimal(38,0)")).alias("h"),
+    ).collect()[0]
+    sec = time.monotonic() - t0
+    hits = found.join(
+        F.broadcast(truth), ["doc_id_a", "doc_id_b"], "left_semi"
+    ).count()  # untimed: recall audit, not operator cost
+    print(
+        json.dumps(
+            {
+                "cpus": cpus,
+                "rows": n_rows,
+                "sec": round(sec, 4),
+                "rows_per_sec": round(n_rows / sec, 1),
+                "out_rows": fp["n"],
+                "fingerprint": str(fp["h"]),
+                "truth_pairs": n_truth,
+                "recall": round(hits / n_truth, 4) if n_truth else None,
+            }
+        )
+    )
+    spark.stop()
+    return 0
+
+
 def main() -> int:
     if len(sys.argv) > 1 and sys.argv[1] == "--leg":
         return leg(int(sys.argv[2]), sys.argv[3])
+    if len(sys.argv) > 1 and sys.argv[1] == "--leg-minhash":
+        return leg_minhash(int(sys.argv[2]), sys.argv[3], sys.argv[4])
 
     from tools.scaling_bench import _ensure_input, _settle
 
-    n_rows = int(sys.argv[1]) if len(sys.argv) > 1 else 4_800_000
+    minhash_mode = os.environ.get("SCALING_OP") == "minhash"
+    n_rows = int(sys.argv[1]) if len(sys.argv) > 1 else (
+        600_000 if minhash_mode else 4_800_000
+    )
     lo_cpus = int(os.environ.get("SCALING_N", "8"))
     hi_cpus = 4 * lo_cpus
-    code_files, _ = _ensure_input(n_rows)
     max_load = float(os.environ.get("SCALING_MAX_LOAD", "3.0"))
+    if minhash_mode:
+        # seeded 2%-twin corpus + ground truth (bench_queries synthesizes
+        # and caches them; requires a one-off spark boot if absent)
+        corpus = f"/tmp/spark_graft_bench/neardup_{n_rows}.parquet"
+        truth = f"/tmp/spark_graft_bench/neardup_truth_{n_rows}.parquet"
+        if not (os.path.exists(corpus) and os.path.exists(truth)):
+            from data_profiler_spark import get_spark
+            from data_profiler_spark.bench_queries import ensure_bench_neardup_corpus
+
+            spark = get_spark(app_name="gen", master="local[16]")
+            ensure_bench_neardup_corpus(
+                spark, f"/tmp/spark_graft_bench/code_files_{n_rows}.parquet"
+            )
+            spark.stop()
+        leg_args = lambda cpus: ["--leg-minhash", str(cpus), corpus, truth]  # noqa: E731
+    else:
+        code_files, _ = _ensure_input(n_rows)
+        leg_args = lambda cpus: ["--leg", str(cpus), code_files]  # noqa: E731
 
     # min-of-k fresh-JVM reps per leg: external tenant load on this box can
     # only SLOW a leg, so the fastest rep is the least-contaminated sample
@@ -110,7 +205,7 @@ def main() -> int:
         for _ in range(reps):
             load_before = _settle(max_load)
             out = subprocess.run(
-                [sys.executable, os.path.abspath(__file__), "--leg", str(cpus), code_files],
+                [sys.executable, os.path.abspath(__file__), *leg_args(cpus)],
                 capture_output=True, text=True, timeout=3000, check=True,
             )
             r = json.loads(out.stdout.strip().splitlines()[-1])
@@ -125,7 +220,11 @@ def main() -> int:
     lo, hi = legs[lo_cpus], legs[hi_cpus]
     eff = (hi["rows_per_sec"] / lo["rows_per_sec"]) / (hi_cpus / lo_cpus)
     result = {
-        "metric": "scaling_efficiency_paragraph_dedup",
+        "metric": (
+            "scaling_efficiency_minhash_lsh"
+            if minhash_mode
+            else "scaling_efficiency_paragraph_dedup"
+        ),
         "n_rows": n_rows,
         "n_cpus": lo_cpus,
         "4n_cpus": hi_cpus,
@@ -138,6 +237,10 @@ def main() -> int:
         ),
         "out_rows": hi["out_rows"],
     }
+    if minhash_mode:
+        result["recall"] = {"localN": lo["recall"], "local4N": hi["recall"]}
+        result["truth_pairs"] = hi["truth_pairs"]
+        result["recall_identical_across_widths"] = lo["recall"] == hi["recall"]
     print(json.dumps(result))
     # same plausibility guards as scaling_bench: refuse to bless a
     # load-corrupted measurement in either direction

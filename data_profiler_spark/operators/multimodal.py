@@ -16,11 +16,21 @@ Decode support is per-container-format, not all-or-nothing:
     1/4/8/16 bits, horizontal predictor (``operators/tiff.py``, r4) —
     true dimensions, per-channel means, nearest-neighbor resize with
     re-encode in the same container.
-  - CODEC-GATED: MP4 pixel decode, WebP, arithmetic JPEG and
-    tiled/JPEG-in-TIFF need libraries absent from this container — those
-    paths raise ``NotImplementedError`` (or fall back to a clearly
-    labeled deterministic fake for the feature plumbing), and light up
-    unchanged on a cluster image that ships PIL/libvips/ffmpeg.
+  - CODEC-GATED (decided, r4): MP4 pixel decode, WebP, arithmetic JPEG
+    and tiled/JPEG-in-TIFF stay gated behind ``NotImplementedError`` (or
+    the clearly labeled deterministic fake for feature plumbing), and
+    light up unchanged on a cluster image that ships PIL/libvips/ffmpeg.
+    Why not hand-rolled like PNG/JPEG/TIFF: VP8L (WebP-lossless) hinges
+    on fixed spec tables (the 120-entry LZ77 neighbor-offset map, meta
+    prefix-group plumbing) that CANNOT be validated in this sandbox —
+    no reference vectors, no second implementation, no network — and a
+    decoder whose correctness is unverifiable is a liability at 10^12
+    files, where one silently-wrong table poisons every derived feature.
+    Arithmetic JPEG (T.81 Annex D/G MQ-coder) and H.264/HEVC pixel
+    decode carry the same unverifiability plus order-of-magnitude more
+    state. The three formats that COULD be verified fixture-free via
+    encoder twins (BMP/PNG-zlib round-trips, JPEG DCT round-trips, TIFF
+    strip round-trips) are all implemented.
 Everything Spark-side (schema, partitioning, UDF signature, batch shape)
 is real and tested either way.
 
@@ -533,6 +543,25 @@ def synth_bmp_media(spark: SparkSession, n_rows: int) -> DataFrame:
 def synth_png_media(spark: SparkSession, n_rows: int) -> DataFrame:
     """REAL PNG payloads (same pixel recipe, PNG container)."""
     return _synth_image_media(spark, n_rows, encode_png, "image/png")
+
+
+def synth_tiff_media(spark: SparkSession, n_rows: int) -> DataFrame:
+    """REAL TIFF payloads (same pixel recipe) cycling uncompressed /
+    PackBits / LZW+predictor and RGB / grayscale — every strip decode path
+    operators/tiff.py supports appears in the corpus."""
+    from data_profiler_spark.operators.tiff import encode_tiff
+
+    def enc(px: np.ndarray) -> bytes:
+        kind = (px.shape[0] + px.shape[1]) % 3
+        if px.shape[0] % 2:  # odd heights exercise the grayscale plane
+            px = px[:, :, :1]
+        if kind == 0:
+            return encode_tiff(px, compression="none")
+        if kind == 1:
+            return encode_tiff(px, compression="packbits")
+        return encode_tiff(px, compression="lzw", predictor=True)
+
+    return _synth_image_media(spark, n_rows, enc, "image/tiff")
 
 
 def synth_jpeg_media(spark: SparkSession, n_rows: int) -> DataFrame:

@@ -187,6 +187,66 @@ def high_entropy_findings(
     )
 
 
+def high_entropy_findings_exact(
+    df: DataFrame,
+    text_col: str,
+    id_cols: list[str],
+    min_len: int = 20,
+    threshold_bits: float = 3.5,
+    max_cand_len: int = 2048,
+) -> DataFrame:
+    """(id..., match, n_chars, entropy_numer_e12) — the EXACT-int64 twin of
+    ``high_entropy_findings`` (r4; the trick proven by
+    text.char_entropy_exact): per DISTINCT candidate substring, Shannon
+    entropy as the integer numerator ``n·log2e12(n) − Σ_c c·log2e12(c)``
+    with a driver-built log2 table, and the threshold applied as the pure
+    integer comparison ``entropy_numer_e12 >= round(threshold·10^12) ·
+    n_chars`` — no float anywhere, so a SQL engine reproduces every row
+    bit-exactly. Magnitudes: thr_e12·max_cand_len ≈ 7·10^15 « 2^63.
+
+    Differences from the float scale path, by design: one row per DISTINCT
+    (id, candidate) rather than per occurrence, and candidates longer than
+    ``max_cand_len`` drop out via the lookup-miss NULL (the scale path
+    scores them) — tests/test_privacy.py pins the two paths agree on the
+    flagged set and on entropy values to 1e-9 within that domain."""
+    from data_profiler_spark.operators.text import _log2_e12
+
+    cand = ENTROPY_CANDIDATE if min_len == 20 else rf"[A-Za-z0-9+/=_-]{{{min_len},}}"
+    spark = df.sparkSession
+    tbl = spark.createDataFrame(
+        [(v, _log2_e12(v)) for v in range(1, max_cand_len + 1)], "v long, l12 long"
+    )
+    thr_e12 = round(threshold_bits * 10**12)
+    hits = df.select(
+        *id_cols,
+        F.explode(
+            F.regexp_extract_all(F.col(text_col), F.lit(cand), F.lit(0))
+        ).alias("match"),
+    ).distinct()
+    chars = hits.select(
+        *id_cols, "match", F.explode(F.split(F.col("match"), "")).alias("ch")
+    ).where(F.col("ch") != "")
+    counts = chars.groupBy(*id_cols, "match", "ch").agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    terms = counts.join(F.broadcast(tbl), counts["c"] == tbl["v"], "left").select(
+        *id_cols, "match", "c", (F.col("c") * F.col("l12")).alias("t")
+    )
+    agg = terms.groupBy(*id_cols, "match").agg(
+        F.sum("c").cast("long").alias("n_chars"),
+        F.sum("t").cast("long").alias("s"),
+    )
+    scored = agg.join(F.broadcast(tbl), agg["n_chars"] == tbl["v"], "left").select(
+        *id_cols,
+        "match",
+        "n_chars",
+        (F.col("n_chars") * F.col("l12") - F.col("s")).alias("entropy_numer_e12"),
+    )
+    return scored.where(
+        F.col("entropy_numer_e12") >= F.lit(thr_e12) * F.col("n_chars")
+    )
+
+
 # ---------------------------------------------------------------------------
 # re-identification risk: k-anonymity / l-diversity (Sweeney 2002 and
 # Machanavajjhala 2007 — the standard public privacy models). An

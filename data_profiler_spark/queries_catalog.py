@@ -1124,6 +1124,20 @@ def png_image_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     return image_features(synth_png_media(spark, 30)).orderBy("media_id")
 
 
+@register("tiff_image_features")
+def tiff_image_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rows-only gate entry for the baseline TIFF codec (round 4,
+    operators/tiff.py): uncompressed/PackBits/LZW+predictor strips and
+    gray/RGB planes decoded inside the mapInPandas feature pass — no SQL
+    twin (pixel decode is not expressible in DuckDB)."""
+    from data_profiler_spark.operators.multimodal import (
+        image_features,
+        synth_tiff_media,
+    )
+
+    return image_features(synth_tiff_media(spark, 30)).orderBy("media_id")
+
+
 @register("jpeg_image_features")
 def jpeg_image_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Rows-only gate entry for the baseline-JPEG codec (round 3): numpy
@@ -3270,15 +3284,53 @@ def redact_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("high_entropy_documents", None)
+# Formerly rows-only (pandas_udf float entropy); hash-oracled in r4 via
+# privacy.high_entropy_findings_exact — candidate extraction by the same
+# regex, Shannon entropy as an exact int64 numerator (driver-injected
+# log2·10^12 table, the char_entropy_exact trick), threshold as a pure
+# integer comparison. The float pandas_udf path stays the scale path and
+# is parity-pinned in tests/test_privacy.py.
+_HIGH_ENTROPY_SQL = """
+WITH t AS (SELECT * FROM {vals}),
+planted AS (SELECT doc_id, {plant} AS text FROM documents),
+cands AS (SELECT DISTINCT doc_id, match FROM (
+    SELECT doc_id, unnest(regexp_extract_all(text, '[A-Za-z0-9+/=_-]{{20,}}'))
+             AS match
+    FROM planted WHERE text IS NOT NULL)),
+chars AS (SELECT doc_id, match, unnest(string_split(match, '')) AS ch FROM cands),
+counts AS (SELECT doc_id, match, ch, COUNT(*) AS c FROM chars
+           WHERE ch <> '' GROUP BY 1, 2, 3),
+terms AS (SELECT doc_id, match, c, c * t.l12 AS tt
+          FROM counts LEFT JOIN t ON counts.c = t.v),
+agg AS (SELECT doc_id, match, CAST(SUM(c) AS BIGINT) AS n_chars,
+               CAST(SUM(tt) AS BIGINT) AS s
+        FROM terms GROUP BY 1, 2),
+scored AS (SELECT a.doc_id, a.match, a.n_chars,
+                  a.n_chars * t.l12 - a.s AS entropy_numer_e12
+           FROM agg a LEFT JOIN t ON a.n_chars = t.v)
+SELECT doc_id, match, n_chars, entropy_numer_e12
+FROM scored WHERE entropy_numer_e12 >= 3500000000000 * n_chars"""
+
+
+@register(
+    "high_entropy_documents",
+    _HIGH_ENTROPY_SQL.format(
+        vals=__import__(
+            "data_profiler_spark.operators.text", fromlist=["log2_e12_values_sql"]
+        ).log2_e12_values_sql(256),
+        plant=_PLANT_SQL,
+    ),
+)
 def high_entropy_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Entropy scoring has no cheap SQL twin (pandas_udf over candidate
-    substrings) — rows-only gate; the threshold behavior is pinned in
-    tests/test_privacy.py."""
-    from data_profiler_spark.operators.privacy import high_entropy_findings
+    """Credential-shaped high-entropy substring findings over the planted
+    corpus, in the exact int64 entropy representation (threshold 3.5
+    bits ≡ entropy_numer_e12 >= 3.5e12·n_chars)."""
+    from data_profiler_spark.operators.privacy import high_entropy_findings_exact
 
     docs = _plant_spark(load(spark, sf_dir, "documents"))
-    return high_entropy_findings(docs, "text", ["doc_id"], threshold_bits=3.5)
+    return high_entropy_findings_exact(
+        docs, "text", ["doc_id"], threshold_bits=3.5, max_cand_len=256
+    )
 
 
 # ---------------------------------------------------------------------------

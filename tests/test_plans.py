@@ -214,3 +214,33 @@ def test_bpe_pair_counts_shuffles_types_not_corpus(spark):
     plan = _plan(pair_counts(word_freqs(df, "text")))
     assert "EvalPython" not in plan
     assert "partial_count" in plan and "partial_sum" in plan
+
+
+def test_violations_exchange_ships_mask_and_raw_sha(spark, lineitem):
+    """The r4 shuffle diet: the violations exchange must carry the int64
+    check bitmask + 32-byte raw sha (one row per violating row), with the
+    check-name strings and hex sha rebuilt AFTER the exchange — never the
+    pre-diet per-(row, check) name/hex payload."""
+    from data_profiler_spark.operators.constraints import (
+        RangeCheck,
+        RegexCheck,
+        run_row_checks,
+    )
+
+    _, violations = run_row_checks(
+        lineitem,
+        [RangeCheck("l_quantity", 0, 100), RegexCheck("l_returnflag", "^[ANR]$")],
+        partition_col=F.pmod(F.hash("l_orderkey"), F.lit(8)),
+        content_col="l_linestatus",
+        key_cols=["l_orderkey", "l_linenumber"],
+    )
+    plan = _plan(violations)
+    pre, _, post = plan.partition("Exchange hashpartitioning")
+    # the map side (below the exchange in execution, after it in the
+    # printed tree) packs mask + unhexed sha; name decode + hex() happen
+    # driver-side of the exchange (printed above it)
+    assert "__mask" in post and "unhex" in post
+    assert "hex(" in pre.lower()
+    # no explode below the exchange: rows cross the wire un-multiplied
+    assert "explode" not in post.lower()
+    assert "explode" in pre.lower()

@@ -118,3 +118,39 @@ def test_k_anonymity_census(spark):
     assert s["violating_classes"] == 2 and s["rows_at_risk"] == 3
     # every class is sensitive-homogeneous -> l-diversity floor is 1
     assert s["diversity_l"] == 1 and s["low_diversity_classes"] == 3
+
+
+def test_high_entropy_exact_twin_matches_float_path(spark):
+    """The exact-int64 entropy twin (the r4 oracle form) agrees with the
+    pandas_udf scale path: same flagged (id, candidate) set at the same
+    threshold (no fixture sits within float-ulp of 3.5 bits), and
+    entropy_numer_e12/1e12/n_chars equals the float entropy to 1e-9."""
+    from data_profiler_spark.operators.privacy import (
+        high_entropy_findings,
+        high_entropy_findings_exact,
+    )
+
+    rows = [
+        (1, "plain words only here nothing secret to see at all"),
+        (2, "token sk_9fK2mQ8xL4vR7jW1pZ5cY3hN6bT0dG"),  # high entropy
+        (3, "aaaaaaaaaaaaaaaaaaaaaaaaaaaaaa low entropy run"),  # flagged len, low H
+        (4, "mixed AAAABBBBCCCCDDDDEEEEFFFF and sk_9fK2mQ8xL4vR7jW1pZ5cY3hN6bT0dG"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    fl = {
+        (r["doc_id"], r["match"]): r["entropy_bits"]
+        for r in high_entropy_findings(
+            df, "text", ["doc_id"], threshold_bits=3.5
+        ).collect()
+    }
+    ex = {
+        (r["doc_id"], r["match"]): r["entropy_numer_e12"] / 1e12 / r["n_chars"]
+        for r in high_entropy_findings_exact(
+            df, "text", ["doc_id"], threshold_bits=3.5
+        ).collect()
+    }
+    assert set(fl) == set(ex) and len(ex) >= 2
+    for k in ex:
+        assert abs(fl[k] - ex[k]) < 1e-9, k
+    # the low-entropy 30-char run is a candidate but must NOT be flagged
+    assert not any("aaaa" in m for _, m in ex)

@@ -1,0 +1,62 @@
+"""Pure-python pins for the scaling harness's round-4 honesty rules:
+the BENCH.md headline must be the MEDIAN over clean attempts of the same
+protocol AND input size — never a keep-best pick, never polluted by
+smoke runs at other sizes or by rejected attempts."""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", "tools"))
+
+from scaling_bench import PROTOCOL, _median_clean_eff  # noqa: E402
+
+
+def _write(tmp_path, records):
+    p = tmp_path / "runs.jsonl"
+    with open(p, "w") as f:
+        for r in records:
+            f.write(json.dumps(r) + "\n")
+    return str(p)
+
+
+def _rec(eff, status="accepted: recorded to BENCH.md", protocol=PROTOCOL,
+         n_rows=24_000_000):
+    return {"protocol": protocol, "status": status, "n_rows": n_rows,
+            "efficiency_4N_vs_N": eff}
+
+
+def test_median_is_median_not_best(tmp_path):
+    p = _write(tmp_path, [_rec(0.941), _rec(0.7), _rec(0.786)])
+    med, n = _median_clean_eff(p, [], n_rows=24_000_000)
+    assert (med, n) == (0.786, 3)
+
+
+def test_median_even_count_averages(tmp_path):
+    p = _write(tmp_path, [_rec(0.70), _rec(0.80)])
+    med, n = _median_clean_eff(p, [], n_rows=24_000_000)
+    assert n == 2 and abs(med - 0.75) < 1e-9
+
+
+def test_rejected_and_other_protocol_and_other_size_excluded(tmp_path):
+    p = _write(tmp_path, [
+        _rec(0.75),
+        _rec(0.1, status="rejected: 4N not faster than N"),
+        _rec(0.95, protocol="r3"),
+        _rec(0.2, n_rows=600_000),  # smoke run must never pollute
+    ])
+    med, n = _median_clean_eff(p, [], n_rows=24_000_000)
+    assert (med, n) == (0.75, 1)
+
+
+def test_missing_file_and_empty_give_none(tmp_path):
+    med, n = _median_clean_eff(str(tmp_path / "nope.jsonl"), [])
+    assert (med, n) == (None, 0)
+
+
+def test_extra_attempts_from_this_invocation_counted(tmp_path):
+    p = _write(tmp_path, [_rec(0.70)])
+    med, n = _median_clean_eff(p, [0.80, 0.90], n_rows=24_000_000)
+    assert n == 3 and med == 0.80

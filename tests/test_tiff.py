@@ -150,3 +150,19 @@ def test_decode_image_dispatches_tiff():
     got = decode_image(encode_tiff(gray, compression="packbits"))
     assert got.shape == (6, 5, 3)  # gray promoted to the uniform RGB plane
     assert np.array_equal(got[:, :, 0:1], gray)
+
+
+def test_tiff_media_features_all_decode(spark):
+    """The catalog's tiff_image_features plumbing: every synthesized TIFF
+    payload (none/PackBits/LZW+predictor, gray + RGB) really decodes —
+    decoded=True on all rows with true dimensions and channel means."""
+    from data_profiler_spark.operators.multimodal import (
+        image_features,
+        synth_tiff_media,
+    )
+
+    rows = image_features(synth_tiff_media(spark, 12)).collect()
+    assert len(rows) == 12
+    assert all(r["decoded"] for r in rows)
+    assert all(r["width"] >= 8 and r["height"] >= 8 for r in rows)
+    assert all(r["mean_r"] is not None for r in rows)

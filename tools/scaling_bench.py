@@ -94,11 +94,14 @@ def _bus_probe() -> dict | None:
         return None
 
 
-def _median_clean_eff(runs_path: str, extra: list[float]) -> tuple[float | None, int]:
+def _median_clean_eff(
+    runs_path: str, extra: list[float], n_rows: int | None = None
+) -> tuple[float | None, int]:
     """Median efficiency over ALL clean (non-rejected) attempts recorded
-    under the current PROTOCOL, plus any from this invocation. The r3
-    verdict's core finding: a keep-best headline is not a met criterion —
-    the cross-run median is the honest steady-state number."""
+    under the current PROTOCOL — and the same input size, so a small smoke
+    run can never pollute the headline — plus any from this invocation.
+    The r3 verdict's core finding: a keep-best headline is not a met
+    criterion — the cross-run median is the honest steady-state number."""
     effs = list(extra)
     if os.path.exists(runs_path):
         with open(runs_path) as f:
@@ -108,6 +111,8 @@ def _median_clean_eff(runs_path: str, extra: list[float]) -> tuple[float | None,
                 except json.JSONDecodeError:
                     continue
                 if rec.get("protocol") != PROTOCOL:
+                    continue
+                if n_rows is not None and rec.get("n_rows") != n_rows:
                     continue
                 if not str(rec.get("status", "")).startswith("accepted"):
                     continue
@@ -315,7 +320,7 @@ def main() -> int:
     # reported alongside as context, never as the headline.
     _log_attempt("accepted: recorded to BENCH.md")
     median_eff, n_clean = _median_clean_eff(
-        os.path.join(REPO, "SCALING_runs.jsonl"), []
+        os.path.join(REPO, "SCALING_runs.jsonl"), [], n_rows=n_rows
     )
     if median_eff is None:  # first r4 attempt is its own median
         median_eff, n_clean = round(eff, 3), 1
@@ -334,19 +339,29 @@ def main() -> int:
         f"aggregate DRAM bandwidth stops growing.\n"
         if mid else ""
     )
-    probe_block = (
-        f"- **Memory-bus ceiling (STREAM triad, measured this attempt)**: "
-        f"aggregate GB/s at 1/8/16/32 concurrent streaming processes = "
-        f"{probe['widths'].get('1')} / {probe['widths'].get('8')} / "
-        f"{probe['widths'].get('16')} / {probe['widths'].get('32')} "
-        f"(tools/bus_probe.py, loadavg {probe['loadavg_before']}). The box's "
-        f"aggregate bandwidth DOES NOT GROW from 16 to 32 streams — any "
-        f"bandwidth-bound phase is physically capped below 2x over that "
-        f"doubling on this single bus. A real 4N-executor cluster brings 4N/"
-        f"(cores-per-node) separate buses; the 10^12-file deployment never "
-        f"shares one.\n"
-        if probe else ""
-    )
+    if probe:
+        w16, w32 = probe["widths"].get("16"), probe["widths"].get("32")
+        growth = round(w32 / w16, 2) if (w16 and w32) else None
+        probe_block = (
+            f"- **Memory-bus ceiling (STREAM triad, measured this attempt)**: "
+            f"aggregate GB/s at 1/8/16/32 concurrent streaming processes = "
+            f"{probe['widths'].get('1')} / {probe['widths'].get('8')} / "
+            f"{w16} / {w32} (tools/bus_probe.py, loadavg "
+            f"{probe['loadavg_before']}); 16→32 bandwidth growth "
+            f"**{growth}x** (2.0 = bus-free doubling). A growth factor near "
+            f"or below 1 caps any bandwidth-bound phase of the 32-thread leg "
+            f"over that doubling regardless of plan parallelism. The probe "
+            f"itself swings between attempts (measured 29.8 vs 72.4 GB/s at "
+            f"32 streams minutes apart) — direct evidence of HOST-side "
+            f"memory contention from other VMs on this Firecracker host, the "
+            f"same unobservable contention behind the attempt-to-attempt "
+            f"efficiency spread; per-attempt probes in SCALING_runs.jsonl "
+            f"give each efficiency number its bandwidth context. A real "
+            f"4N-executor cluster brings separate buses per node; the "
+            f"10^12-file deployment never shares one.\n"
+        )
+    else:
+        probe_block = ""
     md = f"""# BENCH — scaling evidence (north rule)
 
 Generated by `python tools/scaling_bench.py {n_rows}` on {time.strftime("%Y-%m-%d")}
@@ -434,13 +449,18 @@ with zero code change); bench.py therefore runs each query k=3 times and
 reports the min, with raw runs + per-run loadavg in the artifact.
 """
     bench_path = os.path.join(REPO, "BENCH.md")
-    # preserve the manually-maintained operator-timings tail
+    # preserve the manually-maintained sections (campaign summaries,
+    # operator timings): everything from the EARLIEST known marker on
     tail = ""
     if os.path.exists(bench_path):
         old = open(bench_path).read()
-        marker = "\n## Representative operator timings"
-        if marker in old:
-            tail = marker + old.split(marker, 1)[1]
+        markers = [
+            "\n## Scaling campaign",
+            "\n## Representative operator timings",
+        ]
+        cuts = [old.find(m) for m in markers if old.find(m) >= 0]
+        if cuts:
+            tail = old[min(cuts):]
     with open(bench_path, "w") as f:
         f.write(md + tail)
     return 0 if identical else 1

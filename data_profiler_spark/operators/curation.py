@@ -591,6 +591,7 @@ def pack_sequences(
     budget: int,
     num_bins: int = 256,
     seed: int = 42,
+    band_expr: Column | None = None,
 ) -> DataFrame:
     """Greedy sequence packing: assign documents to fixed-token-budget
     training sequences → (seq_id, doc_id, n_tokens, pos_in_seq, truncated).
@@ -613,10 +614,19 @@ def pack_sequences(
     if budget <= 0:
         raise ValueError("budget must be positive")
     tok = F.col(token_col) if isinstance(token_col, str) else token_col
+    # band_expr makes the banding pluggable (default: xxhash64, the fast
+    # path) — the driver-oracle entry passes an md5-based band so a SQL
+    # engine can reproduce the assignment (xxhash64 exists only in Spark);
+    # the greedy packing itself is hash-agnostic
+    band = (
+        band_expr
+        if band_expr is not None
+        else F.pmod(F.xxhash64(F.col(id_col), F.lit(seed)), F.lit(num_bins))
+    )
     slim = df.select(
         F.col(id_col).alias("doc_id"),
         tok.cast("long").alias("n_tokens"),
-        F.pmod(F.xxhash64(F.col(id_col), F.lit(seed)), F.lit(num_bins)).alias("band"),
+        band.alias("band"),
     )
 
     import pandas as pd  # noqa: F401  (module-level import feeds the UDF type hints)

@@ -1897,18 +1897,80 @@ def mixture_weights_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
-# training: sequence packing (greedy per-band first-fit — recursive state, no
-# SQL twin → rows-only driver check; properties pinned in test_curation.py)
+# training: sequence packing. Formerly rows-only ("recursive state, no SQL
+# twin"); hash-oracled in r4: the greedy per-band fill IS a sequential
+# recurrence, which a recursive CTE expresses exactly — the DuckDB twin
+# walks each band in doc-id order carrying (used, k, pos, ov) state,
+# reproducing every seq_id/pos/truncated bit-for-bit. The banding is the
+# pluggable md5 expression here (pack_sequences band_expr) since xxhash64
+# exists only in Spark; the xxhash64 fast path keeps its pins in
+# test_curation.py. Integer-only state → no float drift anywhere.
 # ---------------------------------------------------------------------------
-@register("sequence_packing_documents", None)
+def _seq_packing_oracle_sql(budget: int = 512, num_bins: int = 8) -> str:
+    from data_profiler_spark.operators.text import BPE_RE
+
+    big = f"o.n_tokens > {budget}"
+    over = f"p.used + o.n_tokens > {budget}"
+    return f"""WITH RECURSIVE
+slim AS (SELECT doc_id,
+                CAST(len(regexp_extract_all(text, '{BPE_RE}')) AS BIGINT)
+                  AS n_tokens,
+                ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT
+                  % {num_bins} AS band
+         FROM documents),
+ord AS (SELECT doc_id, n_tokens, band,
+               row_number() OVER (PARTITION BY band ORDER BY doc_id) AS rn
+        FROM slim),
+pack AS (
+  SELECT band, rn, doc_id, n_tokens,
+         CASE WHEN n_tokens > {budget} THEN CAST(band AS VARCHAR) || '-ov0'
+              ELSE CAST(band AS VARCHAR) || '-0' END AS seq_id,
+         0 AS pos_in_seq,
+         n_tokens > {budget} AS truncated,
+         CASE WHEN n_tokens > {budget} THEN 0 ELSE n_tokens END AS used,
+         CAST(0 AS BIGINT) AS k,
+         CASE WHEN n_tokens > {budget} THEN 0 ELSE 1 END AS pos_ctr,
+         CASE WHEN n_tokens > {budget} THEN 1 ELSE 0 END AS ov
+  FROM ord WHERE rn = 1
+  UNION ALL
+  SELECT o.band, o.rn, o.doc_id, o.n_tokens,
+         CASE WHEN {big} THEN CAST(o.band AS VARCHAR) || '-ov' || CAST(p.ov AS VARCHAR)
+              WHEN {over} THEN CAST(o.band AS VARCHAR) || '-' || CAST(p.k + 1 AS VARCHAR)
+              ELSE CAST(o.band AS VARCHAR) || '-' || CAST(p.k AS VARCHAR) END,
+         CASE WHEN {big} THEN 0 WHEN {over} THEN 0 ELSE p.pos_ctr END,
+         {big},
+         CASE WHEN {big} THEN p.used WHEN {over} THEN o.n_tokens
+              ELSE p.used + o.n_tokens END,
+         CASE WHEN {big} THEN p.k WHEN {over} THEN p.k + 1 ELSE p.k END,
+         CASE WHEN {big} THEN p.pos_ctr WHEN {over} THEN 1
+              ELSE p.pos_ctr + 1 END,
+         CASE WHEN {big} THEN p.ov + 1 ELSE p.ov END
+  FROM pack p JOIN ord o ON o.band = p.band AND o.rn = p.rn + 1
+)
+SELECT seq_id, doc_id, n_tokens, CAST(pos_in_seq AS INTEGER) AS pos_in_seq,
+       truncated
+FROM pack"""
+
+
+@register("sequence_packing_documents", _seq_packing_oracle_sql())
 def sequence_packing_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Pack the document corpus into 512-token training sequences by BPE-ish
-    token count; deterministic (id-order greedy inside hash bands)."""
+    token count; deterministic (id-order greedy inside md5 hash bands, so
+    the recursive-CTE twin reproduces the assignment exactly)."""
     from data_profiler_spark.operators.curation import pack_sequences
     from data_profiler_spark.operators.text import bpe_token_count
 
     docs = load(spark, sf_dir, "documents")
-    return pack_sequences(docs, "doc_id", bpe_token_count("text"), budget=512, num_bins=8)
+    band = F.pmod(
+        F.conv(
+            F.substring(F.md5(F.col("doc_id").cast("string")), 1, 15), 16, 10
+        ).cast("long"),
+        F.lit(8),
+    )
+    return pack_sequences(
+        docs, "doc_id", bpe_token_count("text"), budget=512, num_bins=8,
+        band_expr=band,
+    )
 
 
 # ---------------------------------------------------------------------------

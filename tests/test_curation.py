@@ -483,3 +483,54 @@ def test_mixture_weights_zero_token_corpus(spark):
     ).collect()
     assert {r["lang"] if "lang" in r else r["domain"] for r in out} == {"en", "zh"}
     assert all(r["current_share"] is None for r in out)
+
+
+def test_pack_sequences_recursive_cte_twin_incl_overflow(spark):
+    """The driver oracle's recursive-CTE twin vs the operator, on a frame
+    that exercises every branch the sf0.01 corpus cannot: docs over the
+    budget (singleton 'ov' sequences that must NOT reset the open bin),
+    dense bin rollover, and multiple overflows per band. Cross-engine
+    exact equality on all five output columns."""
+    import duckdb
+    import pandas as pd
+
+    from data_profiler_spark.operators.curation import pack_sequences
+    from data_profiler_spark.queries_catalog import _seq_packing_oracle_sql
+
+    # texts with known BPE token counts: k letter-words -> k tokens
+    def words(k):
+        return " ".join("w" for _ in range(k))
+
+    rows = [(i, words([7, 13, 40, 3, 21][i % 5] + (i % 3))) for i in range(40)]
+    rows += [(100, words(99)), (101, words(70)), (102, words(80))]  # > budget
+    pdf = pd.DataFrame(rows, columns=["doc_id", "text"])
+    df = spark.createDataFrame(pdf)
+
+    from pyspark.sql import functions as F
+
+    from data_profiler_spark.operators.text import bpe_token_count
+
+    band = F.pmod(
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 15), 16, 10)
+        .cast("long"),
+        F.lit(4),
+    )
+    got = (
+        pack_sequences(df, "doc_id", bpe_token_count("text"), budget=60,
+                       num_bins=4, band_expr=band)
+        .toPandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    con = duckdb.connect()
+    con.register("documents", pdf)
+    want = (
+        con.execute(_seq_packing_oracle_sql(budget=60, num_bins=4))
+        .fetchdf()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    assert len(got) == len(want) == 43
+    assert got["truncated"].sum() == 3  # the three over-budget docs
+    for c in ["seq_id", "doc_id", "n_tokens", "pos_in_seq", "truncated"]:
+        assert got[c].tolist() == want[c].tolist(), c

@@ -99,45 +99,92 @@ def main() -> int:
     # loadavg sampled before each run kept in the artifact so a noisy
     # official number is diagnosable after the fact.
     reps_default = int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "3"))
+    # Load gate for the min-wall rep (VERDICT r4 #3): when even the BEST rep
+    # ran under ambient loadavg > this, the number is not an engine
+    # measurement — escalate with extra reps, and if none lands in a clean
+    # window, flag the entry so round-over-round readers discount it
+    # instead of a judge re-measuring by hand.
+    load_gate = float(os.environ.get("SPARK_GRAFT_BENCH_LOAD_GATE", "8"))
+    escalate_max = 2
     timings: dict[str, float] = {}
     runs: dict[str, list[float]] = {}
     loads: dict[str, list[float]] = {}
+    loads_after: dict[str, list[float]] = {}
+    load_tainted: list[str] = []
     errors: dict[str, str] = {}
     quality: dict[str, dict] = {}
     only = {q for q in os.environ.get("SPARK_GRAFT_BENCH_ONLY", "").split(",") if q}
+
+    def _one_rep(name: str, fn) -> bool:
+        """Run one timed rep; returns False on error (recorded)."""
+        loads[name].append(round(os.getloadavg()[0], 2))
+        t0 = time.perf_counter()
+        try:
+            ret = fn(spark, sf_dir, code_files)
+        except Exception as exc:  # noqa: BLE001 — one bad query (or a
+            # transient disk-full on this shared box) must not void the
+            # whole artifact; the error is recorded and the suite goes on
+            errors[name] = f"{type(exc).__name__}: {exc}"[:500]
+            loads_after[name].append(round(os.getloadavg()[0], 2))
+            return False
+        # queries may return quality metrics (pairs emitted, recall vs
+        # seeded ground truth) — deterministic across reps, so last wins;
+        # they belong IN the artifact, not on stderr (VERDICT r3 #3)
+        if isinstance(ret, dict) and ret:
+            quality[name] = ret
+        runs[name].append(round(time.perf_counter() - t0, 4))
+        loads_after[name].append(round(os.getloadavg()[0], 2))
+        # each run stands alone: operator-internal caches must not tax
+        # or subsidize the runs/queries that follow
+        spark.catalog.clearCache()
+        release_caches(spark)  # drop dedup cache registrations too
+        # nudge the ContextCleaner: shuffle-file deletion waits on a JVM
+        # GC, and the pinned heap almost never triggers one on its own
+        spark.sparkContext._jvm.System.gc()
+        return True
+
+    def _min_rep_window_load(name: str) -> float:
+        """Ambient load around the min-wall rep: max of the 1-min loadavg
+        sampled just before and just after it (the after sample sees load
+        that arrived DURING the rep, which the before sample misses)."""
+        i = runs[name].index(min(runs[name]))
+        return max(loads[name][i], loads_after[name][i])
+
     for name, fn in BENCH_QUERIES.items():
         if only and name not in only:
             continue
         reps = max(1, min(reps_default, getattr(fn, "bench_reps", reps_default)))
-        runs[name], loads[name] = [], []
+        runs[name], loads[name], loads_after[name] = [], [], []
+        ok = True
         for _ in range(reps):
-            loads[name].append(round(os.getloadavg()[0], 2))
-            t0 = time.perf_counter()
-            try:
-                ret = fn(spark, sf_dir, code_files)
-            except Exception as exc:  # noqa: BLE001 — one bad query (or a
-                # transient disk-full on this shared box) must not void the
-                # whole artifact; the error is recorded and the suite goes on
-                errors[name] = f"{type(exc).__name__}: {exc}"[:500]
+            if not _one_rep(name, fn):
+                ok = False
                 break
-            # queries may return quality metrics (pairs emitted, recall vs
-            # seeded ground truth) — deterministic across reps, so last wins;
-            # they belong IN the artifact, not on stderr (VERDICT r3 #3)
-            if isinstance(ret, dict) and ret:
-                quality[name] = ret
-            runs[name].append(round(time.perf_counter() - t0, 4))
-            # each run stands alone: operator-internal caches must not tax
-            # or subsidize the runs/queries that follow
-            spark.catalog.clearCache()
-            release_caches(spark)  # drop dedup cache registrations too
-            # nudge the ContextCleaner: shuffle-file deletion waits on a JVM
-            # GC, and the pinned heap almost never triggers one on its own
-            spark.sparkContext._jvm.System.gc()
+        # load-defense: if the best rep's window was loaded, buy up to 2
+        # clean-window attempts before accepting (same self-defense
+        # scaling_bench has had since r3)
+        extra = 0
+        while (
+            ok and runs[name] and _min_rep_window_load(name) > load_gate
+            and extra < escalate_max
+        ):
+            extra += 1
+            ok = _one_rep(name, fn)
         if runs[name]:
             timings[name] = min(runs[name])
+            if _min_rep_window_load(name) > load_gate:
+                load_tainted.append(name)
 
     total = round(sum(timings.values()), 4)
     suite_sec = timings.get("constraint_suite")  # None under SPARK_GRAFT_BENCH_ONLY subsets
+    # Fixed calibration canary (VERDICT r4 #3): profile_lineitem is cheap,
+    # pure-engine, and unchanged since r1. Its quiet-box value is ~6.9-7.3 s
+    # at sf0.1/local[32] (BENCH_r03 7.31, BENCH_r04 6.90, both clean-window
+    # reps). A future artifact whose canary ratio reads, say, 2.0 is telling
+    # you the AMBIENT box is 2x slower that day — divide before comparing
+    # totals round-over-round.
+    canary_quiet_ref = 6.9 if abs(sf - 0.1) < 1e-9 else None
+    canary_sec = timings.get("profile_lineitem")
     result = {
         "metric": "headline_suite_total",
         "value": total,
@@ -145,6 +192,17 @@ def main() -> int:
         "queries": timings,
         "query_runs": runs,
         "loadavg_before_runs": loads,
+        "loadavg_after_runs": loads_after,
+        "load_gate": load_gate,
+        "load_tainted": load_tainted,
+        "calibration": {
+            "query": "profile_lineitem",
+            "sec": canary_sec,
+            "quiet_ref_sec": canary_quiet_ref,
+            "ratio_vs_quiet": round(canary_sec / canary_quiet_ref, 3)
+            if canary_sec and canary_quiet_ref
+            else None,
+        },
         "reps": reps_default,
         "sf": sf,
         "code_files_rows": n_code_rows,

@@ -46,6 +46,28 @@ from data_profiler_spark.cache_registry import cache_frame as _cache
 from data_profiler_spark.cache_registry import release_caches  # noqa: F401
 
 
+def _h64(hash_family: str, *cols: Column) -> Column:
+    """Pluggable 64-bit hash column used by every MinHash/SimHash stage.
+
+    ``"xxhash64"`` (default everywhere): Spark's codegen xxhash64 — the
+    scale path. ``"md5"``: a 60-bit integer from the first 15 hex chars of
+    md5 over the ':'-joined decimal string forms of the inputs —
+    bit-reproducible in DuckDB as
+    ``('0x' || substr(md5(concat_ws(':', ...)), 1, 15))::BIGINT``, which is
+    what lets the near-dup operators register hash-exact oracle twins at
+    test scale (same pluggable-hash trick as ``pack_sequences(band_expr=)``
+    and ``quality.score_hashed_linear(hasher="md5")``). The md5 path runs
+    one interpreted md5 + string concat per call where xxhash64 is a single
+    codegen hash round — strictly an oracle-twin device, never the default.
+    """
+    if hash_family == "xxhash64":
+        return F.xxhash64(*cols)
+    if hash_family == "md5":
+        s = F.concat_ws(":", *[c.cast("string") for c in cols])
+        return F.conv(F.substring(F.md5(s), 1, 15), 16, 10).cast("long")
+    raise ValueError(f"unknown hash_family {hash_family!r} (xxhash64|md5)")
+
+
 # ---------------------------------------------------------------------------
 # exact dedup — hash groupBy (SURVEY mandate "exact (hash-groupBy)")
 # ---------------------------------------------------------------------------
@@ -186,7 +208,8 @@ def containment_pairs(
 # MinHash + LSH (the 100 TB near-dup path)
 # ---------------------------------------------------------------------------
 def word_shingle_hashes(
-    df: DataFrame, id_col: str, text_col: str, k: int = 3, seed: int = 42
+    df: DataFrame, id_col: str, text_col: str, k: int = 3, seed: int = 42,
+    hash_family: str = "xxhash64",
 ) -> DataFrame:
     """(id, sh) — one 64-bit hash per k-word shingle, WITHOUT materializing
     shingle strings.
@@ -205,18 +228,20 @@ def word_shingle_hashes(
     tok = df.select(
         F.col(id_col).alias("id"),
         F.posexplode(F.split(F.trim(F.col(text_col)), "\\s+")).alias("pos", "tok"),
-    ).select("id", "pos", F.xxhash64(F.lit(seed), F.col("tok")).alias("ht"))
+    ).select("id", "pos", _h64(hash_family, F.lit(seed), F.col("tok")).alias("ht"))
     w = W.partitionBy("id").orderBy("pos")
     nexts = [F.lead("ht", j).over(w).alias(f"ht{j}") for j in range(1, k)]
     sh = tok.select("id", F.col("ht").alias("ht0"), *nexts).where(
         F.col(f"ht{k - 1}").isNotNull()
     )
     return sh.select(
-        "id", F.xxhash64(*[F.col(f"ht{j}") for j in range(k)]).alias("sh")
+        "id", _h64(hash_family, *[F.col(f"ht{j}") for j in range(k)]).alias("sh")
     )
 
 
-def _signatures_from_shingle_hashes(sh: DataFrame, num_hashes: int) -> DataFrame:
+def _signatures_from_shingle_hashes(
+    sh: DataFrame, num_hashes: int, hash_family: str = "xxhash64"
+) -> DataFrame:
     """(id, sig) from a (id, sh) shingle-hash frame.
 
     Slot i is min over the doc's shingles of an INDEPENDENT per-slot hash
@@ -248,7 +273,9 @@ def _signatures_from_shingle_hashes(sh: DataFrame, num_hashes: int) -> DataFrame
         )
     mask61 = F.lit((1 << 61) - 1)
     aggs = [
-        F.min(F.xxhash64(F.lit(i), F.col("sh")).bitwiseAND(mask61)).alias(f"m{i}")
+        F.min(
+            _h64(hash_family, F.lit(i), F.col("sh")).bitwiseAND(mask61)
+        ).alias(f"m{i}")
         for i in range(num_hashes)
     ]
     return (
@@ -259,14 +286,16 @@ def _signatures_from_shingle_hashes(sh: DataFrame, num_hashes: int) -> DataFrame
 
 
 def minhash_signatures(
-    df: DataFrame, id_col: str, text_col: str, k: int = 3, num_hashes: int = 64, seed: int = 42
+    df: DataFrame, id_col: str, text_col: str, k: int = 3, num_hashes: int = 64,
+    seed: int = 42, hash_family: str = "xxhash64",
 ) -> DataFrame:
     """(id, sig: array<bigint>[num_hashes]) — slot i = min over shingles of
     a per-slot hash of the shingle. Shingle hashes come from
     :func:`word_shingle_hashes` (zero interpreted HOFs, zero string
     shingles); slot derivation in :func:`_signatures_from_shingle_hashes`."""
     return _signatures_from_shingle_hashes(
-        word_shingle_hashes(df, id_col, text_col, k, seed), num_hashes
+        word_shingle_hashes(df, id_col, text_col, k, seed, hash_family),
+        num_hashes, hash_family,
     )
 
 
@@ -338,7 +367,7 @@ def _bucketed_pairs(
 
 def lsh_candidate_pairs(
     signatures: DataFrame, bands: int = 16, rows_per_band: int = 4,
-    max_bucket: int | None = 1024,
+    max_bucket: int | None = 1024, hash_family: str = "xxhash64",
 ) -> DataFrame:
     """Band the signature; docs sharing any band bucket become candidates.
     One shuffle keyed by (band, hash-of-band-slice) — the only all-to-all
@@ -349,7 +378,7 @@ def lsh_candidate_pairs(
         *[
             F.struct(
                 F.lit(b).alias("band"),
-                F.xxhash64(*[F.col("sig")[b * rows_per_band + r] for r in range(rows_per_band)]).alias("bh"),
+                _h64(hash_family, *[F.col("sig")[b * rows_per_band + r] for r in range(rows_per_band)]).alias("bh"),
             )
             for b in range(bands)
         ]
@@ -370,11 +399,20 @@ def minhash_near_duplicates(
     threshold: float = 0.5,
     seed: int = 42,
     max_bucket: int | None = 1024,
+    hash_family: str = "xxhash64",
 ) -> DataFrame:
     """LSH candidates verified with exact Jaccard ≥ threshold.
 
     Candidate generation is probabilistic; verification is exact, so output
-    ⊆ jaccard_pairs(...) with recall ≈ 1-(1-t^r)^b."""
+    ⊆ jaccard_pairs(...) with recall ≈ 1-(1-t^r)^b.
+
+    ``hash_family="md5"`` (with ``max_bucket=None`` so ring-linking can
+    never perturb the candidate set) makes every stage — shingle hashes,
+    slot mins, band buckets, the signature-agreement prefilter, the exact
+    Jaccard verify — reproducible bit-for-bit in ANSI SQL, which is how the
+    catalog registers a hash-exact DuckDB twin at test scale. The xxhash64
+    default is the 100 TB path (all-codegen) and keeps its recall evidence
+    in SCALING_minhash_r4.json + pytest pins."""
     if bands <= 0 or num_hashes % bands != 0:
         # a silent remainder would ignore the tail signature slots and
         # quietly change the recall curve the caller computed from (b, r)
@@ -385,9 +423,9 @@ def minhash_near_duplicates(
     # ONE token/shingle pipeline feeds both the signature pass and the
     # exact verifier (cached; recomputing it was the single biggest cost of
     # the end-to-end query).
-    sh_all = _cache(word_shingle_hashes(df, id_col, text_col, k, seed))
-    sigs = _cache(_signatures_from_shingle_hashes(sh_all, num_hashes))
-    cand = lsh_candidate_pairs(sigs, bands, rows_per_band, max_bucket)
+    sh_all = _cache(word_shingle_hashes(df, id_col, text_col, k, seed, hash_family))
+    sigs = _cache(_signatures_from_shingle_hashes(sh_all, num_hashes, hash_family))
+    cand = lsh_candidate_pairs(sigs, bands, rows_per_band, max_bucket, hash_family)
 
     # Signature-agreement prefilter: estimated Jaccard = matching-slot
     # fraction (64 codegen equality terms per pair — no shingle join). A
@@ -441,9 +479,16 @@ def minhash_near_duplicates(
 # ---------------------------------------------------------------------------
 # SimHash
 # ---------------------------------------------------------------------------
-def simhash64(df: DataFrame, id_col: str, text_col: str, seed: int = 42) -> DataFrame:
+def simhash64(
+    df: DataFrame, id_col: str, text_col: str, seed: int = 42,
+    hash_family: str = "xxhash64",
+) -> DataFrame:
     """64-bit SimHash per doc: explode tokens → token hash → per-bit ±1 sums
-    → sign bits. One shuffle keyed by doc id."""
+    → sign bits. One shuffle keyed by doc id.
+
+    Under ``hash_family="md5"`` the token hash is 60-bit, so fingerprint
+    bits 60-63 are always 0 (their sign sums are 0) — an effectively 60-bit
+    SimHash whose every bit a SQL engine reproduces exactly."""
     # Hash every token once (explode → one xxhash64 per token), then 64
     # codegen'd SUM(bit_i) aggregates with map-side combine — the shuffle
     # carries one 65-long row per doc per partition. sum(+-1) == 2*S_i - n,
@@ -453,7 +498,7 @@ def simhash64(df: DataFrame, id_col: str, text_col: str, seed: int = 42) -> Data
     toks = df.select(
         F.col(id_col).alias("id"),
         F.explode(F.split(F.trim(F.col(text_col)), "\\s+")).alias("__t"),
-    ).select("id", F.xxhash64(F.lit(seed), F.col("__t")).alias("__h"))
+    ).select("id", _h64(hash_family, F.lit(seed), F.col("__t")).alias("__h"))
     aggs = [F.count(F.lit(1)).alias("__n")] + [
         F.sum(F.shiftright(F.col("__h"), i).bitwiseAND(F.lit(1))).alias(f"__s{i}")
         for i in range(64)
@@ -475,7 +520,8 @@ def simhash_near_duplicates(
     text_col: str,
     max_hamming: int = 3,
     seed: int = 42,
-    max_bucket: int = 256,
+    max_bucket: int | None = 256,
+    hash_family: str = "xxhash64",
 ) -> DataFrame:
     """Pairs with hamming(simhash) <= max_hamming, blocked on 16-bit prefix
     chunks (a pair within distance d shares at least one of 4 chunks when
@@ -490,7 +536,7 @@ def simhash_near_duplicates(
     emitted pair, so output pairs are always true ≤ max_hamming matches."""
     # cached: the fingerprint table feeds chunk blocking AND the hamming
     # rejoin below — without it the 64-sum token aggregation runs twice
-    sh = _cache(simhash64(df, id_col, text_col, seed))
+    sh = _cache(simhash64(df, id_col, text_col, seed, hash_family))
     chunks = F.array(
         *[
             F.struct(F.lit(c).alias("chunk"), F.shiftrightunsigned(F.col("simhash"), c * 16).bitwiseAND(F.lit(0xFFFF)).alias("cv"))

@@ -167,6 +167,7 @@ class MinHashBandStore:
         num_hashes: int = 64,
         bands: int = 16,
         seed: int = 42,
+        hash_family: str = "xxhash64",
     ) -> None:
         if bands <= 0 or num_hashes % bands != 0:
             # a silent remainder would drop tail signature slots from every
@@ -174,12 +175,19 @@ class MinHashBandStore:
             raise ValueError(f"bands must divide num_hashes ({num_hashes} % {bands} != 0)")
         self.spark = spark
         self.path = path.rstrip("/")
-        self.params = {"k": k, "num_hashes": num_hashes, "bands": bands, "seed": seed}
+        self.params = {
+            "k": k, "num_hashes": num_hashes, "bands": bands, "seed": seed,
+            "hash_family": hash_family,
+        }
         existing = self._read_meta()
-        if existing is not None and existing != self.params:
-            raise ValueError(
-                f"store at {path} was built with {existing}, got {self.params}"
-            )
+        if existing is not None:
+            # stores written before the hash became pluggable carry no
+            # hash_family key; they were all xxhash64 by construction
+            existing.setdefault("hash_family", "xxhash64")
+            if existing != self.params:
+                raise ValueError(
+                    f"store at {path} was built with {existing}, got {self.params}"
+                )
 
     # -- tiny meta file via the Hadoop FS (works on hdfs:///s3a:// too) ----
     def _fs_and_path(self, name: str):
@@ -239,20 +247,32 @@ class MinHashBandStore:
         )
 
 
-def _band_buckets(sigs: DataFrame, bands: int, num_hashes: int) -> DataFrame:
-    """(band, bucket, id): xxhash64 over each band's signature slice — the
+def _band_buckets(
+    sigs: DataFrame, bands: int, num_hashes: int, hash_family: str = "xxhash64"
+) -> DataFrame:
+    """(band, bucket, id): hash over each band's signature slice — the
     same banding rule as lsh_candidate_pairs, re-derived here from the
-    stored signature array so the store never needs shingles or text."""
+    stored signature array so the store never needs shingles or text.
+
+    The xxhash64 path keeps its historical byte layout (hash of the
+    comma-joined slice string) so buckets appended by older runs stay
+    joinable; the md5 path uses the shared :func:`dedup._h64` ':'-joined
+    form, identical to what the SQL oracle twin computes."""
+    from data_profiler_spark.operators.dedup import _h64
+
     rows_per_band = num_hashes // bands
     out = []
     for b in range(bands):
         sl = F.slice("sig", b * rows_per_band + 1, rows_per_band)
-        out.append(
-            sigs.select(
-                F.lit(b).alias("band"),
-                F.xxhash64(F.concat_ws(",", sl.cast("array<string>"))).alias("bucket"),
-                "id",
+        if hash_family == "xxhash64":
+            bucket = F.xxhash64(F.concat_ws(",", sl.cast("array<string>")))
+        else:
+            bucket = _h64(
+                hash_family,
+                *[F.col("sig")[b * rows_per_band + r] for r in range(rows_per_band)],
             )
+        out.append(
+            sigs.select(F.lit(b).alias("band"), bucket.alias("bucket"), "id")
         )
     df = out[0]
     for o in out[1:]:
@@ -311,11 +331,13 @@ def neardup_new_batch(
             f"(got {id_type.simpleString()}); map ids upstream"
         )
     p = store.params
+    fam = p.get("hash_family", "xxhash64")
     sigs = minhash_signatures(
-        batch, id_col, text_col, k=p["k"], num_hashes=p["num_hashes"], seed=p["seed"]
+        batch, id_col, text_col, k=p["k"], num_hashes=p["num_hashes"],
+        seed=p["seed"], hash_family=fam,
     ).select(F.col("id").cast("long").alias("id"), "sig")
     sigs = sigs.localCheckpoint(eager=True)  # reused 3×: buckets, verify, commit
-    buckets = _band_buckets(sigs, p["bands"], p["num_hashes"])
+    buckets = _band_buckets(sigs, p["bands"], p["num_hashes"], fam)
 
     # --- historical near-dups: batch bucket ∩ store bucket -> verify ------
     hist_buckets = store.buckets(exclude_run=run_id)
@@ -363,7 +385,7 @@ def neardup_new_batch(
     if commit:
         store.append(
             survivors,
-            _band_buckets(survivors, p["bands"], p["num_hashes"]),
+            _band_buckets(survivors, p["bands"], p["num_hashes"], fam),
             run_id,
         )
     ids = survivors.select(F.col("id").alias(id_col))

@@ -1167,20 +1167,148 @@ def mp4_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("minhash_near_dups_documents")
+# ---------------------------------------------------------------------------
+# MinHash-LSH near-dup — hash-oracled (r5; formerly rows-only). The whole
+# pipeline runs under dedup._h64(hash_family="md5") — shingle hashes, the 64
+# per-slot mins, band buckets, the signature-agreement prefilter and the
+# exact-Jaccard verify are then all reproducible in DuckDB via
+# ('0x'||substr(md5(...),1,15))::BIGINT, the same pluggable-hash trick that
+# oracled pack_sequences and score_hashed_linear in r4. max_bucket=None so
+# ring-linking can never perturb the candidate set at test scale; the
+# xxhash64 scale path keeps its SCALING_minhash_r4.json recall evidence and
+# pytest pins untouched.
+# ---------------------------------------------------------------------------
+_MH_K, _MH_NH, _MH_BANDS, _MH_SEED, _MH_THR = 3, 64, 16, 42, 0.5
+_MH_R = _MH_NH // _MH_BANDS
+# mirrors minhash_near_duplicates' cutoff arithmetic exactly (all values are
+# exact binary fractions: sigma = 1/16, cutoff*num_hashes = 18.0)
+_MH_CUT = max(_MH_THR - 3.5 * (_MH_THR * (1 - _MH_THR) / _MH_NH) ** 0.5, 0.0) * _MH_NH
+
+
+def _md5h(expr: str) -> str:
+    """DuckDB twin of dedup._h64('md5', ...): 60-bit int from md5 hex."""
+    return f"('0x' || substr(md5({expr}), 1, 15))::BIGINT"
+
+
+def _mh_md5_ctes(rel: str, src: str, k: int = _MH_K, nh: int = _MH_NH,
+                 bands: int = _MH_BANDS, seed: int = _MH_SEED) -> str:
+    """CTE block computing md5-minhash state for ``src`` (an (id, text)
+    relation): ``{rel}_sh`` shingle hashes, ``{rel}_slot`` (id, i, m) slot
+    mins, ``{rel}_bucket`` (id, band, bh) LSH buckets — each the literal SQL
+    transcription of word_shingle_hashes / _signatures_from_shingle_hashes /
+    lsh_candidate_pairs' banding under hash_family='md5'."""
+    r = nh // bands
+    leads = ",\n               ".join(
+        f"lead(ht, {j}) OVER (PARTITION BY id ORDER BY pos) AS ht{j}"
+        for j in range(1, k)
+    )
+    shexpr = " || ':' || ".join(
+        ["CAST(ht AS VARCHAR)"] + [f"CAST(ht{j} AS VARCHAR)" for j in range(1, k)]
+    )
+    return f"""
+{rel}_tok AS (
+  SELECT id, i AS pos, {_md5h(f"'{seed}:' || arr[i]")} AS ht
+  FROM (SELECT id, arr, unnest(generate_series(1, len(arr))) AS i
+        FROM (SELECT id, string_split_regex(trim(text), '\\s+') AS arr FROM {src}))
+),
+{rel}_sh AS (
+  SELECT id, {_md5h(shexpr)} AS sh
+  FROM (SELECT id, ht,
+               {leads}
+        FROM {rel}_tok)
+  WHERE ht{k - 1} IS NOT NULL
+),
+{rel}_slot AS (
+  SELECT id, g.i, MIN({_md5h("CAST(g.i AS VARCHAR) || ':' || CAST(sh AS VARCHAR)")}) AS m
+  FROM {rel}_sh, (SELECT unnest(generate_series(0, {nh - 1})) AS i) g
+  GROUP BY id, g.i
+),
+{rel}_bucket AS (
+  SELECT id, i // {r} AS band,
+         {_md5h(f"string_agg(CAST(m AS VARCHAR), ':' ORDER BY i)")} AS bh
+  FROM {rel}_slot GROUP BY id, i // {r}
+)"""
+
+
+_MINHASH_SQL = f"""WITH
+{_mh_md5_ctes('d', '(SELECT doc_id AS id, text FROM documents)')},
+cand AS (SELECT DISTINCT a.id AS id_a, b.id AS id_b
+         FROM d_bucket a JOIN d_bucket b ON a.band = b.band AND a.bh = b.bh AND a.id < b.id),
+pre AS (
+  SELECT c.id_a, c.id_b
+  FROM cand c
+  JOIN d_slot sa ON sa.id = c.id_a
+  JOIN d_slot sb ON sb.id = c.id_b AND sb.i = sa.i
+  GROUP BY c.id_a, c.id_b
+  HAVING SUM(CASE WHEN sa.m = sb.m THEN 1 ELSE 0 END) >= {_MH_CUT}
+),
+shd AS (SELECT DISTINCT id, sh FROM d_sh),
+sizes AS (SELECT id, COUNT(*) AS n FROM shd GROUP BY id),
+inter AS (SELECT p.id_a, p.id_b, COUNT(*) AS ni
+          FROM pre p JOIN shd a ON a.id = p.id_a JOIN shd b ON b.id = p.id_b AND b.sh = a.sh
+          GROUP BY 1, 2)
+SELECT i.id_a, i.id_b,
+       CAST(i.ni AS DOUBLE) / CAST(sa.n + sb.n - i.ni AS DOUBLE) AS jaccard
+FROM inter i JOIN sizes sa ON sa.id = i.id_a JOIN sizes sb ON sb.id = i.id_b
+WHERE CAST(i.ni AS DOUBLE) / CAST(sa.n + sb.n - i.ni AS DOUBLE) >= {_MH_THR}e0"""
+
+
+@register("minhash_near_dups_documents", _MINHASH_SQL)
 def minhash_near_dups_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash-LSH near-duplicate pairs, exact-Jaccard-verified, under the
+    engine-reproducible md5 hash family (see _MINHASH_SQL block comment)."""
     from data_profiler_spark.operators.dedup import minhash_near_duplicates
 
     docs = load(spark, sf_dir, "documents")
-    return minhash_near_duplicates(docs, "doc_id", "text", k=3, threshold=0.5)
+    return minhash_near_duplicates(
+        docs, "doc_id", "text", k=_MH_K, num_hashes=_MH_NH, bands=_MH_BANDS,
+        threshold=_MH_THR, seed=_MH_SEED, max_bucket=None, hash_family="md5",
+    )
 
 
-@register("simhash_near_dups_documents")
+# ---------------------------------------------------------------------------
+# SimHash near-dup — hash-oracled (r5; formerly rows-only). Two facts make
+# the twin simple: (1) under md5 the token hash is 60-bit, so the
+# fingerprint is a deterministic 60-bit integer DuckDB rebuilds bit-for-bit
+# from the same majority-vote sums; (2) with max_bucket=None the 16-bit
+# chunk blocking is EXACT for max_hamming<=3 (<=3 differing bits touch <=3
+# of the 4 chunks, so one chunk always collides) — the Spark output equals
+# the all-pairs hamming join, which is the oracle formulation.
+# ---------------------------------------------------------------------------
+def _simhash_md5_sql(seed: int = 42, max_hamming: int = 3) -> str:
+    sums = ",\n         ".join(
+        f"SUM((h >> {i}) & 1) AS s{i}" for i in range(60)
+    )
+    fp = " + ".join(f"(CASE WHEN 2 * s{i} > n THEN {1 << i} ELSE 0 END)" for i in range(60))
+    return f"""WITH tok AS (
+  SELECT id, {_md5h(f"'{seed}:' || arr[i]")} AS h
+  FROM (SELECT id, arr, unnest(generate_series(1, len(arr))) AS i
+        FROM (SELECT doc_id AS id, string_split_regex(trim(text), '\\s+') AS arr
+              FROM documents))
+),
+bits AS (
+  SELECT id, COUNT(*) AS n,
+         {sums}
+  FROM tok GROUP BY id
+),
+fp AS (SELECT id, CAST({fp} AS BIGINT) AS simhash FROM bits)
+SELECT a.id AS id_a, b.id AS id_b,
+       CAST(bit_count(xor(a.simhash, b.simhash)) AS INTEGER) AS hamming
+FROM fp a JOIN fp b ON a.id < b.id
+WHERE bit_count(xor(a.simhash, b.simhash)) <= {max_hamming}"""
+
+
+@register("simhash_near_dups_documents", _simhash_md5_sql())
 def simhash_near_dups_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-duplicate pairs (hamming <= 3) under the md5 hash family
+    with exact chunk blocking (see block comment)."""
     from data_profiler_spark.operators.dedup import simhash_near_duplicates
 
     docs = load(spark, sf_dir, "documents")
-    return simhash_near_duplicates(docs, "doc_id", "text", max_hamming=3)
+    return simhash_near_duplicates(
+        docs, "doc_id", "text", max_hamming=3, max_bucket=None,
+        hash_family="md5",
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -3737,14 +3865,64 @@ def incremental_dedup_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("id", F.md5("text").alias("content_hash"))
 
 
-# rows-only gate entry (no SQL twin: dedup verdicts live in MinHash
-# signature space — DuckDB has no equivalent estimator): historical run =
-# docs 0-249; the new batch re-ids docs 250-499 (+10000) and adds one-token
-# -suffix variants of docs 0-49 (+30000) whose shingle Jaccard vs their
-# historical anchors is ~0.9 — every variant must be dropped by the stored
-# band buckets + signature-agreement verify, without re-reading any
-# historical text.
-@register("incremental_neardup_documents")
+# Hash-oracled (r5; formerly rows-only "dedup verdicts live in MinHash
+# signature space"): the store now takes hash_family="md5", so signatures,
+# band buckets AND the signature-agreement verify are all DuckDB-expressible
+# — the twin replays both runs (historical in-batch dedup, then new batch vs
+# stored survivor buckets) from the same md5 slot tables. Fixture: historical
+# run = docs 0-249; the new batch re-ids docs 250-499 (+10000) and adds
+# one-token-suffix variants of docs 0-49 (+30000) whose shingle Jaccard vs
+# their historical anchors is ~0.9 — every variant must be dropped by the
+# stored band buckets + signature-agreement verify, without re-reading any
+# historical text. Agreement threshold 0.7 on 64 slots: the decision
+# boundary (45/64) is an exact binary fraction on both engines.
+_ND_THR = 0.7
+
+
+def _nd_agree_hit(name: str, cand: str, slot_new: str, slot_old: str) -> str:
+    """CTE: victims of ``cand`` (id, old_id) whose slot agreement >= thr —
+    the SQL transcription of dedup_store.sig_agreement >= threshold."""
+    return f"""{name} AS (
+  SELECT c.id, c.old_id
+  FROM {cand} c
+  JOIN {slot_new} sa ON sa.id = c.id
+  JOIN {slot_old} sb ON sb.id = c.old_id AND sb.i = sa.i
+  GROUP BY c.id, c.old_id
+  HAVING CAST(SUM(CASE WHEN sa.m = sb.m THEN 1 ELSE 0 END) AS DOUBLE)
+         / {_MH_NH}e0 >= {_ND_THR}e0
+)"""
+
+
+_ND_HIST_SRC = "(SELECT doc_id AS id, text FROM documents WHERE doc_id < 250)"
+_ND_NEW_SRC = """(SELECT doc_id + 10000 AS id, text FROM documents WHERE doc_id >= 250
+       UNION ALL
+       SELECT doc_id + 30000 AS id, text || ' zqxtail' AS text FROM documents
+       WHERE doc_id < 50)"""
+
+_ND_SQL = f"""WITH
+{_mh_md5_ctes('h', _ND_HIST_SRC)},
+{_mh_md5_ctes('n', _ND_NEW_SRC)},
+h_cand AS (SELECT DISTINCT b.id AS id, a.id AS old_id
+           FROM h_bucket a JOIN h_bucket b
+             ON a.band = b.band AND a.bh = b.bh AND a.id < b.id),
+{_nd_agree_hit('h_hit', 'h_cand', 'h_slot', 'h_slot')},
+h_surv AS (SELECT DISTINCT id FROM h_slot
+           WHERE id NOT IN (SELECT id FROM h_hit)),
+n_cand AS (SELECT DISTINCT b.id AS id, a.id AS old_id
+           FROM n_bucket a JOIN n_bucket b
+             ON a.band = b.band AND a.bh = b.bh AND a.id < b.id),
+{_nd_agree_hit('n_hit', 'n_cand', 'n_slot', 'n_slot')},
+x_cand AS (SELECT DISTINCT n.id AS id, h.id AS old_id
+           FROM n_bucket n JOIN h_bucket h
+             ON n.band = h.band AND n.bh = h.bh
+           WHERE h.id IN (SELECT id FROM h_surv)),
+{_nd_agree_hit('x_hit', 'x_cand', 'n_slot', 'h_slot')}
+SELECT id FROM (SELECT DISTINCT id FROM n_slot)
+WHERE id NOT IN (SELECT id FROM n_hit)
+  AND id NOT IN (SELECT id FROM x_hit)"""
+
+
+@register("incremental_neardup_documents", _ND_SQL)
 def incremental_neardup_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     import tempfile
 
@@ -3754,10 +3932,12 @@ def incremental_neardup_documents(spark: SparkSession, sf_dir: str) -> DataFrame
     )
 
     docs = load(spark, sf_dir, "documents")
-    store = MinHashBandStore(spark, tempfile.mkdtemp(prefix="dpnd_") + "/nd")
+    store = MinHashBandStore(
+        spark, tempfile.mkdtemp(prefix="dpnd_") + "/nd", hash_family="md5"
+    )
     neardup_new_batch(
         docs.where(F.col("doc_id") < 250).select(F.col("doc_id").alias("id"), "text"),
-        "id", "text", store, run_id="hist", threshold=0.7,
+        "id", "text", store, run_id="hist", threshold=_ND_THR,
     )
     newb = (
         docs.where(F.col("doc_id") >= 250)
@@ -3769,7 +3949,7 @@ def incremental_neardup_documents(spark: SparkSession, sf_dir: str) -> DataFrame
             )
         )
     )
-    out = neardup_new_batch(newb, "id", "text", store, run_id="r1", threshold=0.7)
+    out = neardup_new_batch(newb, "id", "text", store, run_id="r1", threshold=_ND_THR)
     return out.select("id")
 
 
@@ -5144,10 +5324,11 @@ def char_entropy_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 DRIVER_GATE_WINDOW = 50
 
-# keys with a hash-green row in CORRECTNESS_r01/r02/r03.json (the driver's
-# prior windows) — kept OUT of the new head so the external gate only spends
-# budget on never-gated entries
-PRIOR_DRIVER_GATED = frozenset({
+# keys with a hash-green row in CORRECTNESS_r01/r02/r03.json — kept OUT of
+# the new head so the external gate only spends budget on never-gated
+# entries; the r4 window (all 50 green in CORRECTNESS_r04.json) is appended
+# below via _R4_WINDOW
+_PRIOR_R123 = frozenset({
     "profile_numeric_lineitem", "quantiles_lineitem", "group_stats_lineitem",
     "value_counts_event_type", "topk_users_events", "mode_returnflag",
     "distinct_counts_lineitem", "uniqueness_violations_lineitem",
@@ -5170,6 +5351,7 @@ PRIOR_DRIVER_GATED = frozenset({
     "ivf_topk_embeddings",
 })
 
+# the round-4 window, every entry green in CORRECTNESS_r04.json
 _R4_WINDOW = [
     # distribution drift (7; chi_square stays just behind the window)
     "psi_content_length_by_lang", "ks_content_length",
@@ -5207,9 +5389,54 @@ _R4_WINDOW = [
     "pagerank_event_transitions", "quality_model_scores_documents",
 ]
 
+PRIOR_DRIVER_GATED = _PRIOR_R123 | frozenset(_R4_WINDOW)
+
+# Round-5 window: the 47 oracled entries never externally gated in r1-r4,
+# plus the three near-dup entries newly hash-oracled this round (md5 hash
+# family) — exactly 50. After this round, EVERY oracled catalog entry has
+# been driver-green at least once.
+_R5_WINDOW = [
+    # drift / statistical structure remainder (5)
+    "embedding_drift_dims", "chi_square_content_length_by_lang",
+    "iqr_outliers_lineitem", "zscore_outliers_lineitem",
+    "null_correlation_events",
+    # table-shape / diff / anomaly / skew (6)
+    "table_diff_lineitem", "skew_report_orderpriority",
+    "daily_count_anomalies_events", "column_shape_stats_orders",
+    "array_profile_embeddings", "duplicate_rows_documents",
+    # constraint machinery remainder (2)
+    "scoped_check_verdicts_lineitem", "k_anonymity_summary_customer",
+    # text analysis remainder (6)
+    "tfidf_top_terms_documents", "repetition_profile_documents",
+    "pii_redaction_documents", "high_entropy_documents",
+    "char_entropy_documents", "fuzzy_name_pairs_customer",
+    # curation / training-mix remainder (8)
+    "ngram_contamination_documents", "mixture_weights_documents",
+    "sequence_packing_documents", "stratified_sample_documents",
+    "optout_filter_documents", "optout_audit_documents",
+    "split_leakage_documents", "fim_transform_documents",
+    # similarity / quality remainder (3)
+    "semantic_decontaminate_embeddings", "perplexity_documents",
+    "incremental_dedup_documents",
+    # code-corpus censuses remainder (11)
+    "top_imports_documents", "repo_similarity_documents",
+    "file_class_census_documents", "comment_density_documents",
+    "winnow_fingerprints_documents", "duplicate_spans_documents",
+    "top_symbols_documents", "function_dup_census_documents",
+    "well_formed_census_documents", "well_formed_verdicts_documents",
+    "boilerplate_census_documents",
+    # notebooks / repo assembly / tokenizer / lang (6)
+    "notebook_cells_documents", "notebook_census_documents",
+    "notebook_script_documents", "repo_context_documents",
+    "bpe_pair_counts_documents", "lang_mismatch_census_documents",
+    # newly hash-oracled this round — former rows-only (3)
+    "minhash_near_dups_documents", "simhash_near_dups_documents",
+    "incremental_neardup_documents",
+]
+
 
 def _rotate_gate_window() -> None:
-    window = [k for k in _R4_WINDOW if k in QUERIES and k in ORACLES]
+    window = [k for k in _R5_WINDOW if k in QUERIES and k in ORACLES]
     head = set(window)
     rest_oracled = [
         k for k in QUERIES

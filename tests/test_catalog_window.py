@@ -1,9 +1,11 @@
-"""Driver-gate window invariants (round 4 rotation).
+"""Driver-gate window invariants (round 5 rotation).
 
 The external correctness gate checks exactly ``list(QUERIES)[:50]``; these
 pins make the rotation's guarantees explicit so a future registration or
 reorder cannot silently eject an entry from (or duplicate one into) the
-externally-verified window.
+externally-verified window. Round 5 completes the coverage rotation: after
+this window is gated, every oracled catalog entry has been driver-green at
+least once (r1-r3 head, r4 window, r5 window partition the oracle set).
 """
 
 from data_profiler_spark.queries_catalog import (
@@ -12,11 +14,12 @@ from data_profiler_spark.queries_catalog import (
     PRIOR_DRIVER_GATED,
     QUERIES,
     _R4_WINDOW,
+    _R5_WINDOW,
 )
 
 
-def test_window_is_exactly_the_r4_list():
-    assert list(QUERIES)[:DRIVER_GATE_WINDOW] == _R4_WINDOW
+def test_window_is_exactly_the_r5_list():
+    assert list(QUERIES)[:DRIVER_GATE_WINDOW] == _R5_WINDOW
 
 
 def test_window_entries_all_have_oracles():
@@ -29,17 +32,30 @@ def test_window_spends_no_budget_on_prior_gated_entries():
     assert head & PRIOR_DRIVER_GATED == set()
 
 
+def test_prior_gated_includes_the_whole_r4_window():
+    # CORRECTNESS_r04.json was 50/50 green on _R4_WINDOW; those rows are
+    # spent budget now
+    assert set(_R4_WINDOW) <= PRIOR_DRIVER_GATED
+
+
 def test_rotation_loses_nothing_and_duplicates_nothing():
     names = list(QUERIES)
     assert len(names) == len(set(names))
     # every oracle key still resolves to a registered query
     assert set(ORACLES) <= set(names)
-    # prior-gated §2 surface is all still registered (stays covered by
+    # prior-gated surface is all still registered (stays covered by
     # compare_oracle + test_oracle_dtypes behind the window)
     assert PRIOR_DRIVER_GATED <= set(names)
 
 
+def test_r5_completes_the_coverage_rotation():
+    # prior windows + this window = EVERY oracled entry: nothing oracled
+    # remains never-externally-gated after round 5
+    assert set(ORACLES) == PRIOR_DRIVER_GATED | set(_R5_WINDOW)
+
+
 def test_newly_oracled_former_rows_only_entries_are_in_window():
     head = list(QUERIES)[:DRIVER_GATE_WINDOW]
-    assert "pagerank_event_transitions" in head
-    assert "quality_model_scores_documents" in head
+    assert "minhash_near_dups_documents" in head
+    assert "simhash_near_dups_documents" in head
+    assert "incremental_neardup_documents" in head

@@ -496,3 +496,43 @@ def test_minhash_rejects_indivisible_bands(spark, documents):
         minhash_near_duplicates(
             documents, "doc_id", "text", num_hashes=64, bands=12
         )
+
+
+# ---------------------------------------------------------------------------
+# md5 hash family (oracle-twin path, r5): same SEMANTICS as xxhash64 —
+# output ⊆ exact-Jaccard pairs with identical jaccard values — plus the
+# DuckDB-reproducibility property the catalog twins rely on.
+# ---------------------------------------------------------------------------
+def test_minhash_md5_family_subset_of_exact_with_equal_jaccard(documents):
+    exact = {
+        (r["id_a"], r["id_b"]): r["jaccard"]
+        for r in jaccard_pairs(documents, "doc_id", "text", 3, 0.5).collect()
+    }
+    mh = {
+        (r["id_a"], r["id_b"]): r["jaccard"]
+        for r in minhash_near_duplicates(
+            documents, "doc_id", "text", 3, threshold=0.5,
+            max_bucket=None, hash_family="md5",
+        ).collect()
+    }
+    assert set(mh) <= set(exact)
+    strong = {p for p, j in exact.items() if j >= 0.8}
+    assert strong <= set(mh)
+    for p, j in mh.items():
+        assert exact[p] == j
+
+
+def test_simhash_md5_fingerprint_is_60_bit(spark):
+    df = spark.createDataFrame(
+        [(1, "alpha beta gamma delta epsilon zeta"), (2, "one two three four")],
+        "id int, t string",
+    )
+    fps = [r["simhash"] for r in simhash64(df, "id", "t", hash_family="md5").collect()]
+    for fp in fps:
+        assert 0 <= fp < (1 << 60)  # bits 60-63 provably zero under md5
+
+
+def test_unknown_hash_family_rejected(spark):
+    df = spark.createDataFrame([(1, "a b c d")], "id int, t string")
+    with pytest.raises(ValueError, match="hash_family"):
+        simhash64(df, "id", "t", hash_family="sha9000").collect()

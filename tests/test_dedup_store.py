@@ -142,3 +142,39 @@ def test_neardup_rejects_non_integral_ids(spark, tmp_path):
     df = spark.createDataFrame([("a", "text here")], "doc_id string, text string")
     with _pytest.raises(ValueError, match="integral"):
         neardup_new_batch(df, "doc_id", "text", store, run_id="r1")
+
+
+def test_minhash_store_meta_backcompat_defaults_xxhash64(spark, tmp_path):
+    # a store written before hash_family existed carries no such meta key;
+    # reopening it with the default must NOT raise, reopening as md5 must
+    import json
+
+    path = str(tmp_path / "nd")
+    MinHashBandStore(spark, path)._write_meta()
+    meta_file = tmp_path / "nd" / "_meta.json"
+    legacy = json.loads(meta_file.read_text())
+    legacy.pop("hash_family")
+    meta_file.write_text(json.dumps(legacy))
+    # rewriting outside Hadoop invalidates the LocalFileSystem checksum
+    crc = tmp_path / "nd" / "._meta.json.crc"
+    if crc.exists():
+        crc.unlink()
+    MinHashBandStore(spark, path)  # ok: defaults to xxhash64
+    with pytest.raises(ValueError, match="built with"):
+        MinHashBandStore(spark, path, hash_family="md5")
+
+
+def test_minhash_store_md5_family_cross_run(spark, tmp_path):
+    # same cross-run semantics under the oracle-twin hash family
+    store = MinHashBandStore(spark, str(tmp_path / "nd"), hash_family="md5")
+    base = "the quick brown fox jumps over the lazy dog again and again ok"
+    hist = spark.createDataFrame([(1, base), (2, "totally different words here x y z")],
+                                 "id long, text string")
+    neardup_new_batch(hist, "id", "text", store, run_id="h", threshold=0.7)
+    newb = spark.createDataFrame(
+        [(10, base + " tail"), (11, "completely novel content q r s t u v w")],
+        "id long, text string",
+    )
+    out = neardup_new_batch(newb, "id", "text", store, run_id="r1", threshold=0.7)
+    ids = {r["id"] for r in out.collect()}
+    assert 10 not in ids and 11 in ids

@@ -95,7 +95,7 @@ def main() -> int:
     spark = get_spark(master="local[8]")
     con = duck_con(sf_dir)
     qs, oracles = E.queries(), E.oracle_sql()
-    n_fail = 0
+    n_fail = n_ok = n_skip = 0
     for name, fn in qs.items():
         if only and name not in only:
             continue
@@ -108,6 +108,7 @@ def main() -> int:
         sql = oracles.get(name)
         if sql is None:
             print(f"SKIP {name}: no oracle (rows-only check): {len(sdf)} rows")
+            n_skip += 1
             continue
         try:
             odf = con.execute(sql).df()
@@ -122,11 +123,17 @@ def main() -> int:
             for p in problems:
                 print(f"   {p}")
         else:
+            n_ok += 1
             print(f"OK   {name} ({len(sdf)} rows)")
     extra_oracle = set(oracles) - set(qs)
     if extra_oracle:
         print(f"WARN oracle_sql keys without queries(): {sorted(extra_oracle)}")
-    print(f"{'PASS' if n_fail == 0 else 'FAIL'}: {n_fail} failing")
+    # single greppable tally (progress-bar carriage returns corrupt naive
+    # `^OK` counts — this line is the authoritative total)
+    print(
+        f"{'PASS' if n_fail == 0 else 'FAIL'}: "
+        f"ok={n_ok} skip={n_skip} fail={n_fail}"
+    )
     return 1 if n_fail else 0
 
 

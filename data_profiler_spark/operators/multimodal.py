@@ -390,13 +390,18 @@ def decode_png(b: bytes) -> np.ndarray:
 
 
 def decode_image(b: bytes) -> np.ndarray:
-    """Dispatch on container magic: BMP, PNG, baseline JPEG and baseline
-    TIFF (uncompressed/PackBits/LZW strips — operators/tiff.py, r4) decode
-    for real (stdlib + numpy); remaining containers (WebP, arithmetic
-    JPEG, tiled/JPEG-in-TIFF) raise NotImplementedError — each needs a
-    codec library absent from this environment."""
+    """Dispatch on container magic: BMP, PNG, baseline JPEG, baseline
+    TIFF (uncompressed/PackBits/LZW strips — operators/tiff.py, r4) and
+    lossless WebP (VP8L — operators/webp.py, r5) decode for real (stdlib +
+    numpy); remaining containers (lossy-VP8 WebP, arithmetic JPEG,
+    tiled/JPEG-in-TIFF) raise NotImplementedError — each needs a codec
+    library absent from this environment."""
     if b[:2] == b"BM":
         return decode_bmp(b)
+    if b[:4] == b"RIFF" and b[8:12] == b"WEBP":
+        from data_profiler_spark.operators.webp import decode_webp
+
+        return decode_webp(b)[:, :, :3]  # drop alpha for the feature plane
     if b[:4] in (b"II*\x00", b"MM\x00*"):
         from data_profiler_spark.operators.tiff import decode_tiff
 
@@ -430,6 +435,7 @@ def _is_decodable_image(b: bytes) -> bool:
         or b[:8] == _PNG_SIG
         or b[:2] == b"\xff\xd8"
         or b[:4] in (b"II*\x00", b"MM\x00*")
+        or (b[:4] == b"RIFF" and b[8:12] == b"WEBP")
     )
 
 
@@ -564,6 +570,30 @@ def synth_tiff_media(spark: SparkSession, n_rows: int) -> DataFrame:
     return _synth_image_media(spark, n_rows, enc, "image/tiff")
 
 
+def synth_webp_media(spark: SparkSession, n_rows: int) -> DataFrame:
+    """REAL lossless-WebP payloads (same pixel recipe) cycling the VP8L
+    encoder twin's transform variants — plain literals, subtract-green,
+    left-predictor, uniform color transform, and (on the quantized
+    small-palette rows) color-indexing with pixel bundling — so every
+    inverse-transform path operators/webp.py owns appears in the corpus."""
+    from data_profiler_spark.operators.webp import encode_webp_lossless
+
+    def enc(px: np.ndarray) -> bytes:
+        kind = (px.shape[0] + px.shape[1]) % 5
+        if kind == 0:
+            return encode_webp_lossless(px)
+        if kind == 1:
+            return encode_webp_lossless(px, transform="subtract_green")
+        if kind == 2:
+            return encode_webp_lossless(px, transform="predictor_left")
+        if kind == 3:
+            return encode_webp_lossless(px, transform="color_uniform")
+        # quantize to ≤8 colors so BUNDLED color-indexing is exercised
+        return encode_webp_lossless((px >> 7) << 7, transform="palette")
+
+    return _synth_image_media(spark, n_rows, enc, "image/webp")
+
+
 def synth_jpeg_media(spark: SparkSession, n_rows: int) -> DataFrame:
     """REAL JPEG payloads (same pixel recipe, JFIF container) cycling
     baseline 4:4:4 / baseline 4:2:0 / progressive — every decode path the
@@ -630,11 +660,11 @@ def image_features(df: DataFrame, batch_hint: int = 1024) -> DataFrame:
     """Decode + feature-extract per image: byte stats, entropy, compression
     ratio, dimensions — one mapInPandas pass, vectorized per Arrow batch.
 
-    BMP, PNG and baseline JPEG payloads decode for REAL (``decoded=True``,
-    true dims + channel means); other containers fall back to
-    :func:`_fake_decode` (``decoded=False``) — the surrounding plumbing
-    (schema, batching, column pruning before shuffle) is production-real
-    either way.
+    BMP, PNG, baseline/progressive JPEG, baseline TIFF and lossless-WebP
+    payloads decode for REAL (``decoded=True``, true dims + channel
+    means); other containers fall back to :func:`_fake_decode`
+    (``decoded=False``) — the surrounding plumbing (schema, batching,
+    column pruning before shuffle) is production-real either way.
     """
     proj = df.where(F.col("kind") == "image").select(
         "media_id", "payload", F.col("meta.width").alias("width"), F.col("meta.height").alias("height")
@@ -671,7 +701,7 @@ def image_features(df: DataFrame, batch_hint: int = 1024) -> DataFrame:
                     mr, mg, mb = (float(means[0]), float(means[1]), float(means[2]))
                     hgt, wid = pixels.shape[:2]
                 else:
-                    # codec-gated (WebP/unsupported sub-format):
+                    # codec-gated (lossy WebP/unsupported sub-format):
                     # deterministic fake keeps the plumbing testable;
                     # flagged decoded=False
                     pixels = _fake_decode(b, int(w), int(h))

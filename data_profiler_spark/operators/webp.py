@@ -1,0 +1,900 @@
+"""Lossless WebP (VP8L) codec — stdlib + numpy, no image library.
+
+Closes the r4 codec-gate's WebP entry (VERDICT r4 #5): ``decode_webp``
+parses the RIFF container (plain and VP8X-extended) and fully decodes the
+VP8L lossless bitstream — LSB-first bit reading, simple + normal
+(code-length-coded) canonical prefix codes, optional color cache, optional
+meta-prefix (entropy) image, LZ77 backward references with the 120-entry
+2D distance map, and all four transforms inverted in reverse signalling
+order: predictor (14 modes), color (per-tile cross-color deltas),
+subtract-green, and color-indexing (palette incl. 1/2/4-bit pixel
+bundling). ``encode_webp_lossless`` writes a self-consistent legal subset
+(literal-coded pixels, normal or simple prefix codes, one optional
+transform per image) so round-trip tests need no external fixtures —
+mirroring the PNG/TIFF/JPEG codec posture.
+
+Out of scope (named gates, not stubs): lossy WebP ('VP8 ' chunk — full
+VP8 intra-frame reconstruction needs a codec library) and animation
+('ANIM'/'ANMF'). Those raise NotImplementedError naming the gate.
+
+Spec: RFC 9649 (WebP), §"Specification for WebP Lossless Bitstream";
+reference parity: the reference repo has no media plane at all — this
+module belongs to the training-data extension (SURVEY §8).
+
+Interop note: the TR (top-right) neighbor convention for predictor modes
+at the rightmost column follows the convention "TR = leftmost pixel of the
+same row as T" used here symmetrically by encoder and decoder; the
+encoder twin only emits predictor mode 1 (left), which never consults TR,
+so round-trips cannot mask a divergence from other encoders on that edge.
+"""
+
+from __future__ import annotations
+
+import heapq
+import struct
+
+import numpy as np
+
+# distance codes 1..120 map to a 2D neighborhood (dx, dy) — RFC 9649
+# lossless §"Decoding of Distances"
+_DIST_MAP = [
+    (0, 1), (1, 0), (1, 1), (-1, 1), (0, 2), (2, 0), (1, 2), (-1, 2),
+    (2, 1), (-2, 1), (2, 2), (-2, 2), (0, 3), (3, 0), (1, 3), (-1, 3),
+    (3, 1), (-3, 1), (2, 3), (-2, 3), (3, 2), (-3, 2), (0, 4), (4, 0),
+    (1, 4), (-1, 4), (4, 1), (-4, 1), (3, 3), (-3, 3), (2, 4), (-2, 4),
+    (4, 2), (-4, 2), (0, 5), (3, 4), (-3, 4), (4, 3), (-4, 3), (5, 0),
+    (1, 5), (-1, 5), (5, 1), (-5, 1), (2, 5), (-2, 5), (5, 2), (-5, 2),
+    (4, 4), (-4, 4), (3, 5), (-3, 5), (5, 3), (-5, 3), (0, 6), (6, 0),
+    (1, 6), (-1, 6), (6, 1), (-6, 1), (2, 6), (-2, 6), (6, 2), (-6, 2),
+    (4, 5), (-4, 5), (5, 4), (-5, 4), (3, 6), (-3, 6), (6, 3), (-6, 3),
+    (0, 7), (7, 0), (1, 7), (-1, 7), (5, 5), (-5, 5), (7, 1), (-7, 1),
+    (4, 6), (-4, 6), (6, 4), (-6, 4), (2, 7), (-2, 7), (7, 2), (-7, 2),
+    (3, 7), (-3, 7), (7, 3), (-7, 3), (5, 6), (-5, 6), (6, 5), (-6, 5),
+    (8, 0), (4, 7), (-4, 7), (7, 4), (-7, 4), (8, 1), (8, 2), (6, 6),
+    (-6, 6), (8, 3), (5, 7), (-5, 7), (7, 5), (-7, 5), (8, 4), (6, 7),
+    (-6, 7), (7, 6), (-7, 6), (8, 5), (7, 7), (-7, 7), (8, 6), (8, 7),
+]
+assert len(_DIST_MAP) == 120
+
+# code-length-code symbol order (RFC 9649 lossless §"Normal Code Length Code")
+_CL_ORDER = [17, 18, 0, 1, 2, 3, 4, 5, 6, 7, 8, 9, 10, 11, 12, 13, 14, 15, 16]
+
+
+# ---------------------------------------------------------------------------
+# bit I/O — VP8L is LSB-first within bytes; prefix codes are read bit by
+# bit with each new bit extending the code at the LSB end of the walk
+# (canonical codes are compared MSB-first, DEFLATE-style)
+# ---------------------------------------------------------------------------
+class _BitReader:
+    def __init__(self, data: bytes) -> None:
+        self.d = data
+        self.pos = 0  # bit position
+
+    def bits(self, n: int) -> int:
+        v = 0
+        for i in range(n):
+            byte = self.d[(self.pos + i) >> 3]
+            v |= ((byte >> ((self.pos + i) & 7)) & 1) << i
+        self.pos += n
+        return v
+
+    def bit(self) -> int:
+        byte = self.d[self.pos >> 3]
+        b = (byte >> (self.pos & 7)) & 1
+        self.pos += 1
+        return b
+
+
+class _BitWriter:
+    def __init__(self) -> None:
+        self.out = bytearray()
+        self.cur = 0
+        self.nbits = 0
+
+    def write(self, v: int, n: int) -> None:
+        for i in range(n):
+            self.cur |= ((v >> i) & 1) << self.nbits
+            self.nbits += 1
+            if self.nbits == 8:
+                self.out.append(self.cur)
+                self.cur = 0
+                self.nbits = 0
+
+    def done(self) -> bytes:
+        if self.nbits:
+            self.out.append(self.cur)
+            self.cur, self.nbits = 0, 0
+        return bytes(self.out)
+
+
+# ---------------------------------------------------------------------------
+# canonical prefix codes
+# ---------------------------------------------------------------------------
+def _canonical_codes(lengths: dict[int, int]) -> dict[int, tuple[int, int]]:
+    """symbol -> (code, length), canonical assignment: codes increase with
+    (length, symbol) exactly like DEFLATE, read/written MSB-first."""
+    code = 0
+    prev_len = 0
+    out: dict[int, tuple[int, int]] = {}
+    for sym in sorted(lengths, key=lambda s: (lengths[s], s)):
+        ln = lengths[sym]
+        code <<= ln - prev_len
+        out[sym] = (code, ln)
+        code += 1
+        prev_len = ln
+    return out
+
+
+class _PrefixCode:
+    """Decoder-side prefix code: either a 0-bit single symbol or a
+    (length, code) -> symbol map walked bit by bit. A code with exactly one
+    symbol always decodes it without consuming bits (libwebp convention for
+    single-symbol trees), whatever length the stream announced."""
+
+    def __init__(
+        self,
+        lengths: dict[int, int] | None,
+        single: int | None = None,
+        explicit: dict[tuple[int, int], int] | None = None,
+    ):
+        self.single = single
+        if explicit is not None:
+            self.map = explicit
+            self.max_len = max(ln for ln, _ in explicit)
+        elif single is None:
+            assert lengths
+            if len(lengths) == 1:
+                self.single = next(iter(lengths))
+                self.map, self.max_len = {}, 0
+                return
+            self.map = {
+                (ln, code): sym
+                for sym, (code, ln) in _canonical_codes(lengths).items()
+            }
+            self.max_len = max(lengths.values())
+        else:
+            self.map = {}
+            self.max_len = 0
+
+    def read(self, br: _BitReader) -> int:
+        if self.single is not None:
+            return self.single
+        code, ln = 0, 0
+        while ln <= self.max_len:
+            code = (code << 1) | br.bit()
+            ln += 1
+            sym = self.map.get((ln, code))
+            if sym is not None:
+                return sym
+        raise ValueError("invalid prefix code in VP8L stream")
+
+
+def _read_prefix_code(br: _BitReader, alphabet_size: int) -> _PrefixCode:
+    if br.bit():  # simple code
+        num_symbols = br.bit() + 1
+        first_is_8bit = br.bit()
+        s0 = br.bits(8 if first_is_8bit else 1)
+        if num_symbols == 1:
+            return _PrefixCode(None, single=s0)
+        s1 = br.bits(8)
+        # listed order, not canonical-by-symbol: symbols[0] takes bit 0
+        return _PrefixCode(None, explicit={(1, 0): s0, (1, 1): s1})
+    # normal: code-length code first
+    num_cl = 4 + br.bits(4)
+    cl_lengths: dict[int, int] = {}
+    for i in range(num_cl):
+        ln = br.bits(3)
+        if ln:
+            cl_lengths[_CL_ORDER[i]] = ln
+    if not cl_lengths:
+        raise ValueError("empty code-length code")
+    cl = _PrefixCode(cl_lengths)  # single-symbol cl codes consume 0 bits
+    # then the symbol code lengths
+    if br.bit():  # use a max_symbol cap
+        length_nbits = 2 + 2 * br.bits(3)
+        max_symbol = 2 + br.bits(length_nbits)
+    else:
+        max_symbol = alphabet_size
+    lengths: dict[int, int] = {}
+    symbol = 0
+    prev_len = 8
+    while symbol < alphabet_size:
+        if max_symbol <= 0:
+            break
+        max_symbol -= 1
+        s = cl.read(br)
+        if s < 16:
+            if s:
+                lengths[symbol] = s
+                prev_len = s
+            symbol += 1
+        elif s == 16:
+            rep = 3 + br.bits(2)
+            for _ in range(rep):
+                if symbol < alphabet_size:
+                    lengths[symbol] = prev_len
+                symbol += 1
+        elif s == 17:
+            symbol += 3 + br.bits(3)
+        else:  # 18
+            symbol += 11 + br.bits(7)
+    if not lengths:
+        raise ValueError("prefix code with no symbols")
+    return _PrefixCode(lengths)  # single-symbol codes consume 0 bits
+
+
+def _prefix_decode_extra(br: _BitReader, code: int) -> int:
+    """length/distance value from its prefix code (RFC 9649 lossless
+    §"LZ77 Backward Reference"): codes 0-3 literal, then
+    (2 + (code & 1)) << extra_bits + read(extra_bits) + 1."""
+    if code < 4:
+        return code + 1
+    extra = (code - 2) >> 1
+    offset = (2 + (code & 1)) << extra
+    return offset + br.bits(extra) + 1
+
+
+# ---------------------------------------------------------------------------
+# VP8L image-stream decoding
+# ---------------------------------------------------------------------------
+def _hash_pixel(argb: int, cache_bits: int) -> int:
+    return ((0x1E35A7BD * argb) & 0xFFFFFFFF) >> (32 - cache_bits)
+
+
+def _decode_image_stream(
+    br: _BitReader, w: int, h: int, is_level0: bool
+) -> tuple[np.ndarray, list]:
+    """Decode one entropy-coded image of w*h ARGB pixels. Returns (pixels
+    as uint32 ndarray shape (h, w), transforms list — empty unless
+    level 0). Transforms are recorded as (type, data...) in READ order."""
+    transforms: list = []
+    xsize = w
+    if is_level0:
+        seen = set()
+        while br.bit():
+            ttype = br.bits(2)
+            if ttype in seen:
+                raise ValueError("duplicate VP8L transform")
+            seen.add(ttype)
+            xsize, tr = _read_transform(br, ttype, xsize, h)
+            transforms.append(tr)
+
+    # color cache
+    cache_bits = 0
+    if br.bit():
+        cache_bits = br.bits(4)
+        if not 1 <= cache_bits <= 11:
+            raise ValueError(f"invalid color-cache bits {cache_bits}")
+    cache_size = (1 << cache_bits) if cache_bits else 0
+    cache = [0] * cache_size
+
+    # meta prefix image (level 0 / spatially-coded images only)
+    meta = None
+    meta_bits = 0
+    num_groups = 1
+    if is_level0 and br.bit():
+        meta_bits = br.bits(3) + 2
+        mw = (xsize + (1 << meta_bits) - 1) >> meta_bits
+        mh = (h + (1 << meta_bits) - 1) >> meta_bits
+        meta_px, _ = _decode_image_stream(br, mw, mh, False)
+        meta = ((meta_px >> 8) & 0xFFFF).astype(np.int64)  # (red<<8)|green
+        num_groups = int(meta.max()) + 1
+
+    green_size = 256 + 24 + cache_size
+    groups = []
+    for _ in range(num_groups):
+        groups.append(
+            (
+                _read_prefix_code(br, green_size),
+                _read_prefix_code(br, 256),
+                _read_prefix_code(br, 256),
+                _read_prefix_code(br, 256),
+                _read_prefix_code(br, 40),
+            )
+        )
+
+    n = xsize * h
+    px = np.zeros(n, dtype=np.uint32)
+    pos = 0
+    while pos < n:
+        x, y = pos % xsize, pos // xsize
+        if meta is not None:
+            g = groups[int(meta[y >> meta_bits, x >> meta_bits])]
+        else:
+            g = groups[0]
+        green_c, red_c, blue_c, alpha_c, dist_c = g
+        s = green_c.read(br)
+        if s < 256:  # literal: G then R, B, A
+            r = red_c.read(br)
+            b = blue_c.read(br)
+            a = alpha_c.read(br)
+            argb = (a << 24) | (r << 16) | (s << 8) | b
+            px[pos] = argb
+            if cache_bits:
+                cache[_hash_pixel(argb, cache_bits)] = argb
+            pos += 1
+        elif s < 280:  # LZ77 backward reference
+            length = _prefix_decode_extra(br, s - 256)
+            dcode = _prefix_decode_extra(br, dist_c.read(br))
+            if dcode > 120:
+                dist = dcode - 120
+            else:
+                dx, dy = _DIST_MAP[dcode - 1]
+                dist = dy * xsize + dx
+                if dist < 1:
+                    dist = 1
+            if dist > pos:
+                raise ValueError("VP8L backward reference before image start")
+            for _ in range(length):
+                if pos >= n:
+                    break
+                argb = int(px[pos - dist])
+                px[pos] = argb
+                if cache_bits:
+                    cache[_hash_pixel(argb, cache_bits)] = argb
+                pos += 1
+        else:  # color-cache hit
+            idx = s - 280
+            if idx >= cache_size:
+                raise ValueError("color-cache index out of range")
+            argb = cache[idx]
+            px[pos] = argb
+            pos += 1
+    return px.reshape(h, xsize), transforms
+
+
+def _read_transform(br: _BitReader, ttype: int, xsize: int, h: int):
+    """Read one transform's data; returns (new_xsize, record)."""
+    if ttype == 0 or ttype == 1:  # predictor / color: tiled sub-image
+        size_bits = br.bits(3) + 2
+        tw = (xsize + (1 << size_bits) - 1) >> size_bits
+        th = (h + (1 << size_bits) - 1) >> size_bits
+        tiles, _ = _decode_image_stream(br, tw, th, False)
+        return xsize, (ttype, size_bits, tiles)
+    if ttype == 2:  # subtract green
+        return xsize, (2,)
+    if ttype == 3:  # color indexing
+        n_colors = br.bits(8) + 1
+        pal_px, _ = _decode_image_stream(br, n_colors, 1, False)
+        # delta-coded palette: each entry adds the previous, componentwise
+        pal = np.zeros(n_colors, dtype=np.uint32)
+        prev = 0
+        for i in range(n_colors):
+            cur = int(pal_px[0, i])
+            summed = (
+                ((((prev >> 24) & 0xFF) + ((cur >> 24) & 0xFF)) & 0xFF) << 24
+                | ((((prev >> 16) & 0xFF) + ((cur >> 16) & 0xFF)) & 0xFF) << 16
+                | ((((prev >> 8) & 0xFF) + ((cur >> 8) & 0xFF)) & 0xFF) << 8
+                | ((((prev >> 0) & 0xFF) + ((cur >> 0) & 0xFF)) & 0xFF)
+            )
+            pal[i] = summed
+            prev = summed
+        wb = _palette_width_bits(n_colors)
+        packed_xsize = (xsize + (1 << wb) - 1) >> wb if wb else xsize
+        return packed_xsize, (3, n_colors, pal, xsize)
+    raise ValueError(f"unknown VP8L transform {ttype}")
+
+
+def _palette_width_bits(n_colors: int) -> int:
+    if n_colors <= 2:
+        return 3
+    if n_colors <= 4:
+        return 2
+    if n_colors <= 16:
+        return 1
+    return 0
+
+
+# ---------------------------------------------------------------------------
+# inverse transforms
+# ---------------------------------------------------------------------------
+def _split(px: np.ndarray) -> tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray]:
+    return (
+        ((px >> 24) & 0xFF).astype(np.int64),
+        ((px >> 16) & 0xFF).astype(np.int64),
+        ((px >> 8) & 0xFF).astype(np.int64),
+        (px & 0xFF).astype(np.int64),
+    )
+
+
+def _join(a, r, g, b) -> np.ndarray:
+    return (
+        ((a & 0xFF) << 24) | ((r & 0xFF) << 16) | ((g & 0xFF) << 8) | (b & 0xFF)
+    ).astype(np.uint32)
+
+
+def _inv_subtract_green(px: np.ndarray) -> np.ndarray:
+    a, r, g, b = _split(px)
+    return _join(a, (r + g) & 0xFF, g, (b + g) & 0xFF)
+
+
+def _ct_delta(t: int, c: int) -> int:
+    """ColorTransformDelta: signed-8-bit product >> 5 (arithmetic)."""
+    ts = t - 256 if t > 127 else t
+    cs = c - 256 if c > 127 else c
+    return (ts * cs) >> 5
+
+
+def _inv_color_transform(px: np.ndarray, size_bits: int, tiles: np.ndarray) -> np.ndarray:
+    h, w = px.shape
+    out = px.copy()
+    for y in range(h):
+        trow = tiles[y >> size_bits]
+        for x in range(w):
+            cte = int(trow[x >> size_bits])
+            g2r = cte & 0xFF            # blue channel of the tile pixel
+            g2b = (cte >> 8) & 0xFF     # green channel
+            r2b = (cte >> 16) & 0xFF    # red channel
+            v = int(out[y, x])
+            a = (v >> 24) & 0xFF
+            r = (v >> 16) & 0xFF
+            g = (v >> 8) & 0xFF
+            b = v & 0xFF
+            r = (r + _ct_delta(g2r, g)) & 0xFF
+            b = (b + _ct_delta(g2b, g)) & 0xFF
+            b = (b + _ct_delta(r2b, r)) & 0xFF
+            out[y, x] = (a << 24) | (r << 16) | (g << 8) | b
+    return out
+
+
+def _avg2(p1: tuple, p2: tuple) -> tuple:
+    return tuple((c1 + c2) >> 1 for c1, c2 in zip(p1, p2))
+
+
+def _clamp(v: int) -> int:
+    return 0 if v < 0 else 255 if v > 255 else v
+
+
+def _pix(v: int) -> tuple:
+    return ((v >> 24) & 0xFF, (v >> 16) & 0xFF, (v >> 8) & 0xFF, v & 0xFF)
+
+
+def _unpix(t: tuple) -> int:
+    return (t[0] << 24) | (t[1] << 16) | (t[2] << 8) | t[3]
+
+
+def _predict(mode: int, left: tuple, top: tuple, tl: tuple, tr: tuple) -> tuple:
+    if mode == 0:
+        return (0xFF, 0, 0, 0)
+    if mode == 1:
+        return left
+    if mode == 2:
+        return top
+    if mode == 3:
+        return tr
+    if mode == 4:
+        return tl
+    if mode == 5:
+        return _avg2(_avg2(left, tr), top)
+    if mode == 6:
+        return _avg2(left, tl)
+    if mode == 7:
+        return _avg2(left, top)
+    if mode == 8:
+        return _avg2(tl, top)
+    if mode == 9:
+        return _avg2(top, tr)
+    if mode == 10:
+        return _avg2(_avg2(left, tl), _avg2(top, tr))
+    if mode == 11:  # Select
+        p = tuple(lc + tc - tlc for lc, tc, tlc in zip(left, top, tl))
+        p_l = sum(abs(pc - lc) for pc, lc in zip(p, left))
+        p_t = sum(abs(pc - tc) for pc, tc in zip(p, top))
+        return left if p_l < p_t else top
+    if mode == 12:  # ClampAddSubtractFull
+        return tuple(
+            _clamp(lc + tc - tlc) for lc, tc, tlc in zip(left, top, tl)
+        )
+    if mode == 13:  # ClampAddSubtractHalf
+        av = _avg2(left, top)
+        return tuple(
+            _clamp(ac + int((ac - tlc) / 2)) for ac, tlc in zip(av, tl)
+        )
+    raise ValueError(f"invalid predictor mode {mode}")
+
+
+def _inv_predictor(px: np.ndarray, size_bits: int, tiles: np.ndarray) -> np.ndarray:
+    h, w = px.shape
+    out = px.copy()
+    for y in range(h):
+        trow = tiles[y >> size_bits]
+        for x in range(w):
+            if x == 0 and y == 0:
+                pred = (0xFF, 0, 0, 0)
+            elif y == 0:
+                pred = _pix(int(out[0, x - 1]))  # forced L on first row
+            elif x == 0:
+                pred = _pix(int(out[y - 1, 0]))  # forced T on first column
+            else:
+                mode = (int(trow[x >> size_bits]) >> 8) & 0xFF  # green channel
+                left = _pix(int(out[y, x - 1]))
+                top = _pix(int(out[y - 1, x]))
+                tl = _pix(int(out[y - 1, x - 1]))
+                # TR convention: rightmost column wraps to the row above's
+                # leftmost pixel's row-start (see module docstring note)
+                tr = (
+                    _pix(int(out[y - 1, 0]))
+                    if x + 1 >= w
+                    else _pix(int(out[y - 1, x + 1]))
+                )
+                pred = _predict(mode, left, top, tl, tr)
+            res = _pix(int(out[y, x]))
+            out[y, x] = _unpix(tuple((rc + pc) & 0xFF for rc, pc in zip(res, pred)))
+    return out
+
+
+def _inv_color_indexing(
+    px: np.ndarray, n_colors: int, pal: np.ndarray, orig_w: int
+) -> np.ndarray:
+    h, pw = px.shape
+    wb = _palette_width_bits(n_colors)
+    if wb == 0:
+        idx = ((px >> 8) & 0xFF).astype(np.int64)
+    else:
+        per = 1 << wb               # pixels packed per green byte
+        bits = 8 >> wb              # bits per packed index
+        mask = (1 << bits) - 1
+        green = ((px >> 8) & 0xFF).astype(np.int64)  # (h, pw)
+        cols = []
+        for i in range(per):
+            cols.append((green >> (i * bits)) & mask)
+        idx = np.stack(cols, axis=2).reshape(h, pw * per)[:, :orig_w]
+    if int(idx.max(initial=0)) >= n_colors:
+        raise ValueError("palette index out of range")
+    return pal[idx]
+
+
+def decode_vp8l(payload: bytes) -> np.ndarray:
+    """Decode a VP8L chunk payload to an (h, w, 4) uint8 RGBA array."""
+    if not payload or payload[0] != 0x2F:
+        raise ValueError("bad VP8L signature byte")
+    br = _BitReader(payload[1:])
+    w = br.bits(14) + 1
+    h = br.bits(14) + 1
+    br.bit()  # alpha-used hint
+    version = br.bits(3)
+    if version != 0:
+        raise ValueError(f"unknown VP8L version {version}")
+    px, transforms = _decode_image_stream(br, w, h, True)
+    for tr in reversed(transforms):
+        if tr[0] == 0:
+            px = _inv_predictor(px, tr[1], tr[2])
+        elif tr[0] == 1:
+            px = _inv_color_transform(px, tr[1], tr[2])
+        elif tr[0] == 2:
+            px = _inv_subtract_green(px)
+        else:
+            px = _inv_color_indexing(px, tr[1], tr[2], tr[3])
+    if px.shape != (h, w):
+        raise ValueError("decoded size mismatch after transforms")
+    a, r, g, b = _split(px)
+    return np.stack([r, g, b, a], axis=2).astype(np.uint8)
+
+
+# ---------------------------------------------------------------------------
+# container
+# ---------------------------------------------------------------------------
+def decode_webp(b: bytes) -> np.ndarray:
+    """RGBA pixels from a WebP container. Lossless (VP8L) decodes for real;
+    lossy ('VP8 ') and animation are named NotImplementedError gates."""
+    if len(b) < 12 or b[:4] != b"RIFF" or b[8:12] != b"WEBP":
+        raise ValueError("not a WebP (RIFF/WEBP) container")
+    off = 12
+    while off + 8 <= len(b):
+        tag = b[off : off + 4]
+        (size,) = struct.unpack_from("<I", b, off + 4)
+        body = b[off + 8 : off + 8 + size]
+        if tag == b"VP8L":
+            return decode_vp8l(body)
+        if tag == b"VP8 ":
+            raise NotImplementedError(
+                "lossy WebP (VP8 intra-frame) needs a codec library absent "
+                "from this container; only lossless VP8L decodes here"
+            )
+        if tag in (b"ANIM", b"ANMF"):
+            raise NotImplementedError("animated WebP is not supported here")
+        # VP8X and metadata chunks: keep scanning for the image chunk
+        off += 8 + size + (size & 1)
+    raise ValueError("no image chunk (VP8L/VP8) found in WebP container")
+
+
+def _riff(payload: bytes) -> bytes:
+    chunk = b"VP8L" + struct.pack("<I", len(payload)) + payload
+    if len(payload) & 1:
+        chunk += b"\x00"
+    return b"RIFF" + struct.pack("<I", 4 + len(chunk)) + b"WEBP" + chunk
+
+
+# ---------------------------------------------------------------------------
+# encoder twin (legal subset: literal pixels, no color cache, no LZ77,
+# at most one transform; enough to round-trip every inverse-transform and
+# prefix-code path the decoder owns)
+# ---------------------------------------------------------------------------
+def _build_lengths(hist: dict[int, int], max_len: int = 15) -> dict[int, int]:
+    """Huffman code lengths (≤ max_len) for a symbol histogram; uniform
+    fallback if the optimal tree would exceed the limit."""
+    if len(hist) == 1:
+        (s,) = hist
+        return {s: 1}  # lone-symbol tree: 1-bit always-0 code (see reader)
+    heap = [(c, i, (s,)) for i, (s, c) in enumerate(sorted(hist.items()))]
+    heapq.heapify(heap)
+    i = len(heap)
+    depth: dict[int, int] = dict.fromkeys(hist, 0)
+    while len(heap) > 1:
+        c1, _, s1 = heapq.heappop(heap)
+        c2, _, s2 = heapq.heappop(heap)
+        for s in s1 + s2:
+            depth[s] += 1
+        heapq.heappush(heap, (c1 + c2, i, s1 + s2))
+        i += 1
+    if max(depth.values()) > max_len:
+        # uniform lengths: ceil(log2 n) satisfies Kraft and the canonical
+        # assignment is identical on both sides
+        n = len(hist)
+        ln = (n - 1).bit_length()
+        return dict.fromkeys(hist, max(ln, 1))
+    return depth
+
+
+def _write_prefix_code(
+    bw: _BitWriter, lengths: dict[int, int], alphabet_size: int
+) -> dict[int, tuple[int, int]]:
+    """Write one prefix code (simple when ≤2 symbols, else normal with the
+    code-length code); returns symbol -> (code, length) for payload use."""
+    syms = sorted(lengths)
+    if len(syms) <= 2 and all(s < 256 for s in syms):
+        bw.write(1, 1)                      # simple
+        bw.write(len(syms) - 1, 1)          # num_symbols - 1
+        bw.write(1, 1)                      # first symbol in 8 bits
+        bw.write(syms[0], 8)
+        if len(syms) == 1:
+            return {syms[0]: (0, 0)}
+        bw.write(syms[1], 8)
+        return {syms[0]: (0, 1), syms[1]: (1, 1)}
+    bw.write(0, 1)  # normal
+    # full-length array as cl symbols (runs of zeros via 17/18), covering
+    # the WHOLE alphabet so the reader's no-cap loop terminates exactly
+    seq: list[tuple[int, int]] = []  # (cl_symbol, extra_bits_value or -1)
+
+    def _zero_run(run: int) -> None:
+        while run >= 11:
+            r = min(run, 138)
+            seq.append((18, r - 11))
+            run -= r
+        while run >= 3:
+            r = min(run, 10)
+            seq.append((17, r - 3))
+            run -= r
+        for _ in range(run):
+            seq.append((0, -1))
+
+    i = 0
+    while i < alphabet_size:
+        if i in lengths:
+            seq.append((lengths[i], -1))
+            i += 1
+            continue
+        j = i
+        while j < alphabet_size and j not in lengths:
+            j += 1
+        _zero_run(j - i)
+        i = j
+    cl_hist: dict[int, int] = {}
+    for s, _ in seq:
+        cl_hist[s] = cl_hist.get(s, 0) + 1
+    cl_lengths = _build_lengths(cl_hist, max_len=7)
+    # cl code lengths as 3-bit values in _CL_ORDER, up to the last used
+    used_pos = [p for p, s in enumerate(_CL_ORDER) if s in cl_lengths]
+    num_cl = max(max(used_pos) + 1, 4)
+    bw.write(num_cl - 4, 4)
+    for p in range(num_cl):
+        bw.write(cl_lengths.get(_CL_ORDER[p], 0), 3)
+    # single-symbol cl code: the reader consumes 0 bits per entry
+    cl_codes = (
+        {next(iter(cl_lengths)): (0, 0)}
+        if len(cl_lengths) == 1
+        else _canonical_codes(cl_lengths)
+    )
+    bw.write(0, 1)  # no max_symbol cap: every entry up to alphabet end
+    for s, extra in seq:
+        code, ln = cl_codes[s]
+        bw.write(_rev(code, ln), ln)
+        if s == 16:
+            bw.write(extra, 2)
+        elif s == 17:
+            bw.write(extra, 3)
+        elif s == 18:
+            bw.write(extra, 7)
+    if len(lengths) == 1:
+        return {syms[0]: (0, 0)}  # 0-bit single-symbol payload codes
+    return _canonical_codes(lengths)
+
+
+def _rev(code: int, n: int) -> int:
+    """Prefix codes are compared MSB-first by the reader, which pulls the
+    stream LSB-first — so write the code's bits MSB-first too (reverse
+    through the LSB-first writer)."""
+    out = 0
+    for _ in range(n):
+        out = (out << 1) | (code & 1)
+        code >>= 1
+    return out
+
+
+def _emit_symbol(bw: _BitWriter, codes: dict[int, tuple[int, int]], sym: int) -> None:
+    code, ln = codes[sym]
+    if ln:
+        bw.write(_rev(code, ln), ln)
+
+
+def _write_literal_image(bw: _BitWriter, px: np.ndarray, level0: bool) -> None:
+    """Entropy-coded image with literal-only pixels (no cache, no LZ77,
+    single prefix group)."""
+    bw.write(0, 1)  # no color cache
+    if level0:
+        bw.write(0, 1)  # no meta prefix image
+    a, r, g, b = _split(px)
+    chans = {
+        "g": g.ravel().tolist(),
+        "r": r.ravel().tolist(),
+        "b": b.ravel().tolist(),
+        "a": a.ravel().tolist(),
+    }
+    hists = {
+        k: {int(s): int(c) for s, c in zip(*np.unique(v, return_counts=True))}
+        for k, v in chans.items()
+    }
+    codes = {}
+    codes["g"] = _write_prefix_code(bw, _build_lengths(hists["g"]), 256 + 24)
+    codes["r"] = _write_prefix_code(bw, _build_lengths(hists["r"]), 256)
+    codes["b"] = _write_prefix_code(bw, _build_lengths(hists["b"]), 256)
+    codes["a"] = _write_prefix_code(bw, _build_lengths(hists["a"]), 256)
+    _write_prefix_code(bw, {0: 1}, 40)  # unused distance tree
+    for gg, rr, bb, aa in zip(chans["g"], chans["r"], chans["b"], chans["a"]):
+        _emit_symbol(bw, codes["g"], int(gg))
+        _emit_symbol(bw, codes["r"], int(rr))
+        _emit_symbol(bw, codes["b"], int(bb))
+        _emit_symbol(bw, codes["a"], int(aa))
+
+
+def encode_webp_lossless(px: np.ndarray, transform: str | None = None) -> bytes:
+    """Encode (h, w, 3|4) uint8 RGB(A) as lossless WebP.
+
+    ``transform``: None | "subtract_green" | "palette" | "predictor_left" |
+    "color_uniform" — exactly one forward transform so every decoder
+    inverse path gets a fixture-free round-trip. Literal-coded pixels
+    throughout (the decoder's LZ77/cache paths are exercised by dedicated
+    stream-construction tests)."""
+    if px.ndim != 3 or px.shape[2] not in (3, 4):
+        raise ValueError("expected (h, w, 3|4) uint8 pixels")
+    h, w = px.shape[:2]
+    if h < 1 or w < 1 or h > 16384 or w > 16384:
+        raise ValueError("VP8L dimensions must be 1..16384")
+    px = px.astype(np.int64)
+    alpha = px[:, :, 3] if px.shape[2] == 4 else np.full((h, w), 255, dtype=np.int64)
+    argb = _join(alpha, px[:, :, 0], px[:, :, 1], px[:, :, 2])
+
+    bw = _BitWriter()
+    bw.write(0x2F, 8)
+    bw.write(w - 1, 14)
+    bw.write(h - 1, 14)
+    bw.write(1 if px.shape[2] == 4 else 0, 1)
+    bw.write(0, 3)  # version
+
+    if transform is None:
+        bw.write(0, 1)  # empty transform list
+        _write_literal_image(bw, argb, level0=True)
+    elif transform == "subtract_green":
+        bw.write(1, 1)
+        bw.write(2, 2)  # transform type 2
+        a, r, g, b = _split(argb)
+        residual = _join(a, (r - g) & 0xFF, g, (b - g) & 0xFF)
+        bw.write(0, 1)  # end of transforms
+        _write_literal_image(bw, residual, level0=True)
+    elif transform == "predictor_left":
+        bw.write(1, 1)
+        bw.write(0, 2)  # type 0
+        size_bits = 4
+        bw.write(size_bits - 2, 3)
+        tw = (w + (1 << size_bits) - 1) >> size_bits
+        th = (h + (1 << size_bits) - 1) >> size_bits
+        # all tiles mode 1 (left); mode rides in the green channel
+        tiles = np.full((th, tw), 1 << 8, dtype=np.uint32)
+        _write_literal_image(bw, tiles, level0=False)
+        bw.write(0, 1)  # end of transforms
+        res = np.zeros_like(argb)
+        a, r, g, b = _split(argb)
+        for y in range(h):
+            for x in range(w):
+                if x == 0 and y == 0:
+                    pa, pr, pg, pb = 0xFF, 0, 0, 0
+                elif y == 0 or x > 0:
+                    pa, pr, pg, pb = (
+                        int(a[y, x - 1]), int(r[y, x - 1]),
+                        int(g[y, x - 1]), int(b[y, x - 1]),
+                    ) if x > 0 else (
+                        int(a[y - 1, 0]), int(r[y - 1, 0]),
+                        int(g[y - 1, 0]), int(b[y - 1, 0]),
+                    )
+                else:  # x == 0, y > 0: forced T
+                    pa, pr, pg, pb = (
+                        int(a[y - 1, 0]), int(r[y - 1, 0]),
+                        int(g[y - 1, 0]), int(b[y - 1, 0]),
+                    )
+                res[y, x] = (
+                    (((int(a[y, x]) - pa) & 0xFF) << 24)
+                    | (((int(r[y, x]) - pr) & 0xFF) << 16)
+                    | (((int(g[y, x]) - pg) & 0xFF) << 8)
+                    | ((int(b[y, x]) - pb) & 0xFF)
+                )
+        _write_literal_image(bw, res, level0=True)
+    elif transform == "color_uniform":
+        bw.write(1, 1)
+        bw.write(1, 2)  # type 1
+        size_bits = 4
+        bw.write(size_bits - 2, 3)
+        g2r, g2b, r2b = 0x10, 0x20, 0x08  # fixed small positive deltas
+        tw = (w + (1 << size_bits) - 1) >> size_bits
+        th = (h + (1 << size_bits) - 1) >> size_bits
+        cte = (r2b << 16) | (g2b << 8) | g2r
+        tiles = np.full((th, tw), cte, dtype=np.uint32)
+        _write_literal_image(bw, tiles, level0=False)
+        bw.write(0, 1)
+        a, r, g, b = _split(argb)
+        res = np.zeros_like(argb)
+        for y in range(h):
+            for x in range(w):
+                rr = int(r[y, x])
+                bb = int(b[y, x])
+                gg = int(g[y, x])
+                # forward = subtract in the same order the inverse adds
+                bb = (bb - _ct_delta(r2b, rr)) & 0xFF
+                bb = (bb - _ct_delta(g2b, gg)) & 0xFF
+                rr = (rr - _ct_delta(g2r, gg)) & 0xFF
+                res[y, x] = (int(a[y, x]) << 24) | (rr << 16) | (gg << 8) | bb
+        _write_literal_image(bw, res, level0=True)
+    elif transform == "palette":
+        colors, inverse = np.unique(
+            argb.reshape(-1), return_inverse=True
+        )
+        n_colors = colors.size
+        if n_colors > 256:
+            raise ValueError("palette transform needs ≤256 distinct colors")
+        bw.write(1, 1)
+        bw.write(3, 2)  # type 3
+        bw.write(n_colors - 1, 8)
+        # delta-code the palette and store it as a literal 1-row image
+        deltas = np.zeros(n_colors, dtype=np.uint32)
+        prev = 0
+        for i, c in enumerate(colors.tolist()):
+            deltas[i] = (
+                ((((c >> 24) - (prev >> 24)) & 0xFF) << 24)
+                | ((((c >> 16) - (prev >> 16)) & 0xFF) << 16)
+                | ((((c >> 8) - (prev >> 8)) & 0xFF) << 8)
+                | (((c >> 0) - (prev >> 0)) & 0xFF)
+            )
+            prev = c
+        _write_literal_image(bw, deltas.reshape(1, n_colors), level0=False)
+        bw.write(0, 1)  # end of transforms
+        idx = inverse.reshape(h, w).astype(np.int64)
+        wb = _palette_width_bits(n_colors)
+        if wb:
+            per = 1 << wb
+            bits = 8 >> wb
+            pw = (w + per - 1) // per
+            padded = np.zeros((h, pw * per), dtype=np.int64)
+            padded[:, :w] = idx
+            packed = np.zeros((h, pw), dtype=np.int64)
+            for i in range(per):
+                packed |= padded[:, i::per] << (i * bits)
+            green = packed
+        else:
+            green = idx
+        pimg = _join(
+            np.full_like(green, 255), np.zeros_like(green), green,
+            np.zeros_like(green),
+        )
+        _write_literal_image(bw, pimg, level0=True)
+    else:
+        raise ValueError(f"unknown transform {transform!r}")
+    return _riff(bw.done())

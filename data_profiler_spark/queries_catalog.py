@@ -1138,6 +1138,21 @@ def tiff_image_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     return image_features(synth_tiff_media(spark, 30)).orderBy("media_id")
 
 
+@register("webp_image_features")
+def webp_image_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rows-only gate entry for the lossless-WebP (VP8L) codec (round 5,
+    operators/webp.py): the corpus cycles plain-literal, subtract-green,
+    left-predictor, uniform-color-transform and bundled-palette encodings,
+    decoded inside the mapInPandas feature pass — no SQL twin (prefix-coded
+    pixel decode is not expressible in DuckDB)."""
+    from data_profiler_spark.operators.multimodal import (
+        image_features,
+        synth_webp_media,
+    )
+
+    return image_features(synth_webp_media(spark, 30)).orderBy("media_id")
+
+
 @register("jpeg_image_features")
 def jpeg_image_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Rows-only gate entry for the baseline-JPEG codec (round 3): numpy

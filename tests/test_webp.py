@@ -1,0 +1,288 @@
+"""Lossless WebP (VP8L) codec: encoder-twin round-trips for every
+transform path, hand-built streams for the decoder-only paths (LZ77
+backward references, color cache, meta-prefix groups), container gates."""
+
+from __future__ import annotations
+
+import struct
+
+import numpy as np
+import pytest
+
+from data_profiler_spark.operators.webp import (
+    _BitWriter,
+    _hash_pixel,
+    _rev,
+    _riff,
+    _write_prefix_code,
+    decode_webp,
+    encode_webp_lossless,
+)
+
+
+def _rt(px: np.ndarray, transform=None) -> np.ndarray:
+    return decode_webp(encode_webp_lossless(px, transform=transform))
+
+
+@pytest.mark.parametrize("tr", [None, "subtract_green", "predictor_left",
+                                "color_uniform"])
+@pytest.mark.parametrize("hw", [(1, 1), (3, 5), (16, 16), (23, 41)])
+def test_roundtrip_transforms(tr, hw):
+    h, w = hw
+    rng = np.random.default_rng(h * 100 + w)
+    px = rng.integers(0, 256, (h, w, 3), dtype=np.uint8)
+    out = _rt(px, tr)
+    assert out.shape == (h, w, 4)
+    assert (out[:, :, :3] == px).all()
+    assert (out[:, :, 3] == 255).all()
+
+
+@pytest.mark.parametrize("levels,expected_bits", [(2, 8), (4, 4), (8, 2)])
+def test_roundtrip_palette_bundling(levels, expected_bits):
+    # `levels` distinct colors per channel -> bundled 1/2/4-bit indices
+    rng = np.random.default_rng(levels)
+    h, w = 11, 23
+    vals = np.linspace(0, 255, levels).astype(np.uint8)
+    px = vals[rng.integers(0, levels, (h, w, 3))]
+    # force a single-channel palette so the color count == levels
+    px[:, :, 1] = px[:, :, 0]
+    px[:, :, 2] = px[:, :, 0]
+    out = _rt(px, "palette")
+    assert (out[:, :, :3] == px).all()
+
+
+def test_roundtrip_palette_unbundled_257_colors_rejected():
+    h = np.arange(257, dtype=np.int64)
+    px = np.stack([h % 256, h // 256, np.zeros_like(h)], axis=1).astype(
+        np.uint8
+    ).reshape(1, 257, 3)
+    with pytest.raises(ValueError, match="256"):
+        encode_webp_lossless(px, transform="palette")
+
+
+def test_roundtrip_rgba_alpha_preserved():
+    rng = np.random.default_rng(3)
+    px = rng.integers(0, 256, (9, 13, 4), dtype=np.uint8)
+    out = _rt(px)
+    assert (out == px).all()
+
+
+def test_single_color_image_uses_zero_bit_codes():
+    px = np.full((32, 32, 3), 200, dtype=np.uint8)
+    b = encode_webp_lossless(px)
+    # 1024 identical literal pixels must cost ~no payload bits
+    assert len(b) < 120
+    assert (_rt(px)[:, :, :3] == px).all()
+
+
+def test_lossy_vp8_and_animation_gates():
+    lossy = b"RIFF" + struct.pack("<I", 12) + b"WEBP" + b"VP8 " + struct.pack("<I", 0)
+    with pytest.raises(NotImplementedError, match="lossy"):
+        decode_webp(lossy)
+    anim = b"RIFF" + struct.pack("<I", 12) + b"WEBP" + b"ANIM" + struct.pack("<I", 0)
+    with pytest.raises(NotImplementedError, match="animated"):
+        decode_webp(anim)
+    with pytest.raises(ValueError, match="RIFF"):
+        decode_webp(b"\x89PNG" + b"\x00" * 20)
+
+
+def test_vp8x_container_is_walked_to_the_vp8l_chunk():
+    px = np.full((2, 2, 3), 9, dtype=np.uint8)
+    plain = encode_webp_lossless(px)
+    vp8l_chunk = plain[12:]  # VP8L tag + size + payload (+pad)
+    vp8x = b"VP8X" + struct.pack("<I", 10) + b"\x00" * 10
+    body = b"WEBP" + vp8x + vp8l_chunk
+    b = b"RIFF" + struct.pack("<I", len(body)) + body
+    assert (decode_webp(b)[:, :, :3] == px).all()
+
+
+# ---------------------------------------------------------------------------
+# decoder-only paths, via hand-built streams (the encoder twin never emits
+# LZ77 / cache / meta groups, so these paths need their own fixtures)
+# ---------------------------------------------------------------------------
+def _header(bw: _BitWriter, w: int, h: int) -> None:
+    bw.write(0x2F, 8)
+    bw.write(w - 1, 14)
+    bw.write(h - 1, 14)
+    bw.write(0, 1)
+    bw.write(0, 3)
+
+
+def _emit(bw: _BitWriter, codes, sym: int) -> None:
+    code, ln = codes[sym]
+    if ln:
+        bw.write(_rev(code, ln), ln)
+
+
+def _argb(r, g, b, a=255):
+    return (a << 24) | (r << 16) | (g << 8) | b
+
+
+def test_lz77_and_color_cache_decode():
+    # 4x2 image: literal P1; LZ77 len=3 dist=1 (copies P1 x3); literal P2;
+    # cache hits for P1 and P2; literal P1.
+    cache_bits = 4
+    p1 = _argb(10, 20, 30)
+    p2 = _argb(77, 13, 200)  # hashes to a different cache slot than p1
+    h1, h2 = _hash_pixel(p1, cache_bits), _hash_pixel(p2, cache_bits)
+    assert h1 != h2
+    bw = _BitWriter()
+    _header(bw, 4, 2)
+    bw.write(0, 1)                      # no transforms
+    bw.write(1, 1)                      # color cache present
+    bw.write(cache_bits, 4)
+    bw.write(0, 1)                      # no meta prefix image
+    green_alpha = 256 + 24 + (1 << cache_bits)
+    # green symbols: literals 20, 80; length code 258 (=> len 3);
+    # cache hits 280+h1, 280+h2
+    g_hist = {20: 3, 13: 1, 258: 1, 280 + h1: 1, 280 + h2: 1}
+    g_codes = _write_prefix_code(bw, _lengths(g_hist), green_alpha)
+    r_codes = _write_prefix_code(bw, _lengths({10: 2, 77: 1}), 256)
+    b_codes = _write_prefix_code(bw, _lengths({30: 2, 200: 1}), 256)
+    a_codes = _write_prefix_code(bw, _lengths({255: 3}), 256)
+    # distance prefix symbol 1 -> _prefix_decode_extra value 2 -> 2D map
+    # entry (1,0) -> dist 1 (the previous pixel)
+    d_codes = _write_prefix_code(bw, _lengths({1: 1}), 40)
+    # pos0 literal P1
+    _emit(bw, g_codes, 20); _emit(bw, r_codes, 10); _emit(bw, b_codes, 30); _emit(bw, a_codes, 255)
+    # pos1-3: LZ77 length 3 (green 258 -> length code 2 -> 3), distance
+    # prefix symbol 1 -> value 2 -> dist_code 2 -> (dx,dy)=(1,0) -> dist 1
+    _emit(bw, g_codes, 258)
+    _emit(bw, d_codes, 1)
+    # pos4 literal P2
+    _emit(bw, g_codes, 13); _emit(bw, r_codes, 77); _emit(bw, b_codes, 200); _emit(bw, a_codes, 255)
+    # pos5 cache hit P1, pos6 cache hit P2
+    _emit(bw, g_codes, 280 + h1)
+    _emit(bw, g_codes, 280 + h2)
+    # pos7 literal P1
+    _emit(bw, g_codes, 20); _emit(bw, r_codes, 10); _emit(bw, b_codes, 30); _emit(bw, a_codes, 255)
+    out = decode_webp(_riff(bw.done()))
+    exp = np.array([[ [10,20,30,255] ]*4,
+                    [[77,13,200,255],[10,20,30,255],[77,13,200,255],[10,20,30,255]]])
+    assert (out == exp).all()
+
+
+def test_meta_prefix_groups_decode():
+    # 8x1 image, meta tile bits 2 (4-px tiles): group 0 emits green 5,
+    # group 1 emits green 200 — distinct per-group prefix codes.
+    bw = _BitWriter()
+    _header(bw, 8, 1)
+    bw.write(0, 1)          # no transforms
+    bw.write(0, 1)          # no color cache
+    bw.write(1, 1)          # meta prefix present
+    bw.write(0, 3)          # meta_bits = 2 -> mw=2, mh=1
+    # meta image (2 px): entropy-coded, level0=False. Pixel value encodes
+    # (red<<8)|green = group id -> greens 0 and 1, red 0.
+    bw.write(0, 1)          # meta image: no color cache
+    mg = _write_prefix_code(bw, _lengths({0: 1, 1: 1}), 256 + 24)
+    mr = _write_prefix_code(bw, _lengths({0: 2}), 256)
+    mb = _write_prefix_code(bw, _lengths({0: 2}), 256)
+    ma = _write_prefix_code(bw, _lengths({255: 2}), 256)
+    _write_prefix_code(bw, _lengths({0: 1}), 40)
+    for gsym in (0, 1):
+        _emit(bw, mg, gsym); _emit(bw, mr, 0); _emit(bw, mb, 0); _emit(bw, ma, 255)
+    # two prefix-code groups
+    groups = []
+    for gval in (5, 200):
+        g = _write_prefix_code(bw, _lengths({gval: 4}), 256 + 24)
+        r = _write_prefix_code(bw, _lengths({1: 4}), 256)
+        b = _write_prefix_code(bw, _lengths({2: 4}), 256)
+        a = _write_prefix_code(bw, _lengths({255: 4}), 256)
+        _write_prefix_code(bw, _lengths({0: 1}), 40)
+        groups.append((g, r, b, a))
+    for x in range(8):
+        g, r, b, a = groups[0 if x < 4 else 1]
+        _emit(bw, g, 5 if x < 4 else 200)
+        _emit(bw, r, 1); _emit(bw, b, 2); _emit(bw, a, 255)
+    out = decode_webp(_riff(bw.done()))
+    assert (out[0, :4, 1] == 5).all() and (out[0, 4:, 1] == 200).all()
+    assert (out[0, :, 0] == 1).all() and (out[0, :, 2] == 2).all()
+
+
+def _lengths(hist):
+    from data_profiler_spark.operators.webp import _build_lengths
+
+    return _build_lengths(hist)
+
+
+def test_decode_image_dispatches_webp():
+    from data_profiler_spark.operators.multimodal import decode_image
+
+    px = np.full((5, 7, 3), 33, dtype=np.uint8)
+    out = decode_image(encode_webp_lossless(px))
+    assert out.shape == (5, 7, 3) and (out == px).all()
+
+
+def test_webp_media_features_all_decode(spark):
+    from data_profiler_spark.operators.multimodal import (
+        image_features,
+        synth_webp_media,
+    )
+
+    rows = image_features(synth_webp_media(spark, 12)).collect()
+    assert len(rows) == 12
+    assert all(r["decoded"] for r in rows)
+
+
+def test_predict_modes_hand_computed():
+    from data_profiler_spark.operators.webp import _predict
+
+    L, T = (255, 100, 50, 200), (255, 60, 40, 100)
+    TL, TR = (255, 80, 90, 150), (255, 20, 10, 250)
+    assert _predict(0, L, T, TL, TR) == (0xFF, 0, 0, 0)
+    assert _predict(1, L, T, TL, TR) == L
+    assert _predict(2, L, T, TL, TR) == T
+    assert _predict(3, L, T, TL, TR) == TR
+    assert _predict(4, L, T, TL, TR) == TL
+    assert _predict(5, L, T, TL, TR) == (255, 60, 35, 162)
+    assert _predict(7, L, T, TL, TR) == (255, 80, 45, 150)
+    # Select: pL=120, pT=110 -> T wins
+    assert _predict(11, L, T, TL, TR) == T
+    # ClampAddSubtractFull: L+T-TL clamped
+    assert _predict(12, L, T, TL, TR) == (255, 80, 0, 150)
+    # ClampAddSubtractHalf: avg=(255,80,45,150); 45+trunc(-45/2)=23
+    assert _predict(13, L, T, TL, TR) == (255, 80, 23, 150)
+
+
+@pytest.mark.parametrize("mode", list(range(14)))
+def test_predictor_inverse_roundtrip_every_mode(mode):
+    # forward residuals computed with the SAME neighbor rules the decoder
+    # uses (sequential, decoded-neighbor based), uniform tile mode; the
+    # inverse must reproduce the pixels exactly for all 14 modes
+    from data_profiler_spark.operators.webp import (
+        _join,
+        _inv_predictor,
+        _pix,
+        _predict,
+        _split,
+        _unpix,
+    )
+
+    rng = np.random.default_rng(mode)
+    h, w = 7, 9
+    px = rng.integers(0, 256, (h, w, 4), dtype=np.uint8).astype(np.int64)
+    argb = _join(px[:, :, 3], px[:, :, 0], px[:, :, 1], px[:, :, 2])
+    res = np.zeros_like(argb)
+    for y in range(h):
+        for x in range(w):
+            if x == 0 and y == 0:
+                pred = (0xFF, 0, 0, 0)
+            elif y == 0:
+                pred = _pix(int(argb[0, x - 1]))
+            elif x == 0:
+                pred = _pix(int(argb[y - 1, 0]))
+            else:
+                left = _pix(int(argb[y, x - 1]))
+                top = _pix(int(argb[y - 1, x]))
+                tl = _pix(int(argb[y - 1, x - 1]))
+                tr = (
+                    _pix(int(argb[y - 1, 0]))
+                    if x + 1 >= w
+                    else _pix(int(argb[y - 1, x + 1]))
+                )
+                pred = _predict(mode, left, top, tl, tr)
+            cur = _pix(int(argb[y, x]))
+            res[y, x] = _unpix(tuple((c - p) & 0xFF for c, p in zip(cur, pred)))
+    tiles = np.full((2, 3), mode << 8, dtype=np.uint32)  # size_bits=2 tiles
+    out = _inv_predictor(res, 2, tiles)
+    assert (out == argb).all()

@@ -1,0 +1,100 @@
+#!/usr/bin/env python
+"""Cache-resident, compute-bound scaling CONTROL (VERDICT r4 #2).
+
+Purpose: separate "the host steals memory bandwidth" from "the engine stops
+scaling at 32 threads". The constraint suite moves real data, so its 16->32
+bend could be either; this job moves (almost) none — each task runs a fixed
+number of LCG+xorshift integer-mixing rounds over a 1 MiB uint64 numpy
+buffer, in place, so the working set lives in the core-private 2 MiB L2
+(lscpu: 32 cores, no SMT, 2 MiB L2/core, 260 MiB L3). DRAM traffic is
+~nil; the only shared resources are ALUs (private per core) and the
+hypervisor's willingness to schedule our vCPUs.
+
+Interpretation per the r4 verdict:
+  - control ~1.0 while the suite holds ~0.75  -> the gap is memory-system
+    (bus/L3/host-bandwidth) bound; the per-node-bus box-cap argument is
+    complete (a real 4N multi-node scale-out adds buses with executors).
+  - control also degrades                     -> host CPU-steal is in play;
+    sample on quieter days.
+  - control clean and suite residue remains after bandwidth accounting
+                                              -> real engine overhead.
+
+Runs through the SAME fresh-JVM protocol as the suite legs: one Spark
+local[CPUS] boot, CPUS tasks (one per partition), each pinned to the same
+iteration count. Only the job (not the boot) is timed.
+
+Usage: python tools/cpu_control.py CPUS [ITERS]   (default ITERS=12000,
+~4 s/task at 0.33 ms/iter measured single-thread)
+Prints one JSON line: {"cpus": N, "wall_sec": w, "task_secs": [...],
+"thr_tasks_per_sec": N/w, "checksum": ...}
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+N_ELEMS = 131_072  # 1 MiB of uint64 — L2-resident with its one temp buffer
+
+
+def _mix_task(seed: int, iters: int) -> tuple[int, float, int]:
+    """One task: in-place integer mixing, returns (seed, secs, checksum)."""
+    import numpy as np
+
+    a = (np.arange(N_ELEMS, dtype=np.uint64) + np.uint64(seed * 2654435761)) | np.uint64(1)
+    b = np.empty_like(a)
+    m = np.uint64(6364136223846793005)
+    c = np.uint64(1442695040888963407)
+    s = np.uint64(33)
+    t0 = time.perf_counter()
+    with np.errstate(over="ignore"):
+        for _ in range(iters):
+            np.multiply(a, m, out=a)
+            np.add(a, c, out=a)
+            np.right_shift(a, s, out=b)
+            np.bitwise_xor(a, b, out=a)
+    return seed, time.perf_counter() - t0, int(a.sum()) & 0xFFFFFFFF
+
+
+def main() -> int:
+    cpus = int(sys.argv[1])
+    iters = int(sys.argv[2]) if len(sys.argv) > 2 else 12_000
+
+    from data_profiler_spark import get_spark
+
+    spark = get_spark(app_name=f"cpu_control_{cpus}", master=f"local[{cpus}]")
+    sc = spark.sparkContext
+    # warm the Python workers + numpy import OUTSIDE the timed window, so
+    # the measurement is pure compute like the suite legs' timed reps
+    sc.parallelize(range(cpus), cpus).map(lambda i: _mix_task(i, 10)[2]).collect()
+
+    t0 = time.perf_counter()
+    rows = (
+        sc.parallelize(range(cpus), cpus)
+        .map(lambda i: _mix_task(i, iters))
+        .collect()
+    )
+    wall = time.perf_counter() - t0
+    checksum = 0
+    for _, _, c in rows:
+        checksum ^= c
+    out = {
+        "cpus": cpus,
+        "iters": iters,
+        "wall_sec": round(wall, 3),
+        "task_secs": sorted(round(t, 3) for _, t, _ in rows),
+        "thr_tasks_per_sec": round(cpus / wall, 4),
+        "checksum": checksum,
+    }
+    print(json.dumps(out))
+    spark.stop()
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

@@ -79,6 +79,46 @@ def run_at(cpus: int, code_files: str, commits: str) -> dict:
 PROTOCOL = "r4"
 
 
+def _cpu_control(widths: list[int]) -> dict | None:
+    """Cache-resident compute-bound control at each width (tools/
+    cpu_control.py, fresh JVM per width — VERDICT r4 #2): if this scales
+    ~1.0 while the suite holds ~0.75, the suite's bend is memory-system
+    contention, not scheduler/engine overhead; if the control degrades too,
+    host CPU-steal was active during the attempt. ~15 s/width; None on
+    error so a control hiccup never voids a suite attempt."""
+    try:
+        out = {}
+        for w in widths:
+            r = subprocess.run(
+                [sys.executable, os.path.join(REPO, "tools", "cpu_control.py"),
+                 str(w)],
+                capture_output=True, text=True, timeout=600, check=True,
+            )
+            out[w] = json.loads(r.stdout.strip().splitlines()[-1])
+        lo_w, hi_w = min(widths), max(widths)
+        rec = {
+            "wall_sec": {str(w): out[w]["wall_sec"] for w in widths},
+            "median_task_sec": {
+                str(w): out[w]["task_secs"][len(out[w]["task_secs"]) // 2]
+                for w in widths
+            },
+            "efficiency_hi_vs_lo": round(
+                (out[hi_w]["thr_tasks_per_sec"] / out[lo_w]["thr_tasks_per_sec"])
+                / (hi_w / lo_w),
+                3,
+            ),
+        }
+        for a, b in zip(widths, widths[1:]):
+            rec[f"efficiency_{b}_vs_{a}"] = round(
+                (out[b]["thr_tasks_per_sec"] / out[a]["thr_tasks_per_sec"])
+                / (b / a),
+                3,
+            )
+        return rec
+    except Exception:
+        return None
+
+
 def _bus_probe() -> dict | None:
     """STREAM-triad aggregate GB/s at 1/8/16/32 processes (tools/
     bus_probe.py) — the quantitative single-box bandwidth ceiling that
@@ -129,9 +169,14 @@ def main() -> int:
     n_rows = int(sys.argv[1]) if len(sys.argv) > 1 else 6_000_000
     lo_cpus = int(os.environ.get("SCALING_N", "2"))
     hi_cpus = 4 * lo_cpus
-    mid_cpus = 2 * lo_cpus if os.environ.get("SCALING_MID_LEG") == "1" else None
+    # 2N mid leg is STANDARD from r5 (VERDICT r4 #6): the 8->16 vs 16->32
+    # doubling decomposition is what the bus-contention argument rests on,
+    # so every attempt must record it, not just a designated one.
+    mid_cpus = None if os.environ.get("SCALING_MID_LEG") == "0" else 2 * lo_cpus
     code_files, commits = _ensure_input(n_rows)
     probe = _bus_probe()
+    control_widths = [lo_cpus, mid_cpus, hi_cpus] if mid_cpus else [lo_cpus, hi_cpus]
+    control = _cpu_control(control_widths)
 
     # Alternate the legs across multiple fresh-JVM boots and take the
     # per-leg BEST (min suite wall). Within one boot, min-of-3 reps defends
@@ -183,6 +228,8 @@ def main() -> int:
     }
     if probe:
         result["stream_triad_GBps"] = probe["widths"]
+    if control:
+        result["cpu_control"] = control
     if mid:
         result["local2N"] = {k: mid[k] for k in ("suite_sec", "rows_per_sec")}
         result["efficiency_2N_vs_N"] = round(
@@ -362,6 +409,30 @@ def main() -> int:
         )
     else:
         probe_block = ""
+    if control:
+        ctl_walls = ", ".join(
+            f"local[{w}] {control['wall_sec'][str(w)]} s" for w in control_widths
+        )
+        ctl_doublings = "; ".join(
+            f"{a}→{b} **{control[f'efficiency_{b}_vs_{a}']}**"
+            for a, b in zip(control_widths, control_widths[1:])
+            if f"efficiency_{b}_vs_{a}" in control
+        )
+        control_block = (
+            f"- **Compute-bound control (this attempt)**: fixed-iteration "
+            f"integer hashing over a 1 MiB/thread L2-resident buffer "
+            f"(tools/cpu_control.py — near-zero DRAM traffic, same fresh-JVM "
+            f"local[N] protocol as the suite legs): {ctl_walls}; scaling "
+            f"efficiency {lo_cpus}→{hi_cpus} "
+            f"**{control['efficiency_hi_vs_lo']}** (doublings {ctl_doublings}). "
+            f"A control near 1.0 alongside a ~0.75 suite pins the suite's "
+            f"bend on the memory system (bus/L3/host bandwidth — which a "
+            f"real multi-node 4N scale-out does not share), not on "
+            f"scheduler or engine overhead; a degraded control means host "
+            f"CPU-steal was active during this attempt.\n"
+        )
+    else:
+        control_block = ""
     md = f"""# BENCH — scaling evidence (north rule)
 
 Generated by `python tools/scaling_bench.py {n_rows}` on {time.strftime("%Y-%m-%d")}
@@ -380,7 +451,7 @@ Latest accepted attempt:
   MEDIAN over all {n_clean} clean audited protocol-{PROTOCOL} attempts in
   `SCALING_runs.jsonl`, never a keep-best pick (r3 verdict); this
   attempt measured {result["efficiency_4N_vs_N"]}.
-{doublings}{probe_block}\
+{doublings}{probe_block}{control_block}\
 - **Outputs bit-identical across cluster sizes: {identical}**
   (md5 over sorted violation rows incl. per-row content sha256:
   `{hi["violations_fingerprint"]}`; uniqueness `{hi["uniqueness_fingerprint"]}`;

@@ -99,17 +99,59 @@ def main() -> int:
     # loadavg sampled before each run kept in the artifact so a noisy
     # official number is diagnosable after the fact.
     reps_default = int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "3"))
-    # Load gate for the min-wall rep (VERDICT r4 #3): when even the BEST rep
-    # ran under ambient loadavg > this, the number is not an engine
-    # measurement — escalate with extra reps, and if none lands in a clean
-    # window, flag the entry so round-over-round readers discount it
-    # instead of a judge re-measuring by hand.
-    load_gate = float(os.environ.get("SPARK_GRAFT_BENCH_LOAD_GATE", "8"))
+    # Load gate for the min-wall rep (VERDICT r4 #3): when even the BEST
+    # rep saw more EXTERNAL tenant cores than this, the number is not an
+    # engine measurement — escalate with extra reps, and if none lands in
+    # a clean window, flag the entry so round-over-round readers discount
+    # it instead of a judge re-measuring by hand. The signal is the one
+    # scaling_run.py proved out: box-wide busy cores from /proc/stat MINUS
+    # our own JVM + python-driver CPU over the rep — a raw-loadavg gate
+    # would count bench's own 30-thread work and flag everything.
+    ext_gate = float(os.environ.get("SPARK_GRAFT_BENCH_EXT_GATE", "4"))
     escalate_max = 2
+    hz = os.sysconf("SC_CLK_TCK")
+
+    def _busy_jiffies() -> int:
+        with open("/proc/stat") as f:
+            vals = [int(x) for x in f.readline().split()[1:]]
+        idle = vals[3] + (vals[4] if len(vals) > 4 else 0)
+        return sum(vals) - idle
+
+    def _tree_cpu_s() -> float:
+        """CPU seconds of our WHOLE process subtree: python driver, Spark
+        JVM, and the pyspark daemon/worker processes (children of the JVM,
+        not of us — a JVM-only figure would misread Arrow-UDF queries'
+        worker CPU as external tenants). Live descendants contribute their
+        own utime+stime; exited ones their reaper's cutime+cstime."""
+        me = os.getpid()
+        procs: dict[int, tuple[int, float]] = {}
+        for d in os.listdir("/proc"):
+            if not d.isdigit():
+                continue
+            try:
+                with open(f"/proc/{d}/stat") as f:
+                    parts = f.read().rsplit(") ", 1)[1].split()
+            except OSError:
+                continue
+            cpu = (
+                int(parts[11]) + int(parts[12]) + int(parts[13]) + int(parts[14])
+            ) / hz
+            procs[int(d)] = (int(parts[1]), cpu)
+        kids: dict[int, list[int]] = {}
+        for pid, (ppid, _) in procs.items():
+            kids.setdefault(ppid, []).append(pid)
+        total, stack = 0.0, [me]
+        while stack:
+            p = stack.pop()
+            if p in procs:
+                total += procs[p][1]
+                stack.extend(kids.get(p, []))
+        return total
+
     timings: dict[str, float] = {}
     runs: dict[str, list[float]] = {}
     loads: dict[str, list[float]] = {}
-    loads_after: dict[str, list[float]] = {}
+    ext_cores: dict[str, list[float]] = {}
     load_tainted: list[str] = []
     errors: dict[str, str] = {}
     quality: dict[str, dict] = {}
@@ -118,6 +160,7 @@ def main() -> int:
     def _one_rep(name: str, fn) -> bool:
         """Run one timed rep; returns False on error (recorded)."""
         loads[name].append(round(os.getloadavg()[0], 2))
+        j0, c0 = _busy_jiffies(), _tree_cpu_s()
         t0 = time.perf_counter()
         try:
             ret = fn(spark, sf_dir, code_files)
@@ -125,15 +168,18 @@ def main() -> int:
             # transient disk-full on this shared box) must not void the
             # whole artifact; the error is recorded and the suite goes on
             errors[name] = f"{type(exc).__name__}: {exc}"[:500]
-            loads_after[name].append(round(os.getloadavg()[0], 2))
             return False
+        wall = time.perf_counter() - t0
+        j1, c1 = _busy_jiffies(), _tree_cpu_s()
+        own = (c1 - c0) / wall
+        busy = (j1 - j0) / hz / wall
+        ext_cores[name].append(round(max(0.0, busy - own), 2))
         # queries may return quality metrics (pairs emitted, recall vs
         # seeded ground truth) — deterministic across reps, so last wins;
         # they belong IN the artifact, not on stderr (VERDICT r3 #3)
         if isinstance(ret, dict) and ret:
             quality[name] = ret
-        runs[name].append(round(time.perf_counter() - t0, 4))
-        loads_after[name].append(round(os.getloadavg()[0], 2))
+        runs[name].append(round(wall, 4))
         # each run stands alone: operator-internal caches must not tax
         # or subsidize the runs/queries that follow
         spark.catalog.clearCache()
@@ -143,36 +189,34 @@ def main() -> int:
         spark.sparkContext._jvm.System.gc()
         return True
 
-    def _min_rep_window_load(name: str) -> float:
-        """Ambient load around the min-wall rep: max of the 1-min loadavg
-        sampled just before and just after it (the after sample sees load
-        that arrived DURING the rep, which the before sample misses)."""
+    def _min_rep_ext(name: str) -> float:
+        """External tenant cores measured DURING the min-wall rep."""
         i = runs[name].index(min(runs[name]))
-        return max(loads[name][i], loads_after[name][i])
+        return ext_cores[name][i]
 
     for name, fn in BENCH_QUERIES.items():
         if only and name not in only:
             continue
         reps = max(1, min(reps_default, getattr(fn, "bench_reps", reps_default)))
-        runs[name], loads[name], loads_after[name] = [], [], []
+        runs[name], loads[name], ext_cores[name] = [], [], []
         ok = True
         for _ in range(reps):
             if not _one_rep(name, fn):
                 ok = False
                 break
-        # load-defense: if the best rep's window was loaded, buy up to 2
+        # load-defense: if the best rep saw external load, buy up to 2
         # clean-window attempts before accepting (same self-defense
         # scaling_bench has had since r3)
         extra = 0
         while (
-            ok and runs[name] and _min_rep_window_load(name) > load_gate
+            ok and runs[name] and _min_rep_ext(name) > ext_gate
             and extra < escalate_max
         ):
             extra += 1
             ok = _one_rep(name, fn)
         if runs[name]:
             timings[name] = min(runs[name])
-            if _min_rep_window_load(name) > load_gate:
+            if _min_rep_ext(name) > ext_gate:
                 load_tainted.append(name)
 
     total = round(sum(timings.values()), 4)
@@ -192,8 +236,8 @@ def main() -> int:
         "queries": timings,
         "query_runs": runs,
         "loadavg_before_runs": loads,
-        "loadavg_after_runs": loads_after,
-        "load_gate": load_gate,
+        "ext_cores_at_runs": ext_cores,
+        "ext_cores_gate": ext_gate,
         "load_tainted": load_tainted,
         "calibration": {
             "query": "profile_lineitem",

@@ -502,8 +502,9 @@ Latest accepted attempt:
   for the 1-min loadavg to settle below the gate between legs so the N
   leg's own thread decay is not mistaken for external load. Decisively,
   each timed rep now measures external tenant cores DIRECTLY (box-wide
-  busy cores from /proc/stat minus our own JVM+driver CPU from the
-  OperatingSystemMXBean) and the harness rejects the run if the selected
+  busy cores from /proc/stat minus our own JVM+driver CPU from
+  /proc/<pid>/stat — the MXBean's getProcessCpuTime is not reachable
+  over py4j on Java 17) and the harness rejects the run if the selected
   min-wall rep of either leg saw > 2 external cores — the mid-rep-spike
   mode the before/after loadavg samples cannot see, which DEFLATES the
   wide leg (it has no idle cores to absorb tenants; the N leg does).
